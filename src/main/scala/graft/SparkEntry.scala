@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Transforms
+import graft.operators.Merge
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY §2 (or a
+  * beyond-parity LLM-pipeline operator), expressed Spark-first, with a
+  * DuckDB-equivalent oracle in `oracleSql` where ANSI SQL can express it.
+  * Column names are aliased identically on both sides; results are
+  * deterministically ordered; floating aggregates are rounded so the
+  * driver's value-hash compare is stable across engines.
+  */
 object SparkEntry {
+
+  /** Read one testdata table. `events.parquet` carries TIMESTAMP(NANOS)
+    * which Spark only reads via the nanosAsLong legacy flag (set in
+    * Verify/Bench/GraftSession); we convert back to a µs timestamp with
+    * integer division (ns epoch exceeds 2^53, so no double math). */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // §2.5 aggregations
+  // ---------------------------------------------------------------------
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    // CDC batch-stats one-pass agg (cdc_pipeline.py:317-322): count,
+    // formatted max event time, min/max offset — offsets here = event_id.
+    table(s, dir, "events").agg(
+      count(lit(1)).as("event_count"),
+      date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_event_ts"),
+      min("event_id").as("min_offset"),
+      max("event_id").as("max_offset"))
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    // distinct schema-id analog (cdc_pipeline.py:269-272)
+    table(s, dir, "events").select("event_type").distinct().orderBy("event_type")
+
+  // ---------------------------------------------------------------------
+  // §2.4 joins
+  // ---------------------------------------------------------------------
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val orders = table(s, dir, "orders")
+    val customer = table(s, dir, "customer")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q5-shaped snowflake join: revenue per nation. Small dims are
+    // broadcast; only lineitem⋈orders shuffles (co-partitioned on the key).
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    // WHERE EXISTS (left semi) — the shape of the reference's DELETE guard.
+    val o = table(s, dir, "orders")
+    val bigLines = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    Merge
+      .semiMatching(o, bigLines.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.2 MERGE INTO / DELETE semantics
+  // ---------------------------------------------------------------------
+
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    // MERGE INTO target USING source: matched rows take source values,
+    // unmatched source rows are inserted, the rest of target survives
+    // (cdc_pipeline.py:229-237 / Iceberg copy-on-write rewrite).
+    val orders = table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+    // additive update: multiplying doubles lands on .xx5 half-way points
+    // whose rounding differs between engines; +1000.0 keeps the 2-dp tail
+    val source = orders
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+      .withColumn("o_orderstatus", lit("U"))
+    Merge.upsert(target, source, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    // DELETE FROM t WHERE EXISTS (…) (cdc_pipeline.py:239-251): left anti.
+    val orders = table(s, dir, "orders")
+    val deletes = orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey")
+    Merge
+      .deleteMatching(orders, deletes, Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.6 window dedup / §2.10 keep-newest purge
+  // ---------------------------------------------------------------------
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    // Per-key latest-record dedup (cdc_pipeline.py:199-204): highest
+    // offset (here: ts, tie-broken by event_id) per key wins.
+    Transforms
+      .latestPerKey(table(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .orderBy("user_id")
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    // Watermark purge keep-newest-per-(key...) (watermark.py:427-435).
+    Transforms
+      .latestPerKey(table(s, dir, "events"), Seq("user_id", "event_type"), "ts",
+        Seq("event_id"))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id", "event_type")
+
+  // ---------------------------------------------------------------------
+  // §2.3 projections / scalar expressions
+  // ---------------------------------------------------------------------
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_quantity") > 30 && col("l_discount").between(0.02, 0.08))
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    // synthetic identity id_iceberg = md5(concat_ws("|", pk...))
+    Transforms
+      .withPkHash(table(s, dir, "orders"), Seq("o_orderkey"))
+      .select("o_orderkey", "id_iceberg")
+      .orderBy("o_orderkey")
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    // trim_string_columns shape (iceberg.py:17-29) + simple scalar exprs
+    Transforms
+      .trimStringColumns(table(s, dir, "part"))
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_type")).as("type_len"))
+      .orderBy("p_partkey")
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    // kafka_to_s3 date-partition derivation (kafka_to_s3.py:39-44,86-95)
+    table(s, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy").as("year"),
+        date_format(col("ts"), "MM").as("month"),
+        date_format(col("ts"), "dd").as("day"),
+        date_format(col("ts"), "HH").as("hour"))
+      .orderBy("event_id")
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    // UTC normalization of all timestamp columns (parquet_to_iceberg.py:26-35)
+    Transforms
+      .convertTimestampsToUtc(table(s, dir, "orders"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"))
+      .orderBy("o_orderkey")
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    // schema-conforming projection: cast every column to the catalog type
+    // (cdc_pipeline.py:190-197) — here a stable string/width normalization.
+    table(s, dir, "lineitem")
+      .select(
+        col("l_orderkey").cast(LongType).as("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity").cast(DecimalType(12, 2)).cast(StringType).as("qty_s"),
+        col("l_returnflag").cast(StringType).as("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------------
+  // §2.7 sorts / limits
+  // ---------------------------------------------------------------------
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    // top-k: Spark plans TakeOrderedAndProject (no full sort at scale)
+    table(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(50)
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_snowflake_join" -> (q04 _),
+    "q05_latest_per_key" -> (q05 _),
+    "q06_pk_hash" -> (q06 _),
+    "q07_trim_scalar" -> (q07 _),
+    "q08_merge_upsert" -> (q08 _),
+    "q09_delete_exists" -> (q09 _),
+    "q10_keep_newest" -> (q10 _),
+    "q11_stats_agg" -> (q11 _),
+    "q12_distinct" -> (q12 _),
+    "q13_top_k" -> (q13 _),
+    "q14_date_partition" -> (q14 _),
+    "q15_utc_normalize" -> (q15 _),
+    "q16_schema_conform" -> (q16 _),
+    "q17_exists_semi" -> (q17 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q04_snowflake_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q05_latest_per_key" ->
+      """SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q06_pk_hash" ->
+      """SELECT o_orderkey,
+         md5(concat_ws('|', CAST(o_orderkey AS VARCHAR))) AS id_iceberg
+         FROM orders ORDER BY o_orderkey""",
+    "q07_trim_scalar" ->
+      """SELECT p_partkey, trim(p_name) AS p_name, upper(trim(p_brand)) AS brand_u,
+         length(trim(p_type)) AS type_len FROM part ORDER BY p_partkey""",
+    "q08_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 3 <> 0),
+           s AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                        round(o_totalprice + 1000.0, 2) AS o_totalprice
+                 FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM s
+         UNION ALL
+         SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice FROM t
+         WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+         ORDER BY o_orderkey""",
+    "q09_delete_exists" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders t
+         WHERE NOT EXISTS (SELECT 1 FROM orders s
+                           WHERE s.o_orderkey % 7 = 0
+                             AND s.o_orderkey = t.o_orderkey)
+         ORDER BY o_orderkey""",
+    "q10_keep_newest" ->
+      """SELECT user_id, event_type, event_id, round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q11_stats_agg" ->
+      """SELECT count(*) AS event_count,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_event_ts,
+         min(event_id) AS min_offset, max(event_id) AS max_offset FROM events""",
+    "q12_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q13_top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q14_date_partition" ->
+      """SELECT event_id, strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+         strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+         FROM events ORDER BY event_id""",
+    "q15_utc_normalize" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+         FROM orders ORDER BY o_orderkey""",
+    "q16_schema_conform" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_s,
+         CAST(l_returnflag AS VARCHAR) AS l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q17_exists_semi" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_quantity > 45 AND l.l_orderkey = o.o_orderkey)
+         ORDER BY o_orderkey"""
+  )
 }
