@@ -1,0 +1,306 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Beyond-parity operators for LLM training-data pipelines (dedup,
+  * similarity search, text analysis, multimodal plumbing), each with a
+  * DuckDB-oracle SQL twin where expressible.
+  *
+  * Oracle-parity design rules:
+  *  - hashes via md5 hex (identical in both engines); numeric minhash ==
+  *    lexicographic min over fixed-width hex prefixes;
+  *  - ratios as int/int double divisions (IEEE-deterministic);
+  *  - cross-row double aggregates rounded to 4dp on both sides;
+  *  - LSH "randomness" from integer modular arithmetic, not RNGs.
+  */
+object LlmQueries {
+
+  import SparkEntry.table
+
+  // ------------------------------------------------------------------
+  // text analysis
+  // ------------------------------------------------------------------
+
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        (aggregate(transform(tokens(col("text")), t => length(t)), lit(0), _ + _)
+          .cast("double") / tokenCount(col("text")).cast("double")).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // dedup
+  // ------------------------------------------------------------------
+
+  private def d05(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(table(s, dir, "documents")).orderBy("fp")
+
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashSignatures(table(s, dir, "documents"), shingleSize = 3, k = 8)
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
+      .orderBy("doc_id")
+
+  private def d07(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .lshNearDuplicates(table(s, dir, "documents"), shingleSize = 3, k = 8,
+        bands = 4, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .blockedJaccardPairs(table(s, dir, "documents"), "source", threshold = 0.3)
+      .orderBy("blk", "doc_a", "doc_b")
+
+  private def d09(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashSignatures(table(s, dir, "documents"))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // similarity search
+  // ------------------------------------------------------------------
+
+  private def e01(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .bruteKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def e02(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .lshKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5, planes = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  private def e03(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(table(s, dir, "embeddings"), dim = 64).orderBy("label")
+
+  // ------------------------------------------------------------------
+  // multimodal plumbing
+  // ------------------------------------------------------------------
+
+  private def m01(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .packPayload(table(s, dir, "documents"), "text", "text/plain")
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        substring(col("text"), 1, 8).as("head"),
+        (length(col("payload")) === length(col("text"))).as("is_ascii"))
+      .orderBy("doc_id")
+
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .decodeStub(Multimodal.packPayload(table(s, dir, "documents"), "text", "image/fake"))
+      .select(
+        col("doc_id"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        round(col("meta.mean_luma"), 4).as("mean_luma"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_token_stats" -> (d01 _),
+    "d02_quality_score" -> (d02 _),
+    "d03_lang_id" -> (d03 _),
+    "d04_fingerprint" -> (d04 _),
+    "d05_dedup_exact" -> (d05 _),
+    "d06_minhash_sig" -> (d06 _),
+    "d07_lsh_near_dup" -> (d07 _),
+    "d08_jaccard_block" -> (d08 _),
+    "d09_simhash" -> (d09 _),
+    "e01_knn_brute" -> (e01 _),
+    "e02_knn_lsh" -> (e02 _),
+    "e03_label_centroids" -> (e03 _),
+    "m01_multimodal_pack" -> (m01 _),
+    "m02_multimodal_decode" -> (m02 _)
+  )
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  /** tokens CTE fragment (mirror of TextFunctions.tokens). */
+  private val ToksCte =
+    "SELECT doc_id, text, source, string_split_regex(trim(text), '\\s+') AS tk FROM documents"
+
+  /** shingle expression over `tk` (mirror of wordShingles n=3). */
+  private val Shingles3 =
+    "list_transform(range(1, len(tk)-1), i -> array_to_string(list_slice(tk, i, i+2), ' '))"
+
+  /** minhash signature over `shingles` (mirror of minhashSignature k=8). */
+  private val Sig8 =
+    "list_transform(range(0, 8), seed -> " +
+      "list_min(list_transform(shingles, s2 -> substr(md5(seed || '|' || s2), 1, 16))))"
+
+  private val enList = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+  private val esList = TextFunctions.SpanishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** 16-bit simhash expression over `tk` (mirror of simhash16). */
+  private def simhashSql: String =
+    (0 until 16).map { j =>
+      val mask = 1 << j
+      s"(CASE WHEN list_sum(list_transform(tk, t -> CASE WHEN " +
+        s"(('0x' || substr(md5(t), 1, 4))::INT & $mask) > 0 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN $mask ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** hyperplane LSH bucket over double-list `v` (mirror of lshBucket). */
+  private def bucketSql(v: String, planes: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(0, len($v)), i -> " +
+        s"$v[i+1] * ((($p*131071 + i*524287) * 2654435761 % 1000003)::DOUBLE " +
+        s"/ 1000003.0 * 2.0 - 1.0))) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private val CosSql =
+    "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * " +
+      "sqrt(list_inner_product(cv, cv)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_token_stats" ->
+      s"""WITH t AS ($ToksCte)
+         SELECT doc_id, len(tk) AS n_tokens,
+         CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+           / CAST(len(tk) AS DOUBLE) AS avg_tok_len
+         FROM t ORDER BY doc_id""",
+    "d02_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         m AS (SELECT doc_id, text,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(tk, x -> x IN ($enList))) AS DOUBLE) AS stop_cnt,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) AS punct_cnt
+             FROM t)
+         SELECT doc_id, round(
+           (CASE WHEN ntok BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+           + least(stop_cnt / ntok * 2.0, 1.0) * 0.4
+           + (1.0 - least(punct_cnt / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2,
+           4) AS quality
+         FROM m ORDER BY doc_id""",
+    "d03_lang_id" ->
+      s"""WITH t AS ($ToksCte)
+         SELECT doc_id, CASE
+           WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           WHEN len(list_filter(tk, x -> x IN ($esList))) >
+                len(list_filter(tk, x -> x IN ($enList))) THEN 'es'
+           ELSE 'en' END AS lang_pred
+         FROM t ORDER BY doc_id""",
+    "d04_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "d05_dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),
+                                   '\s+', ' ', 'g'))) AS fp
+         FROM documents)
+         SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+         FROM f GROUP BY fp ORDER BY fp""",
+    "d06_minhash_sig" ->
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, $Shingles3 AS shingles FROM t WHERE len(tk) >= 3)
+         SELECT doc_id, array_to_string($Sig8, ',') AS sig
+         FROM sh ORDER BY doc_id""",
+    "d07_lsh_near_dup" ->
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         sig AS (SELECT doc_id, toks, $Sig8 AS sg FROM sh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1] || '_' || sg[bi*2+2] AS band FROM b),
+         ok AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                     a.toks AS toks_a, b2.toks AS toks_b
+                   FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id)
+         SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "d08_jaccard_block" ->
+      """WITH t AS (SELECT doc_id, source AS blk,
+           list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+         SELECT a.blk, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4)
+             AS jaccard
+         FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.3
+         ORDER BY a.blk, doc_a, doc_b""",
+    "d09_simhash" ->
+      s"""WITH t AS ($ToksCte)
+         SELECT doc_id, ($simhashSql) AS simhash FROM t ORDER BY doc_id""",
+    "e01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, $CosSql AS cos FROM c CROSS JOIN q),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e02_knn_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                     ${bucketSql("(embedding::DOUBLE[])", 6)} AS bucket
+                     FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               ${bucketSql("(embedding::DOUBLE[])", 6)} AS bucket
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, $CosSql AS cos
+               FROM c JOIN q ON c.bucket = q.bucket),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e03_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS x,
+                    unnest(range(0, len(embedding))) AS dim FROM embeddings),
+         d AS (SELECT label, dim, sum(x) AS sx, count(*) AS n FROM e GROUP BY label, dim)
+         SELECT label, round(sqrt(sum(sx/n * (sx/n))), 4) AS centroid_norm,
+                max(n) AS n_vectors
+         FROM d GROUP BY label ORDER BY label""",
+    "m01_multimodal_pack" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+         substr(text, 1, 8) AS head,
+         octet_length(encode(text)) = length(text) AS is_ascii
+         FROM documents ORDER BY doc_id"""
+    // m02_multimodal_decode: mapPartitions stub decoder — rows-only check
+  )
+}

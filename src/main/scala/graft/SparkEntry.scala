@@ -237,7 +237,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
+    LlmQueries.queries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_agg" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -257,7 +260,9 @@ object SparkEntry {
     "q17_exists_semi" -> (q17 _)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql
+
+  private def relationalOracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is a pure column expression built from Spark built-ins
+  * (split / higher-order array functions / md5) — codegen-friendly, no
+  * UDFs, no shuffle. At 100 TB these are embarrassingly parallel map-side
+  * work over the documents table; the only shuffles in the dedup pipelines
+  * happen later, on compact signatures rather than raw text.
+  *
+  * Hashes are built from md5 hex substrings so an external SQL engine
+  * (the DuckDB oracle) can reproduce them bit-for-bit — fixed-width
+  * lowercase hex compares lexicographically exactly like the number it
+  * encodes, so `min` over hex strings == numeric min-hash.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Whitespace-collapsed, lowercased canonical form (dedup normalization). */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Aggressive normalization: alphanumerics + single spaces only —
+    * collapses near-identical docs onto one fingerprint. */
+  def normalizeAggressive(text: Column): Column =
+    trim(regexp_replace(lower(regexp_replace(text, "[^a-zA-Z0-9\\s]", " ")), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the canonical form. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val SpanishStopwords: Seq[String] =
+    Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  def stopwordCount(text: Column): Column = hitCount(tokens(text), EnglishStopwords)
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Quality score in [0,1]: blend of length band, stopword presence and
+    * punctuation restraint — the usual cheap pre-filter before expensive
+    * model-based scoring. Integer/integer double divisions only, so the
+    * value is IEEE-deterministic across engines. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val stopRatio = stopwordCount(text).cast(DoubleType) / nTok
+    val punctRatio = punctCount(text).cast(DoubleType) / length(text).cast(DoubleType)
+    val lengthOk = when(nTok.between(5, 1000), lit(1.0)).otherwise(lit(0.0))
+    round(lengthOk * 0.4 + least(stopRatio * lit(2.0), lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * 0.2, 4)
+  }
+
+  /** Language ID heuristic: CJK codepoints ⇒ zh, else the larger of the
+    * Spanish/English stopword hit counts (ties ⇒ en). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = hitCount(toks, EnglishStopwords)
+    val es = hitCount(toks, SpanishStopwords)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(es > en, lit("es"))
+      .otherwise(lit("en"))
+  }
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Empty array when the
+    * doc has fewer than n tokens (guards sequence() from descending). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** One min-hash: lexicographic min over shingles of the seeded md5's
+    * first 16 hex chars (== numeric min of the 64-bit prefix). */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => substring(md5(concat(lit(s"$seed|"), s)), 1, 16)))
+
+  /** k-wide min-hash signature as an array of hex strings. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(seed => minhash(shingles, seed)): _*)
+
+  /** LSH band keys: adjacent pairs of signature entries hashed together.
+    * Docs sharing ANY band key become candidate pairs. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1))
+      concat_ws("_", lit(b.toString) +: parts: _*)
+    }: _*)
+
+  /** 16-bit SimHash from per-token 16-bit md5 prefixes: bit j of the
+    * result is set iff more token-hashes have bit j set than not. */
+  def simhash16(text: Column): Column = {
+    val toks = tokens(text)
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+    val bits = (0 until 16).map { j =>
+      val mask = 1 << j
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when((h.bitwiseAND(lit(mask))) > 0, 1).otherwise(-1))
+      when(votes > 0, lit(mask)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 16-bit simhashes (bit_count of xor). */
+  def hamming16(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of the distinct-token sets of two texts. */
+  def jaccardTokens(a: Column, b: Column): Column = {
+    val da = array_distinct(tokens(a))
+    val db = array_distinct(tokens(b))
+    size(array_intersect(da, db)).cast(DoubleType) /
+      size(array_union(da, db)).cast(DoubleType)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector primitives over `array<float>` embedding columns, as pure
+  * higher-order-function expressions (zip_with / aggregate / transform).
+  *
+  * Scale notes: all per-row, map-side, codegen'd — a cosine between two
+  * 64-dim vectors is ~130 fused arithmetic ops, no object churn. The ANN
+  * paths (Similarity.scala) shuffle only compact bucket keys + vector
+  * payloads, never materialize an n² matrix.
+  *
+  * Accumulation is sequential left-to-right in both Spark's `aggregate`
+  * and the oracle engine's list functions, so doubles agree bit-for-bit
+  * per row; cross-row aggregates still get rounded before compare.
+  */
+object VectorFunctions {
+
+  /** Cast a float vector to double for drift-free arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), _ + _)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _))
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `i`, in [-1, 1) — pure integer modular arithmetic so any
+    * SQL engine reproduces it exactly (no RNG, no float seed drift). */
+  def hyperplaneComponent(p: Int, i: Column): Column = {
+    val h = (lit(p.toLong * 131071L) + i.cast(LongType) * 524287L) * 2654435761L % 1000003L
+    h.cast(DoubleType) / 1000003.0 * 2.0 - 1.0
+  }
+
+  /** Sign bit of v · hyperplane(p): the random-hyperplane LSH bit. */
+  def hyperplaneBit(v: Column, p: Int): Column = {
+    val proj = aggregate(
+      zip_with(asDouble(v), sequence(lit(0), size(v) - 1),
+        (x, i) => x * hyperplaneComponent(p, i)),
+      lit(0.0), _ + _)
+    when(proj >= 0, lit("1")).otherwise(lit("0"))
+  }
+
+  /** Random-hyperplane LSH bucket key: concatenated sign bits of
+    * `planes` projections. Cosine-similar vectors collide with high
+    * probability; the ANN search joins on this key. */
+  def lshBucket(v: Column, planes: Int): Column =
+    concat((0 until planes).map(p => hyperplaneBit(v, p)): _*)
+}

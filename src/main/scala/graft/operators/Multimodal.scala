@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travels as opaque `binary` columns with typed metadata structs —
+  * the lakehouse-standard layout. Real decode libraries are not in this
+  * build, so `decodeStub` is a clearly-marked deterministic fake; the
+  * Spark-side plumbing (schema, partition-preserving batch iteration,
+  * metadata struct shape) is real and is what matters at 100 TB: media
+  * blobs stay columnar, are never collected to the driver, and
+  * per-partition decoding amortizes codec init exactly like an
+  * `mapInPandas` batch UDF would.
+  */
+object Multimodal {
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** Wrap a text column as a binary payload with declared modality —
+    * the ingest shape for media files landed from object storage. */
+  def packPayload(df: DataFrame, payloadFrom: String, modality: String): DataFrame =
+    df.withColumn("payload", col(payloadFrom).cast(BinaryType))
+      .withColumn("modality", lit(modality))
+
+  /** STUB DECODER — deterministic fake standing in for image decode.
+    * Derives "dimensions" and "mean luma" from payload bytes so tests are
+    * reproducible. Replace the body with a real codec (e.g. javax.imageio
+    * / ffmpeg bindings) in production; the iteration shape stays.
+    *
+    * Runs per-partition over an iterator (one decoder instance per
+    * partition, no per-row setup cost), appending a `meta` struct. */
+  def decodeStub(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add(StructField("meta", MetaSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition "codec" init would go here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val len = if (payload == null) 0L else payload.length.toLong
+        // ??? real decode goes here; fake: square-ish dims + byte mean
+        val width = math.max(1, math.sqrt(len.toDouble).toInt)
+        val height = math.max(1, (len / math.max(1, width)).toInt)
+        val luma =
+          if (len == 0) 0.0
+          else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / len
+        Row.fromSeq(r.toSeq :+ Row(len, "fake/raw", width, height, luma))
+      }
+    }(enc)
+  }
+
+  /** Frame/segment sampling: slice `bytes` from offset `off` — the
+    * columnar stand-in for "take frame k"; stays a pure expression. */
+  def sampleSegment(payload: org.apache.spark.sql.Column, off: Int, len: Int) =
+    substring(payload, off, len)
+}
