@@ -69,8 +69,9 @@ object SparkEntry {
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val orders = table(s, dir, "orders")
     val customer = table(s, dir, "customer")
+    // customer scales with SF — no broadcast hint; AQE decides from size.
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -79,15 +80,16 @@ object SparkEntry {
   }
 
   private def q04(s: SparkSession, dir: String): DataFrame = {
-    // TPC-H Q5-shaped snowflake join: revenue per nation. Small dims are
-    // broadcast; only lineitem⋈orders shuffles (co-partitioned on the key).
+    // TPC-H Q5-shaped snowflake join: revenue per nation. Fixed-size dims
+    // (nation/region) are broadcast; customer scales with SF so its join
+    // strategy is left to AQE.
     val li = table(s, dir, "lineitem")
     val o = table(s, dir, "orders")
     val c = table(s, dir, "customer")
     val n = table(s, dir, "nation")
     val r = table(s, dir, "region")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")

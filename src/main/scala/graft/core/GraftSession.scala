@@ -37,6 +37,9 @@ object GraftSession {
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark reads only as
+      // long under this legacy flag (SparkEntry.table converts back to µs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (excludeSimplifyCasts)
       b.config(
@@ -69,8 +72,9 @@ object TableNaming {
 
   /** `db.table` (MySQL) -> (`{service}_{db}`, `table`) (`mysql_to_iceberg.py:44-51`). */
   def mysqlSourceToTable(service: String, source: String): (String, String) = {
-    val Array(db, table) = source.split('.')
-    (s"${service.toLowerCase}_${db.toLowerCase}", table.toLowerCase)
+    val parts = source.split('.')
+    require(parts.length == 2, s"source must be db.table: $source")
+    (s"${service.toLowerCase}_${parts(0).toLowerCase}", parts(1).toLowerCase)
   }
 
   /** `db.dbo.table` (SQL Server) -> (`{service}_{db}`, `table`)

@@ -9,25 +9,22 @@ import org.apache.spark.sql.functions._
   * UPDATE ... WHEN NOT MATCHED INSERT` (`src/utils/cdc_pipeline.py:220-237`)
   * and deletes as `DELETE ... WHERE EXISTS` (`cdc_pipeline.py:239-251`).
   * Iceberg's copy-on-write planner rewrites those into exactly the joins
-  * below; we express the joins directly so they run on any table store
-  * (our LakeTable uses them for the rewrite step).
+  * below; we express the joins directly so they run on any table store.
+  * `graft.store.LakeTable.mergeInto/deleteWhereExists` use these plans for
+  * their copy-on-write rewrite step.
   *
   * Scale notes:
-  *  - `upsert` is one equi-join on the key. When the source (a CDC
-  *    micro-batch) is small relative to the target — the normal case —
-  *    Catalyst/AQE broadcasts it, so the target is scanned once with no
-  *    shuffle. LakeTable additionally prunes target FILES whose key range
-  *    cannot match (Iceberg-style file skipping) before this join runs.
+  *  - `upsert` is one equi-join on the key. Join strategy is left to
+  *    Catalyst/AQE by default: a CDC micro-batch source lands under the
+  *    broadcast threshold and is auto-broadcast, while two large tables
+  *    plan a shuffled join instead of OOMing the driver. Callers that KNOW
+  *    the source is micro-batch-small may pass `broadcastSource=true` to
+  *    pin the hint.
   *  - both anti joins are null-safe on our synthetic `id_iceberg` key
   *    (md5 hex is never null when PKs are non-null).
   */
 object Merge {
 
-  /** MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET *
-    * WHEN NOT MATCHED THEN INSERT * — i.e. source rows win, unmatched
-    * target rows survive. Source must already be deduplicated to one row
-    * per key (the CDC path guarantees this via latest-offset dedup).
-    */
   private def keyed(df: DataFrame, keys: Seq[String], hint: Boolean): DataFrame = {
     val k = df.select(keys.map(col): _*)
     if (hint) broadcast(k) else k
@@ -37,15 +34,14 @@ object Merge {
     * WHEN NOT MATCHED THEN INSERT * — i.e. source rows win, unmatched
     * target rows survive. Source must already be deduplicated to one row
     * per key (the CDC path guarantees this via latest-offset dedup).
-    * `broadcastSource=true` (default) fits the CDC shape: micro-batch vs
-    * big target; pass false when merging two large tables so Catalyst
-    * plans a shuffled join instead of OOMing the driver.
+    * `broadcastSource=false` (default) lets Catalyst/AQE pick the join
+    * strategy from actual sizes; set true only for known-small sources.
     */
   def upsert(
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
-      broadcastSource: Boolean = true): DataFrame = {
+      broadcastSource: Boolean = false): DataFrame = {
     val survivors = target.join(keyed(source, keys, broadcastSource), keys, "left_anti")
     source.select(target.columns.map(col).toIndexedSeq: _*).unionByName(survivors)
   }
@@ -56,7 +52,7 @@ object Merge {
       target: DataFrame,
       deletes: DataFrame,
       keys: Seq[String],
-      broadcastDeletes: Boolean = true): DataFrame =
+      broadcastDeletes: Boolean = false): DataFrame =
     target.join(keyed(deletes, keys, broadcastDeletes), keys, "left_anti")
 
   /** Rows of `target` whose key DOES appear in `probe` (WHERE EXISTS). */
@@ -64,6 +60,6 @@ object Merge {
       target: DataFrame,
       probe: DataFrame,
       keys: Seq[String],
-      broadcastProbe: Boolean = true): DataFrame =
+      broadcastProbe: Boolean = false): DataFrame =
     target.join(keyed(probe, keys, broadcastProbe), keys, "left_semi")
 }
