@@ -240,7 +240,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
-    LlmQueries.queries
+    LlmQueries.queries ++ CdcQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_agg" -> (q01 _),
@@ -262,7 +262,8 @@ object SparkEntry {
     "q17_exists_semi" -> (q17 _)
   )
 
-  def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql
+  def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
+    CdcQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
