@@ -240,7 +240,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
-    LlmQueries.queries ++ CdcQueries.queries
+    LlmQueries.queries ++ CdcQueries.queries ++ StoreQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_agg" -> (q01 _),
@@ -263,7 +263,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
-    CdcQueries.oracleSql
+    CdcQueries.oracleSql ++ StoreQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->

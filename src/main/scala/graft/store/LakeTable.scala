@@ -1,0 +1,507 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Snapshot metadata for one committed table version.
+  *
+  * `entries` is the manifest: each entry names a data directory (one
+  * Spark write) and, for partitioned tables, the Hive-style partition
+  * path inside it ("p=v[/p2=v2]"). A snapshot may reference directories
+  * written by EARLIER snapshots — that is what makes appends and
+  * partition-pruned rewrites O(changed data), not O(table).
+  */
+case class ManifestEntry(dir: String, partition: Option[String]) {
+  def dataPath(tableLocation: String): String = {
+    val base = s"$tableLocation/data/$dir"
+    partition.map(p => s"$base/$p").getOrElse(base)
+  }
+}
+
+case class Snapshot(
+    version: Long,
+    parentVersion: Option[Long],
+    operation: String,
+    timestampMs: Long,
+    schema: StructType,
+    partitionCols: Seq[String],
+    entries: Seq[ManifestEntry],
+    properties: Map[String, String],
+    summary: Map[String, String])
+
+/** Parquet-backed versioned table with an Iceberg-style optimistic
+  * snapshot-commit protocol — the local stand-in for the reference's
+  * Iceberg v2 tables (`/root/reference/src/utils/iceberg.py:37-96`; no
+  * iceberg runtime jar ships in /opt/spark/jars, so the table format is
+  * hand-rolled on plain parquet + JSON metadata).
+  *
+  * Layout:
+  * {{{
+  *   <location>/_meta/v<%05d>.json   one snapshot per committed version
+  *   <location>/data/<uuid>/...      immutable data dirs, never mutated
+  * }}}
+  *
+  * Commit = write data dirs, then claim `_meta/v<next>.json` with
+  * `FileSystem.create(overwrite=false)` — the atomic existence check is
+  * the commit point (HadoopTableOperations-style). A lost race throws
+  * `CommitConflictException`; ledger writers serialize with a JVM lock
+  * exactly like the reference (`watermark.py:16,193`).
+  *
+  * Scale design:
+  *  - append never touches existing data (new manifest = old ++ new);
+  *  - MERGE/DELETE are copy-on-write but PARTITION-PRUNED: only data
+  *    directories whose partition appears in the source batch are
+  *    rewritten — at 100 TB a date-partitioned CDC target rewrites a few
+  *    recent partitions per micro-batch, not the table;
+  *  - readers get plain parquet scans (vectorized, filter-pushdown,
+  *    partition-pruned by Catalyst via the Hive dir layout).
+  */
+class LakeTable(
+    val spark: SparkSession,
+    val location: String,
+    val name: String) {
+
+  import LakeTable._
+
+  private val metaDir = new Path(s"$location/_meta")
+  private def fs: FileSystem = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // -------------------------------------------------------------------
+  // metadata
+  // -------------------------------------------------------------------
+
+  def exists: Boolean = fs.exists(metaDir) && currentVersion.isDefined
+
+  private def currentVersion: Option[Long] =
+    if (!fs.exists(metaDir)) None
+    else {
+      val vs = fs.listStatus(metaDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case VersionFileRe(v) => v.toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  def currentSnapshot: Option[Snapshot] = currentVersion.map(readSnapshot)
+
+  def snapshot(version: Long): Snapshot = readSnapshot(version)
+
+  def schema: StructType = currentSnapshot
+    .getOrElse(throw new IllegalStateException(s"table $name does not exist"))
+    .schema
+
+  def properties: Map[String, String] =
+    currentSnapshot.map(_.properties).getOrElse(Map.empty)
+
+  private def readSnapshot(version: Long): Snapshot = {
+    val p = new Path(metaDir, f"v$version%05d.json")
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val n = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+    Snapshot(
+      version = n.get("version").asLong(),
+      parentVersion = Option(n.get("parent")).filter(!_.isNull).map(_.asLong()),
+      operation = n.get("operation").asText(),
+      timestampMs = n.get("timestampMs").asLong(),
+      schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      partitionCols = n.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
+      entries = n.get("entries").elements().asScala.map { e =>
+        ManifestEntry(
+          e.get("dir").asText(),
+          Option(e.get("partition")).filter(!_.isNull).map(_.asText()))
+      }.toSeq,
+      properties = objToMap(n.get("properties").asInstanceOf[ObjectNode]),
+      summary = objToMap(n.get("summary").asInstanceOf[ObjectNode]))
+  }
+
+  private def writeSnapshot(s: Snapshot): Unit = {
+    val n = Mapper.createObjectNode()
+    n.put("version", s.version)
+    s.parentVersion.fold[Unit](n.putNull("parent"))(v => { n.put("parent", v); () })
+    n.put("operation", s.operation)
+    n.put("timestampMs", s.timestampMs)
+    n.put("schema", s.schema.json)
+    val pc = n.putArray("partitionCols"); s.partitionCols.foreach(pc.add)
+    val arr = n.putArray("entries")
+    s.entries.foreach { e =>
+      val en = arr.addObject()
+      en.put("dir", e.dir)
+      e.partition.fold[Unit](en.putNull("partition"))(p => { en.put("partition", p); () })
+    }
+    val props = n.putObject("properties"); s.properties.foreach { case (k, v) => props.put(k, v) }
+    val sum = n.putObject("summary"); s.summary.foreach { case (k, v) => sum.put(k, v) }
+
+    val target = new Path(metaDir, f"v${s.version}%05d.json")
+    fs.mkdirs(metaDir)
+    // Commit point: fully write a hidden temp file, then rename to the
+    // version file. Hadoop rename refuses an existing destination, so
+    // exactly one writer claims each version AND readers never observe a
+    // partially-written snapshot (the temp name is filtered by
+    // VersionFileRe). Same protocol as Iceberg's HadoopTableOperations.
+    val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(s"concurrent commit on $name v${s.version}", null)
+    }
+  }
+
+  /** Optimistic commit. `retries > 0` is only safe for ADDITIVE builds
+    * (append, ledger insert): `buildEntries` re-runs against the fresh
+    * parent after a lost race, so the new manifest is rebuilt on top of
+    * the winner. Rewriting commits (merge/delete) must not retry blindly
+    * — a racer may have changed rows the rewrite already read — so they
+    * surface `CommitConflictException` to the caller, like Iceberg's
+    * validation failure. Retry bounds mirror the reference's contended
+    * ledger tableProperties (`watermark.py:58-60`):
+    * commit.retry.num-retries=20, commit.retry.min-wait-ms=200. */
+  private def commit(
+      operation: String,
+      retries: Int = 0,
+      retryWaitMs: Long = 200)(
+      buildEntries: Option[Snapshot] => (StructType, Seq[String], Seq[ManifestEntry], Map[String, String], Map[String, String])): Snapshot =
+    synchronized {
+      var attempt = 0
+      var result: Snapshot = null
+      while (result == null) {
+        val parent = currentSnapshot
+        val (sch, pcols, entries, props, summary) = buildEntries(parent)
+        val snap = Snapshot(
+          version = parent.map(_.version + 1).getOrElse(1L),
+          parentVersion = parent.map(_.version),
+          operation = operation,
+          timestampMs = System.currentTimeMillis(),
+          schema = sch,
+          partitionCols = pcols,
+          entries = entries,
+          properties = props,
+          summary = summary)
+        try {
+          writeSnapshot(snap)
+          result = snap
+        } catch {
+          case e: CommitConflictException =>
+            attempt += 1
+            if (attempt > retries) throw e
+            Thread.sleep(retryWaitMs)
+        }
+      }
+      result
+    }
+
+  // -------------------------------------------------------------------
+  // data IO
+  // -------------------------------------------------------------------
+
+  /** Write one immutable data dir and return its manifest entries. */
+  private def writeData(df: DataFrame, partitionCols: Seq[String]): (String, Seq[ManifestEntry]) = {
+    val dir = UUID.randomUUID().toString.take(18)
+    val abs = s"$location/data/$dir"
+    val writer = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(abs)
+    val entries =
+      if (partitionCols.isEmpty) Seq(ManifestEntry(dir, None))
+      else listLeafPartitions(new Path(abs), partitionCols.length)
+        .map(rel => ManifestEntry(dir, Some(rel)))
+    (dir, entries)
+  }
+
+  private def listLeafPartitions(root: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int, prefix: String): Seq[String] =
+      if (d == 0) Seq(prefix)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => walk(st.getPath, d - 1,
+          if (prefix.isEmpty) st.getPath.getName else s"$prefix/${st.getPath.getName}"))
+    walk(root, depth, "")
+  }
+
+  private def readEntries(s: Snapshot, entries: Seq[ManifestEntry]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val parts = entries.groupBy(_.dir).toSeq.map { case (dir, es) =>
+      val base = s"$location/data/$dir"
+      val reader = spark.read.schema(s.schema)
+      if (s.partitionCols.isEmpty) reader.parquet(base)
+      else reader.option("basePath", base).parquet(es.map(_.dataPath(location)): _*)
+    }
+    parts.reduce(_ unionByName _).select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Current table contents as a plain parquet-backed DataFrame. */
+  def read: DataFrame = {
+    val s = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $name does not exist"))
+    readEntries(s, s.entries)
+  }
+
+  def toDF: DataFrame = read
+
+  // -------------------------------------------------------------------
+  // write operations
+  // -------------------------------------------------------------------
+
+  /** RTAS — create or replace the table from `df`
+    * (`iceberg.py:37-96` semantics; old snapshots stay readable until
+    * expireSnapshots, like Iceberg's createOrReplace). */
+  def createOrReplace(
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      tableProperties: Map[String, String] = Map.empty): Snapshot = {
+    val (_, entries) = writeData(df, partitionBy)
+    commit("create-or-replace")(_ =>
+      (df.schema, partitionBy, entries, DefaultProperties ++ tableProperties, Map.empty))
+  }
+
+  /** Append-only commit: existing data dirs are untouched. Additive, so
+    * lost commit races retry against the fresh parent manifest. */
+  def append(df: DataFrame): Snapshot = {
+    val s = requireExists()
+    val (_, entries) = writeData(conform(df, s), s.partitionCols)
+    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
+    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    commit("append", retries, waitMs)(p =>
+      (s.schema, s.partitionCols, p.get.entries ++ entries, s.properties,
+        Map("added-entries" -> entries.size.toString)))
+  }
+
+  /** Full overwrite keeping schema/partitioning/properties
+    * (`mysql_to_parquet.py:58` raw-zone replace). */
+  def overwrite(df: DataFrame): Snapshot = {
+    val s = requireExists()
+    val (_, entries) = writeData(conform(df, s), s.partitionCols)
+    commit("overwrite")(_ =>
+      (s.schema, s.partitionCols, entries, s.properties, Map.empty))
+  }
+
+  /** MERGE INTO this table USING source ON keys — copy-on-write upsert
+    * (`cdc_pipeline.py:220-237`). Partition-pruned: when the table is
+    * partitioned and the source carries the partition columns, only the
+    * partitions present in the source are rewritten. */
+  def mergeInto(source: DataFrame, keys: Seq[String]): Snapshot =
+    rewriteMatching(source, keys, "merge") { (targetSlice, src) =>
+      graft.operators.Merge.upsert(targetSlice, src, keys)
+    }
+
+  /** DELETE FROM this table WHERE EXISTS (keys match `deletes`)
+    * (`cdc_pipeline.py:239-251`). Same partition pruning as merge. */
+  def deleteWhereExists(deletes: DataFrame, keys: Seq[String]): Snapshot =
+    rewriteMatching(deletes, keys, "delete") { (targetSlice, src) =>
+      graft.operators.Merge.deleteMatching(targetSlice, src, keys)
+    }
+
+  /** DELETE FROM this table WHERE cond — full copy-on-write. */
+  def deleteWhere(cond: Column): Snapshot = {
+    val s = requireExists()
+    val (_, entries) = writeData(read.filter(not(cond)), s.partitionCols)
+    commit("delete")(_ =>
+      (s.schema, s.partitionCols, entries, s.properties, Map.empty))
+  }
+
+  private def rewriteMatching(source: DataFrame, keys: Seq[String], op: String)(
+      rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot = {
+    val s = requireExists()
+    val prunable =
+      s.partitionCols.nonEmpty && s.partitionCols.forall(source.columns.contains)
+    if (!prunable) {
+      // unpartitioned (or partition cols absent from source): full COW
+      val out = rewrite(read, source)
+      val (_, entries) = writeData(conform(out, s), s.partitionCols)
+      commit(op)(_ =>
+        (s.schema, s.partitionCols, entries, s.properties,
+          Map("rewritten-entries" -> s.entries.size.toString)))
+    } else {
+      // partition-pruned COW: rewrite only partitions the source touches.
+      // The distinct partition set of a micro-batch is small by
+      // construction (CDC batches cluster in recent partitions).
+      val schemaByName = s.schema.fields.map(f => f.name -> f.dataType).toMap
+      val touched: Set[String] = source
+        .select(s.partitionCols.map(c => col(c).cast(schemaByName(c))): _*)
+        .distinct()
+        .collect()
+        .map { r =>
+          s.partitionCols.zipWithIndex.map { case (c, i) =>
+            val v = r.get(i)
+            ExternalCatalogUtils.getPartitionPathString(c, if (v == null) null else v.toString)
+          }.mkString("/")
+        }
+        .toSet
+      val (affected, untouched) = s.entries.partition(e => e.partition.exists(touched))
+      val out = rewrite(readEntries(s, affected), source)
+      val (_, newEntries) = writeData(conform(out, s), s.partitionCols)
+      commit(op)(_ =>
+        (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
+          Map(
+            "rewritten-entries" -> affected.size.toString,
+            "untouched-entries" -> untouched.size.toString)))
+    }
+  }
+
+  private def conform(df: DataFrame, s: Snapshot): DataFrame =
+    df.select(s.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+  private def requireExists(): Snapshot =
+    currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $name does not exist"))
+
+  // -------------------------------------------------------------------
+  // metadata tables (.history / .snapshots — tests/05.iceberg_info.ipynb)
+  // -------------------------------------------------------------------
+
+  def history: DataFrame = {
+    import spark.implicits._
+    allSnapshots
+      .map(s => (s.version, new java.sql.Timestamp(s.timestampMs),
+        s.parentVersion.getOrElse(-1L), s.version == currentVersion.getOrElse(-1L)))
+      .toDF("version", "made_current_at", "parent_id", "is_current")
+  }
+
+  def snapshotsDF: DataFrame = {
+    import spark.implicits._
+    allSnapshots
+      .map(s => (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.entries.size.toLong, s.summary.map { case (k, v) => s"$k=$v" }.mkString(",")))
+      .toDF("version", "committed_at", "operation", "entry_count", "summary")
+  }
+
+  private def allSnapshots: Seq[Snapshot] =
+    if (!fs.exists(metaDir)) Nil
+    else fs.listStatus(metaDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case VersionFileRe(v) => v.toLong }
+      .sorted
+      .map(readSnapshot)
+
+  // -------------------------------------------------------------------
+  // maintenance (CALL-procedure analogs, maintenance.py semantics)
+  // -------------------------------------------------------------------
+
+  /** Drop all snapshot metadata except the newest `keepLast`, then drop
+    * data dirs no retained snapshot references. Returns #expired. */
+  def expireSnapshots(keepLast: Int = 1): Int = synchronized {
+    val all = allSnapshots
+    if (all.size <= keepLast) 0
+    else {
+      val (expire, keep) = all.splitAt(all.size - keepLast)
+      val referenced = keep.flatMap(_.entries.map(_.dir)).toSet
+      expire.foreach(s => fs.delete(new Path(metaDir, f"v${s.version}%05d.json"), false))
+      val dataRoot = new Path(s"$location/data")
+      if (fs.exists(dataRoot))
+        fs.listStatus(dataRoot).toSeq
+          .filter(st => !referenced(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+      expire.size
+    }
+  }
+
+  /** Bin-pack compaction: rewrite current data into ~`targetFileBytes`
+    * files (`rewrite_data_files` analog). Returns (rewritten, added)
+    * file counts like the Iceberg procedure's result row. */
+  def rewriteDataFiles(targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val s = requireExists()
+    val before = dataFileCount(s)
+    val bytes = dataByteSize(s)
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val compacted = read.repartition(n)
+    val (_, entries) = writeData(compacted, s.partitionCols)
+    commit("rewrite-data-files")(_ =>
+      (s.schema, s.partitionCols, entries, s.properties,
+        Map("rewritten-files" -> before.toString)))
+    (before, dataFileCount(currentSnapshot.get))
+  }
+
+  /** Delete unreferenced data dirs older than `olderThanMs` wall-clock
+    * (`remove_orphan_files` analog). Returns #dirs removed. */
+  def removeOrphanFiles(olderThanMs: Long): Int = synchronized {
+    val referenced = allSnapshots.flatMap(_.entries.map(_.dir)).toSet
+    val dataRoot = new Path(s"$location/data")
+    if (!fs.exists(dataRoot)) 0
+    else {
+      val orphans = fs.listStatus(dataRoot).toSeq.filter { st =>
+        !referenced(st.getPath.getName) && st.getModificationTime < olderThanMs
+      }
+      orphans.foreach(st => fs.delete(st.getPath, true))
+      orphans.size
+    }
+  }
+
+  private def dataFiles(s: Snapshot): Seq[org.apache.hadoop.fs.FileStatus] =
+    s.entries.map(_.dir).distinct.flatMap { dir =>
+      val p = new Path(s"$location/data/$dir")
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+        while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) buf += f }
+        buf.toSeq
+      }
+    }
+
+  private def dataFileCount(s: Snapshot): Int = dataFiles(s).size
+  private def dataByteSize(s: Snapshot): Long = dataFiles(s).map(_.getLen).sum
+}
+
+class CommitConflictException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
+object LakeTable {
+  private val VersionFileRe = "v(\\d+)\\.json".r
+  private val Mapper = new ObjectMapper()
+
+  /** Parity with the reference's RTAS tableProperties
+    * (`iceberg.py:68-96`) — inert metadata here, but carried so a
+    * catalog listing shows the same contract. */
+  val DefaultProperties: Map[String, String] = Map(
+    "format-version" -> "2",
+    "write.spark.accept-any-schema" -> "false")
+
+  private def objToMap(n: ObjectNode): Map[String, String] =
+    if (n == null) Map.empty
+    else n.properties().iterator().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+}
+
+/** Warehouse-level catalog: `schema.table` → LakeTable directories
+  * (`CREATE DATABASE ... LOCATION` / `tableExists` / `SHOW TABLES IN`
+  * analogs, `watermark.py:36-39`, `iceberg_maintenance.py:31-44`). */
+class LakeCatalog(val spark: SparkSession, val warehouse: String) {
+
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def createDatabase(schema: String): Unit = {
+    fs.mkdirs(new Path(s"$warehouse/$schema")); ()
+  }
+
+  def table(fqn: String): LakeTable = {
+    val parts = fqn.split('.')
+    require(parts.length == 2, s"table name must be schema.table: $fqn")
+    new LakeTable(spark, s"$warehouse/${parts(0)}/${parts(1)}", fqn)
+  }
+
+  def tableExists(fqn: String): Boolean = table(fqn).exists
+
+  def listTables(schema: String): Seq[String] = {
+    val p = new Path(s"$warehouse/$schema")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => table(s"$schema.$t").exists)
+      .sorted
+  }
+
+  def dropTable(fqn: String): Unit = {
+    val parts = fqn.split('.')
+    fs.delete(new Path(s"$warehouse/${parts(0)}/${parts(1)}"), true); ()
+  }
+}
