@@ -1,0 +1,120 @@
+package graft.maintenance
+
+import java.sql.Timestamp
+
+import graft.ledger.Watermark
+import graft.store.LakeCatalog
+
+/** Thread-safe tracker of tables modified during a run — only they get
+  * compaction afterwards (`/root/reference/src/utils/maintenance.py:24-42`). */
+class ProcessedTableTracker {
+  private val tables = scala.collection.mutable.Set[String]()
+
+  def mark(fullTableName: String): Unit = synchronized {
+    tables += fullTableName; ()
+  }
+
+  def getAndClear(): Set[String] = synchronized {
+    val out = tables.toSet
+    tables.clear()
+    out
+  }
+}
+
+/** Maintenance procedure runners over the LakeTable store, mirroring the
+  * reference's Iceberg `CALL` orchestration (`maintenance.py:66-304`):
+  * every run appends a `maintenance_watermark` ledger row (success /
+  * failed with truncated error / skipped), and NO procedure ever
+  * propagates an exception into the pipeline that triggered it.
+  */
+object Maintenance {
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  private def recorded(
+      cat: LakeCatalog,
+      dagId: String,
+      fqn: String,
+      procedureType: String,
+      batchId: Option[Long])(
+      body: => (Option[Long], Option[Long])): Boolean = {
+    val Array(schema, table) = fqn.split('.')
+    val wallStart = now()
+    val monoStart = System.nanoTime()
+    try {
+      val (rewritten, added) = body
+      Watermark.appendMaintenanceWatermark(cat, dagId, schema, table, procedureType,
+        wallStart, Some(now()), (System.nanoTime() - monoStart) / 1e9, "success",
+        rewrittenFilesCount = rewritten, addedFilesCount = added, batchId = batchId)
+      true
+    } catch {
+      case e: Throwable =>
+        Watermark.appendMaintenanceWatermark(cat, dagId, schema, table, procedureType,
+          wallStart, Some(now()), (System.nanoTime() - monoStart) / 1e9, "failed",
+          errorMessage = Some(Option(e.getMessage).getOrElse(e.toString)),
+          batchId = batchId)
+        false
+    }
+  }
+
+  /** rewrite_data_files + expire_snapshots in sequence; expire is skipped
+    * (and recorded as such) when the rewrite failed (`maintenance.py:66-186`). */
+  def runCompaction(
+      cat: LakeCatalog,
+      dagId: String,
+      fqn: String,
+      batchId: Option[Long] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val rewriteOk = recorded(cat, dagId, fqn, "rewrite_data_files", batchId) {
+      val (rewritten, added) = cat.table(fqn).rewriteDataFiles(targetFileBytes)
+      (Some(rewritten.toLong), Some(added.toLong))
+    }
+
+    if (!rewriteOk) {
+      val Array(schema, table) = fqn.split('.')
+      Watermark.appendMaintenanceWatermark(cat, dagId, schema, table,
+        "expire_snapshots", now(), None, 0.0, "skipped",
+        errorMessage = Some("Skipped due to preceding procedure failure"),
+        batchId = batchId)
+      return
+    }
+
+    recorded(cat, dagId, fqn, "expire_snapshots", batchId) {
+      cat.table(fqn).expireSnapshots(keepLast = 1)
+      (None, None)
+    }
+    ()
+  }
+
+  /** Standalone small-file rewrite, interval-gated by the caller via the
+    * pre-fetched last-success map (`maintenance.py:189-246`;
+    * `cdc_pipeline.py:421-425`). The CoW store's analog of Iceberg's
+    * position-delete debt is the small-file debt left by partition
+    * rewrites, so the procedure body is the same bin-pack rewrite
+    * recorded under its own procedure type. */
+  def runPositionDeleteCompaction(
+      cat: LakeCatalog,
+      dagId: String,
+      fqn: String,
+      batchId: Option[Long] = None): Unit = {
+    recorded(cat, dagId, fqn, "rewrite_position_delete_files", batchId) {
+      val (rewritten, added) = cat.table(fqn).rewriteDataFiles()
+      (Some(rewritten.toLong), Some(added.toLong))
+    }
+    ()
+  }
+
+  /** remove_orphan_files with an age threshold (`maintenance.py:249-304`). */
+  def runOrphanCleanup(
+      cat: LakeCatalog,
+      dagId: String,
+      fqn: String,
+      orphanOlderThanDays: Int = 3): Unit = {
+    recorded(cat, dagId, fqn, "remove_orphan_files", None) {
+      val cutoff = System.currentTimeMillis() - orphanOlderThanDays * 24L * 3600 * 1000
+      val removed = cat.table(fqn).removeOrphanFiles(cutoff)
+      (Some(removed.toLong), None)
+    }
+    ()
+  }
+}
