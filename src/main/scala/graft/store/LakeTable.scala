@@ -142,19 +142,30 @@ class LakeTable(
 
     val target = new Path(metaDir, f"v${s.version}%05d.json")
     fs.mkdirs(metaDir)
-    // Commit point: fully write a hidden temp file, then rename to the
-    // version file. Hadoop rename refuses an existing destination, so
-    // exactly one writer claims each version AND readers never observe a
-    // partially-written snapshot (the temp name is filtered by
-    // VersionFileRe). Same protocol as Iceberg's HadoopTableOperations.
+    // Commit point: fully write a hidden temp file, then atomically claim
+    // the version file — readers never observe partial metadata (the temp
+    // name is filtered by VersionFileRe) and exactly one writer wins each
+    // version. On local FS the claim is a hard-link creation (atomic,
+    // fails if the target exists; plain rename is exists-check-then-move
+    // through ChecksumFileSystem and can interleave). On HDFS-like
+    // schemes rename itself is atomic-no-overwrite — the same protocol
+    // as Iceberg's HadoopTableOperations.
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
     finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    val claimed =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, target)
+    fs.delete(tmp, false)
+    if (!claimed)
       throw new CommitConflictException(s"concurrent commit on $name v${s.version}", null)
-    }
   }
 
   /** Optimistic commit. `retries > 0` is only safe for ADDITIVE builds
