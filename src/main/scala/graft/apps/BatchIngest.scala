@@ -1,0 +1,102 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.TableNaming
+import graft.functions.Transforms
+import graft.jdbc.{BaseDatabaseManager, JdbcReader}
+import graft.store.{LakeCatalog, Snapshot}
+
+/** The three batch pipelines of the reference, composed from the layers
+  * below (`/root/reference/src/mysql_to_iceberg.py:24-62`,
+  * `mysql_to_parquet.py:24-59`, `parquet_to_iceberg.py:38-87`):
+  *
+  *  1. JDBC → lake table: partitioned read → trim → audit column →
+  *     id_iceberg PK hash → RTAS
+  *  2. JDBC → parquet raw zone: same read path, `update_ts_dms` audit
+  *     name, plain overwrite
+  *  3. parquet raw zone → lake table: UTC-normalize → rename audit col
+  *     back → PK hash → RTAS
+  *
+  * PK-dependent tableProperties follow the RTAS contract (metadata GC
+  * props only when an identity exists, `iceberg.py:79-96`).
+  */
+object BatchIngest {
+
+  private def pkProperties(pkCols: Seq[String]): Map[String, String] =
+    if (pkCols.isEmpty) Map.empty
+    else Map(
+      "write.metadata.delete-after-commit.enabled" -> "true",
+      "write.metadata.previous-versions-max" -> "5",
+      "history.expire.max-snapshot-age-ms" -> "86400000")
+
+  /** Shared snapshot transform: trim CHAR padding, stamp the audit
+    * column, add the synthetic identity when a PK exists. */
+  def conformSnapshot(df: DataFrame, pkCols: Seq[String], auditCol: String): DataFrame = {
+    val trimmed = Transforms.trimStringColumns(df)
+    val audited = trimmed.withColumn(auditCol,
+      org.apache.spark.sql.functions.current_timestamp())
+    if (pkCols.nonEmpty) Transforms.withPkHash(audited, pkCols) else audited
+  }
+
+  /** Pipeline 1: full-table JDBC snapshot → lake RTAS. */
+  def jdbcToLake(
+      spark: SparkSession,
+      manager: BaseDatabaseManager,
+      catalog: LakeCatalog,
+      service: String,
+      sourceTable: String,
+      numPartitions: Int,
+      database: String = ""): Snapshot = {
+    val (schema, table) =
+      if (manager.settings.dbType == "sqlserver")
+        TableNaming.sqlServerSourceToTable(service, sourceTable)
+      else TableNaming.mysqlSourceToTable(service, sourceTable)
+    val pkCols = manager.primaryKey(sourceTable)
+    val df = JdbcReader.readJdbcTable(spark, manager, sourceTable, numPartitions, database)
+    val out = conformSnapshot(df, pkCols, "last_applied_date")
+    catalog.createDatabase(schema)
+    catalog.table(s"$schema.$table").createOrReplace(out,
+      tableProperties = pkProperties(pkCols))
+  }
+
+  /** Pipeline 2: JDBC snapshot → raw-zone parquet overwrite
+    * (`mysql_to_parquet.py:50-59`; audit column named update_ts_dms). */
+  def jdbcToParquet(
+      spark: SparkSession,
+      manager: BaseDatabaseManager,
+      sourceTable: String,
+      numPartitions: Int,
+      outputPath: String,
+      database: String = ""): Unit = {
+    val df = JdbcReader.readJdbcTable(spark, manager, sourceTable, numPartitions, database)
+    conformSnapshot(df, Nil, "update_ts_dms")
+      .write.mode("overwrite").parquet(outputPath)
+  }
+
+  /** Pipeline 3: raw-zone parquet → lake RTAS
+    * (`parquet_to_iceberg.py:38-87`): UTC-normalize all timestamps,
+    * rename the DMS audit column back, hash the PK. */
+  def parquetToLake(
+      spark: SparkSession,
+      catalog: LakeCatalog,
+      inputPath: String,
+      schema: String,
+      table: String,
+      pkCols: Seq[String],
+      recursive: Boolean = false): Snapshot = {
+    val raw = spark.read
+      .option("recursiveFileLookup", recursive.toString)
+      .parquet(inputPath)
+    val utc = Transforms.convertTimestampsToUtc(raw)
+    val renamed =
+      if (utc.columns.contains("update_ts_dms"))
+        utc.withColumnRenamed("update_ts_dms", "last_applied_date")
+      else utc
+    val out =
+      if (pkCols.nonEmpty) Transforms.withPkHash(renamed, pkCols) else renamed
+    catalog.createDatabase(schema)
+    catalog.table(s"$schema.$table").createOrReplace(out,
+      tableProperties = pkProperties(pkCols))
+  }
+}

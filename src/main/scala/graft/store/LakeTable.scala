@@ -313,6 +313,16 @@ class LakeTable(
       graft.operators.Merge.deleteMatching(targetSlice, src, keys)
     }
 
+  /** ALTER TABLE … SET TBLPROPERTIES analog: a metadata-only commit
+    * (data dirs untouched). Used for table/column comment sync
+    * (`schema_validate.py:111,202` stores comments as properties). */
+  def setProperties(updates: Map[String, String]): Snapshot = {
+    val s = requireExists()
+    commit("set-properties")(p =>
+      (s.schema, s.partitionCols, p.get.entries, s.properties ++ updates,
+        Map("updated-keys" -> updates.keys.mkString(","))))
+  }
+
   /** DELETE FROM this table WHERE cond — full copy-on-write. */
   def deleteWhere(cond: Column): Snapshot = {
     val s = requireExists()
