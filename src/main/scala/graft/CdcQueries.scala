@@ -124,7 +124,28 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** c08: Confluent wire-format round trip as pure column expressions —
+    * build `[magic 0][schema id 4B BE][payload]` frames from orders rows,
+    * then extract the id and payload back with the no-UDF decoders
+    * (`cdc_pipeline.py:406-409`; the reference registers a Python UDF,
+    * `kafka_to_iceberg.py:102` — conv(hex(substring)) stays in codegen). */
+  private def c08(s: SparkSession, dir: String): DataFrame = {
+    val framed = table(s, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      concat(
+        unhex(lit("00")),
+        unhex(lpad(hex((col("o_orderkey") % 100000).cast(IntegerType)), 8, "0")),
+        encode(col("o_orderstatus"), "UTF-8")).as("frame"))
+    framed.select(
+      col("id"),
+      Transforms.confluentSchemaId(col("frame")).as("schema_id"),
+      decode(Transforms.confluentPayload(col("frame")), "UTF-8").as("payload_s"),
+      (length(col("frame")) - 5).as("payload_len"))
+      .orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c08_confluent_frame" -> (c08 _),
     "c01_debezium_cast" -> (c01 _),
     "c02_envelope_project" -> (c02 _),
     "c03_cdc_dedup_split" -> (c03 _),
@@ -133,6 +154,12 @@ object CdcQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c08_confluent_frame" ->
+      """SELECT o_orderkey AS id,
+         o_orderkey % 100000 AS schema_id,
+         o_orderstatus AS payload_s,
+         octet_length(encode(o_orderstatus)) AS payload_len
+         FROM orders ORDER BY id""",
     "c01_debezium_cast" ->
       """SELECT o_orderkey AS id,
          strftime(DATE '1970-01-01' + CAST(o_orderkey % 20000 AS INT), '%Y-%m-%d') AS d_s,

@@ -97,6 +97,11 @@ object LlmQueries {
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashNearDuplicates(documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
   // ------------------------------------------------------------------
   // similarity search
   // ------------------------------------------------------------------
@@ -156,6 +161,7 @@ object LlmQueries {
     "d07_lsh_near_dup" -> (d07 _),
     "d08_jaccard_block" -> (d08 _),
     "d09_simhash" -> (d09 _),
+    "d10_simhash_near_dup" -> (d10 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -297,6 +303,14 @@ object LlmQueries {
     "d09_simhash" ->
       s"""WITH t AS ($ToksCte)
          SELECT doc_id, ($simhashSql) AS simhash FROM t ORDER BY doc_id""",
+    "d10_simhash_near_dup" ->
+      s"""WITH t AS ($ToksCte),
+         s AS (SELECT doc_id, ($simhashSql) AS sh FROM t)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 1
+         ORDER BY doc_a, doc_b""",
     "e01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                      FROM embeddings WHERE vec_id < 5),
@@ -331,7 +345,22 @@ object LlmQueries {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
          substr(text, 1, 8) AS head,
          octet_length(encode(text)) = length(text) AS is_ascii
-         FROM documents ORDER BY doc_id"""
-    // m02_multimodal_decode: mapPartitions stub decoder — rows-only check
+         FROM documents ORDER BY doc_id""",
+    "m02_multimodal_decode" ->
+      // the stub decoder is deterministic: square-ish dims + byte mean
+      // over the UTF-8 payload, reproduced here via hex byte extraction
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+           list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+             i -> ('0x' || substr(hex(encode(text)), i*2-1, 2))::INT)) AS byte_sum
+         FROM documents),
+         d AS (SELECT doc_id, byte_len,
+           greatest(1, CAST(floor(sqrt(byte_len::DOUBLE)) AS INT)) AS width
+         FROM b)
+         SELECT d.doc_id, d.byte_len, d.width,
+           greatest(1, CAST(d.byte_len // d.width AS INT)) AS height,
+           round(CASE WHEN d.byte_len = 0 THEN 0.0
+                 ELSE b.byte_sum::DOUBLE / d.byte_len END, 4) AS mean_luma
+         FROM d JOIN b ON b.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
   )
 }

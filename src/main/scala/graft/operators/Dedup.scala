@@ -135,6 +135,30 @@ object Dedup {
       .withColumn("simhash", simhash16FromHashes(col("__th")))
       .drop("__toks", "__th")
 
+  /** SimHash near-duplicates: hamming distance ≤ `maxDist` (≤1 here by
+    * construction). Pigeonhole bucketing — a pair within distance 1 of a
+    * 16-bit signature must agree on at least one 8-bit half — so
+    * candidates come from an equi-join on tagged half-keys, never an
+    * all-pairs comparison; the exact hamming check then filters. At
+    * scale this is two narrow shuffles on (half-key, doc_id, simhash). */
+  def simhashNearDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol).select("doc_id", "simhash")
+    val bucketed = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array(
+        concat(lit("lo:"), col("simhash").bitwiseAND(lit(255)).cast("string")),
+        concat(lit("hi:"), shiftright(col("simhash"), 8).cast("string")))).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = bucketed.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("dist", hamming16(col("sh_a"), col("sh_b")))
+      .filter(col("dist") <= 1)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** Near-duplicates within a blocking key (e.g. source): LSH band
     * candidates CONFINED to the block, then exact Jaccard verify — the
     * scale-safe form of blocked dedup (candidates must share block AND
