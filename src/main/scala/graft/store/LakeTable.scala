@@ -397,6 +397,34 @@ class LakeTable(
       .toDF("version", "committed_at", "operation", "entry_count", "summary")
   }
 
+  /** `.files`/`.manifests` analog: every data file the CURRENT snapshot
+    * references, with its partition and size. */
+  def filesDF: DataFrame = {
+    import spark.implicits._
+    val s = requireExists()
+    s.entries.flatMap { e =>
+      val p = new Path(e.dataPath(location))
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            buf += ((f.getPath.toString, e.partition.getOrElse(""), f.getLen))
+        }
+        buf.toSeq
+      }
+    }.toDF("file_path", "partition", "file_size_bytes")
+  }
+
+  /** SHOW PARTITIONS analog: distinct partition paths of the current
+    * snapshot (empty for unpartitioned tables). */
+  def partitions: Seq[String] = {
+    val s = requireExists()
+    s.entries.flatMap(_.partition).distinct.sorted
+  }
+
   private def allSnapshots: Seq[Snapshot] =
     if (!fs.exists(metaDir)) Nil
     else fs.listStatus(metaDir).toSeq

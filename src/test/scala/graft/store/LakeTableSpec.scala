@@ -170,6 +170,23 @@ class LakeTableSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount")
   }
 
+  test("filesDF and partitions metadata reflect the current snapshot") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.meta")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"),
+      partitionBy = Seq("grp"))
+    t.partitions shouldBe Seq("grp=a", "grp=b")
+    val files = t.filesDF.collect()
+    files.length should be >= 2
+    files.map(_.getString(1)).toSet shouldBe Set("grp=a", "grp=b")
+    files.foreach(_.getLong(2) should be > 0L)
+
+    val u = freshCatalog().table("db.unpart")
+    u.createOrReplace(Seq((1L, "a")).toDF("id", "grp"))
+    u.partitions shouldBe Seq.empty
+    u.filesDF.head().getString(1) shouldBe ""
+  }
+
   test("catalog listTables and dropTable") {
     val cat = freshCatalog()
     cat.createDatabase("db")
