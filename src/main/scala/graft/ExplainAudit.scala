@@ -1,0 +1,31 @@
+package graft
+
+import graft.core.GraftSession
+
+/** Plan-quality audit: prints the formatted physical plans of the
+  * scan-heavy and join-heavy queries so pushdown/broadcast/codegen can
+  * be inspected (and regressions spotted) without the Spark UI. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.01"
+    val spark = GraftSession.builder(appName = "audit", master = "local[4]",
+      shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("AUDIT-BEGIN")
+    for (name <- Seq("q02_filter_project", "q04_snowflake_join", "q13_top_k",
+      "d07_lsh_near_dup")) {
+      println(s"=== $name ===")
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // keep the structural lines only
+      plan.linesIterator
+        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") ||
+          l.contains("Join") || l.contains("WholeStageCodegen") ||
+          l.contains("TakeOrderedAndProject") || l.contains("Exchange") ||
+          l.contains("ReadSchema"))
+        .take(25).foreach(println)
+    }
+    println("AUDIT-END")
+    spark.stop()
+  }
+}

@@ -124,6 +124,14 @@ object LlmQueries {
   private def e03(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(table(s, dir, "embeddings"), dim = 64).orderBy("label")
 
+  private def e04(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .ivfKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------------
   // multimodal plumbing
   // ------------------------------------------------------------------
@@ -165,6 +173,7 @@ object LlmQueries {
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
+    "e04_knn_ivf" -> (e04 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _)
   )
@@ -330,6 +339,39 @@ object LlmQueries {
                FROM embeddings WHERE vec_id >= 5),
          s AS (SELECT query_id, neighbor_id, $CosSql AS cos
                FROM c JOIN q ON c.bucket = q.bucket),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e04_knn_ivf" ->
+      s"""WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
+               FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                       unnest(range(0, len(embedding))) AS dim
+                     FROM embeddings WHERE vec_id >= 5)
+               GROUP BY label, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id >= 5),
+         assign AS (SELECT cell, neighbor_id, cv FROM (
+             SELECT ct2.label AS cell, c.neighbor_id, c.cv,
+               row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                 list_inner_product(c.cv, ct2.ct)
+                   / (sqrt(list_inner_product(c.cv, c.cv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM corpus c CROSS JOIN cent ct2) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         probe AS (SELECT cell, query_id, qv FROM (
+             SELECT ct2.label AS cell, q.query_id, q.qv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_inner_product(q.qv, ct2.ct)
+                   / (sqrt(list_inner_product(q.qv, q.qv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM q CROSS JOIN cent ct2) WHERE rn <= 3),
+         s AS (SELECT query_id, neighbor_id, $CosSql AS cos
+               FROM assign a JOIN probe p USING (cell)),
          r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos

@@ -54,6 +54,65 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Full per-label centroid vectors as `array<double>` (components
+    * rounded to 6dp so an external engine reproduces them despite
+    * cross-row double-sum ordering). The IVF coarse quantizer: tiny
+    * (nlist rows), broadcastable at any corpus size. */
+  def labelCentroidVectors(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => round(s("c"), 6)).as("centroid"))
+
+  /** IVF ANN top-k: the scale path beyond single-probe LSH.
+    *
+    *  1. coarse quantizer = per-label centroids (the labels are the
+    *     trained cluster ids; at scale k-means training is the same
+    *     agg loop);
+    *  2. every corpus vector is assigned map-side to its nearest
+    *     centroid cell (broadcast nlist×dim table, argmax per row —
+    *     one corpus pass, no shuffle of vectors);
+    *  3. each query probes its `nprobe` nearest cells, and exact cosine
+    *     runs only inside probed cells — recall/cost tunable via nprobe.
+    */
+  def ivfKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nprobe: Int = 3): DataFrame = {
+    val cents = labelCentroidVectors(corpus)
+    val byCos = (idCol: String) =>
+      Window.partitionBy(idCol).orderBy(desc("cos_c"), col("label"))
+
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(byCos("neighbor_id")))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cell"), col("neighbor_id"), col("cv"))
+
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(byCos("query_id")))
+      .filter(col("rn") <= nprobe)
+      .select(col("label").as("cell"), col("query_id"), col("qv"))
+
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Per-label centroid (mean vector), returned with its L2 norm and
     * member count. Aggregates element-wise sums, not collect(). */
   def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame = {

@@ -216,6 +216,51 @@ class CdcPipelineSpec extends SparkSpec {
     state(cat).find(_._1 == 2).get._2 shouldBe "streamed"
   }
 
+  test("property: batched processBatch converges to the replay oracle") {
+    // Random CDC workload split across micro-batches must reach exactly
+    // the state of a single latest-op-per-key replay — the idempotent-
+    // MERGE convergence contract (SURVEY §5c / src/README.md:39).
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val (cat, ctx) = bootstrap()
+      val keys = 1 to 12
+      val ops = (1 to 60).map { i =>
+        val key = keys(rnd.nextInt(keys.length))
+        val op = rnd.nextInt(5) match {
+          case 0 => "d"
+          case 1 => "c"
+          case _ => "u"
+        }
+        (key, op, s"t$trial-v$i", rnd.nextInt(1000).toDouble, 1000L + i)
+      }
+      // 3 micro-batches in offset order (Kafka delivery order per key)
+      ops.grouped(20).zipWithIndex.foreach { case (chunk, bi) =>
+        val batch = batchDf(chunk.map { case (k, op, name, amount, off) =>
+          (1, 2, keyBytes(k),
+            valueBytes(op, k, name, amount, 1600000000000L, 1700000000000L + off),
+            off)
+        })
+        CdcPipeline.processBatch(batch, bi.toLong, ctx)
+      }
+      // replay oracle: last op per key decides presence and values
+      val lastPerKey = ops.groupBy(_._1).view.mapValues(_.maxBy(_._5)).toMap
+      val expected = (
+        Seq(1, 2, 3).filterNot(k =>
+          lastPerKey.get(k).exists(_._2 == "d")).map { k =>
+          lastPerKey.get(k) match {
+            case Some((_, _, name, amount, _)) => (k, name, amount)
+            case None => (k, Seq("", "a", "b", "c")(k), k * 10.0) // untouched seed
+          }
+        } ++
+          lastPerKey.collect {
+            case (k, (_, op, name, amount, _)) if k > 3 && op != "d" =>
+              (k, name, amount)
+          }
+      ).sortBy(_._1)
+      state(cat) shouldBe expected
+    }
+  }
+
   test("stripConfluentHeader extracts ids and payloads as column exprs") {
     val body = Array[Byte](9, 8, 7)
     val framed = AvroTestData.confluentFrame(42, body)

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog tonight"
+  private val near2 = "the quick brown fox jumps over the lazy cat tonight"
+  private val other = "completely different content with no shared phrasing at all"
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("exactGroups and exactDedup collapse normalization-equal docs") {
+    val d = docs(
+      (1L, "Hello,   World!", "a"),
+      (2L, "hello world", "a"),
+      (3L, other, "a"))
+    val groups = Dedup.exactGroups(d).collect()
+    groups.length shouldBe 2
+    groups.find(_.getLong(2) == 2L).get.getLong(1) shouldBe 1L // min doc survives
+    Dedup.exactDedup(d).select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L)
+  }
+
+  test("lshNearDuplicates finds true near-dups and respects threshold") {
+    val d = docs((1L, near1, "a"), (2L, near2, "a"), (3L, other, "a"))
+    val pairs = Dedup.lshNearDuplicates(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 2L))
+    // raising the threshold above their Jaccard removes the pair
+    Dedup.lshNearDuplicates(d, threshold = 0.99).count() shouldBe 0
+  }
+
+  test("maxBucket guard drops boilerplate buckets entirely") {
+    // 5 identical docs: every band bucket has size 5
+    val many = docs((1 to 5).map(i => (i.toLong, near1, "a")): _*)
+    Dedup.lshNearDuplicates(many, maxBucket = 4).count() shouldBe 0
+    Dedup.lshNearDuplicates(many, maxBucket = 5).count() shouldBe 10 // C(5,2)
+  }
+
+  test("blockedJaccardPairs confines candidates to the block") {
+    val d = docs((1L, near1, "blockA"), (2L, near2, "blockB"), (3L, near2, "blockA"))
+    val pairs = Dedup.blockedJaccardPairs(d, "source", threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    pairs shouldBe Array(("blockA", 1L, 3L)) // cross-block near-dup invisible
+  }
+
+  test("simhashNearDuplicates: identical docs at distance 0, verified exactly") {
+    val d = docs((1L, near1, "a"), (2L, near1, "a"), (3L, other, "a"))
+    val out = Dedup.simhashNearDuplicates(d).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq shouldBe
+      Seq((1L, 2L, 0))
+  }
+
+  test("minhashSignatures filters docs shorter than the shingle size") {
+    val d = docs((1L, "one two", "a"), (2L, near1, "a"))
+    val sigs = Dedup.minhashSignatures(d, shingleSize = 3, k = 4)
+    sigs.count() shouldBe 1
+    sigs.head.getAs[scala.collection.Seq[String]]("sig").length shouldBe 4
+  }
+}
