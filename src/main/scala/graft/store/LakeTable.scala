@@ -251,6 +251,21 @@ class LakeTable(
     parts.reduce(_ unionByName _).select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Incremental stream scan (the Iceberg streaming-read analog,
+    * `tests/99.test_iceberg_cdc.ipynb`): a file-based stream over the
+    * table's data root — every data dir a future commit adds surfaces as
+    * appended rows in the next micro-batch. Correct for APPEND-ONLY
+    * tables (the ledgers, the raw zone); copy-on-write rewrites re-emit
+    * rewritten rows, the same caveat Iceberg handles with
+    * streaming-skip-overwrite-snapshots. */
+  def readStream: DataFrame = {
+    val s = requireExists()
+    spark.readStream
+      .schema(s.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$location/data")
+  }
+
   /** Current table contents as a plain parquet-backed DataFrame. */
   def read: DataFrame = {
     val s = currentSnapshot.getOrElse(

@@ -170,6 +170,33 @@ class LakeTableSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount")
   }
 
+  test("readStream surfaces appended commits incrementally") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.stream")
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("lt-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+
+    def drain(): Unit = {
+      val q = t.readStream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0)).toSet
+          seen.synchronized { seen += ids; () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    drain()
+    val nonEmpty = seen.filter(_.nonEmpty)
+    nonEmpty.head shouldBe Set(1L)
+    nonEmpty.last shouldBe Set(2L) // only the appended commit, incremental
+  }
+
   test("filesDF and partitions metadata reflect the current snapshot") {
     import spark.implicits._
     val t = freshCatalog().table("db.meta")
