@@ -68,9 +68,57 @@ object StoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** c09: the CDC watermark ledger through the driver gate — ensure,
+    * per-group lock-serialized appends, read back the deterministic
+    * columns (`watermark.py:24-195`). */
+  private def c09(s: SparkSession, dir: String): DataFrame = {
+    import graft.ledger.Watermark
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ops"))
+    if (cat.tableExists(Watermark.CdcTable)) cat.dropTable(Watermark.CdcTable)
+    if (cat.tableExists(Watermark.MaintenanceTable)) cat.dropTable(Watermark.MaintenanceTable)
+    Watermark.ensureWatermarkTables(cat)
+    val groups = table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("event_id").as("min_off"),
+        max("event_id").as("max_off"))
+      .collect()
+    groups.foreach { r =>
+      Watermark.appendCdcWatermark(cat, "dag_verify", "svc_events",
+        r.getString(0), eventCount = r.getLong(1), maxEventTs = None,
+        minOffset = Some(r.getLong(2)), maxOffset = Some(r.getLong(3)))
+    }
+    cat.table(Watermark.CdcTable).read
+      .select("dag_id", "iceberg_schema", "table_name", "event_count",
+        "min_offset", "max_offset")
+      .orderBy("table_name")
+  }
+
+  /** c10: maintenance procedure ledger rows — compaction + expiry over a
+    * real table, statuses read back (`maintenance.py:66-186`). */
+  private def c10(s: SparkSession, dir: String): DataFrame = {
+    import graft.ledger.Watermark
+    import graft.maintenance.Maintenance
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_maint"))
+    if (cat.tableExists(Watermark.MaintenanceTable)) cat.dropTable(Watermark.MaintenanceTable)
+    if (cat.tableExists(Watermark.CdcTable)) cat.dropTable(Watermark.CdcTable)
+    Watermark.ensureWatermarkTables(cat)
+    cat.createDatabase("lake")
+    cat.table("lake.compactme").createOrReplace(
+      table(s, dir, "region").repartition(4))
+    Maintenance.runCompaction(cat, "dag_verify", "lake.compactme")
+    Maintenance.runCompaction(cat, "dag_verify", "lake.missing") // failure path
+    cat.table(Watermark.MaintenanceTable).read
+      .select("dag_id", "iceberg_schema", "table_name", "procedure_type", "status")
+      .orderBy("table_name", "procedure_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c06_lake_merge_delete" -> (c06 _),
-    "c07_lake_partitioned_cow" -> (c07 _)
+    "c07_lake_partitioned_cow" -> (c07 _),
+    "c09_watermark_ledger" -> (c09 _),
+    "c10_maintenance_ledger" -> (c10 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -81,6 +129,19 @@ object StoreQueries {
               ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 7 <> 0
          ORDER BY o_orderkey""",
+    "c09_watermark_ledger" ->
+      """SELECT 'dag_verify' AS dag_id, 'svc_events' AS iceberg_schema,
+         event_type AS table_name, count(*) AS event_count,
+         min(event_id) AS min_offset, max(event_id) AS max_offset
+         FROM events GROUP BY event_type ORDER BY table_name""",
+    "c10_maintenance_ledger" ->
+      """SELECT * FROM (VALUES
+         ('dag_verify', 'lake', 'compactme', 'expire_snapshots', 'success'),
+         ('dag_verify', 'lake', 'compactme', 'rewrite_data_files', 'success'),
+         ('dag_verify', 'lake', 'missing', 'expire_snapshots', 'skipped'),
+         ('dag_verify', 'lake', 'missing', 'rewrite_data_files', 'failed'))
+         AS t(dag_id, iceberg_schema, table_name, procedure_type, status)
+         ORDER BY table_name, procedure_type""",
     "c07_lake_partitioned_cow" ->
       """SELECT o_orderkey,
          CASE WHEN o_orderkey % 50 = 1 AND strftime(o_orderdate, '%Y') = '1995'

@@ -275,6 +275,13 @@ class LakeTable(
 
   def toDF: DataFrame = read
 
+  /** Time travel: read the table AS OF a committed version (Iceberg's
+    * `VERSION AS OF` — snapshots stay readable until expireSnapshots). */
+  def readVersion(version: Long): DataFrame = {
+    val s = readSnapshot(version)
+    readEntries(s, s.entries)
+  }
+
   // -------------------------------------------------------------------
   // write operations
   // -------------------------------------------------------------------

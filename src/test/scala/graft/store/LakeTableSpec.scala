@@ -170,6 +170,15 @@ class LakeTableSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount")
   }
 
+  test("readVersion time-travels to any retained snapshot") {
+    val t = freshCatalog().table("db.tt")
+    t.createOrReplace(df(Seq((1L, "v1", 1.0))))
+    t.overwrite(df(Seq((2L, "v2", 2.0))))
+    t.readVersion(1).head.getString(1) shouldBe "v1"
+    t.readVersion(2).head.getString(1) shouldBe "v2"
+    t.read.head.getString(1) shouldBe "v2"
+  }
+
   test("readStream surfaces appended commits incrementally") {
     import spark.implicits._
     val t = freshCatalog().table("db.stream")
