@@ -87,7 +87,12 @@ object Dedup {
     // the (band, count) side is small enough for a broadcast at any SF
     val keep = banded.groupBy("band").count()
       .filter(col("count") <= maxBucket).select("band")
+    // persist: the caller self-joins this frame, and without
+    // materialization BOTH join sides recompute the whole signature
+    // pipeline (shingles + k×md5 per doc). The cached payload is only
+    // (band, ids) — compact at any corpus size.
     banded.join(keep, Seq("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def jaccardOnPairs(pairs: DataFrame, docToks: DataFrame, threshold: Double): DataFrame =
@@ -148,6 +153,9 @@ object Dedup {
       explode(array(
         concat(lit("lo:"), col("simhash").bitwiseAND(lit(255)).cast("string")),
         concat(lit("hi:"), shiftright(col("simhash"), 8).cast("string")))).as("bucket"))
+      // compact (bucket, id, sig) rows; materialized so the self-join
+      // below doesn't recompute the simhash pipeline on both sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = bucketed.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("bucket"))
