@@ -144,8 +144,48 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** c11: the Avro decode path itself under the oracle gate — a
+    * deterministic sample of orders is Avro-encoded (binary envelope
+    * bodies built with the avro runtime), decoded in the executors by
+    * graft.avro.AvroDecode (FAILFAST, per-partition reader reuse), and
+    * the projected fields must hash-match the relational oracle. */
+  private def c11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.generic.GenericData
+    val schemaJson =
+      """{"type":"record","name":"O","fields":[
+        {"name":"id","type":"long"},
+        {"name":"status","type":["null","string"],"default":null},
+        {"name":"price","type":"double"}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val sample = table(s, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect()
+    val rows = sample.map { r =>
+      val bytes = {
+        val rec = new GenericData.Record(schema)
+        rec.put("id", r.getLong(0)); rec.put("status", r.getString(1))
+        rec.put("price", r.getDouble(2))
+        val out = new java.io.ByteArrayOutputStream()
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+        new org.apache.avro.generic.GenericDatumWriter[GenericData.Record](schema)
+          .write(rec, enc)
+        enc.flush()
+        out.toByteArray
+      }
+      org.apache.spark.sql.Row(r.getLong(0), bytes)
+    }
+    val df = s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("id", LongType), StructField("body", BinaryType))))
+    graft.avro.AvroDecode.withDecoded(df, "body", schemaJson, "rec")
+      .select(col("id"), col("rec.status").as("status"),
+        round(col("rec.price"), 2).as("price"))
+      .orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c08_confluent_frame" -> (c08 _),
+    "c11_avro_roundtrip" -> (c11 _),
     "c01_debezium_cast" -> (c01 _),
     "c02_envelope_project" -> (c02 _),
     "c03_cdc_dedup_split" -> (c03 _),
@@ -154,6 +194,10 @@ object CdcQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c11_avro_roundtrip" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+         round(o_totalprice, 2) AS price
+         FROM orders WHERE o_orderkey % 37 = 0 ORDER BY id""",
     "c08_confluent_frame" ->
       """SELECT o_orderkey AS id,
          o_orderkey % 100000 AS schema_id,

@@ -157,6 +157,18 @@ object LlmQueries {
         round(col("meta.mean_luma"), 4).as("mean_luma"))
       .orderBy("doc_id")
 
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    // frame/segment sampling: pure byte-slice expressions over the
+    // opaque payload (Multimodal.sampleSegment) — "take frame k" plumbing
+    Multimodal
+      .packPayload(table(s, dir, "documents"), "text", "video/fake")
+      .select(
+        col("doc_id"),
+        decode(Multimodal.sampleSegment(col("payload"), 3, 10), "UTF-8").as("seg"),
+        length(Multimodal.sampleSegment(col("payload"), 3, 10)).as("seg_len"),
+        md5(Multimodal.sampleSegment(col("payload"), 1, 16)).as("head_md5"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,7 +187,8 @@ object LlmQueries {
     "e03_label_centroids" -> (e03 _),
     "e04_knn_ivf" -> (e04 _),
     "m01_multimodal_pack" -> (m01 _),
-    "m02_multimodal_decode" -> (m02 _)
+    "m02_multimodal_decode" -> (m02 _),
+    "m03_segment_sample" -> (m03 _)
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -387,6 +400,12 @@ object LlmQueries {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
          substr(text, 1, 8) AS head,
          octet_length(encode(text)) = length(text) AS is_ascii
+         FROM documents ORDER BY doc_id""",
+    "m03_segment_sample" ->
+      // documents are pure ASCII (verified) so byte slices == char slices
+      """SELECT doc_id, substr(text, 3, 10) AS seg,
+         length(substr(text, 3, 10)) AS seg_len,
+         md5(substr(text, 1, 16)) AS head_md5
          FROM documents ORDER BY doc_id""",
     "m02_multimodal_decode" ->
       // the stub decoder is deterministic: square-ish dims + byte mean
