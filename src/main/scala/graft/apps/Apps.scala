@@ -58,7 +58,11 @@ private[apps] object AppContext {
   def settings(args: AppArgs.Parsed): Settings =
     Settings.load(args.get("env_file").map(java.nio.file.Paths.get(_)))
 
-  def spark(appName: String): SparkSession = GraftSession.getOrCreate(appName)
+  /** Batch apps exclude SimplifyCasts like the reference
+    * (`mysql_to_iceberg.py:107`) so deliberate trim/UTC re-cast
+    * projections survive optimization. */
+  def spark(appName: String, batch: Boolean = false): SparkSession =
+    GraftSession.getOrCreate(appName, excludeSimplifyCasts = batch)
 
   /** Local-path warehouses (file:/…) work as-is; object-store paths come
     * from the settings. */
@@ -83,7 +87,7 @@ object JdbcToLakeApp {
   def main(args: Array[String]): Unit = {
     val a = AppArgs.parse(args)
     val s = AppContext.settings(a)
-    val spark = AppContext.spark("jdbc_to_lake")
+    val spark = AppContext.spark("jdbc_to_lake", batch = true)
     try BatchIngest.jdbcToLake(spark, AppContext.dbManager(spark, s),
       AppContext.catalog(spark, s), a("service").toLowerCase, a("table"),
       a.int("num_partitions", 8))
@@ -96,7 +100,7 @@ object JdbcToParquetApp {
   def main(args: Array[String]): Unit = {
     val a = AppArgs.parse(args)
     val s = AppContext.settings(a)
-    val spark = AppContext.spark("jdbc_to_parquet")
+    val spark = AppContext.spark("jdbc_to_parquet", batch = true)
     try BatchIngest.jdbcToParquet(spark, AppContext.dbManager(spark, s),
       a("table"), a.int("num_partitions", 8), a("output_path"))
     finally spark.stop()
@@ -108,7 +112,7 @@ object ParquetToLakeApp {
   def main(args: Array[String]): Unit = {
     val a = AppArgs.parse(args)
     val s = AppContext.settings(a)
-    val spark = AppContext.spark("parquet_to_lake")
+    val spark = AppContext.spark("parquet_to_lake", batch = true)
     val (schema, table) = graft.core.TableNaming
       .mysqlSourceToTable(a("service"), a("table"))
     try BatchIngest.parquetToLake(spark, AppContext.catalog(spark, s),

@@ -48,11 +48,22 @@ object GraftSession {
     else b
   }
 
-  def getOrCreate(appName: String = "graft"): SparkSession = {
-    val s = builder(appName).getOrCreate()
+  def getOrCreate(
+      appName: String = "graft",
+      excludeSimplifyCasts: Boolean = false): SparkSession = {
+    val s = builder(appName, excludeSimplifyCasts = excludeSimplifyCasts).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+}
+
+/** SQL string-literal escaping for the rare ledger/DDL statements built
+  * as text (`watermark.py:255-257`): single quotes are doubled. Prefer
+  * parameterized DataFrame rows (the Watermark module does); this exists
+  * for callers emitting raw SQL. */
+object SqlLiteral {
+  def escape(s: String): String = if (s == null) "" else s.replace("'", "''")
+  def quote(s: String): String = s"'${escape(s)}'"
 }
 
 /** Topic/table naming conventions of the reference

@@ -419,6 +419,26 @@ class LakeTable(
       .toDF("version", "committed_at", "operation", "entry_count", "summary")
   }
 
+  /** DESCRIBE TABLE EXTENDED analog: column rows (name, type, comment
+    * from the synced properties) followed by table metadata rows. */
+  def describeExtended: DataFrame = {
+    import spark.implicits._
+    val s = requireExists()
+    val cols = s.schema.fields.toSeq.map { f =>
+      (f.name, f.dataType.simpleString,
+        s.properties.getOrElse(s"comment.col.${f.name}", ""))
+    }
+    val meta = Seq(
+      ("# Detailed Table Information", "", ""),
+      ("Name", name, ""),
+      ("Location", location, ""),
+      ("Provider", "lake-parquet", ""),
+      ("Comment", s.properties.getOrElse("comment", ""), ""),
+      ("Partition Columns", s.partitionCols.mkString(", "), ""),
+      ("Current Version", s.version.toString, ""))
+    (cols ++ meta).toDF("col_name", "data_type", "comment")
+  }
+
   /** `.files`/`.manifests` analog: every data file the CURRENT snapshot
     * references, with its partition and size. */
   def filesDF: DataFrame = {

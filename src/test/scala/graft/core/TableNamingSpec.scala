@@ -29,4 +29,10 @@ class TableNamingSpec extends AnyFunSuite with Matchers {
     TableNaming.checkpointPath("s3a://bkt/iceberg", "dag1", "p.s.t") shouldBe
       "s3a://bkt/iceberg/checkpoint/dag1/p.s.t"
   }
+
+  test("sql literal escaping doubles quotes, null-safe") {
+    SqlLiteral.escape("it's") shouldBe "it''s"
+    SqlLiteral.escape(null) shouldBe ""
+    SqlLiteral.quote("o'brien; DROP") shouldBe "'o''brien; DROP'"
+  }
 }

@@ -170,6 +170,17 @@ class LakeTableSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount")
   }
 
+  test("describeExtended lists columns with synced comments + metadata") {
+    val t = freshCatalog().table("db.desc")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))), partitionBy = Seq("status"))
+    t.setProperties(Map("comment.col.id" -> "the key", "comment" -> "demo table"))
+    val rows = t.describeExtended.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    rows should contain(("id", "bigint", "the key"))
+    rows should contain(("Comment", "demo table", ""))
+    rows should contain(("Partition Columns", "status", ""))
+  }
+
   test("readVersion time-travels to any retained snapshot") {
     val t = freshCatalog().table("db.tt")
     t.createOrReplace(df(Seq((1L, "v1", 1.0))))
