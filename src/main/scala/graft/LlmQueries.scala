@@ -51,12 +51,16 @@ object LlmQueries {
 
   private def d02(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"),
+        qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
       .orderBy("doc_id")
 
   private def d03(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"),
+        langIdFromTokens(col("text"), col("__toks")).as("lang_pred"))
       .orderBy("doc_id")
 
   private def d04(s: SparkSession, dir: String): DataFrame =

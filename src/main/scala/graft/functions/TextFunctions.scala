@@ -48,6 +48,8 @@ object TextFunctions {
 
   def stopwordCount(text: Column): Column = hitCount(tokens(text), EnglishStopwords)
 
+  def stopwordCountFromTokens(toks: Column): Column = hitCount(toks, EnglishStopwords)
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
@@ -56,9 +58,14 @@ object TextFunctions {
     * punctuation restraint — the usual cheap pre-filter before expensive
     * model-based scoring. Integer/integer double divisions only, so the
     * value is IEEE-deterministic across engines. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast(DoubleType)
-    val stopRatio = stopwordCount(text).cast(DoubleType) / nTok
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** Variant taking a MATERIALIZED token column (see the HOF staging
+    * note above) — `text` is still needed for the punctuation ratio. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast(DoubleType)
+    val stopRatio = stopwordCountFromTokens(toks).cast(DoubleType) / nTok
     val punctRatio = punctCount(text).cast(DoubleType) / length(text).cast(DoubleType)
     val lengthOk = when(nTok.between(5, 1000), lit(1.0)).otherwise(lit(0.0))
     round(lengthOk * 0.4 + least(stopRatio * lit(2.0), lit(1.0)) * 0.4 +
@@ -67,8 +74,9 @@ object TextFunctions {
 
   /** Language ID heuristic: CJK codepoints ⇒ zh, else the larger of the
     * Spanish/English stopword hit counts (ties ⇒ en). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val en = hitCount(toks, EnglishStopwords)
     val es = hitCount(toks, SpanishStopwords)
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
