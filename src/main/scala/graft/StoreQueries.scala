@@ -114,9 +114,31 @@ object StoreQueries {
       .orderBy("table_name", "procedure_type")
   }
 
+  /** c12: the bucket-pruned copy-on-write path — a hash-bucketed table
+    * (the reference's intended `bucket(N, id_iceberg)` layout,
+    * `iceberg.py:94`) merged/deleted with key-confined batches, so only
+    * buckets containing the batch keys are rewritten. */
+  private def c12(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_")))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_bucketed")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base, bucketBy = Some(("o_orderkey", 16)))
+    val source = base
+      .filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderstatus", lit("B"))
+    t.mergeInto(source, Seq("o_orderkey"))
+    t.deleteWhereExists(base.filter(col("o_orderkey") % 13 === 0), Seq("o_orderkey"))
+    t.read
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c06_lake_merge_delete" -> (c06 _),
     "c07_lake_partitioned_cow" -> (c07 _),
+    "c12_lake_bucketed_cow" -> (c12 _),
     "c09_watermark_ledger" -> (c09 _),
     "c10_maintenance_ledger" -> (c10 _)
   )
@@ -128,6 +150,12 @@ object StoreQueries {
          CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice + 1000.0, 2)
               ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 7 <> 0
+         ORDER BY o_orderkey""",
+    "c12_lake_bucketed_cow" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'B' ELSE o_orderstatus END
+           AS o_orderstatus
+         FROM orders WHERE o_orderkey % 13 <> 0
          ORDER BY o_orderkey""",
     "c09_watermark_ledger" ->
       """SELECT 'dag_verify' AS dag_id, 'svc_events' AS iceberg_schema,

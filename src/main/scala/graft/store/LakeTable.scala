@@ -292,17 +292,27 @@ class LakeTable(
   def createOrReplace(
       df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      tableProperties: Map[String, String] = Map.empty): Snapshot = {
-    val (_, entries) = writeData(df, partitionBy)
+      tableProperties: Map[String, String] = Map.empty,
+      bucketBy: Option[(String, Int)] = None): Snapshot = {
+    require(bucketBy.isEmpty || partitionBy.isEmpty,
+      "bucketBy and partitionBy are mutually exclusive")
+    val (data, pcols, bucketProps) = bucketBy match {
+      case Some(spec) =>
+        (withDerivedBucket(df, spec), Seq(BucketCol),
+          Map("bucket.column" -> spec._1, "bucket.count" -> spec._2.toString))
+      case None => (df, partitionBy, Map.empty[String, String])
+    }
+    val (_, entries) = writeData(data, pcols)
     commit("create-or-replace")(_ =>
-      (df.schema, partitionBy, entries, DefaultProperties ++ tableProperties, Map.empty))
+      (df.schema, pcols, entries,
+        DefaultProperties ++ bucketProps ++ tableProperties, Map.empty))
   }
 
   /** Append-only commit: existing data dirs are untouched. Additive, so
     * lost commit races retry against the fresh parent manifest. */
   def append(df: DataFrame): Snapshot = {
     val s = requireExists()
-    val (_, entries) = writeData(conform(df, s), s.partitionCols)
+    val (_, entries) = writeData(prepared(df, s), s.partitionCols)
     val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
     val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
     commit("append", retries, waitMs)(p =>
@@ -314,7 +324,7 @@ class LakeTable(
     * (`mysql_to_parquet.py:58` raw-zone replace). */
   def overwrite(df: DataFrame): Snapshot = {
     val s = requireExists()
-    val (_, entries) = writeData(conform(df, s), s.partitionCols)
+    val (_, entries) = writeData(prepared(df, s), s.partitionCols)
     commit("overwrite")(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
   }
@@ -348,7 +358,7 @@ class LakeTable(
   /** DELETE FROM this table WHERE cond — full copy-on-write. */
   def deleteWhere(cond: Column): Snapshot = {
     val s = requireExists()
-    val (_, entries) = writeData(read.filter(not(cond)), s.partitionCols)
+    val (_, entries) = writeData(prepared(read.filter(not(cond)), s), s.partitionCols)
     commit("delete")(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
   }
@@ -356,12 +366,21 @@ class LakeTable(
   private def rewriteMatching(source: DataFrame, keys: Seq[String], op: String)(
       rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot = {
     val s = requireExists()
-    val prunable =
-      s.partitionCols.nonEmpty && s.partitionCols.forall(source.columns.contains)
+    // a bucketed table prunes by DERIVED bucket ids of the source keys;
+    // a partitioned table prunes when the source carries the partition
+    // columns. Either way only touched data dirs are rewritten.
+    val pruneSource: Option[DataFrame] = bucketSpec(s) match {
+      case Some(spec) if source.columns.contains(spec._1) =>
+        Some(withDerivedBucket(source, spec))
+      case None if s.partitionCols.nonEmpty &&
+        s.partitionCols.forall(source.columns.contains) => Some(source)
+      case _ => None
+    }
+    val prunable = pruneSource.isDefined
     if (!prunable) {
       // unpartitioned (or partition cols absent from source): full COW
       val out = rewrite(read, source)
-      val (_, entries) = writeData(conform(out, s), s.partitionCols)
+      val (_, entries) = writeData(prepared(out, s), s.partitionCols)
       commit(op)(_ =>
         (s.schema, s.partitionCols, entries, s.properties,
           Map("rewritten-entries" -> s.entries.size.toString)))
@@ -370,8 +389,9 @@ class LakeTable(
       // The distinct partition set of a micro-batch is small by
       // construction (CDC batches cluster in recent partitions).
       val schemaByName = s.schema.fields.map(f => f.name -> f.dataType).toMap
-      val touched: Set[String] = source
-        .select(s.partitionCols.map(c => col(c).cast(schemaByName(c))): _*)
+      val touched: Set[String] = pruneSource.get
+        .select(s.partitionCols.map(c =>
+          if (c == BucketCol) col(c) else col(c).cast(schemaByName(c))): _*)
         .distinct()
         .collect()
         .map { r =>
@@ -383,7 +403,7 @@ class LakeTable(
         .toSet
       val (affected, untouched) = s.entries.partition(e => e.partition.exists(touched))
       val out = rewrite(readEntries(s, affected), source)
-      val (_, newEntries) = writeData(conform(out, s), s.partitionCols)
+      val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
       commit(op)(_ =>
         (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
           Map(
@@ -394,6 +414,22 @@ class LakeTable(
 
   private def conform(df: DataFrame, s: Snapshot): DataFrame =
     df.select(s.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+  /** Hash-bucket layout spec, carried in table properties. */
+  private def bucketSpec(s: Snapshot): Option[(String, Int)] =
+    for (c <- s.properties.get("bucket.column");
+         n <- s.properties.get("bucket.count")) yield (c, n.toInt)
+
+  /** Deterministic bucket id (Murmur3, stable across sessions). */
+  private def withDerivedBucket(df: DataFrame, spec: (String, Int)): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(col(spec._1)), lit(spec._2)))
+
+  /** Conform to the stored schema and re-derive the hidden bucket
+    * partition column when the table is bucket-laid-out. */
+  private def prepared(df: DataFrame, s: Snapshot): DataFrame = {
+    val c = conform(df, s)
+    bucketSpec(s).map(withDerivedBucket(c, _)).getOrElse(c)
+  }
 
   private def requireExists(): Snapshot =
     currentSnapshot.getOrElse(
@@ -505,7 +541,7 @@ class LakeTable(
     val before = dataFileCount(s)
     val bytes = dataByteSize(s)
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val compacted = read.repartition(n)
+    val compacted = prepared(read.repartition(n), s)
     val (_, entries) = writeData(compacted, s.partitionCols)
     commit("rewrite-data-files")(_ =>
       (s.schema, s.partitionCols, entries, s.properties,
@@ -549,6 +585,9 @@ class CommitConflictException(msg: String, cause: Throwable)
 
 object LakeTable {
   private val VersionFileRe = "v(\\d+)\\.json".r
+
+  /** Hidden partition column carrying the hash-bucket id. */
+  val BucketCol = "__bucket"
   private val Mapper = new ObjectMapper()
 
   /** Parity with the reference's RTAS tableProperties

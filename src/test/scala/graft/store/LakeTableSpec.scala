@@ -170,6 +170,38 @@ class LakeTableSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount")
   }
 
+  test("bucketed table: merge rewrites only buckets containing batch keys") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.bucketed")
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    t.createOrReplace(base, bucketBy = Some(("id", 16)))
+    val v1 = t.currentSnapshot.get
+    v1.partitionCols shouldBe Seq("__bucket")
+    v1.entries.size should be > 8 // most buckets materialized
+
+    // a 2-key micro-batch touches at most 2 of 16 buckets
+    t.mergeInto(Seq((5L, "V5"), (6L, "V6")).toDF("id", "v"), Seq("id"))
+    val v2 = t.currentSnapshot.get
+    v2.summary("rewritten-entries").toInt should be <= 2
+    v2.summary("untouched-entries").toInt should be >= v1.entries.size - 2
+
+    // hidden bucket column never leaks into reads
+    t.read.columns.toSeq shouldBe Seq("id", "v")
+    t.read.count() shouldBe 200
+    t.read.filter(col("id") === 5L).head.getString(1) shouldBe "V5"
+
+    // deletes prune the same way
+    t.deleteWhereExists(Seq((6L, "x")).toDF("id", "v"), Seq("id"))
+    t.currentSnapshot.get.summary("rewritten-entries").toInt should be <= 1
+    t.read.filter(col("id") === 6L).count() shouldBe 0
+    t.read.count() shouldBe 199
+
+    // compaction keeps the bucket layout
+    t.rewriteDataFiles()
+    t.read.count() shouldBe 199
+    t.partitions.forall(_.startsWith("__bucket=")) shouldBe true
+  }
+
   test("describeExtended lists columns with synced comments + metadata") {
     val t = freshCatalog().table("db.desc")
     t.createOrReplace(df(Seq((1L, "a", 1.0))), partitionBy = Seq("status"))
