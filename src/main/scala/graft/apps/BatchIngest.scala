@@ -47,7 +47,8 @@ object BatchIngest {
       service: String,
       sourceTable: String,
       numPartitions: Int,
-      database: String = ""): Snapshot = {
+      database: String = "",
+      bucketCount: Int = 0): Snapshot = {
     val (schema, table) =
       if (manager.settings.dbType == "sqlserver")
         TableNaming.sqlServerSourceToTable(service, sourceTable)
@@ -56,8 +57,14 @@ object BatchIngest {
     val df = JdbcReader.readJdbcTable(spark, manager, sourceTable, numPartitions, database)
     val out = conformSnapshot(df, pkCols, "last_applied_date")
     catalog.createDatabase(schema)
+    // bucketCount > 0 opts into the hash-bucket layout on id_iceberg so
+    // downstream CDC merges bucket-prune (the reference ships this
+    // disabled, iceberg.py:94 - same default here)
+    val bucketBy =
+      if (bucketCount > 0 && pkCols.nonEmpty) Some(("id_iceberg", bucketCount))
+      else None
     catalog.table(s"$schema.$table").createOrReplace(out,
-      tableProperties = pkProperties(pkCols))
+      tableProperties = pkProperties(pkCols), bucketBy = bucketBy)
   }
 
   /** Pipeline 2: JDBC snapshot → raw-zone parquet overwrite
@@ -84,7 +91,8 @@ object BatchIngest {
       schema: String,
       table: String,
       pkCols: Seq[String],
-      recursive: Boolean = false): Snapshot = {
+      recursive: Boolean = false,
+      bucketCount: Int = 0): Snapshot = {
     val raw = spark.read
       .option("recursiveFileLookup", recursive.toString)
       .parquet(inputPath)
@@ -96,7 +104,10 @@ object BatchIngest {
     val out =
       if (pkCols.nonEmpty) Transforms.withPkHash(renamed, pkCols) else renamed
     catalog.createDatabase(schema)
+    val bucketBy =
+      if (bucketCount > 0 && pkCols.nonEmpty) Some(("id_iceberg", bucketCount))
+      else None
     catalog.table(s"$schema.$table").createOrReplace(out,
-      tableProperties = pkProperties(pkCols))
+      tableProperties = pkProperties(pkCols), bucketBy = bucketBy)
   }
 }
