@@ -75,6 +75,14 @@ object LlmQueries {
   private def d05(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(documents(s, dir)).orderBy("fp")
 
+  private def d11(s: SparkSession, dir: String): DataFrame =
+    // surviving rows after exact dedup (lowest doc_id per fingerprint
+    // kept) — the actual training-set filter, not just the group report
+    Dedup
+      .exactDedup(documents(s, dir))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   private def d06(s: SparkSession, dir: String): DataFrame =
     Dedup
       .minhashSignatures(documents(s, dir), shingleSize = 3, k = 8)
@@ -186,6 +194,7 @@ object LlmQueries {
     "d08_jaccard_block" -> (d08 _),
     "d09_simhash" -> (d09 _),
     "d10_simhash_near_dup" -> (d10 _),
+    "d11_exact_dedup_rows" -> (d11 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -329,6 +338,14 @@ object LlmQueries {
     "d09_simhash" ->
       s"""WITH t AS ($ToksCte)
          SELECT doc_id, ($simhashSql) AS simhash FROM t ORDER BY doc_id""",
+    "d11_exact_dedup_rows" ->
+      """WITH f AS (SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),
+                                   '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         r AS (SELECT doc_id, source, row_number() OVER
+                 (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+         SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""",
     "d10_simhash_near_dup" ->
       s"""WITH t AS ($ToksCte),
          s AS (SELECT doc_id, ($simhashSql) AS sh FROM t)
