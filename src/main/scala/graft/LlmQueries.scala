@@ -144,6 +144,22 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def e05(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .lshKnnMultiProbe(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5, planes = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    // embedding-cosine near-dup: the vector-space dedup pass (semantic
+    // duplicates exact/minhash text dedup can't see)
+    Similarity
+      .embeddingNearDuplicates(table(s, dir, "embeddings"),
+        threshold = 0.4, planes = 4, tables = 2)
+      .orderBy("vec_a", "vec_b")
+
   // ------------------------------------------------------------------
   // multimodal plumbing
   // ------------------------------------------------------------------
@@ -167,6 +183,18 @@ object LlmQueries {
         col("meta.width").as("width"),
         col("meta.height").as("height"),
         round(col("meta.mean_luma"), 4).as("mean_luma"))
+      .orderBy("doc_id")
+
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    // resize plumbing: byte-decimation stub over the opaque payload
+    // (every 3rd byte), verified by length + content hash
+    Multimodal
+      .resizeStub(Multimodal.packPayload(table(s, dir, "documents"), "text", "image/fake"),
+        stride = 3)
+      .select(
+        col("doc_id"),
+        length(col("resized")).as("r_len"),
+        md5(col("resized")).as("r_md5"))
       .orderBy("doc_id")
 
   private def m03(s: SparkSession, dir: String): DataFrame =
@@ -195,13 +223,16 @@ object LlmQueries {
     "d09_simhash" -> (d09 _),
     "d10_simhash_near_dup" -> (d10 _),
     "d11_exact_dedup_rows" -> (d11 _),
+    "d12_embed_near_dup" -> (d12 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
     "e04_knn_ivf" -> (e04 _),
+    "e05_knn_multiprobe" -> (e05 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
-    "m03_segment_sample" -> (m03 _)
+    "m03_segment_sample" -> (m03 _),
+    "m04_resize_stub" -> (m04 _)
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -231,13 +262,22 @@ object LlmQueries {
         s"THEN $mask ELSE 0 END)"
     }.mkString(" + ")
 
-  /** hyperplane LSH bucket over double-list `v` (mirror of lshBucket). */
-  private def bucketSql(v: String, planes: Int): String =
-    (0 until planes).map { p =>
+  /** hyperplane LSH bucket over double-list `v` (mirror of lshBucketFrom:
+    * planes [firstPlane, firstPlane + planes)). */
+  private def bucketSql(v: String, planes: Int, firstPlane: Int = 0): String =
+    (firstPlane until firstPlane + planes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(0, len($v)), i -> " +
         s"$v[i+1] * ((($p*131071 + i*524287) * 2654435761 % 1000003)::DOUBLE " +
         s"/ 1000003.0 * 2.0 - 1.0))) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** multi-probe expansion of bucket string `b`: [b] ++ one-bit flips
+    * (mirror of probeBuckets). */
+  private def probesSql(b: String, planes: Int): String =
+    s"list_concat([$b], list_transform(range(0, $planes), fi -> " +
+      s"substr($b, 1, fi::INT) || " +
+      s"(CASE WHEN substr($b, (fi+1)::INT, 1) = '1' THEN '0' ELSE '1' END) || " +
+      s"substr($b, (fi+2)::INT, ($planes - fi - 1)::INT)))"
 
   private val CosSql =
     "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * " +
@@ -364,6 +404,46 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d12_embed_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bk AS (
+           SELECT vec_id, '0:' || ${bucketSql("v", 4, 0)} AS bucket FROM e
+           UNION ALL
+           SELECT vec_id, '1:' || ${bucketSql("v", 4, 4)} AS bucket FROM e),
+         pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM bk a JOIN bk b
+                     ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         j AS (SELECT vec_a, vec_b,
+                 round(list_inner_product(ea.v, eb.v)
+                   / (sqrt(list_inner_product(ea.v, ea.v))
+                      * sqrt(list_inner_product(eb.v, eb.v))), 4) AS cos
+               FROM pairs
+               JOIN e ea ON ea.vec_id = vec_a
+               JOIN e eb ON eb.vec_id = vec_b)
+         SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "e05_knn_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                     ${bucketSql("(embedding::DOUBLE[])", 6)} AS b0
+                     FROM embeddings WHERE vec_id < 5),
+         qp AS (SELECT query_id, qv, unnest(${probesSql("b0", 6)}) AS bucket FROM q),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               ${bucketSql("(embedding::DOUBLE[])", 6)} AS bucket
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, $CosSql AS cos
+               FROM c JOIN qp ON c.bucket = qp.bucket),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m04_resize_stub" ->
+      // ASCII corpus (verified): every-3rd-byte decimation == every-3rd-char
+      """WITH d AS (SELECT doc_id,
+           array_to_string(list_transform(range(1, length(text) + 1, 3),
+             i -> substr(text, i::INT, 1)), '') AS rs
+         FROM documents)
+         SELECT doc_id, length(rs) AS r_len, md5(rs) AS r_md5
+         FROM d ORDER BY doc_id""",
     "e02_knn_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                      ${bucketSql("(embedding::DOUBLE[])", 6)} AS bucket

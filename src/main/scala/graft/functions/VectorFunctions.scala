@@ -53,6 +53,27 @@ object VectorFunctions {
   /** Random-hyperplane LSH bucket key: concatenated sign bits of
     * `planes` projections. Cosine-similar vectors collide with high
     * probability; the ANN search joins on this key. */
-  def lshBucket(v: Column, planes: Int): Column =
-    concat((0 until planes).map(p => hyperplaneBit(v, p)): _*)
+  def lshBucket(v: Column, planes: Int): Column = lshBucketFrom(v, planes, 0)
+
+  /** Bucket key over planes [firstPlane, firstPlane + planes): disjoint
+    * plane ranges give INDEPENDENT hash tables for multi-table LSH (a
+    * vector pair missed by one table collides in another — recall grows
+    * with the table count while each table stays selective). */
+  def lshBucketFrom(v: Column, planes: Int, firstPlane: Int): Column =
+    concat((0 until planes).map(p => hyperplaneBit(v, firstPlane + p)): _*)
+
+  /** Multi-probe sequence for a bucket key: the exact bucket plus every
+    * bucket at Hamming distance 1 (one sign bit flipped). A vector near
+    * a hyperplane lands on either side with ~equal probability, so
+    * probing the adjacent buckets recovers most of the recall lost to
+    * boundary effects at the cost of `planes`+1 lookups instead of one.
+    * `bucketCol` should be a MATERIALIZED column — it is referenced
+    * 3×planes+1 times below. */
+  def probeBuckets(bucketCol: Column, planes: Int): Column =
+    array(bucketCol +: (0 until planes).map { i =>
+      concat(
+        substring(bucketCol, 1, i),
+        when(substring(bucketCol, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(bucketCol, i + 2, planes - i - 1))
+    }: _*)
 }

@@ -69,18 +69,42 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("__shingles"), k))
       .drop("__toks", "__shingles")
 
+  /** (doc_id[, block], __toks) staged ONCE and persisted: the signature
+    * pipeline and the Jaccard verify both read this frame, so the corpus
+    * text is regex-tokenized exactly once per dedup run instead of once
+    * per consumer (previously the verify-side token join re-ran the full
+    * tokenize pass — an extra corpus scan at any scale). The cached
+    * payload is ids + token arrays, MEMORY_AND_DISK so oversized corpora
+    * spill to local disk instead of OOMing executors. */
+  private def tokenStage(
+      docs: DataFrame,
+      textCol: String,
+      blockCol: Option[String]): DataFrame = {
+    val keyCols = blockCol.toSeq :+ "doc_id"
+    docs
+      .select(keyCols.map(col) :+ tokens(col(textCol)).as("__toks"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Signature pipeline over a pre-tokenized stage (see tokenStage). */
+  private def signaturesFromStage(staged: DataFrame, shingleSize: Int, k: Int): DataFrame =
+    staged
+      .filter(size(col("__toks")) >= shingleSize)
+      .withColumn("__shingles", shinglesFromTokens(col("__toks"), shingleSize))
+      .withColumn("sig", minhashSignature(col("__shingles"), k))
+      .drop("__toks", "__shingles")
+
   /** (band, doc_id[, blockCol]) exploded band keys with oversized buckets
     * dropped — only ids travel through the downstream self-join. */
   private def bandedIds(
-      docs: DataFrame,
+      staged: DataFrame,
       shingleSize: Int,
       k: Int,
       bands: Int,
       maxBucket: Int,
-      textCol: String,
       blockCol: Option[String]): DataFrame = {
     val keyCols = blockCol.toSeq :+ "doc_id"
-    val banded = minhashSignatures(docs, shingleSize, k, textCol)
+    val banded = signaturesFromStage(staged, shingleSize, k)
       .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
       .select((("band" +: keyCols).map(col)): _*)
     // bucket-size guard as groupBy-count + join: no per-band sort, and
@@ -120,14 +144,15 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       textCol: String = "text"): DataFrame = {
-    val pruned = bandedIds(docs, shingleSize, k, bands, maxBucket, textCol, None)
+    val staged = tokenStage(docs, textCol, None)
+    val pruned = bandedIds(staged, shingleSize, k, bands, maxBucket, None)
     val pairs = pruned.select(col("band"), col("doc_id").as("doc_a"))
       .join(pruned.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val docToks = docs.select(col("doc_id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
+    val docToks = staged.select(col("doc_id"),
+      array_distinct(col("__toks")).as("toks"))
     jaccardOnPairs(pairs, docToks, threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -180,7 +205,8 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 10000,
       textCol: String = "text"): DataFrame = {
-    val banded = bandedIds(docs, shingleSize, k, bands, maxBucket, textCol, Some(blockCol))
+    val staged = tokenStage(docs, textCol, Some(blockCol))
+    val banded = bandedIds(staged, shingleSize, k, bands, maxBucket, Some(blockCol))
       .withColumnRenamed(blockCol, "blk")
     val pairs = banded.select(col("band"), col("blk"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("blk"), col("doc_id").as("doc_b")),
@@ -188,8 +214,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("blk", "doc_a", "doc_b")
       .distinct()
-    val docToks = docs.select(col("doc_id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
+    val docToks = staged.select(col("doc_id"),
+      array_distinct(col("__toks")).as("toks"))
     jaccardOnPairs(pairs, docToks, threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

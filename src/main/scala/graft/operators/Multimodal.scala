@@ -61,4 +61,25 @@ object Multimodal {
     * columnar stand-in for "take frame k"; stays a pure expression. */
   def sampleSegment(payload: org.apache.spark.sql.Column, off: Int, len: Int) =
     substring(payload, off, len)
+
+  /** STUB RESIZE — deterministic fake standing in for image resize /
+    * audio downsample: keeps every `stride`-th payload byte. A real
+    * kernel (scaling filter, resampler) swaps in here; the contract that
+    * matters at scale stays — per-partition iteration, binary-in /
+    * binary-out, blobs never leave the executor. */
+  def resizeStub(df: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = df.schema.add(StructField("resized", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition resample-kernel init would go here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val out =
+          if (payload == null) Array.empty[Byte]
+          else Array.range(0, payload.length, stride).map(payload(_))
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
 }

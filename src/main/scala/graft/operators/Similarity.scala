@@ -54,6 +54,70 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Multi-probe ANN top-k: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (`VectorFunctions.probeBuckets`), so a
+    * near-neighbor split off by a single hyperplane is still scored —
+    * the recall knob single-probe LSH lacks, at (planes+1)× lookup cost
+    * and unchanged corpus-side work (the corpus is bucketed and shuffled
+    * exactly as in lshKnn; only the broadcast query side fans out).
+    * Probe buckets of one query are pairwise distinct and each corpus
+    * vector owns one bucket, so no (query, neighbor) pair is scored
+    * twice — no dedup pass needed. */
+  def lshKnnMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int = 6): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("bucket0", lshBucket(col("qv"), planes))
+      .withColumn("bucket", explode(probeBuckets(col("bucket0"), planes)))
+      .select("query_id", "qv", "bucket")
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
+    * threshold) — the vector-space cousin of Dedup.lshNearDuplicates.
+    *
+    * Multi-table random-hyperplane LSH: `tables` independent banks of
+    * `planes` hyperplanes each (disjoint plane ranges); vectors
+    * colliding in ANY bank become candidates. Only (bucket, id) rows
+    * travel through the self-join and the pair-distinct; embeddings
+    * join back exactly once for the exact-cosine verify. Recall rises
+    * with `tables`, bucket selectivity with `planes`. The threshold is
+    * applied to the 4dp-rounded cosine so an external engine reproduces
+    * the boundary decision bit-for-bit. */
+  def embeddingNearDuplicates(
+      embeddings: DataFrame,
+      threshold: Double,
+      planes: Int = 4,
+      tables: Int = 2): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val bucketed = emb
+      .select(col("vec_id"), explode(array((0 until tables).map(t =>
+        concat(lit(s"$t:"), lshBucketFrom(col("embedding"), planes, t * planes))): _*))
+        .as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bucketed.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(bucketed.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Full per-label centroid vectors as `array<double>` (components
     * rounded to 6dp so an external engine reproduces them despite
     * cross-row double-sum ordering). The IVF coarse quantizer: tiny

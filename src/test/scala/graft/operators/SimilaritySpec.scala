@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // tiny 4-dim corpus: v1/v2 nearly parallel, v3 orthogonal-ish, v4 negated
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), "q"),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), "a"),
+    (2L, Array(0.98f, 0.15f, 0.05f, 0.0f), "a"),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), "b"),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), "b"))
+
+  private def emb = vecs.toDF("vec_id", "embedding", "label")
+
+  test("bruteKnn ranks by exact cosine") {
+    val out = Similarity
+      .bruteKnn(emb.filter($"vec_id" === 0), emb.filter($"vec_id" > 0), k = 2)
+      .orderBy("rank").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(1L, 2L)
+    out.head.getDouble(3) shouldBe 0.995 +- 0.01
+  }
+
+  test("probeBuckets emits the bucket plus each one-bit flip, all distinct") {
+    val rows = Seq("1010").toDF("b")
+      .select(VectorFunctions.probeBuckets(col("b"), 4).as("p"))
+      .collect().head.getSeq[String](0)
+    rows shouldBe Seq("1010", "0010", "1110", "1000", "1011")
+    rows.distinct.length shouldBe rows.length
+  }
+
+  test("multi-probe recall is a superset of single-probe at the same planes") {
+    val queries = emb.filter($"vec_id" === 0)
+    val corpus = emb.filter($"vec_id" > 0)
+    val single = Similarity.lshKnn(queries, corpus, k = 4, planes = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val multi = Similarity.lshKnnMultiProbe(queries, corpus, k = 4, planes = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    single.subsetOf(multi) shouldBe true
+    // the exact nearest neighbor must survive multi-probe at these sizes
+    multi should contain(1L)
+  }
+
+  test("lshKnnMultiProbe never scores a (query, neighbor) pair twice") {
+    val out = Similarity.lshKnnMultiProbe(
+      emb.filter($"vec_id" < 2), emb.filter($"vec_id" >= 2), k = 10, planes = 3)
+    val pairs = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs.distinct.length shouldBe pairs.length
+  }
+
+  test("embeddingNearDuplicates finds parallel vectors and honors the threshold") {
+    val pairs = Similarity.embeddingNearDuplicates(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L)) // near-parallel pair
+    pairs.map(_._1) should not contain 4L // negated vector matches nothing
+    // cos(v1,v2) ≈ 0.995 < 0.9999 threshold
+    Similarity.embeddingNearDuplicates(emb, threshold = 0.9999)
+      .filter($"vec_a" === 1L && $"vec_b" === 2L).count() shouldBe 0
+  }
+
+  test("embeddingNearDuplicates multi-table recall >= any single table") {
+    val both = Similarity.embeddingNearDuplicates(emb, threshold = 0.5, planes = 3, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = Similarity.embeddingNearDuplicates(emb, threshold = 0.5, planes = 3, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    one.subsetOf(both) shouldBe true
+  }
+}
