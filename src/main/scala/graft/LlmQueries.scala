@@ -68,6 +68,12 @@ object LlmQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  private def d13(s: SparkSession, dir: String): DataFrame =
+    // rolling-hash fingerprint via the native codegen'd expression
+    table(s, dir, "documents")
+      .select(col("doc_id"), rollingHash(col("text")).as("rh"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
   // dedup
   // ------------------------------------------------------------------
@@ -224,6 +230,7 @@ object LlmQueries {
     "d10_simhash_near_dup" -> (d10 _),
     "d11_exact_dedup_rows" -> (d11 _),
     "d12_embed_near_dup" -> (d12 _),
+    "d13_rolling_fp" -> (d13 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -404,6 +411,14 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d13_rolling_fp" ->
+      // same byte-wise fold: list_reduce over the payload's hex pairs,
+      // seeded with 0 via list_prepend (empty text folds to 0 on both sides)
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, octet_length(encode(text)) + 1),
+             i -> ('0x' || substr(hex(encode(text)), (i*2-1)::INT, 2))::BIGINT)),
+           (h, c) -> (h * 31 + c) % 2147483648) AS rh
+         FROM documents ORDER BY doc_id""",
     "d12_embed_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          bk AS (

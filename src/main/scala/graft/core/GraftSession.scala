@@ -40,6 +40,8 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS), which Spark reads only as
       // long under this legacy flag (SparkEntry.table converts back to µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // custom Catalyst surface (native expressions, e.g. graft_rolling_hash)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
     if (excludeSimplifyCasts)
       b.config(

@@ -36,6 +36,12 @@ object TextFunctions {
   /** Document fingerprint: md5 of the canonical form. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Polynomial rolling-hash fingerprint, `h = (h*31 + byte) mod 2^31`
+    * over the raw UTF-8 bytes — a native codegen'd Catalyst expression
+    * (graft.expressions.RollingHash), registered by GraftExtensions.
+    * Requires a GraftSession-built session. */
+  def rollingHash(text: Column): Column = call_function("graft_rolling_hash", text)
+
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   val SpanishStopwords: Seq[String] =

@@ -1,0 +1,18 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.expressions.RollingHash
+
+/** Engine extension hook, wired through `spark.sql.extensions`
+  * (GraftSession sets it): the supported injection point for custom
+  * Catalyst surface — native expressions today; optimizer rules /
+  * strategies would register here too. Keeping registration in the
+  * session factory means every entry point (Verify, Bench, apps, tests)
+  * sees the same SQL surface without per-caller setup. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(RollingHash.descriptor)
+  }
+}
