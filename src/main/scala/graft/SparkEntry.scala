@@ -226,6 +226,20 @@ object SparkEntry {
         col("l_returnflag").cast(StringType).as("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    // salted skew join: result identical to the plain inner join (the
+    // oracle IS the plain join); the salt only re-keys the shuffle so a
+    // hot supplier key splits across 16 tasks instead of one straggler.
+    operators.SkewJoin
+      .saltedInnerJoin(
+        table(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
+        table(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        leftKey = "l_suppkey", rightKey = "s_suppkey",
+        saltFrom = "l_orderkey", buckets = 16)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
+
   // ---------------------------------------------------------------------
   // §2.7 sorts / limits
   // ---------------------------------------------------------------------
@@ -259,7 +273,8 @@ object SparkEntry {
     "q14_date_partition" -> (q14 _),
     "q15_utc_normalize" -> (q15 _),
     "q16_schema_conform" -> (q16 _),
-    "q17_exists_semi" -> (q17 _)
+    "q17_exists_semi" -> (q17 _),
+    "q18_salted_join" -> (q18 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -355,6 +370,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
          WHERE EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_quantity > 45 AND l.l_orderkey = o.o_orderkey)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "q18_salted_join" ->
+      // salting is internal re-keying only — the oracle is the plain join
+      """SELECT s_nationkey, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }
