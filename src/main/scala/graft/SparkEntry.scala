@@ -226,6 +226,36 @@ object SparkEntry {
         col("l_returnflag").cast(StringType).as("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  private def s01(s: SparkSession, dir: String): DataFrame =
+    // the streaming windowed-agg operator, batch-executed for the oracle
+    // gate (same plan; state/watermark engage under a StreamingQuery —
+    // EventStreamsSpec drives that path)
+    streaming.EventStreams
+      .windowedTypeCounts(table(s, dir, "events"))
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+        col("event_type"),
+        col("n_events"))
+      .orderBy("w_start", "event_type")
+
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    // gap-based sessionization (flatMapGroupsWithState), batch-executed:
+    // closed sessions only — the per-user open tail session stays in
+    // state, so the oracle drops each user's last session too
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select("event_id", "ts", "user_id")
+      .as[streaming.EventStreams.Event]
+    streaming.EventStreams.sessionize(ev, gapMs = 2L * 3600 * 1000).toDF()
+      .select(
+        col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
   private def q18(s: SparkSession, dir: String): DataFrame =
     // salted skew join: result identical to the plain inner join (the
     // oracle IS the plain join); the salt only re-keys the shuffle so a
@@ -274,7 +304,9 @@ object SparkEntry {
     "q15_utc_normalize" -> (q15 _),
     "q16_schema_conform" -> (q16 _),
     "q17_exists_semi" -> (q17 _),
-    "q18_salted_join" -> (q18 _)
+    "q18_salted_join" -> (q18 _),
+    "s01_windowed_counts" -> (s01 _),
+    "s02_sessionize" -> (s02 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -376,6 +408,25 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         GROUP BY s_nationkey ORDER BY s_nationkey"""
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "s01_windowed_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
+         event_type, count(*) AS n_events
+         FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "s02_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+         FROM events),
+         s AS (SELECT user_id, ts, sum(brk) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+         g AS (SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1,
+                 count(*) AS n_events FROM s GROUP BY 1, 2),
+         c AS (SELECT g.*, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM g)
+         SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+                strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS s_end, n_events
+         FROM c WHERE sid < max_sid ORDER BY user_id, s_start"""
   )
 }

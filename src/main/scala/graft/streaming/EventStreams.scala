@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators: watermarked windowed aggregation and
+  * custom-state sessionization — the Structured Streaming surface beyond
+  * the reference's micro-batch CDC loop.
+  *
+  * Both operators run UNCHANGED on batch DataFrames (Spark executes
+  * `window`/`flatMapGroupsWithState` in batch mode with empty state),
+  * which is the testability seam: correctness is oracle-checked in batch
+  * via the driver gate, and the streaming specs drive the same code
+  * through a file-source stream to assert the stateful semantics
+  * (watermark finalization, cross-micro-batch state).
+  */
+object EventStreams {
+
+  /** Tumbling event-time window × event_type counts with a watermark.
+    *
+    * Scale shape: partial aggregation map-side, one shuffle on
+    * (window, event_type); streaming state is one row per open
+    * (window, type) pair and the watermark bounds how many windows stay
+    * open — state size is O(types × windows-in-delay), independent of
+    * input rate. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"),
+        col("n_events"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long)
+
+  case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long)
+
+  /** Gap-based sessionization with EXPLICIT custom state
+    * (`flatMapGroupsWithState`): a closed session is emitted as soon as
+    * an event more than `gapMs` past the session end arrives for the
+    * key; the open session rides in `GroupState` across micro-batches.
+    *
+    * Scale shape: one shuffle on user_id; state is O(1) per active key
+    * (just the open session aggregate, never the events). Events inside
+    * a micro-batch are sorted per key in memory — bounded by per-key
+    * batch volume, not history. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Session]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[Session]
+          var open = state.getOption
+          for (e <- sorted) {
+            open match {
+              case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                open = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
+              case Some(s) =>
+                closed += s
+                open = Some(Session(uid, e.ts, e.ts, 1))
+              case None =>
+                open = Some(Session(uid, e.ts, e.ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

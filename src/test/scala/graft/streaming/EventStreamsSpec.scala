@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Write one parquet file into `dir` with a controlled mtime so the
+    * file stream source picks batches up in a deterministic order. */
+  private def writeBatch(df: DataFrame, dir: String, seq: Int): Unit = {
+    val tmp = Files.createTempDirectory("es-batch").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new File(dir, f"batch-$seq%03d.parquet")
+    Files.copy(part.toPath, dest.toPath)
+    dest.setLastModified(1700000000000L + seq * 60000L)
+  }
+
+  private def eventsDf(rows: (Long, String, Long, String)*): DataFrame =
+    rows.map { case (id, t, uid, typ) => (id, ts(t), uid, typ) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("batch sessionize: splits on gap, withholds the open tail session") {
+    val ev = eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),
+      (2L, "2026-01-01 10:30:00", 1L, "click"),
+      (3L, "2026-01-01 20:00:00", 1L, "click"), // > 2h after -> new session
+      (4L, "2026-01-01 09:00:00", 2L, "view"))
+      .select("event_id", "ts", "user_id").as[EventStreams.Event]
+    val out = EventStreams.sessionize(ev, gapMs = 2L * 3600 * 1000).collect()
+    // user 1's first session closed by event 3; both tails stay open
+    out.toSeq shouldBe Seq(
+      EventStreams.Session(1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:30:00"), 2))
+  }
+
+  test("streaming sessionize: open session state survives micro-batch boundaries") {
+    val src = Files.createTempDirectory("es-src").toString
+    val ckpt = Files.createTempDirectory("es-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),
+      (2L, "2026-01-01 10:30:00", 1L, "click"),
+      (3L, "2026-01-01 10:05:00", 2L, "view")), src, 1)
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 20:00:00", 1L, "click")), src, 2) // closes user 1's session
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(src)
+      .select("event_id", "ts", "user_id").as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, gapMs = 2L * 3600 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // the session assembled in batch 1 is closed by batch 2's event:
+    // cross-batch GroupState carried start/end/count correctly
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    rows.toSeq shouldBe Seq(
+      (1L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:30:00"), 2L))
+  }
+
+  test("streaming windowed counts: watermark emits closed windows, withholds live ones") {
+    val src = Files.createTempDirectory("es-wc-src").toString
+    val ckpt = Files.createTempDirectory("es-wc-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 2L, "click"),
+      (3L, "2026-01-01 01:15:00", 1L, "view")), src, 1)
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 07:00:00", 1L, "click")), src, 2)
+    writeBatch(eventsDf(
+      (5L, "2026-01-01 23:30:00", 1L, "click")), src, 3) // sentinel advances the watermark
+
+    val q = EventStreams
+      .windowedTypeCounts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        windowDur = "1 hour", watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("wc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+    // the 00:00 window closed once the watermark passed 01:00
+    rows should contain((ts("2026-01-01 00:00:00"), "click", 2L))
+    // the sentinel's own window is within the watermark delay: withheld
+    rows.map(_._1) should not contain ts("2026-01-01 23:00:00")
+  }
+
+  test("windowed counts on a batch frame equals a plain group-by (oracle parity shape)") {
+    val ev = eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 2L, "click"),
+      (3L, "2026-01-01 01:15:00", 1L, "view"))
+    val out = EventStreams.windowedTypeCounts(ev)
+      .orderBy("w_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (ts("2026-01-01 00:00:00"), "click", 2L),
+      (ts("2026-01-01 01:00:00"), "view", 1L))
+  }
+}
