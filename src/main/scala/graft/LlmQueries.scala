@@ -163,7 +163,7 @@ object LlmQueries {
     // duplicates exact/minhash text dedup can't see)
     Similarity
       .embeddingNearDuplicates(table(s, dir, "embeddings"),
-        threshold = 0.4, planes = 4, tables = 2)
+        threshold = 0.4, planes = 6, tables = 2)
       .orderBy("vec_a", "vec_b")
 
   // ------------------------------------------------------------------
@@ -422,19 +422,19 @@ object LlmQueries {
     "d12_embed_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          bk AS (
-           SELECT vec_id, '0:' || ${bucketSql("v", 4, 0)} AS bucket FROM e
+           SELECT vec_id, '0:' || ${bucketSql("v", 6, 0)} AS bucket FROM e
            UNION ALL
-           SELECT vec_id, '1:' || ${bucketSql("v", 4, 4)} AS bucket FROM e),
+           SELECT vec_id, '1:' || ${bucketSql("v", 6, 6)} AS bucket FROM e),
          pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                    FROM bk a JOIN bk b
                      ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM e),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nv) AS uv FROM n),
          j AS (SELECT vec_a, vec_b,
-                 round(list_inner_product(ea.v, eb.v)
-                   / (sqrt(list_inner_product(ea.v, ea.v))
-                      * sqrt(list_inner_product(eb.v, eb.v))), 4) AS cos
+                 round(list_inner_product(ua.uv, ub.uv), 4) AS cos
                FROM pairs
-               JOIN e ea ON ea.vec_id = vec_a
-               JOIN e eb ON eb.vec_id = vec_b)
+               JOIN u ua ON ua.vec_id = vec_a
+               JOIN u ub ON ub.vec_id = vec_b)
          SELECT vec_a, vec_b, cos FROM j WHERE cos >= 0.4
          ORDER BY vec_a, vec_b""",
     "e05_knn_multiprobe" ->

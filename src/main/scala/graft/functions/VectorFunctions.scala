@@ -24,6 +24,11 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), _ + _)
 
+  /** Dot product of two ALREADY-double arrays (skips the cast pass —
+    * for pre-normalized unit vectors on the candidate-verify hot path). */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
 

@@ -110,10 +110,19 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
+    // pre-normalized unit vectors, cached once per VECTOR: the verify on
+    // each candidate pair is then a single fused dot product instead of
+    // dot + two norm recomputations — at candidate counts ≫ corpus size
+    // this is the dominant cost of the whole operator
+    val unit = emb
+      .withColumn("__n", norm2(col("embedding")))
+      .select(col("vec_id"),
+        transform(asDouble(col("embedding")), x => x / col("__n")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .join(unit.select(col("vec_id").as("vec_a"), col("u").as("ua")), Seq("vec_a"))
+      .join(unit.select(col("vec_id").as("vec_b"), col("u").as("ub")), Seq("vec_b"))
+      .withColumn("cos", round(dotDouble(col("ua"), col("ub")), 4))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
