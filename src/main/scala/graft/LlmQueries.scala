@@ -74,6 +74,15 @@ object LlmQueries {
       .select(col("doc_id"), rollingHash(col("text")).as("rh"))
       .orderBy("doc_id")
 
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    // token budget: BPE-ish subword-ish count vs whitespace word count
+    table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
   // dedup
   // ------------------------------------------------------------------
@@ -231,6 +240,7 @@ object LlmQueries {
     "d11_exact_dedup_rows" -> (d11 _),
     "d12_embed_near_dup" -> (d12 _),
     "d13_rolling_fp" -> (d13 _),
+    "d14_bpe_tokens" -> (d14 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -418,6 +428,14 @@ object LlmQueries {
            list_transform(range(1, octet_length(encode(text)) + 1),
              i -> ('0x' || substr(hex(encode(text)), (i*2-1)::INT, 2))::BIGINT)),
            (h, c) -> (h * 31 + c) % 2147483648) AS rh
+         FROM documents ORDER BY doc_id""",
+    "d14_bpe_tokens" ->
+      // same pattern, single-quotes doubled for the SQL literal
+      """SELECT doc_id,
+         len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+           AS n_bpe_tokens,
+         len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
          FROM documents ORDER BY doc_id""",
     "d12_embed_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

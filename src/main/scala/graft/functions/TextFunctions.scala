@@ -24,6 +24,21 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer regex, ASCII subset: contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs,
+    * whitespace. Alternation order is meaningful (leftmost-first in
+    * both Java regex and the oracle's engine); kept ASCII-only so both
+    * engines agree byte-for-byte. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** BPE-ish pre-tokenization — the token-count estimator training-data
+    * pipelines budget with (whitespace tokens undercount code/punct). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Whitespace-collapsed, lowercased canonical form (dedup normalization). */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

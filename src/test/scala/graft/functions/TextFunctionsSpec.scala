@@ -87,4 +87,13 @@ class TextFunctionsSpec extends SparkSpec {
     b1.length shouldBe 6
     b1 should fullyMatch regex "[01]{6}"
   }
+
+  test("bpeTokens splits contractions, numbers and punctuation runs") {
+    val df = Seq("I've got 12 cats, don't I?").toDF("t")
+    df.select(bpeTokens(col("t"))).head().getSeq[String](0) shouldBe
+      Seq("I", "'ve", " got", " 12", " cats", ",", " don", "'t", " I", "?")
+    // BPE-ish count >= whitespace count on punctuation-bearing text
+    df.select(bpeTokenCount(col("t"))).head().getInt(0) shouldBe 10
+    df.select(tokenCount(col("t"))).head().getInt(0) shouldBe 6
+  }
 }
