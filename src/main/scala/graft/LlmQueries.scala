@@ -98,6 +98,18 @@ object LlmQueries {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    // incremental dedup: every 5th doc is "history" (sf-independent
+    // split); the rest arrive as the new batch and dedup against the
+    // historical fingerprint store + within themselves
+    val docs = documents(s, dir)
+    val hist = Dedup.fingerprints(docs.filter(col("doc_id") % 5 === 0))
+    Dedup
+      .incrementalDedup(docs.filter(col("doc_id") % 5 =!= 0), hist)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   private def d06(s: SparkSession, dir: String): DataFrame =
     Dedup
       .minhashSignatures(documents(s, dir), shingleSize = 3, k = 8)
@@ -241,6 +253,7 @@ object LlmQueries {
     "d12_embed_near_dup" -> (d12 _),
     "d13_rolling_fp" -> (d13 _),
     "d14_bpe_tokens" -> (d14 _),
+    "d15_incremental_dedup" -> (d15 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -429,6 +442,17 @@ object LlmQueries {
              i -> ('0x' || substr(hex(encode(text)), (i*2-1)::INT, 2))::BIGINT)),
            (h, c) -> (h * 31 + c) % 2147483648) AS rh
          FROM documents ORDER BY doc_id""",
+    "d15_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),
+                                   '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 = 0),
+         inc AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+         fresh AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM hist)),
+         r AS (SELECT doc_id, source, row_number() OVER
+                 (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)
+         SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""",
     "d14_bpe_tokens" ->
       // same pattern, single-quotes doubled for the SQL literal
       """SELECT doc_id,

@@ -55,6 +55,32 @@ object Dedup {
       .drop("__row", "fp")
   }
 
+  /** Incremental exact dedup — the production shape: a new batch dedups
+    * against the FULL history by anti-joining the historical fingerprint
+    * store (32-byte keys only, never text), then keeps the first row per
+    * fingerprint within the batch. At 100 TB of history the cost is one
+    * key join (broadcast when the batch's fp set is small, shuffled
+    * hash-join otherwise — AQE decides) plus one window over the batch;
+    * history text is never read. */
+  def incrementalDedup(
+      incoming: DataFrame,
+      knownFps: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+    incoming
+      .withColumn("fp", md5(normalizeAggressive(col(textCol))))
+      .join(knownFps.select("fp"), Seq("fp"), "left_anti")
+      .withColumn("__row", row_number().over(w))
+      .filter(col("__row") === 1)
+      .drop("__row", "fp")
+  }
+
+  /** Fingerprint projection for the historical store side of
+    * incrementalDedup. */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(normalizeAggressive(col(textCol))).as("fp")).distinct()
+
   /** Per-doc minhash signature (k hashes over word n-gram shingles),
     * staged tokens → shingles → signature, one projection each. */
   def minhashSignatures(

@@ -27,6 +27,26 @@ class DedupSpec extends SparkSpec {
       Array(1L, 3L)
   }
 
+  test("incrementalDedup drops history-known and batch-internal duplicates") {
+    val hist = Dedup.fingerprints(docs((100L, near1, "h")))
+    val incoming = docs(
+      (1L, near1, "a"),   // known in history -> dropped
+      (2L, near2, "a"),   // fresh
+      (3L, near2, "b"),   // batch-internal dup of 2 -> dropped
+      (4L, other, "a"))   // fresh
+    val out = Dedup.incrementalDedup(incoming, hist)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    out shouldBe Array(2L, 4L)
+  }
+
+  test("incrementalDedup with empty history equals exactDedup") {
+    val d = docs((1L, near1, "a"), (2L, near1, "a"), (3L, other, "a"))
+    val emptyHist = Dedup.fingerprints(d.filter(col("doc_id") < 0))
+    Dedup.incrementalDedup(d, emptyHist).select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe
+      Dedup.exactDedup(d).select("doc_id").collect().map(_.getLong(0)).sorted
+  }
+
   test("lshNearDuplicates finds true near-dups and respects threshold") {
     val d = docs((1L, near1, "a"), (2L, near2, "a"), (3L, other, "a"))
     val pairs = Dedup.lshNearDuplicates(d, threshold = 0.5)
