@@ -179,6 +179,13 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def e06(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .bruteKnnTopKAgg(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def d12(s: SparkSession, dir: String): DataFrame =
     // embedding-cosine near-dup: the vector-space dedup pass (semantic
     // duplicates exact/minhash text dedup can't see)
@@ -259,6 +266,7 @@ object LlmQueries {
     "e03_label_centroids" -> (e03 _),
     "e04_knn_ivf" -> (e04 _),
     "e05_knn_multiprobe" -> (e05 _),
+    "e06_knn_topk_agg" -> (e06 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -424,6 +432,18 @@ object LlmQueries {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 1
          ORDER BY doc_a, doc_b""",
+    "e06_knn_topk_agg" ->
+      // exact kNN — same oracle as e01: the custom aggregate changes the
+      // physical plan, not the result
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, $CosSql AS cos FROM c CROSS JOIN q),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "e01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                      FROM embeddings WHERE vec_id < 5),

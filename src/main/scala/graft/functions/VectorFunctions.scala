@@ -67,6 +67,12 @@ object VectorFunctions {
   def lshBucketFrom(v: Column, planes: Int, firstPlane: Int): Column =
     concat((0 until planes).map(p => hyperplaneBit(v, firstPlane + p)): _*)
 
+  /** Exact bounded top-k aggregate (`graft.expressions.TopKByScore`,
+    * registered by GraftExtensions): k best (score desc, id asc) pairs
+    * per group, partial-aggregated map-side. Requires a GraftSession. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("graft_top_k", score, id, lit(k))
+
   /** Multi-probe sequence for a bucket key: the exact bucket plus every
     * bucket at Hamming distance 1 (one sign bit flipped). A vector near
     * a hyperplane lands on either side with ~equal probability, so

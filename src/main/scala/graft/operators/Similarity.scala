@@ -54,6 +54,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact kNN via the custom bounded top-k aggregate — same contract
+    * and results as bruteKnn, different physical shape: the window form
+    * shuffles every scored (query, candidate) row to rank it, while
+    * `graft_top_k` reduces each map partition to a k-heap per query
+    * BEFORE the exchange, so the shuffle carries partitions×queries×k
+    * rows regardless of corpus size — the exact-kNN plan that survives
+    * a 100 TB corpus. */
+  def bruteKnnTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), round(col("e.score"), 4).as("cos"))
+  }
+
   /** Multi-probe ANN top-k: each query probes its own bucket PLUS every
     * bucket at Hamming distance 1 (`VectorFunctions.probeBuckets`), so a
     * near-neighbor split off by a single hyperplane is still scored —
