@@ -135,15 +135,34 @@ object StoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** e07: the persisted IVF index — build (centroids + cell-partitioned
+    * corpus tables) then query against the store. Same algorithm and
+    * result as e04; the difference is the physical shape: the cells scan
+    * is partition-pruned to the probed cells' files. */
+  private def e07(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ivf"))
+    cat.createDatabase("lake")
+    val emb = table(s, dir, "embeddings")
+    IvfIndex.build(cat, "lake", "ann", emb.filter(col("vec_id") >= 5))
+    IvfIndex
+      .query(cat, "lake", "ann", emb.filter(col("vec_id") < 5), k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c06_lake_merge_delete" -> (c06 _),
     "c07_lake_partitioned_cow" -> (c07 _),
     "c12_lake_bucketed_cow" -> (c12 _),
     "c09_watermark_ledger" -> (c09 _),
-    "c10_maintenance_ledger" -> (c10 _)
+    "c10_maintenance_ledger" -> (c10 _),
+    "e07_knn_ivf_index" -> (e07 _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical algorithm + parameters as the ad-hoc IVF query — the
+    // persisted index changes the physical plan, not the result
+    "e07_knn_ivf_index" -> LlmQueries.oracleSql("e04_knn_ivf"),
     "c06_lake_merge_delete" ->
       """SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.LakeCatalog
+
+class IvfIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 3 labeled clusters in 4-d space, slight per-vector jitter
+  private def emb = (0L until 30L).map { i =>
+    val label = (i % 3).toString
+    val base = Array.tabulate(4)(j => if (j == i % 3) 10f else 0f)
+    base(3) = (i % 5).toFloat * 0.1f
+    (i, base, label)
+  }.toDF("vec_id", "embedding", "label")
+
+  private def freshCat =
+    new LakeCatalog(spark, Files.createTempDirectory("ivf-wh").toString)
+
+  test("build + query matches the ad-hoc ivfKnn result") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    val corpus = emb.filter($"vec_id" >= 6)
+    val queries = emb.filter($"vec_id" < 6)
+    IvfIndex.build(cat, "lake", "ann", corpus)
+    val viaIndex = IvfIndex.query(cat, "lake", "ann", queries, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    val adHoc = Similarity.ivfKnn(queries, corpus, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    viaIndex shouldBe adHoc
+  }
+
+  test("cells table is cell-partitioned and the probe scan is partition-pruned") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    IvfIndex.build(cat, "lake", "ann", emb.filter($"vec_id" >= 6))
+    val cells = cat.table("lake.ann_cells")
+    cells.partitions.nonEmpty shouldBe true
+    cells.partitions.forall(_.startsWith("cell=")) shouldBe true
+    // a literal filter on the partition column prunes at the scan
+    val plan = cells.read.filter($"cell" === "0").queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should not include "PartitionFilters: []"
+  }
+
+  test("rebuild is idempotent (createOrReplace), query works after rebuild") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    IvfIndex.build(cat, "lake", "ann", emb.filter($"vec_id" >= 6))
+    IvfIndex.build(cat, "lake", "ann", emb.filter($"vec_id" >= 6))
+    val out = IvfIndex.query(cat, "lake", "ann", emb.filter($"vec_id" < 3), k = 2, nprobe = 1)
+    out.count() shouldBe 6 // 3 queries x k=2
+  }
+
+  test("nprobe=1 restricts candidates to one cell per query") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    val corpus = emb.filter($"vec_id" >= 6)
+    IvfIndex.build(cat, "lake", "ann", corpus)
+    // query vector squarely in cluster 0: all neighbors must share its cell
+    val q = Seq((100L, Array(10f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = IvfIndex.query(cat, "lake", "ann", q, k = 5, nprobe = 1)
+    val cellsOfNeighbors = cat.table("lake.ann_cells").read
+      .join(out.select(col("neighbor_id").as("vec_id")), Seq("vec_id"))
+      .select("cell").distinct().count()
+    cellsOfNeighbors shouldBe 1
+  }
+}
