@@ -1,0 +1,84 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the custom Catalyst expressions — pure
+  * buffer/eval algebra, no SparkSession, so hundreds of cases run in
+  * milliseconds. (The DataFrame-level behavior is covered by the
+  * RollingHashSpec / TopKByScoreSpec ScalaTest suites.) */
+object ExpressionProperties extends Properties("graft.expressions") {
+
+  // ---- RollingHash ----------------------------------------------------
+
+  private def refHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31L + (b & 0xff)) & 0x7fffffffL)
+
+  property("rollingHash matches the reference byte fold") = forAll { (s: String) =>
+    RollingHash(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+      .eval() == refHash(s)
+  }
+
+  property("rollingHash range is [0, 2^31)") = forAll { (s: String) =>
+    val h = RollingHash(Literal(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)).eval().asInstanceOf[Long]
+    h >= 0L && h < 0x80000000L
+  }
+
+  // ---- TopKByScore buffer algebra ------------------------------------
+
+  private def mkAgg(k: Int) = TopKByScore(
+    BoundReference(0, DoubleType, nullable = true),
+    BoundReference(1, LongType, nullable = true),
+    Literal(k))
+
+  private def evalPairs(agg: TopKByScore,
+      buf: mutable.PriorityQueue[(Double, Long)]): Seq[(Double, Long)] =
+    agg.eval(buf).asInstanceOf[GenericArrayData].array.toSeq
+      .map(_.asInstanceOf[InternalRow])
+      .map(r => (r.getDouble(0), r.getLong(1)))
+
+  private def fill(agg: TopKByScore, xs: Seq[(Double, Long)]) = {
+    val b = agg.createAggregationBuffer()
+    xs.foreach { case (s, i) => agg.update(b, InternalRow(s, i)) }
+    b
+  }
+
+  private val pairGen: Gen[(Double, Long)] =
+    Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(-1000L, 1000L))
+  private val inputGen: Gen[List[(Double, Long)]] = Gen.listOf(pairGen)
+  private val kGen: Gen[Int] = Gen.choose(1, 10)
+
+  property("top-k equals sort-desc-take-k") = forAll(inputGen, kGen) { (xs, k) =>
+    val agg = mkAgg(k)
+    evalPairs(agg, fill(agg, xs)) ==
+      xs.sortBy { case (s, i) => (-s, i) }.take(k)
+  }
+
+  property("merge of any split equals single-buffer result") =
+    forAll(inputGen, kGen, Gen.choose(0, 100)) { (xs, k, cut) =>
+      val agg = mkAgg(k)
+      val (l, r) = xs.splitAt(cut % (xs.length + 1))
+      val merged = agg.merge(fill(agg, l), fill(agg, r))
+      evalPairs(agg, merged) == evalPairs(agg, fill(agg, xs))
+    }
+
+  property("serialize/deserialize round-trips the buffer") =
+    forAll(inputGen, kGen) { (xs, k) =>
+      val agg = mkAgg(k)
+      val b = fill(agg, xs)
+      evalPairs(agg, agg.deserialize(agg.serialize(b))) == evalPairs(agg, b)
+    }
+
+  property("buffer never exceeds k entries") = forAll(inputGen, kGen) { (xs, k) =>
+    val agg = mkAgg(k)
+    fill(agg, xs).size <= k
+  }
+}
