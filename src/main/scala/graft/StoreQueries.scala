@@ -150,7 +150,29 @@ object StoreQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** c13: manifest stats pruning end-to-end — an append-ordered table
+    * (4 disjoint event_id ranges, the layout key-correlated ingest
+    * produces) queried through readWhere: entries outside the range are
+    * never opened, and the surviving rows hash-match the plain filter. */
+  private def c13(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_stats"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.events_ranged")
+    val ev = table(s, dir, "events").select("event_id", "event_type")
+    val q = ev.agg(max("event_id")).head().getLong(0) / 4
+    t.createOrReplace(ev.filter(col("event_id") < q))
+    t.append(ev.filter(col("event_id") >= q && col("event_id") < 2 * q))
+    t.append(ev.filter(col("event_id") >= 2 * q && col("event_id") < 3 * q))
+    t.append(ev.filter(col("event_id") >= 3 * q))
+    t.readWhere(col("event_id").between(q, 2 * q))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_stats_pruned_scan" -> (c13 _),
     "c06_lake_merge_delete" -> (c06 _),
     "c07_lake_partitioned_cow" -> (c07 _),
     "c12_lake_bucketed_cow" -> (c12 _),
@@ -163,6 +185,12 @@ object StoreQueries {
     // identical algorithm + parameters as the ad-hoc IVF query — the
     // persisted index changes the physical plan, not the result
     "e07_knn_ivf_index" -> LlmQueries.oracleSql("e04_knn_ivf"),
+    "c13_stats_pruned_scan" ->
+      """WITH b AS (SELECT max(event_id) // 4 AS q FROM events)
+         SELECT event_type, count(*) AS n,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events, b WHERE event_id BETWEEN q AND 2*q
+         GROUP BY event_type ORDER BY event_type""",
     "c06_lake_merge_delete" ->
       """SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,

@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * written by EARLIER snapshots — that is what makes appends and
   * partition-pruned rewrites O(changed data), not O(table).
   */
-case class ManifestEntry(dir: String, partition: Option[String]) {
+case class ManifestEntry(
+    dir: String,
+    partition: Option[String],
+    stats: Map[String, (String, String)] = Map.empty) {
   def dataPath(tableLocation: String): String = {
     val base = s"$tableLocation/data/$dir"
     partition.map(p => s"$base/$p").getOrElse(base)
@@ -115,9 +118,15 @@ class LakeTable(
       schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
       partitionCols = n.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
       entries = n.get("entries").elements().asScala.map { e =>
+        val stats = Option(e.get("stats")).filter(!_.isNull).map { sn =>
+          sn.fields().asScala.map { kv =>
+            kv.getKey -> (kv.getValue.get("min").asText(), kv.getValue.get("max").asText())
+          }.toMap
+        }.getOrElse(Map.empty[String, (String, String)])
         ManifestEntry(
           e.get("dir").asText(),
-          Option(e.get("partition")).filter(!_.isNull).map(_.asText()))
+          Option(e.get("partition")).filter(!_.isNull).map(_.asText()),
+          stats)
       }.toSeq,
       properties = objToMap(n.get("properties").asInstanceOf[ObjectNode]),
       summary = objToMap(n.get("summary").asInstanceOf[ObjectNode]))
@@ -136,6 +145,12 @@ class LakeTable(
       val en = arr.addObject()
       en.put("dir", e.dir)
       e.partition.fold[Unit](en.putNull("partition"))(p => { en.put("partition", p); () })
+      if (e.stats.nonEmpty) {
+        val sn = en.putObject("stats")
+        e.stats.foreach { case (c, (mn, mx)) =>
+          val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+        }
+      }
     }
     val props = n.putObject("properties"); s.properties.foreach { case (k, v) => props.put(k, v) }
     val sum = n.putObject("summary"); s.summary.foreach { case (k, v) => sum.put(k, v) }
@@ -215,7 +230,10 @@ class LakeTable(
   // data IO
   // -------------------------------------------------------------------
 
-  /** Write one immutable data dir and return its manifest entries. */
+  /** Write one immutable data dir and return its manifest entries, with
+    * per-entry column min/max stats harvested from the parquet FOOTERS
+    * the write already produced — no second data pass, the same way
+    * Iceberg collects metrics from its write tasks. */
   private def writeData(df: DataFrame, partitionCols: Seq[String]): (String, Seq[ManifestEntry]) = {
     val dir = UUID.randomUUID().toString.take(18)
     val abs = s"$location/data/$dir"
@@ -223,10 +241,59 @@ class LakeTable(
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(abs)
     val entries =
-      if (partitionCols.isEmpty) Seq(ManifestEntry(dir, None))
+      if (partitionCols.isEmpty)
+        Seq(ManifestEntry(dir, None, footerStats(new Path(abs), df.schema)))
       else listLeafPartitions(new Path(abs), partitionCols.length)
-        .map(rel => ManifestEntry(dir, Some(rel)))
+        .map(rel => ManifestEntry(dir, Some(rel),
+          footerStats(new Path(s"$abs/$rel"), df.schema)))
     (dir, entries)
+  }
+
+  /** Aggregate column chunk min/max across all parquet files directly
+    * under `path`, for the stats-prunable Spark types (integral,
+    * floating, string). Values are stored as strings in the manifest;
+    * pruning parses them back by column type. Columns whose chunks lack
+    * usable stats are omitted (⇒ never pruned on). */
+  private def footerStats(path: Path, schema: StructType): Map[String, (String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val prunable = schema.fields.map(f => f.name -> f.dataType).toMap
+      .filter { case (_, t) => StatsPruning.supported(t) }
+    if (prunable.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+    val dropped = scala.collection.mutable.Set[String]()
+    fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { chunk =>
+            val col = chunk.getPath.toDotString
+            prunable.get(col).foreach { dt =>
+              val s = chunk.getStatistics
+              if (s == null || !s.hasNonNullValue || s.isEmpty) dropped += col
+              else {
+                val (mn, mx) = (
+                  StatsPruning.fromParquet(s.genericGetMin.asInstanceOf[AnyRef], dt),
+                  StatsPruning.fromParquet(s.genericGetMax.asInstanceOf[AnyRef], dt))
+                (mn, mx) match {
+                  case (Some(lo), Some(hi)) =>
+                    val merged = acc.get(col) match {
+                      case Some((l0, h0)) =>
+                        (if (StatsPruning.lt(dt, lo, l0)) lo else l0,
+                          if (StatsPruning.lt(dt, h0, hi)) hi else h0)
+                      case None => (lo, hi)
+                    }
+                    acc(col) = merged
+                  case _ => dropped += col
+                }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    (acc -- dropped).map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }.toMap
   }
 
   private def listLeafPartitions(root: Path, depth: Int): Seq[String] = {
@@ -271,6 +338,36 @@ class LakeTable(
     val s = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table $name does not exist"))
     readEntries(s, s.entries)
+  }
+
+  /** Filtered read with MANIFEST-LEVEL min/max pruning (the Iceberg
+    * metrics-skipping analog): entries whose recorded column ranges
+    * cannot satisfy `cond` are dropped before any file is opened — on
+    * an append-ordered 100 TB table a time/key-range query plans only
+    * the few entries that overlap the range. The full predicate is
+    * still applied to the surviving rows (pruning is conservative:
+    * unsupported predicates or missing stats keep the entry). */
+  def readWhere(cond: Column): DataFrame = {
+    val s = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $name does not exist"))
+    readEntries(s, prunedEntries(s, cond)).filter(cond)
+  }
+
+  /** Entries surviving stats pruning for `cond` (exposed for planning
+    * introspection and tests).
+    *
+    * The predicate is RESOLVED against an empty relation with the table
+    * schema first — Spark 4 Columns carry lazy column nodes, and the
+    * analyzer both converts them to catalyst expressions and inserts
+    * the type-coercion casts the pruning logic must see through. */
+  private[graft] def prunedEntries(s: Snapshot, cond: Column): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), s.schema)
+    empty.filter(cond).queryExecution.analyzed
+      .collectFirst { case f: Filter => f.condition }
+      .map(expr => s.entries.filter(e => StatsPruning.mayMatch(e.stats, s.schema, expr)))
+      .getOrElse(s.entries)
   }
 
   def toDF: DataFrame = read

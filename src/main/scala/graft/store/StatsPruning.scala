@@ -1,0 +1,179 @@
+package graft.store
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-level min/max predicate pruning for LakeTable — the
+  * metrics-based file skipping Iceberg performs from its manifest
+  * metrics, evaluated here against per-entry column ranges.
+  *
+  * Strictly CONSERVATIVE: an entry is dropped only when the recorded
+  * ranges PROVE no row can satisfy the predicate. Unsupported
+  * expressions, missing stats, or type mismatches keep the entry — the
+  * row-level filter still runs on everything read, so pruning can only
+  * remove IO, never rows.
+  */
+object StatsPruning {
+
+  /** Types whose parquet footer stats we record and can compare. */
+  def supported(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: StringType => true
+    case _ => false
+  }
+
+  /** Parquet footer value → comparable (BigDecimal | String). */
+  def fromParquet(v: AnyRef, dt: DataType): Option[Any] = (v, dt) match {
+    case (n: java.lang.Number, ByteType | ShortType | IntegerType | LongType) =>
+      Some(BigDecimal(n.longValue()))
+    case (n: java.lang.Number, FloatType | DoubleType) =>
+      val d = n.doubleValue()
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case (b: org.apache.parquet.io.api.Binary, _: StringType) =>
+      Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  def lt(dt: DataType, a: Any, b: Any): Boolean = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x < y
+    case (x: String, y: String) => x < y
+    case _ => false
+  }
+
+  /** Stored manifest string → comparable, by column type. */
+  private def parseStat(s: String, dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    case _: StringType => Some(s)
+    case _ => None
+  }
+
+  private def literalValue(l: Literal): Option[Any] = l.value match {
+    case null => None
+    case n: Byte => Some(BigDecimal(n.toLong))
+    case n: Short => Some(BigDecimal(n.toLong))
+    case n: Int => Some(BigDecimal(n.toLong))
+    case n: Long => Some(BigDecimal(n))
+    case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toDouble))
+    case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case s: UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Strip numeric-widening casts (monotone, value-preserving for range
+    * comparison via BigDecimal) the analyzer inserts for type coercion.
+    * Any other cast blocks pruning on that operand. */
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast if isNumeric(c.dataType) && isNumeric(c.child.dataType) => strip(c.child)
+    case other => other
+  }
+
+  private def attrName(e: Expression): Option[String] = strip(e) match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def litVal(e: Expression): Option[Any] = strip(e) match {
+    case l: Literal => literalValue(l)
+    case _ => None
+  }
+
+  /** Range of column `name` in this entry, if recorded and parseable. */
+  private def range(
+      stats: Map[String, (String, String)],
+      schema: StructType,
+      name: String): Option[(Any, Any)] =
+    for {
+      (mnS, mxS) <- stats.get(name)
+      f <- schema.fields.find(_.name == name)
+      mn <- parseStat(mnS, f.dataType)
+      mx <- parseStat(mxS, f.dataType)
+    } yield (mn, mx)
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** true ⇔ the ranges prove `e` matches no row of the entry. */
+  private def cannotMatch(
+      stats: Map[String, (String, String)],
+      schema: StructType,
+      e: Expression): Boolean = {
+
+    // (attr op literal) in either operand order; None when not that shape
+    def pair(x: Expression, y: Expression): Option[(String, Any)] =
+      for { n <- attrName(x); v <- litVal(y) } yield (n, v)
+
+    def outside(p: Option[(String, Any)], op: (Int, Int) => Boolean): Boolean =
+      p.exists { case (n, v) =>
+        range(stats, schema, n).exists { case (lo, hi) =>
+          (cmp(lo, v), cmp(hi, v)) match {
+            case (Some(cl), Some(ch)) => op(cl, ch)
+            case _ => false
+          }
+        }
+      }
+
+    val loGE: (Int, Int) => Boolean = (cl, _) => cl >= 0 // min >= v
+    val loGT: (Int, Int) => Boolean = (cl, _) => cl > 0
+    val hiLE: (Int, Int) => Boolean = (_, ch) => ch <= 0 // max <= v
+    val hiLT: (Int, Int) => Boolean = (_, ch) => ch < 0
+    val eqOut: (Int, Int) => Boolean = (cl, ch) => cl > 0 || ch < 0
+
+    e match {
+      case And(l, r) =>
+        cannotMatch(stats, schema, l) || cannotMatch(stats, schema, r)
+      case Or(l, r) =>
+        cannotMatch(stats, schema, l) && cannotMatch(stats, schema, r)
+      case EqualTo(a, b) =>
+        outside(pair(a, b), eqOut) || outside(pair(b, a), eqOut)
+      case EqualNullSafe(a, b) =>
+        outside(pair(a, b), eqOut) || outside(pair(b, a), eqOut)
+      case GreaterThan(a, b) => // attr > v dead iff max <= v; v > attr ⇔ attr < v
+        outside(pair(a, b), hiLE) || outside(pair(b, a), loGE)
+      case GreaterThanOrEqual(a, b) =>
+        outside(pair(a, b), hiLT) || outside(pair(b, a), loGT)
+      case LessThan(a, b) =>
+        outside(pair(a, b), loGE) || outside(pair(b, a), hiLE)
+      case LessThanOrEqual(a, b) =>
+        outside(pair(a, b), loGT) || outside(pair(b, a), hiLT)
+      case In(a, vs) if vs.nonEmpty =>
+        vs.forall(v => outside(pair(a, v), eqOut))
+      case InSet(a, vs) if vs.nonEmpty =>
+        attrName(a).exists { n =>
+          vs.forall { raw =>
+            val lit = Literal(raw)
+            literalValue(lit).exists(v =>
+              range(stats, schema, n).exists { case (lo, hi) =>
+                (cmp(lo, v), cmp(hi, v)) match {
+                  case (Some(cl), Some(ch)) => eqOut(cl, ch)
+                  case _ => false
+                }
+              })
+          }
+        }
+      case _ => false
+    }
+  }
+
+  /** Conservative gate used by LakeTable.readWhere. */
+  def mayMatch(
+      stats: Map[String, (String, String)],
+      schema: StructType,
+      cond: Expression): Boolean =
+    stats.isEmpty || !cannotMatch(stats, schema, cond)
+}

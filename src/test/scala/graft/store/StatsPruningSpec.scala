@@ -1,0 +1,78 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsPruningSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable = {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("stats-wh").toString)
+    cat.createDatabase("lake")
+    cat.table("lake.ranged")
+  }
+
+  /** 3 appends with disjoint id ranges — the append-ordered layout a
+    * time/key-correlated ingest naturally produces. */
+  private def build3(t: LakeTable) = {
+    t.createOrReplace((0L until 100L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"))
+    t.append((100L until 200L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"))
+    t.append((200L until 300L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"))
+    t
+  }
+
+  test("writes record min/max stats per manifest entry, surviving the JSON round-trip") {
+    val t = build3(freshTable)
+    val s = t.currentSnapshot.get
+    s.entries.length shouldBe 3
+    all(s.entries.map(_.stats.keySet)) should contain allOf ("id", "s", "v")
+    val first = s.entries.map(_.stats("id")).map { case (mn, mx) => (mn.toLong, mx.toLong) }
+      .sortBy(_._1)
+    first shouldBe Seq((0L, 99L), (100L, 199L), (200L, 299L))
+  }
+
+  test("range predicates prune to the overlapping entries only") {
+    val t = build3(freshTable)
+    val s = t.currentSnapshot.get
+    t.prunedEntries(s, col("id") < 50L).length shouldBe 1
+    t.prunedEntries(s, col("id") >= 150L).length shouldBe 2
+    t.prunedEntries(s, col("id") === 250L).length shouldBe 1
+    t.prunedEntries(s, col("id") > 1000L).length shouldBe 0
+    t.prunedEntries(s, col("id").isin(10L, 110L)).length shouldBe 2
+    t.prunedEntries(s, col("id") < 50L && col("id") > 250L).length shouldBe 0
+    t.prunedEntries(s, col("id") < 50L || col("id") > 250L).length shouldBe 2
+    // double + string columns prune too
+    t.prunedEntries(s, col("v") < 10.0).length shouldBe 1
+    t.prunedEntries(s, col("s") === "r50").length should be <= 2
+  }
+
+  test("readWhere returns exactly the filtered rows (pruning never drops matches)") {
+    val t = build3(freshTable)
+    val out = t.readWhere(col("id").between(90L, 110L)).select("id")
+      .collect().map(_.getLong(0)).sorted
+    out shouldBe (90L to 110L).toArray
+    t.readWhere(col("id") > 1000L).count() shouldBe 0L
+  }
+
+  test("unsupported predicates and unknown columns are conservative (no pruning)") {
+    val t = build3(freshTable)
+    val s = t.currentSnapshot.get
+    t.prunedEntries(s, functions.length(col("s")) > 2).length shouldBe 3
+    t.prunedEntries(s, col("id") + 1 < 10L).length shouldBe 3 // non-attr side: keep
+    t.readWhere(functions.length(col("s")) >= 2).count() shouldBe 300L
+  }
+
+  test("copy-on-write rewrites refresh the rewritten entries' stats") {
+    val t = build3(freshTable)
+    t.deleteWhere(col("id") >= 290L)
+    val s = t.currentSnapshot.get
+    // the third range shrank; a query past the new max prunes everything
+    t.prunedEntries(s, col("id") >= 290L).length shouldBe 0
+    t.readWhere(col("id") >= 280L).count() shouldBe 10L
+  }
+}
