@@ -475,12 +475,43 @@ class LakeTable(
     }
     val prunable = pruneSource.isDefined
     if (!prunable) {
-      // unpartitioned (or partition cols absent from source): full COW
-      val out = rewrite(read, source)
+      // unpartitioned (or partition cols absent from source): COW with
+      // MANIFEST KEY-RANGE pruning — an entry whose recorded range for
+      // any merge key is disjoint from the source batch's key range
+      // cannot contain a matching row, so it stays untouched (correct
+      // for MERGE and DELETE alike: inserts see the full source, and
+      // untouched entries hold no updatable/deletable keys). On an
+      // append-ordered table with key-clustered batches this keeps the
+      // unpartitioned merge O(recent entries). Costs one small agg over
+      // the (micro-batch-sized) source.
+      val keyTypes = keys.flatMap(k =>
+        s.schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
+      val rangedKeys = keys.filter(k =>
+        keyTypes.get(k).exists(StatsPruning.supported) && source.columns.contains(k))
+      val sourceRanges: Map[String, (Any, Any)] =
+        if (rangedKeys.isEmpty) Map.empty
+        else {
+          val aggs = rangedKeys.flatMap(k =>
+            Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+          val row = source.agg(aggs.head, aggs.tail: _*).head()
+          rangedKeys.flatMap { k =>
+            val (lo, hi) = (row.getAs[Any](s"__mn_$k"), row.getAs[Any](s"__mx_$k"))
+            if (lo == null || hi == null) None else Some(k -> (lo, hi))
+          }.toMap
+        }
+      val (untouched, affected) = s.entries.partition(e =>
+        sourceRanges.exists { case (k, (lo, hi)) =>
+          e.stats.get(k).exists { case (mnS, mxS) =>
+            StatsPruning.rangesDisjoint(keyTypes(k), mnS, mxS, lo, hi)
+          }
+        })
+      val out = rewrite(readEntries(s, affected), source)
       val (_, entries) = writeData(prepared(out, s), s.partitionCols)
       commit(op)(_ =>
-        (s.schema, s.partitionCols, entries, s.properties,
-          Map("rewritten-entries" -> s.entries.size.toString)))
+        (s.schema, s.partitionCols, untouched ++ entries, s.properties,
+          Map(
+            "rewritten-entries" -> affected.size.toString,
+            "untouched-entries" -> untouched.size.toString)))
     } else {
       // partition-pruned COW: rewrite only partitions the source touches.
       // The distinct partition set of a micro-batch is small by

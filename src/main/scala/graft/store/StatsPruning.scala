@@ -170,6 +170,32 @@ object StatsPruning {
     }
   }
 
+  /** Driver-side value → comparable, for source-batch key ranges. */
+  def toComparable(v: Any): Option[Any] = v match {
+    case null => None
+    case n: Byte => Some(BigDecimal(n.toLong))
+    case n: Short => Some(BigDecimal(n.toLong))
+    case n: Int => Some(BigDecimal(n.toLong))
+    case n: Long => Some(BigDecimal(n))
+    case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toDouble))
+    case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** true when the entry range [mnS, mxS] (manifest strings of type
+    * `dt`) and the batch range [lo, hi] PROVABLY don't overlap —
+    * conservative: any parse/compare failure reports overlap. */
+  def rangesDisjoint(dt: DataType, mnS: String, mxS: String, lo: Any, hi: Any): Boolean =
+    (for {
+      emn <- parseStat(mnS, dt)
+      emx <- parseStat(mxS, dt)
+      slo <- toComparable(lo)
+      shi <- toComparable(hi)
+      cHiLo <- cmp(emx, slo)
+      cLoHi <- cmp(emn, shi)
+    } yield cHiLo < 0 || cLoHi > 0).getOrElse(false)
+
   /** Conservative gate used by LakeTable.readWhere. */
   def mayMatch(
       stats: Map[String, (String, String)],

@@ -67,6 +67,36 @@ class StatsPruningSpec extends SparkSpec {
     t.readWhere(functions.length(col("s")) >= 2).count() shouldBe 300L
   }
 
+  test("merge rewrites only the entries whose key range overlaps the batch") {
+    val t = build3(freshTable)
+    val batch = (150L until 160L).map(i => (i, s"UPD$i", -1.0)).toDF("id", "s", "v")
+    val snap = t.mergeInto(batch, Seq("id"))
+    snap.summary("untouched-entries") shouldBe "2"
+    snap.summary("rewritten-entries") shouldBe "1"
+    val rows = t.read.filter(col("id").between(150L, 159L)).select("s")
+      .collect().map(_.getString(0))
+    all(rows) should startWith("UPD")
+    t.read.count() shouldBe 300L
+  }
+
+  test("merge inserts new keys even when every entry is untouched") {
+    val t = build3(freshTable)
+    val batch = Seq((1000L, "new", 0.0)).toDF("id", "s", "v")
+    val snap = t.mergeInto(batch, Seq("id"))
+    snap.summary("untouched-entries") shouldBe "3"
+    t.read.count() shouldBe 301L
+    t.read.filter(col("id") === 1000L).count() shouldBe 1L
+  }
+
+  test("delete prunes disjoint entries and removes only matching keys") {
+    val t = build3(freshTable)
+    val snap = t.deleteWhereExists(
+      (250L until 260L).map(i => Tuple1(i)).toDF("id"), Seq("id"))
+    snap.summary("untouched-entries") shouldBe "2"
+    t.read.count() shouldBe 290L
+    t.read.filter(col("id").between(250L, 259L)).count() shouldBe 0L
+  }
+
   test("copy-on-write rewrites refresh the rewritten entries' stats") {
     val t = build3(freshTable)
     t.deleteWhere(col("id") >= 290L)
