@@ -130,6 +130,12 @@ object LlmQueries {
         k = 8, bands = 8)
       .orderBy("blk", "doc_a", "doc_b")
 
+  private def d16(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .charNgramNearDuplicates(documents(s, dir), n = 4, k = 8, bands = 4,
+        threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
   private def d09(s: SparkSession, dir: String): DataFrame =
     Dedup
       .simhashSignatures(documents(s, dir))
@@ -261,6 +267,7 @@ object LlmQueries {
     "d13_rolling_fp" -> (d13 _),
     "d14_bpe_tokens" -> (d14 _),
     "d15_incremental_dedup" -> (d15 _),
+    "d16_char_ngram_near_dup" -> (d16 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -462,6 +469,34 @@ object LlmQueries {
              i -> ('0x' || substr(hex(encode(text)), (i*2-1)::INT, 2))::BIGINT)),
            (h, c) -> (h * 31 + c) % 2147483648) AS rh
          FROM documents ORDER BY doc_id""",
+    "d16_char_ngram_near_dup" ->
+      """WITH nm AS (SELECT doc_id,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         g AS (SELECT doc_id, CASE WHEN length(norm) >= 4
+                 THEN list_transform(range(1, length(norm) - 2),
+                        i -> substr(norm, i::INT, 4))
+                 ELSE [] END AS grams FROM nm),
+         sig AS (SELECT doc_id, list_transform(range(0, 8), seed ->
+                   list_min(list_transform(grams, s2 ->
+                     substr(md5(seed || '|' || s2), 1, 16)))) AS sg
+                 FROM g WHERE len(grams) >= 1),
+         b AS (SELECT doc_id, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id,
+                  bi::VARCHAR || '_' || sg[bi*2+1] || '_' || sg[bi*2+2] AS band FROM b),
+         ok AS (SELECT * FROM (SELECT band, doc_id,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                   FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         dg AS (SELECT doc_id, list_distinct(grams) AS toks FROM g),
+         j AS (SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE)
+                   AS jaccard
+               FROM pairs
+               JOIN dg ta ON ta.doc_id = doc_a
+               JOIN dg tb ON tb.doc_id = doc_b)
+         SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+         FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "d15_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id, source,
            md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),

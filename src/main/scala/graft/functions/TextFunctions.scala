@@ -125,6 +125,17 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Character n-grams — finer-grained than word shingles: robust to
+    * word-boundary edits and usable on languages without whitespace
+    * tokenization. Empty array when the text is shorter than n.
+    * `normCol` must be a MATERIALIZED column (HOF staging note above):
+    * it is re-read per element by the lambda. */
+  def charNgramsFromText(normCol: Column, n: Int): Column =
+    when(length(normCol) >= n,
+      transform(sequence(lit(1), length(normCol) - (n - 1)),
+        i => normCol.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** One min-hash: lexicographic min over shingles of the seeded md5's
     * first 16 hex chars (== numeric min of the 64-bit prefix). */
   def minhash(shingles: Column, seed: Int): Column =

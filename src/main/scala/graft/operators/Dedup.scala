@@ -183,6 +183,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Character-n-gram Jaccard near-duplicates: minhash+LSH candidate
+    * generation over char n-grams of the NORMALIZED text, exact
+    * distinct-n-gram Jaccard verify. Same scale shape as
+    * lshNearDuplicates (ids-only band join, one staged text pass shared
+    * by signature and verify sides); the character granularity catches
+    * word-boundary edits token-set Jaccard misses. */
+  def charNgramNearDuplicates(
+      docs: DataFrame,
+      n: Int = 4,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), normalize(col(textCol)).as("__norm"))
+      .withColumn("__grams", charNgramsFromText(col("__norm"), n))
+      .select("doc_id", "__grams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = staged
+      .filter(size(col("__grams")) >= 1)
+      .withColumn("sig", minhashSignature(col("__grams"), k))
+      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
+      .select("band", "doc_id")
+    val keep = banded.groupBy("band").count()
+      .filter(col("count") <= maxBucket).select("band")
+    val pruned = banded.join(keep, Seq("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pruned.select(col("band"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val docGrams = staged.select(col("doc_id"), array_distinct(col("__grams")).as("toks"))
+    jaccardOnPairs(pairs, docGrams, threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 16-bit simhash per document, hash array staged as a column. */
   def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -63,6 +63,19 @@ class DedupSpec extends SparkSpec {
     Dedup.lshNearDuplicates(many, maxBucket = 5).count() shouldBe 10 // C(5,2)
   }
 
+  test("charNgramNearDuplicates catches word-boundary edits and respects threshold") {
+    // same chars, shifted word boundary: token Jaccard is low but char
+    // 4-gram overlap stays high
+    val d = docs(
+      (1L, "the quick brownfox jumps over the lazy dog", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "a"),
+      (3L, other, "a"))
+    val pairs = Dedup.charNgramNearDuplicates(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 2L))
+    Dedup.charNgramNearDuplicates(d, threshold = 0.999).count() shouldBe 0
+  }
+
   test("blockedJaccardPairs confines candidates to the block") {
     val d = docs((1L, near1, "blockA"), (2L, near2, "blockB"), (3L, near2, "blockA"))
     val pairs = Dedup.blockedJaccardPairs(d, "source", threshold = 0.5)
