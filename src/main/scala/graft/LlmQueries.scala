@@ -131,9 +131,16 @@ object LlmQueries {
       .orderBy("blk", "doc_a", "doc_b")
 
   private def d16(s: SparkSession, dir: String): DataFrame =
+    // 8-row bands (k=32, b=4) center the LSH S-curve at ~0.87: full
+    // recall on the J≥0.8 truth set with 36 candidates at sf0.01
+    // (2-row bands admitted 161k — char-gram Jaccard between RANDOM
+    // English docs is ~0.3, so shallow bands flood). maxBucket=100
+    // drops giant exact-duplicate clusters: those are exact-dedup's
+    // job (d05/d15), not LSH's. k=32 costs nothing extra — the sketch
+    // is one fused native pass (graft_minhash_sketch).
     Dedup
-      .charNgramNearDuplicates(documents(s, dir), n = 4, k = 8, bands = 4,
-        threshold = 0.5)
+      .charNgramNearDuplicates(documents(s, dir), n = 5, k = 32, bands = 4,
+        threshold = 0.8, maxBucket = 100)
       .orderBy("doc_a", "doc_b")
 
   private def d09(s: SparkSession, dir: String): DataFrame =
@@ -472,22 +479,28 @@ object LlmQueries {
     "d16_char_ngram_near_dup" ->
       """WITH nm AS (SELECT doc_id,
            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
-         g AS (SELECT doc_id, CASE WHEN length(norm) >= 4
-                 THEN list_transform(range(1, length(norm) - 2),
-                        i -> substr(norm, i::INT, 4))
-                 ELSE [] END AS grams FROM nm),
-         sig AS (SELECT doc_id, list_transform(range(0, 8), seed ->
-                   list_min(list_transform(grams, s2 ->
-                     substr(md5(seed || '|' || s2), 1, 16)))) AS sg
-                 FROM g WHERE len(grams) >= 1),
+         hx AS (SELECT doc_id, hex(encode(norm)) AS h,
+                  octet_length(encode(norm)) AS L FROM nm),
+         gh AS (SELECT doc_id, CASE WHEN L >= 5
+                  THEN list_transform(range(1, L - 3), i ->
+                    ('0x' || substr(h, (i*2-1)::INT, 2))::BIGINT * 4362470401
+                    + ('0x' || substr(h, (i*2+1)::INT, 2))::BIGINT * 16974593
+                    + ('0x' || substr(h, (i*2+3)::INT, 2))::BIGINT * 66049
+                    + ('0x' || substr(h, (i*2+5)::INT, 2))::BIGINT * 257
+                    + ('0x' || substr(h, (i*2+7)::INT, 2))::BIGINT)
+                  ELSE [] END AS hs FROM hx),
+         sig AS (SELECT doc_id, list_transform(range(0, 32), i ->
+                   list_min(list_transform(hs, h ->
+                     ((h % 2147483647) * (2*i+1) + i*40503) % 2147483647))) AS sg
+                 FROM gh WHERE len(hs) >= 1),
          b AS (SELECT doc_id, unnest(range(0, 4)) AS bi, sg FROM sig),
          bk AS (SELECT doc_id,
-                  bi::VARCHAR || '_' || sg[bi*2+1] || '_' || sg[bi*2+2] AS band FROM b),
+                  bi::VARCHAR || '_' || sg[bi*8+1]::VARCHAR || '_' || sg[bi*8+2]::VARCHAR || '_' || sg[bi*8+3]::VARCHAR || '_' || sg[bi*8+4]::VARCHAR || '_' || sg[bi*8+5]::VARCHAR || '_' || sg[bi*8+6]::VARCHAR || '_' || sg[bi*8+7]::VARCHAR || '_' || sg[bi*8+8]::VARCHAR AS band FROM b),
          ok AS (SELECT * FROM (SELECT band, doc_id,
-                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 100),
          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
                    FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
-         dg AS (SELECT doc_id, list_distinct(grams) AS toks FROM g),
+         dg AS (SELECT doc_id, list_distinct(hs) AS toks FROM gh),
          j AS (SELECT doc_a, doc_b,
                  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                    / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE)
@@ -496,7 +509,7 @@ object LlmQueries {
                JOIN dg ta ON ta.doc_id = doc_a
                JOIN dg tb ON tb.doc_id = doc_b)
          SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
-         FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+         FROM j WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     "d15_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id, source,
            md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),

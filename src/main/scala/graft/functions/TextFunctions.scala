@@ -129,12 +129,24 @@ object TextFunctions {
     * word-boundary edits and usable on languages without whitespace
     * tokenization. Empty array when the text is shorter than n.
     * `normCol` must be a MATERIALIZED column (HOF staging note above):
-    * it is re-read per element by the lambda. */
+    * it is re-read per element by the lambda. Prefer `charNgramCodes`
+    * on hot paths — same set semantics, fused native loop. */
   def charNgramsFromText(normCol: Column, n: Int): Column =
     when(length(normCol) >= n,
       transform(sequence(lit(1), length(normCol) - (n - 1)),
         i => normCol.substr(i, lit(n))))
       .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Injective base-257 codes of all length-n byte windows
+    * (graft.expressions.NgramHashes, native codegen; n ≤ 7): set ops
+    * over the codes ARE exact n-gram set ops. GraftSession required. */
+  def charNgramCodes(text: Column, n: Int): Column =
+    call_function("graft_ngram_hashes", text, lit(n))
+
+  /** k-wide minhash signature of a long-array in one fused native pass
+    * (graft.expressions.MinhashSketch). GraftSession required. */
+  def minhashSketch(hashes: Column, k: Int): Column =
+    call_function("graft_minhash_sketch", hashes, lit(k))
 
   /** One min-hash: lexicographic min over shingles of the seeded md5's
     * first 16 hex chars (== numeric min of the 64-bit prefix). */

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{RollingHash, TopKByScore}
+import graft.expressions.{MinhashSketch, NgramHashes, RollingHash, TopKByScore}
 
 /** Engine extension hook, wired through `spark.sql.extensions`
   * (GraftSession sets it): the supported injection point for custom
@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(RollingHash.descriptor)
     ext.injectFunction(TopKByScore.descriptor)
+    ext.injectFunction(NgramHashes.descriptor)
+    ext.injectFunction(MinhashSketch.descriptor)
   }
 }

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
@@ -81,4 +81,41 @@ object ExpressionProperties extends Properties("graft.expressions") {
     val agg = mkAgg(k)
     fill(agg, xs).size <= k
   }
+
+  // ---- NgramHashes / MinhashSketch ------------------------------------
+
+  private def ngramCodes(s: String, n: Int): Seq[Long] =
+    NgramHashes(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+      Literal(n)).eval().asInstanceOf[GenericArrayData].toLongArray().toSeq
+
+  private val asciiGen: Gen[String] = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+  private val nGen: Gen[Int] = Gen.choose(1, 7)
+
+  property("ngram codes: one per byte window, injective vs the substrings") =
+    forAll(asciiGen, nGen) { (s, n) =>
+      val codes = ngramCodes(s, n)
+      val grams = if (s.length < n) Seq.empty else s.sliding(n).toSeq
+      codes.length == math.max(0, s.length - n + 1) &&
+        codes.distinct.length == grams.distinct.length
+    }
+
+  property("ngram codes equal the base-257 byte fold") =
+    forAll(asciiGen, nGen) { (s, n) =>
+      val bytes = s.getBytes("UTF-8")
+      val expected = (0 to bytes.length - n).map { i =>
+        (0 until n).foldLeft(0L)((h, j) => h * 257L + (bytes(i + j) & 0xff))
+      }
+      ngramCodes(s, n) == expected
+    }
+
+  property("minhash sketch equals per-seed affine minima") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1L << 60)), kGen) { (hs, k) =>
+      val P = 2147483647L
+      val arr = MinhashSketch(
+        Literal.create(hs, ArrayType(LongType)), Literal(k))
+        .eval().asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val expected = (0 until k).map(i =>
+        hs.map(h => ((h % P) * (2 * i + 1) + i * 40503L) % P).min)
+      arr == expected
+    }
 }
