@@ -171,8 +171,27 @@ object StoreQueries {
       .orderBy("event_type")
   }
 
+  /** c14: schema evolution — even orders land first (no status column),
+    * odd orders arrive later WITH it via appendEvolve; the final read
+    * projects the evolved schema over both generations of files. */
+  private def c14(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_evo"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_evolving")
+    val base = table(s, dir, "orders")
+    t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice"))
+    t.appendEvolve(base.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    t.read
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderstatus"), lit("-")).as("status"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_stats_pruned_scan" -> (c13 _),
+    "c14_schema_evolution" -> (c14 _),
     "c06_lake_merge_delete" -> (c06 _),
     "c07_lake_partitioned_cow" -> (c07 _),
     "c12_lake_bucketed_cow" -> (c12 _),
@@ -185,6 +204,10 @@ object StoreQueries {
     // identical algorithm + parameters as the ad-hoc IVF query — the
     // persisted index changes the physical plan, not the result
     "e07_knn_ivf_index" -> LlmQueries.oracleSql("e04_knn_ivf"),
+    "c14_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '-' END AS status
+         FROM orders ORDER BY o_orderkey""",
     "c13_stats_pruned_scan" ->
       """WITH b AS (SELECT max(event_id) // 4 AS q FROM events)
          SELECT event_type, count(*) AS n,

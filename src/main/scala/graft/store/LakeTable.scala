@@ -417,6 +417,43 @@ class LakeTable(
         Map("added-entries" -> entries.size.toString)))
   }
 
+  /** Union-by-name of the stored schema with a batch's schema: existing
+    * columns keep their stored type (the batch is cast to it); batch
+    * columns the table lacks are APPENDED, nullable. */
+  private def mergedSchema(stored: StructType, batch: StructType): StructType = {
+    val existing = stored.fieldNames.toSet
+    val added = batch.fields.filterNot(f => existing.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(stored.fields ++ added)
+  }
+
+  /** Append with SCHEMA EVOLUTION (Iceberg add-column semantics, Spark's
+    * mergeSchema analog — `append` itself stays strict, evolution is an
+    * explicit choice): batch columns the table lacks widen the schema
+    * (appended, nullable); table columns the batch lacks are written as
+    * nulls. Old data files are NEVER touched — readers project the
+    * evolved schema over them and the parquet reader supplies nulls for
+    * the missing columns, so evolution is a metadata-only operation on
+    * existing data. */
+  def appendEvolve(df: DataFrame): Snapshot = {
+    val s = requireExists()
+    val merged = mergedSchema(s.schema, df.schema)
+    val batchCols = df.columns.toSet
+    val conformed = df.select(merged.fields.map(f =>
+      (if (batchCols.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    val withBucket = bucketSpec(s).map(withDerivedBucket(conformed, _)).getOrElse(conformed)
+    val (_, entries) = writeData(withBucket, s.partitionCols)
+    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
+    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    commit("append-evolve", retries, waitMs)(p =>
+      // re-merge against the FRESH parent so a racer's evolution survives
+      (mergedSchema(p.get.schema, df.schema), s.partitionCols,
+        p.get.entries ++ entries, s.properties,
+        Map("added-entries" -> entries.size.toString,
+          "added-columns" -> (merged.fieldNames.length - s.schema.fieldNames.length).toString)))
+  }
+
   /** Full overwrite keeping schema/partitioning/properties
     * (`mysql_to_parquet.py:58` raw-zone replace). */
   def overwrite(df: DataFrame): Snapshot = {

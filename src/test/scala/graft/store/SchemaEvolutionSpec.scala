@@ -1,0 +1,65 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SchemaEvolutionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable = {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("evo-wh").toString)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.evolving")
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t
+  }
+
+  test("appendEvolve widens the schema; old files read null for the new column") {
+    val t = freshTable
+    t.appendEvolve(Seq((3L, "c", 30)).toDF("id", "v", "extra"))
+    t.schema.fieldNames.toSeq shouldBe Seq("id", "v", "extra")
+    val rows = t.read.orderBy("id").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    rows(0).isNullAt(2) shouldBe true // pre-evolution file: null-filled
+    rows(2).getInt(2) shouldBe 30
+  }
+
+  test("appendEvolve fills table columns the batch lacks with nulls") {
+    val t = freshTable
+    t.appendEvolve(Seq(Tuple1(4L)).toDF("id"))
+    val r = t.read.filter($"id" === 4L).head()
+    r.isNullAt(1) shouldBe true
+    t.schema.fieldNames.toSeq shouldBe Seq("id", "v") // no widening happened
+  }
+
+  test("plain append stays strict: a batch missing a stored column fails") {
+    val t = freshTable
+    an[AnalysisException] should be thrownBy
+      t.append(Seq(Tuple1(9L)).toDF("id"))
+  }
+
+  test("merge and stats-pruned reads work across the evolution boundary") {
+    val t = freshTable
+    t.appendEvolve(Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "extra"))
+    t.mergeInto(Seq((2L, "B", 20)).toDF("id", "v", "extra"), Seq("id"))
+    val rows = t.read.orderBy("id").collect()
+    rows.length shouldBe 4
+    rows(1).getString(1) shouldBe "B"
+    rows(1).getInt(2) shouldBe 20
+    // new column is stats-prunable on post-evolution entries, and
+    // conservative (kept) for pre-evolution entries without stats
+    t.readWhere($"extra" >= 40).collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
+  }
+
+  test("evolution commits record the added column count") {
+    val t = freshTable
+    val snap = t.appendEvolve(Seq((5L, "e", 1.5)).toDF("id", "v", "score"))
+    snap.summary("added-columns") shouldBe "1"
+    snap.operation shouldBe "append-evolve"
+  }
+}
