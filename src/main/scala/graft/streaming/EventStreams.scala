@@ -40,6 +40,20 @@ object EventStreams {
         col("event_type"),
         col("n_events"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
+    * within the watermark horizon are dropped, and key state older than
+    * the watermark is evicted — state is O(keys in horizon), not
+    * O(history). The streaming face of Dedup.exactDedup; cross-run
+    * history dedup composes with the fingerprint store
+    * (Dedup.incrementalDedup) in the foreachBatch sink instead. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
 
   case class Session(

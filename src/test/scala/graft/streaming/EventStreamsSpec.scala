@@ -108,6 +108,29 @@ class EventStreamsSpec extends SparkSpec {
     rows.map(_._1) should not contain ts("2026-01-01 23:00:00")
   }
 
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    val src = Files.createTempDirectory("es-dd-src").toString
+    val ckpt = Files.createTempDirectory("es-dd-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),
+      (2L, "2026-01-01 10:05:00", 2L, "view")), src, 1)
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:10:00", 1L, "click"), // dup key within horizon
+      (3L, "2026-01-01 10:20:00", 3L, "click")), src, 2)
+
+    val q = EventStreams
+      .dedupWithinWatermark(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        keys = Seq("event_id"), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("dd")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val ids = spark.table("dd").collect().map(_.getLong(0)).sorted
+    ids shouldBe Array(1L, 2L, 3L) // event 1 emitted once despite the batch-2 replay
+  }
+
   test("windowed counts on a batch frame equals a plain group-by (oracle parity shape)") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
