@@ -232,8 +232,10 @@ class LakeTable(
 
   /** Write one immutable data dir and return its manifest entries, with
     * per-entry column min/max stats harvested from the parquet FOOTERS
-    * the write already produced — no second data pass, the same way
-    * Iceberg collects metrics from its write tasks. */
+    * the write already produced — metadata-sized reads, no second data
+    * pass. (Iceberg collects the same metrics inside its write tasks;
+    * here the driver reads the footers post-write, which is bounded by
+    * files-per-commit, not table size.) */
   private def writeData(df: DataFrame, partitionCols: Seq[String]): (String, Seq[ManifestEntry]) = {
     val dir = UUID.randomUUID().toString.take(18)
     val abs = s"$location/data/$dir"
