@@ -42,11 +42,18 @@ object StatsPruning {
     case _ => false
   }
 
+  /** ASCII-only guard for string ordering: Java's String.compareTo
+    * (UTF-16 units) and Spark's UTF8String binary order agree on ASCII
+    * but can DIVERGE beyond the BMP — pruning on non-ASCII bounds could
+    * drop matching entries, so those columns simply aren't pruned. */
+  private def asciiOnly(s: String): Option[String] =
+    if (s.forall(_ < 0x80)) Some(s) else None
+
   /** Stored manifest string → comparable, by column type. */
   private def parseStat(s: String, dt: DataType): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
       try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
-    case _: StringType => Some(s)
+    case _: StringType => asciiOnly(s)
     case _ => None
   }
 
@@ -60,8 +67,8 @@ object StatsPruning {
     case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
     case d: java.math.BigDecimal => Some(BigDecimal(d))
     case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
-    case s: UTF8String => Some(s.toString)
-    case s: String => Some(s)
+    case s: UTF8String => asciiOnly(s.toString)
+    case s: String => asciiOnly(s)
     case _ => None
   }
 
@@ -179,7 +186,7 @@ object StatsPruning {
     case n: Long => Some(BigDecimal(n))
     case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toDouble))
     case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
-    case s: String => Some(s)
+    case s: String => asciiOnly(s)
     case _ => None
   }
 
