@@ -302,6 +302,16 @@ object LlmQueries {
     "list_transform(range(0, 8), seed -> " +
       "list_min(list_transform(shingles, s2 -> substr(md5(seed || '|' || s2), 1, 16))))"
 
+  /** md5-once 60-bit shingle hashes (mirror of the staged `__sh`). */
+  private val ShingleHashes =
+    "list_transform(shingles, s2 -> ('0x' || substr(md5(s2), 1, 15))::BIGINT)"
+
+  /** k=8 affine minhash sketch over bigint list `hs` (mirror of
+    * graft_minhash_sketch). */
+  private val Sketch8 =
+    "list_transform(range(0, 8), i -> list_min(list_transform(hs, h -> " +
+      "((h % 2147483647) * (2*i+1) + i*40503) % 2147483647)))"
+
   private val enList = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
   private val esList = TextFunctions.SpanishStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -385,10 +395,12 @@ object LlmQueries {
       s"""WITH t AS ($ToksCte),
          sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
                 FROM t WHERE len(tk) >= 3),
-         sig AS (SELECT doc_id, toks, $Sig8 AS sg FROM sh),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
          b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
          bk AS (SELECT doc_id, toks,
-                  bi::VARCHAR || '_' || sg[bi*2+1] || '_' || sg[bi*2+2] AS band FROM b),
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
          ok AS (SELECT * FROM (SELECT band, doc_id, toks,
                   count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
@@ -407,10 +419,11 @@ object LlmQueries {
              string_split_regex(trim(text), '\\s+') AS tk FROM documents),
          sh AS (SELECT doc_id, source AS blk, $Shingles3 AS shingles
                 FROM t WHERE len(tk) >= 3),
-         sig AS (SELECT doc_id, blk, $Sig8 AS sg FROM sh),
+         hsh AS (SELECT doc_id, blk, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, blk, $Sketch8 AS sg FROM hsh),
          b AS (SELECT doc_id, blk, unnest(range(0, 8)) AS bi, sg FROM sig),
          bk AS (SELECT doc_id, blk,
-                  bi::VARCHAR || '_' || sg[bi+1] AS band FROM b),
+                  bi::VARCHAR || '_' || sg[bi+1]::VARCHAR AS band FROM b),
          pairs AS (SELECT DISTINCT a.blk, a.doc_id AS doc_a, b2.doc_id AS doc_b
                    FROM bk a JOIN bk b2
                      ON a.band = b2.band AND a.blk = b2.blk AND a.doc_id < b2.doc_id),
