@@ -124,47 +124,60 @@ case class MinhashSketch(left: Expression, right: Expression) extends BinaryExpr
 
   private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
 
+  // floorMod, not %: Java % of a negative BIGINT is negative, which
+  // would push the affine family outside [0, P) and degenerate band
+  // keys. Null elements (the declared element type allows them — e.g.
+  // transform() outputs containsNull arrays) are skipped; identical to %
+  // and to dense arrays for the non-negative no-null inputs the dedup
+  // pipelines feed, so existing signatures are unchanged.
   protected override def nullSafeEval(arr: Any, kv: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
     val m = a.numElements()
-    if (m == 0) new GenericArrayData(Array.empty[Long])
-    else {
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < m) {
-        val hm = a.getLong(i) % P
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < m) {
+      if (!a.isNullAt(i)) {
+        seen = true
+        val hm = Math.floorMod(a.getLong(i), P)
         var s = 0
         while (s < k) {
           val v = (hm * (2 * s + 1) + s * 40503L) % P
           if (v < mins(s)) mins(s) = v
           s += 1
         }
-        i += 1
       }
-      new GenericArrayData(mins)
+      i += 1
     }
+    if (!seen) new GenericArrayData(Array.empty[Long]) else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (arr, _) => {
       val m = ctx.freshName("m")
       val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val hm = ctx.freshName("hm")
       val v = ctx.freshName("v")
       s"""
          |int $m = $arr.numElements();
-         |long[] $mins = new long[$m == 0 ? 0 : $k];
+         |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
          |for (int $i = 0; $i < $m; $i++) {
-         |  long $hm = $arr.getLong($i) % ${P}L;
-         |  for (int $s = 0; $s < $k; $s++) {
-         |    long $v = ($hm * (2L * $s + 1L) + $s * 40503L) % ${P}L;
-         |    if ($v < $mins[$s]) $mins[$s] = $v;
+         |  if (!$arr.isNullAt($i)) {
+         |    $seen = true;
+         |    long $hm = java.lang.Math.floorMod($arr.getLong($i), ${P}L);
+         |    for (int $s = 0; $s < $k; $s++) {
+         |      long $v = ($hm * (2L * $s + 1L) + $s * 40503L) % ${P}L;
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $seen ? $mins : new long[0]);
        """.stripMargin
     })
 

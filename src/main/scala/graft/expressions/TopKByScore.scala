@@ -40,15 +40,17 @@ case class TopKByScore(
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("graft_top_k: k must be a literal")
+    // dataType gate BEFORE eval(): a non-integral literal (e.g. 'x') must
+    // fail analysis with a clean TypeCheckFailure, not a ClassCastException
+    if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("graft_top_k: k must be an INT literal")
     else if (scoreExpr.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_top_k: score must be DOUBLE, got ${scoreExpr.dataType.catalogString}")
     else if (idExpr.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_top_k: id must be BIGINT, got ${idExpr.dataType.catalogString}")
-    else if (kExpr.eval().asInstanceOf[Number].intValue() < 1)
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure("graft_top_k: k must be >= 1")
     else TypeCheckResult.TypeCheckSuccess
 

@@ -36,6 +36,19 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Materialize `out` (eager localCheckpoint — computes and stores the
+    * compact result, cutting lineage) and then release every staged
+    * frame the pipeline persisted. Without this, repeated operator
+    * invocations in a long-lived session accumulate cached token/band
+    * blocks indefinitely; with it, the only retained blocks are the
+    * small result partitions, freed by the ContextCleaner once the
+    * caller drops the DataFrame. */
+  private[operators] def releasing(out: DataFrame, staged: DataFrame*): DataFrame = {
+    val r = out.localCheckpoint(true)
+    staged.foreach(_.unpersist(false))
+    r
+  }
+
   /** Exact dedup groups: one row per fingerprint with the surviving
     * (minimum) doc id and the group size. */
   def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -187,8 +200,10 @@ object Dedup {
       .distinct()
     val docToks = staged.select(col("doc_id"),
       array_distinct(col("__toks")).as("toks"))
-    jaccardOnPairs(pairs, docToks, threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    releasing(
+      jaccardOnPairs(pairs, docToks, threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+      staged, pruned)
   }
 
   /** Character-n-gram Jaccard near-duplicates: minhash+LSH candidate
@@ -232,8 +247,10 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     val docGrams = staged.select(col("doc_id"), array_distinct(col("__gh")).as("toks"))
-    jaccardOnPairs(pairs, docGrams, threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    releasing(
+      jaccardOnPairs(pairs, docGrams, threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+      staged, pruned)
   }
 
   /** 16-bit simhash per document, hash array staged as a column. */
@@ -244,31 +261,48 @@ object Dedup {
       .withColumn("simhash", simhash16FromHashes(col("__th")))
       .drop("__toks", "__th")
 
-  /** SimHash near-duplicates: hamming distance ≤ `maxDist` (≤1 here by
-    * construction). Pigeonhole bucketing — a pair within distance 1 of a
-    * 16-bit signature must agree on at least one 8-bit half — so
-    * candidates come from an equi-join on tagged half-keys, never an
-    * all-pairs comparison; the exact hamming check then filters. At
-    * scale this is two narrow shuffles on (half-key, doc_id, simhash). */
+  /** SimHash near-duplicates: hamming distance ≤ 1 over the 16-bit
+    * signatures.
+    *
+    * The search runs on DISTINCT signatures, not documents: a 16-bit
+    * space has ≤ 65,536 values, and a pair within distance 1 is equal or
+    * differs in exactly one of 16 bits, so each distinct signature emits
+    * itself plus its 16 single-bit flips and the realized signature
+    * pairs come from one equi-join of that variant set against the
+    * distinct signatures (≤ 17 × 65k rows — broadcastable at ANY corpus
+    * size). Documents then join back BY SIGNATURE to expand the matched
+    * pairs, so total cost is linear in corpus + output. The previous
+    * 8-bit-half pigeonhole bucketing self-joined documents into
+    * O(n²/256) candidate rows — quadratic at scale; this plan never
+    * self-joins the corpus at all. */
   def simhashNearDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sigs = simhashSignatures(docs, textCol).select("doc_id", "simhash")
-    val bucketed = sigs.select(
-      col("doc_id"), col("simhash"),
-      explode(array(
-        concat(lit("lo:"), col("simhash").bitwiseAND(lit(255)).cast("string")),
-        concat(lit("hi:"), shiftright(col("simhash"), 8).cast("string")))).as("bucket"))
-      // compact (bucket, id, sig) rows; materialized so the self-join
-      // below doesn't recompute the simhash pipeline on both sides
+      // compact (id, sig) rows, read by the distinct pass and both
+      // expansion sides — cached so the text is tokenized exactly once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = bucketed.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .distinct()
-      .withColumn("dist", hamming16(col("sh_a"), col("sh_b")))
-      .filter(col("dist") <= 1)
-      .select("doc_a", "doc_b", "dist")
+    val distinctSigs = sigs.select("simhash").distinct()
+    // (sh_a ≤ sh_b) signature pairs at hamming distance ≤ 1: identity
+    // variant covers distance 0, each single-bit flip distance 1; the
+    // ≤ filter keeps exactly one orientation of every unordered pair
+    val variants = distinctSigs.select(
+      col("simhash").as("sh_a"),
+      explode(array(col("simhash") +: (0 until 16).map(b =>
+        col("simhash").bitwiseXOR(lit(1 << b))): _*)).as("sh_b"))
+      .filter(col("sh_a") <= col("sh_b"))
+    val sigPairs = variants.join(distinctSigs.select(col("simhash").as("sh_b")), Seq("sh_b"))
+    val a = sigs.select(col("simhash").as("sh_a"), col("doc_id").as("da"))
+    val b = sigs.select(col("simhash").as("sh_b"), col("doc_id").as("db"))
+    // a doc pair maps to exactly one signature pair, so no dedup pass is
+    // needed; least/greatest restores id order for cross-group pairs
+    releasing(
+      a.join(broadcast(sigPairs), Seq("sh_a")).join(b, Seq("sh_b"))
+        .filter(col("sh_a") =!= col("sh_b") || col("da") < col("db"))
+        .filter(col("da") =!= col("db"))
+        .select(
+          least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          hamming16(col("sh_a"), col("sh_b")).as("dist")),
+      sigs)
   }
 
   /** Near-duplicates within a blocking key (e.g. source): LSH band
@@ -285,8 +319,10 @@ object Dedup {
       maxBucket: Int = 10000,
       textCol: String = "text"): DataFrame = {
     val staged = tokenStage(docs, textCol, Some(blockCol))
-    val banded = bandedIds(staged, shingleSize, k, bands, maxBucket, Some(blockCol))
-      .withColumnRenamed(blockCol, "blk")
+    // bandedRaw is the frame that holds the cache; the renamed projection
+    // over it would not match the cached plan in unpersist
+    val bandedRaw = bandedIds(staged, shingleSize, k, bands, maxBucket, Some(blockCol))
+    val banded = bandedRaw.withColumnRenamed(blockCol, "blk")
     val pairs = banded.select(col("band"), col("blk"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("blk"), col("doc_id").as("doc_b")),
         Seq("band", "blk"))
@@ -295,7 +331,9 @@ object Dedup {
       .distinct()
     val docToks = staged.select(col("doc_id"),
       array_distinct(col("__toks")).as("toks"))
-    jaccardOnPairs(pairs, docToks, threshold)
-      .select(col("blk"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    releasing(
+      jaccardOnPairs(pairs, docToks, threshold)
+        .select(col("blk"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+      staged, bandedRaw)
   }
 }

@@ -138,12 +138,14 @@ object Similarity {
       .select(col("vec_id"),
         transform(asDouble(col("embedding")), x => x / col("__n")).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs
-      .join(unit.select(col("vec_id").as("vec_a"), col("u").as("ua")), Seq("vec_a"))
-      .join(unit.select(col("vec_id").as("vec_b"), col("u").as("ub")), Seq("vec_b"))
-      .withColumn("cos", round(dotDouble(col("ua"), col("ub")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+    Dedup.releasing(
+      pairs
+        .join(unit.select(col("vec_id").as("vec_a"), col("u").as("ua")), Seq("vec_a"))
+        .join(unit.select(col("vec_id").as("vec_b"), col("u").as("ub")), Seq("vec_b"))
+        .withColumn("cos", round(dotDouble(col("ua"), col("ub")), 4))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("cos")),
+      bucketed, unit)
   }
 
   /** Full per-label centroid vectors as `array<double>` (components

@@ -72,17 +72,31 @@ object StatsPruning {
     case _ => None
   }
 
-  private def isNumeric(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
-    case _: DecimalType => true
+  /** true ⇔ every value of `from` maps to EXACTLY the same numeric value
+    * under Cast to `to` — the only condition under which dropping the
+    * cast keeps range pruning sound. Deliberately narrower than
+    * Cast.canUpCast: int→float and long→float/double are "up" casts but
+    * round values past the mantissa, so a stripped predicate could prune
+    * an entry whose rows match after rounding. Decimal targets delegate
+    * to canUpCast (integral/decimal → wider decimal is exact). */
+  private def valuePreserving(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (f @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType) =>
+      Cast.canUpCast(f, d)
+    case (f: DecimalType, d: DecimalType) => Cast.canUpCast(f, d)
     case _ => false
   }
 
-  /** Strip numeric-widening casts (monotone, value-preserving for range
-    * comparison via BigDecimal) the analyzer inserts for type coercion.
-    * Any other cast blocks pruning on that operand. */
+  /** Strip only provably value-preserving widening casts (monotone and
+    * exact, so range comparison via BigDecimal is unchanged). Any other
+    * cast — narrowing, truncating, or precision-losing like long→double —
+    * blocks pruning on that operand: attrName/litVal see the Cast node,
+    * match nothing, and the entry is conservatively kept. */
   private def strip(e: Expression): Expression = e match {
-    case c: Cast if isNumeric(c.dataType) && isNumeric(c.child.dataType) => strip(c.child)
+    case c: Cast if valuePreserving(c.child.dataType, c.dataType) => strip(c.child)
     case other => other
   }
 

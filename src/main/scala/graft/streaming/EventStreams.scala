@@ -71,19 +71,28 @@ object EventStreams {
     * (just the open session aggregate, never the events). Events inside
     * a micro-batch are sorted per key in memory — bounded by per-key
     * batch volume, not history. */
+  /** Full-microsecond epoch value of a Timestamp. Event timestamps carry
+    * microseconds (and the oracle compares full precision), so both the
+    * sort key and the gap test must use micros — Timestamp.getTime alone
+    * (millis) would glue together events whose true gap is gapMs plus
+    * sub-millisecond micros, and mis-order same-millisecond events. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapMicros = Math.multiplyExact(gapMs, 1000L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[Session]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val closed = Seq.newBuilder[Session]
           var open = state.getOption
           for (e <- sorted) {
             open match {
-              case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+              case Some(s) if micros(e.ts) - micros(s.session_end) <= gapMicros =>
                 open = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
               case Some(s) =>
                 closed += s
