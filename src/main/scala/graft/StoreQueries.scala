@@ -189,9 +189,33 @@ object StoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** c15: incremental batch scan — two append generations with a MERGE
+    * rewrite committed between them; `changes(sinceV1)` returns exactly
+    * the appended rows: the merge snapshot is skipped (its entries are
+    * rewritten OLD rows), the append manifests are immutable, so the
+    * incremental reader sees only new data — Iceberg's
+    * `start-snapshot-id` contract. */
+  private def c15(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_inc"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_inc")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = t.createOrReplace(base.filter(col("o_orderkey") % 3 === 0)).version
+    t.append(base.filter(col("o_orderkey") % 3 === 1))
+    // rewrite commit inside the range: must NOT surface in the
+    // incremental read (only the base %3==0 rows are touched by it)
+    t.mergeInto(
+      base.filter(col("o_orderkey") % 3 === 0).withColumn("o_orderstatus", lit("M")),
+      Seq("o_orderkey"))
+    t.append(base.filter(col("o_orderkey") % 3 === 2))
+    t.changes(v1).orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_stats_pruned_scan" -> (c13 _),
     "c14_schema_evolution" -> (c14 _),
+    "c15_incremental_scan" -> (c15 _),
     "c06_lake_merge_delete" -> (c06 _),
     "c07_lake_partitioned_cow" -> (c07 _),
     "c12_lake_bucketed_cow" -> (c12 _),
@@ -208,6 +232,11 @@ object StoreQueries {
       """SELECT o_orderkey, o_totalprice,
          CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '-' END AS status
          FROM orders ORDER BY o_orderkey""",
+    "c15_incremental_scan" ->
+      // appended rows only, at their ORIGINAL values: the merge rewrote
+      // the %3=0 base generation, which the incremental read skips
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey""",
     "c13_stats_pruned_scan" ->
       """WITH b AS (SELECT max(event_id) // 4 AS q FROM events)
          SELECT event_type, count(*) AS n,

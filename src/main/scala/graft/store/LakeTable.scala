@@ -381,6 +381,43 @@ class LakeTable(
     readEntries(s, s.entries)
   }
 
+  /** Incremental BATCH scan — the Iceberg `start-snapshot-id`
+    * incremental append read (`tests/99.test_iceberg_cdc.ipynb`
+    * options): rows in data files ADDED by append-family snapshots with
+    * `fromVersion < version <= toVersion` (default: current version).
+    * Rewrite snapshots (merge / delete / overwrite / create-or-replace /
+    * compaction) are SKIPPED — their entries are rewritten OLD rows, not
+    * new data — mirroring Iceberg's `streaming-skip-overwrite-snapshots`
+    * / `streaming-skip-delete-snapshots`. Columns added by later schema
+    * evolution are null-backfilled and the result conforms to the
+    * `toVersion` schema. Cost is O(appended data in the range): added
+    * entries come from a manifest diff against the parent snapshot, no
+    * table scan. Snapshots in the range must not be expired. */
+  def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val cur = requireExists()
+    val hi = toVersion.getOrElse(cur.version)
+    val hiSnap = if (hi == cur.version) cur else readSnapshot(hi)
+    val appendOps = Set("append", "append-evolve")
+    val added = allSnapshots
+      .filter(s => s.version > fromVersion && s.version <= hi && appendOps(s.operation))
+      .map { s =>
+        val parentKeys = s.parentVersion
+          .map(v => readSnapshot(v).entries.map(e => (e.dir, e.partition)).toSet)
+          .getOrElse(Set.empty[(String, Option[String])])
+        readEntries(s, s.entries.filterNot(e => parentKeys((e.dir, e.partition))))
+      }
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hiSnap.schema)
+    else {
+      val unioned = added.reduce(_.unionByName(_, allowMissingColumns = true))
+      val backfilled = hiSnap.schema.fields.foldLeft(unioned)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+      conform(backfilled, hiSnap)
+    }
+  }
+
   // -------------------------------------------------------------------
   // write operations
   // -------------------------------------------------------------------

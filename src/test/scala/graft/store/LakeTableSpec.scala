@@ -43,6 +43,33 @@ class LakeTableSpec extends SparkSpec {
     t.read.count() shouldBe 2
   }
 
+  test("changes: appended rows only, rewrite snapshots skipped") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
+    t.append(df(Seq((3L, "c", 3.0))))
+    t.mergeInto(df(Seq((1L, "A", 10.0))), Seq("id")) // rewrite: skipped
+    val v4 = t.append(df(Seq((4L, "d", 4.0)))).version
+    t.deleteWhereExists(df(Seq((2L, "x", 0.0))).select("id"), Seq("id"))
+    val inc = t.changes(v1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    inc shouldBe Seq((3L, "c"), (4L, "d")) // merged/deleted rows absent
+    // bounded range and empty range
+    t.changes(v1, Some(v4)).count() shouldBe 2
+    t.changes(t.currentSnapshot.get.version).count() shouldBe 0
+    t.changes(v4).count() shouldBe 0 // only the delete rewrite follows v4
+  }
+
+  test("changes: evolved columns null-backfilled to the latest schema") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0)))).version
+    t.append(df(Seq((2L, "b", 2.0))))
+    t.appendEvolve(Seq((3L, "c", 3.0, "extra")).toDF("id", "status", "amount", "note"))
+    val inc = t.changes(v1).orderBy("id").collect()
+    inc.map(_.getLong(0)).toSeq shouldBe Seq(2L, 3L)
+    inc.map(r => Option(r.getString(3))).toSeq shouldBe Seq(None, Some("extra"))
+  }
+
   test("mergeInto: source rows win, unmatched inserted, rest survive") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
