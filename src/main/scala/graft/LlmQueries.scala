@@ -143,6 +143,22 @@ object LlmQueries {
         threshold = 0.8, maxBucket = 100)
       .orderBy("doc_a", "doc_b")
 
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    // end-to-end curation pass — the composition a training-data
+    // pipeline actually runs: exact dedup (keep lowest doc_id per
+    // fingerprint) → quality score ≥ 0.5 → language-ID agrees with the
+    // declared lang. One window over fingerprints plus map-side scoring;
+    // the survivors are the training set. Filters compare the
+    // 4dp-ROUNDED quality so the oracle reproduces boundary decisions.
+    Dedup
+      .exactDedup(documents(s, dir))
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("quality", qualityScoreFromTokens(col("text"), col("__toks")))
+      .withColumn("lang_pred", langIdFromTokens(col("text"), col("__toks")))
+      .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+
   private def d09(s: SparkSession, dir: String): DataFrame =
     Dedup
       .simhashSignatures(documents(s, dir))
@@ -197,6 +213,14 @@ object LlmQueries {
     Similarity
       .bruteKnnTopKAgg(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 5)
       .orderBy("query_id", "rank")
+  }
+
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .rangeSearch(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        threshold = 0.3)
+      .orderBy("query_id", "neighbor_id")
   }
 
   private def d12(s: SparkSession, dir: String): DataFrame =
@@ -275,12 +299,14 @@ object LlmQueries {
     "d14_bpe_tokens" -> (d14 _),
     "d15_incremental_dedup" -> (d15 _),
     "d16_char_ngram_near_dup" -> (d16 _),
+    "d17_curation_pipeline" -> (d17 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
     "e04_knn_ivf" -> (e04 _),
     "e05_knn_multiprobe" -> (e05 _),
     "e06_knn_topk_agg" -> (e06 _),
+    "e08_range_search" -> (e08 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -459,6 +485,45 @@ object LlmQueries {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 1
          ORDER BY doc_a, doc_b""",
+    "d17_curation_pipeline" ->
+      s"""WITH f AS (SELECT doc_id, text, lang,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g')),
+                                   '\\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         r AS (SELECT doc_id, text, lang, row_number() OVER
+                 (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+         d AS (SELECT doc_id, text, lang FROM r WHERE rn = 1),
+         t AS (SELECT doc_id, text, lang,
+                 string_split_regex(trim(text), '\\s+') AS tk FROM d),
+         m AS (SELECT doc_id, text, lang, tk,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(tk, x -> x IN ($enList))) AS DOUBLE) AS stop_cnt,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) AS punct_cnt
+             FROM t),
+         qs AS (SELECT doc_id, text, lang, tk, round(
+             (CASE WHEN ntok BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + least(stop_cnt / ntok * 2.0, 1.0) * 0.4
+             + (1.0 - least(punct_cnt / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2,
+             4) AS quality
+           FROM m),
+         lp AS (SELECT doc_id, lang, quality, CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN len(list_filter(tk, x -> x IN ($esList))) >
+                  len(list_filter(tk, x -> x IN ($enList))) THEN 'es'
+             ELSE 'en' END AS lang_pred
+           FROM qs)
+         SELECT doc_id, lang, quality FROM lp
+         WHERE quality >= 0.5 AND lang_pred = lang ORDER BY doc_id""",
+    "e08_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, round($CosSql, 4) AS cos
+               FROM c CROSS JOIN q)
+         SELECT query_id, neighbor_id, cos FROM s
+         WHERE cos >= 0.3 ORDER BY query_id, neighbor_id""",
     "e06_knn_topk_agg" ->
       // exact kNN — same oracle as e01: the custom aggregate changes the
       // physical plan, not the result

@@ -54,6 +54,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Cosine RANGE search: every corpus vector within cosine ≥
+    * `threshold` of each query — the radius-query companion to top-k
+    * kNN (retrieval filters like "everything at least this similar",
+    * where the neighbor count is data-dependent, not fixed k).
+    *
+    * Scale shape: identical to bruteKnn's scan side — queries broadcast,
+    * one map-side cosine per (query, corpus) pair, and the ≥ filter runs
+    * before anything shuffles, so the only moving data is the result
+    * set. The threshold applies to the 4dp-rounded cosine so external
+    * engines reproduce boundary decisions bit-for-bit. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   /** Exact kNN via the custom bounded top-k aggregate — same contract
     * and results as bruteKnn, different physical shape: the window form
     * shuffles every scored (query, candidate) row to rank it, while

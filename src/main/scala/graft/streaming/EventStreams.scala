@@ -62,6 +62,14 @@ object EventStreams {
       session_end: Timestamp,
       n_events: Long)
 
+  /** Full-microsecond epoch value of a Timestamp. Event timestamps carry
+    * microseconds (and the oracle compares full precision), so both the
+    * sort key and the gap test must use micros — Timestamp.getTime alone
+    * (millis) would glue together events whose true gap is gapMs plus
+    * sub-millisecond micros, and mis-order same-millisecond events. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Gap-based sessionization with EXPLICIT custom state
     * (`flatMapGroupsWithState`): a closed session is emitted as soon as
     * an event more than `gapMs` past the session end arrives for the
@@ -71,14 +79,6 @@ object EventStreams {
     * (just the open session aggregate, never the events). Events inside
     * a micro-batch are sorted per key in memory — bounded by per-key
     * batch volume, not history. */
-  /** Full-microsecond epoch value of a Timestamp. Event timestamps carry
-    * microseconds (and the oracle compares full precision), so both the
-    * sort key and the gap test must use micros — Timestamp.getTime alone
-    * (millis) would glue together events whose true gap is gapMs plus
-    * sub-millisecond micros, and mis-order same-millisecond events. */
-  private def micros(t: Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = Math.multiplyExact(gapMs, 1000L)
