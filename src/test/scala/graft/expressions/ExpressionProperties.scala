@@ -118,4 +118,30 @@ object ExpressionProperties extends Properties("graft.expressions") {
         hs.map(h => ((h % P) * (2 * i + 1) + i * 40503L) % P).min)
       arr == expected
     }
+
+  property("minhash sketch floorMods negative inputs and stays in [0, P)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue + 1, Long.MaxValue)), kGen) {
+      (hs, k) =>
+        val P = 2147483647L
+        val arr = MinhashSketch(
+          Literal.create(hs, ArrayType(LongType)), Literal(k))
+          .eval().asInstanceOf[GenericArrayData].toLongArray().toSeq
+        val expected = (0 until k).map(i =>
+          hs.map(h => (Math.floorMod(h, P) * (2 * i + 1) + i * 40503L) % P).min)
+        arr == expected && arr.forall(v => v >= 0 && v < P)
+    }
+
+  property("minhash sketch skips null slots; all-null input yields empty") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1L << 60)), kGen) { (hs, k) =>
+      val nullable = ArrayType(LongType, containsNull = true)
+      val interleaved: Seq[Any] = hs.flatMap(h => Seq[Any](h, null))
+      val sparse = MinhashSketch(Literal.create(interleaved, nullable), Literal(k))
+        .eval().asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val dense = MinhashSketch(Literal.create(hs, ArrayType(LongType)), Literal(k))
+        .eval().asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val allNull = MinhashSketch(
+        Literal.create(Seq[Any](null, null), nullable), Literal(k))
+        .eval().asInstanceOf[GenericArrayData].numElements()
+      sparse == dense && allNull == 0
+    }
 }

@@ -35,6 +35,18 @@ class TopKByScoreSpec extends SparkSpec {
     many shouldBe one
   }
 
+  test("non-integer k literal fails analysis cleanly, not with a cast error") {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = TopKByScore(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true),
+      Literal(UTF8String.fromString("x"), StringType))
+    agg.checkInputDataTypes() shouldBe a[TypeCheckResult.TypeCheckFailure]
+  }
+
   test("null scores and ids are skipped") {
     val df = Seq((1L, Some(0.5), Some(1L)), (1L, None, Some(2L)), (1L, Some(0.9), None))
       .toDF("g", "score", "id")
