@@ -72,6 +72,14 @@ object StatsPruning {
     case _ => None
   }
 
+  /** Catalyst-internal value (InSet element) → comparable. */
+  private def internalValue(raw: Any): Option[Any] = raw match {
+    case null => None
+    case u: UTF8String => asciiOnly(u.toString)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case other => toComparable(other)
+  }
+
   /** true ⇔ every value of `from` maps to EXACTLY the same numeric value
     * under Cast to `to` — the only condition under which dropping the
     * cast keeps range pruning sound. Deliberately narrower than
@@ -175,10 +183,12 @@ object StatsPruning {
       case In(a, vs) if vs.nonEmpty =>
         vs.forall(v => outside(pair(a, v), eqOut))
       case InSet(a, vs) if vs.nonEmpty =>
+        // InSet carries INTERNAL values (UTF8String for strings, boxed
+        // numbers, Decimal) — convert directly; Literal.apply would
+        // throw on internal types rather than fail conservatively
         attrName(a).exists { n =>
           vs.forall { raw =>
-            val lit = Literal(raw)
-            literalValue(lit).exists(v =>
+            internalValue(raw).exists(v =>
               range(stats, schema, n).exists { case (lo, hi) =>
                 (cmp(lo, v), cmp(hi, v)) match {
                   case (Some(cl), Some(ch)) => eqOut(cl, ch)

@@ -51,6 +51,36 @@ class StatsPruningSpec extends SparkSpec {
     t.prunedEntries(s, col("s") === "r50").length should be <= 2
   }
 
+  test("InSet over internal values (UTF8String / boxed longs) prunes without crashing") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = build3(freshTable)
+    val s = t.currentSnapshot.get
+    val stats = s.entries.head.stats // id range [0, 99]
+    // optimizer emits InSet with INTERNAL element types; both must be
+    // handled directly, not via Literal.apply (which rejects them)
+    val longsOut = InSet(UnresolvedAttribute("id"),
+      (1000L to 1020L).map(java.lang.Long.valueOf).toSet)
+    val longsIn = InSet(UnresolvedAttribute("id"),
+      Set[Any](java.lang.Long.valueOf(5L), java.lang.Long.valueOf(2000L)))
+    val strsOut = InSet(UnresolvedAttribute("s"),
+      Set[Any](UTF8String.fromString("zz1"), UTF8String.fromString("zz2")))
+    StatsPruning.mayMatch(stats, s.schema, longsOut) shouldBe false
+    StatsPruning.mayMatch(stats, s.schema, longsIn) shouldBe true
+    StatsPruning.mayMatch(stats, s.schema, strsOut) shouldBe false
+  }
+
+  test("value-changing casts block pruning (conservative keep)") {
+    val t = build3(freshTable)
+    val s = t.currentSnapshot.get
+    // id.cast(double) is long->double: NOT value-preserving past 2^53,
+    // so the cast must not be stripped and nothing may be pruned
+    t.prunedEntries(s, col("id").cast("double") === 250.0).length shouldBe 3
+    // int->long IS value-preserving: the coercion cast strips and prunes
+    t.prunedEntries(s, col("id") === 250).length shouldBe 1
+  }
+
   test("readWhere returns exactly the filtered rows (pruning never drops matches)") {
     val t = build3(freshTable)
     val out = t.readWhere(col("id").between(90L, 110L)).select("id")
