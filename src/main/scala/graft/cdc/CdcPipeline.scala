@@ -125,7 +125,13 @@ object CdcPipeline {
 
   /** MERGE the upserts, DELETE the deletes — staged through global temp
     * views suffixed by table name to avoid cross-topic collision, like
-    * the reference's SQL path (`cdc_pipeline.py:211-251`). */
+    * the reference's SQL path (`cdc_pipeline.py:211-251`).
+    *
+    * Each side is persisted around its apply: the decode → cast →
+    * window-dedup lineage above it is otherwise re-evaluated up to three
+    * times per apply (the isEmpty probe, the COW pruning agg/collect,
+    * and the rewrite join) — caching the micro-batch-sized result makes
+    * those passes one Avro decode instead of three. */
   def applyCdcChanges(
       spark: SparkSession,
       table: LakeTable,
@@ -133,20 +139,26 @@ object CdcPipeline {
       upserts: DataFrame,
       deletes: DataFrame): Unit = {
 
-    if (!upserts.isEmpty) {
-      val viewName = s"upsert_view_$viewSuffix"
-      upserts.createOrReplaceGlobalTempView(viewName)
-      logger.info(s"Executing Merge Into for ${table.name}")
-      table.mergeInto(spark.table(s"global_temp.$viewName"), Seq("id_iceberg"))
-    }
+    val up = upserts.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!up.isEmpty) {
+        val viewName = s"upsert_view_$viewSuffix"
+        up.createOrReplaceGlobalTempView(viewName)
+        logger.info(s"Executing Merge Into for ${table.name}")
+        table.mergeInto(spark.table(s"global_temp.$viewName"), Seq("id_iceberg"))
+      }
+    } finally up.unpersist(false)
 
-    if (!deletes.isEmpty) {
-      val viewName = s"delete_view_$viewSuffix"
-      deletes.createOrReplaceGlobalTempView(viewName)
-      logger.info(s"Executing Delete for ${table.name}")
-      table.deleteWhereExists(
-        spark.table(s"global_temp.$viewName").select("id_iceberg"), Seq("id_iceberg"))
-    }
+    val del = deletes.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!del.isEmpty) {
+        val viewName = s"delete_view_$viewSuffix"
+        del.createOrReplaceGlobalTempView(viewName)
+        logger.info(s"Executing Delete for ${table.name}")
+        table.deleteWhereExists(
+          spark.table(s"global_temp.$viewName").select("id_iceberg"), Seq("id_iceberg"))
+      }
+    } finally del.unpersist(false)
   }
 
   /** One micro-batch (`cdc_pipeline.py:254-339`): persist, resolve the
