@@ -34,10 +34,12 @@ class HttpSchemaRegistry(baseUrl: String, cacheSize: Int = 256) extends SchemaRe
         size() > cacheSize
     }
 
+  // one client for the registry's lifetime — HttpClient pools connections
+  private val client = java.net.http.HttpClient.newHttpClient()
+
   def getSchema(id: Int): String = cache.synchronized {
     Option(cache.get(id)).getOrElse {
       val uri = java.net.URI.create(s"$baseUrl/schemas/ids/$id")
-      val client = java.net.http.HttpClient.newHttpClient()
       val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
       val body = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
       val schema = DebeziumSchema.parse(body).get("schema").asText()
