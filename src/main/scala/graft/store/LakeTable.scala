@@ -402,7 +402,18 @@ class LakeTable(
       .filter(s => s.version > fromVersion && s.version <= hi && appendOps(s.operation))
       .map { s =>
         val parentKeys = s.parentVersion
-          .map(v => readSnapshot(v).entries.map(e => (e.dir, e.partition)).toSet)
+          .map { v =>
+            val parent =
+              try readSnapshot(v)
+              catch {
+                case e: java.io.FileNotFoundException =>
+                  throw new IllegalStateException(
+                    s"incremental scan of $name needs snapshot v$v (parent of " +
+                      s"v${s.version}) but it was expired — start from a retained version",
+                    e)
+              }
+            parent.entries.map(e => (e.dir, e.partition)).toSet
+          }
           .getOrElse(Set.empty[(String, Option[String])])
         readEntries(s, s.entries.filterNot(e => parentKeys((e.dir, e.partition))))
       }
