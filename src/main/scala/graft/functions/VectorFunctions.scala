@@ -21,18 +21,28 @@ object VectorFunctions {
   /** Cast a float vector to double for drift-free arithmetic. */
   def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), _ + _)
+  /** Σ aᵢ·bᵢ — native fused pass (`graft.expressions.DotProduct`,
+    * registered by GraftExtensions). The HOF composition
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is the reference
+    * semantics; HOF lambdas are CodegenFallback (interpreted per
+    * element), the native loop is codegen'd, results bit-identical. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Dot product of two ALREADY-double arrays (skips the cast pass —
-    * for pre-normalized unit vectors on the candidate-verify hot path). */
-  def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+  /** Same kernel — float and double element types both accepted (kept
+    * as a named entry point for the pre-normalized unit-vector verify
+    * hot path). */
+  def dotDouble(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity — native ONE-pass kernel
+    * (`graft.expressions.CosineSim`): the composed
+    * `dot(a,b)/(norm2(a)*norm2(b))` walks the vectors three times
+    * through interpreted lambdas; the fused loop accumulates all three
+    * sums per element in the same order, so values are bit-identical
+    * and ~an order of magnitude cheaper per scored pair. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
@@ -63,9 +73,14 @@ object VectorFunctions {
   /** Bucket key over planes [firstPlane, firstPlane + planes): disjoint
     * plane ranges give INDEPENDENT hash tables for multi-table LSH (a
     * vector pair missed by one table collides in another — recall grows
-    * with the table count while each table stays selective). */
+    * with the table count while each table stays selective).
+    *
+    * Native ONE-pass kernel (`graft.expressions.LshBucket`): the
+    * composed form `concat(hyperplaneBit(v, p)*)` runs one interpreted
+    * HOF aggregate per plane; the fused loop projects all planes while
+    * walking the vector once, emitting identical bucket strings. */
   def lshBucketFrom(v: Column, planes: Int, firstPlane: Int): Column =
-    concat((0 until planes).map(p => hyperplaneBit(v, firstPlane + p)): _*)
+    call_function("graft_lsh_bucket", v, lit(planes), lit(firstPlane))
 
   /** Exact bounded top-k aggregate (`graft.expressions.TopKByScore`,
     * registered by GraftExtensions): k best (score desc, id asc) pairs

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{MinhashSketch, NgramHashes, RollingHash, TopKByScore}
+import graft.expressions.{CosineSim, DotProduct, LshBucket, MinhashSketch, NgramHashes, RollingHash, TopKByScore}
 
 /** Engine extension hook, wired through `spark.sql.extensions`
   * (GraftSession sets it): the supported injection point for custom
@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TopKByScore.descriptor)
     ext.injectFunction(NgramHashes.descriptor)
     ext.injectFunction(MinhashSketch.descriptor)
+    ext.injectFunction(DotProduct.descriptor)
+    ext.injectFunction(CosineSim.descriptor)
+    ext.injectFunction(LshBucket.descriptor)
   }
 }
