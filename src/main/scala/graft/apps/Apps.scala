@@ -188,7 +188,7 @@ object LakeMaintenanceApp {
     val dagId = a.getOrElse("dag_id", "maintenance")
     try {
       Watermark.ensureWatermarkTables(cat)
-      Watermark.purgeWatermarks(cat, a.int("retention_days", 14))
+      Watermark.purgeWatermarks(cat, a.int("retention_days", 7))
       for (t <- cat.listTables(Watermark.OpsSchema))
         Maintenance.runCompaction(cat, dagId, s"${Watermark.OpsSchema}.$t")
       for (schema <- a.getOrElse("schemas", "").split(',').filter(_.nonEmpty);

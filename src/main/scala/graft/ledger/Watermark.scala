@@ -65,7 +65,7 @@ object Watermark {
 
   /** Contended-ledger commit tuning, as on the reference's DDL. */
   private val LedgerProperties = Map(
-    "commit.retry.min-wait-ms" -> "50",
+    "commit.retry.min-wait-ms" -> "200",
     "commit.retry.num-retries" -> "20")
 
   /** Create both ledger tables if absent (`watermark.py:24-98`). */
@@ -225,7 +225,7 @@ object Watermark {
     *  - cdc: key (dag_id, iceberg_schema, table_name), newest processed_at
     *  - maintenance: key (…, procedure_type), newest started_at
     */
-  def purgeWatermarks(cat: LakeCatalog, retentionDays: Int = 14): Unit = {
+  def purgeWatermarks(cat: LakeCatalog, retentionDays: Int = 7): Unit = {
     purgeOne(cat, CdcTable,
       Seq("dag_id", "iceberg_schema", "table_name"), "processed_at", retentionDays)
     purgeOne(cat, MaintenanceTable,
