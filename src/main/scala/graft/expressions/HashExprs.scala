@@ -1,0 +1,191 @@
+package graft.expressions
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-element hashing kernels for the dedup staging columns.
+  *
+  * The composed forms — `transform(arr, s => conv(substring(md5(s), 1,
+  * n), 16, 10))` and the 16 per-bit `aggregate` votes of simhash — run
+  * interpreted lambdas around codegen'd crypto: every element pays HOF
+  * dispatch, string slicing, and a decimal round-trip (conv emits a
+  * STRING that is then cast). These kernels do the md5 once per element
+  * and parse the prefix directly, emitting identical values (pure
+  * integer math — no floating-point order concerns at all).
+  */
+object HashKernels {
+  /** First `nHex` hex chars of md5(bytes) as an unsigned long value —
+    * exactly `conv(substring(md5(s), 1, nHex), 16, 10)` for nHex ≤ 15. */
+  def md5PrefixLong(bytes: Array[Byte], nHex: Int): Long =
+    java.lang.Long.parseLong(DigestUtils.md5Hex(bytes).substring(0, nHex), 16)
+}
+
+/** `graft_md5_longs(arr, nHex)` — md5-prefix long per string element,
+  * null elements pass through as null (transform semantics). */
+case class Md5PrefixLongs(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case ArrayType(_: StringType, _) =>
+        if (!right.foldable || right.dataType != IntegerType)
+          TypeCheckResult.TypeCheckFailure("graft_md5_longs: nHex must be an INT literal")
+        else {
+          val n = right.eval().asInstanceOf[Number].intValue()
+          if (n < 1 || n > 15)
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_md5_longs: nHex must be in [1, 15], got $n")
+          else TypeCheckResult.TypeCheckSuccess
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_md5_longs requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_md5_longs"
+
+  private lazy val nHex: Int = right.eval().asInstanceOf[Number].intValue()
+
+  protected override def nullSafeEval(arr: Any, nv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) =
+        if (a.isNullAt(i)) null
+        else HashKernels.md5PrefixLong(a.getUTF8String(i).getBytes, nHex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $arr.numElements();
+         |Object[] $out = new Object[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    $out[$i] = graft.expressions.HashKernels.md5PrefixLong(
+         |      $arr.getUTF8String($i).getBytes(), $nHex);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5PrefixLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+object Md5PrefixLongs {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_md5_longs"),
+    new ExpressionInfo(classOf[Md5PrefixLongs].getCanonicalName, "graft_md5_longs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_md5_longs takes (arr, nHex)")
+      Md5PrefixLongs(children(0), children(1))
+    })
+}
+
+/** `graft_simhash16(hashes)` — 16-bit simhash from per-token hashes in
+  * ONE pass: bit j set iff more hashes have bit j set than not. The
+  * composed form runs 16 interpreted aggregates over the array (one per
+  * bit); integer votes are order-independent, so the fused loop is
+  * exactly equal.
+  *
+  * HOF-parity edges: a null ELEMENT votes −1 on every bit —
+  * `when((null & mask) > 0, 1).otherwise(-1)` falls to the otherwise
+  * branch — which is the same vote h = 0 casts, so nulls read as 0 here.
+  * A null INPUT array yields 0 (not null) in the composed form; callers
+  * coalesce for that (TextFunctions.simhash16FromHashes). */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash16 requires ARRAY<INT|BIGINT>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_simhash16"
+
+  private lazy val isLong =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  protected override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < m) {
+      val h =
+        if (a.isNullAt(i)) 0L
+        else if (isLong) a.getLong(i)
+        else a.getInt(i).toLong
+      var j = 0
+      while (j < 16) {
+        votes(j) += (if ((h & (1L << j)) != 0) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0
+    var j = 0
+    while (j < 16) {
+      if (votes(j) > 0) sig |= 1 << j
+      j += 1
+    }
+    Integer.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val sig = ctx.freshName("sig")
+      val getter = if (isLong) s"$arr.getLong($i)" else s"(long) $arr.getInt($i)"
+      s"""
+         |int $m = $arr.numElements();
+         |int[] $votes = new int[16];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = $arr.isNullAt($i) ? 0L : $getter;
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    $votes[$j] += (($h & (1L << $j)) != 0) ? 1 : -1;
+         |  }
+         |}
+         |int $sig = 0;
+         |for (int $j = 0; $j < 16; $j++) {
+         |  if ($votes[$j] > 0) $sig |= 1 << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
+object Simhash16 {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash16"),
+    new ExpressionInfo(classOf[Simhash16].getCanonicalName, "graft_simhash16"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash16 takes (hashes)")
+      Simhash16(children(0))
+    })
+}

@@ -165,22 +165,28 @@ object TextFunctions {
       concat_ws("_", lit(b.toString) +: parts: _*)
     }: _*)
 
-  /** Per-token 16-bit hash array (stage this as a column — the 16 bit
-    * votes below each scan it). */
+  /** Per-token 16-bit hash array (stage this as a column — the simhash
+    * vote pass scans it). Native fused md5-prefix kernel
+    * (`graft.expressions.Md5PrefixLongs`): same values as
+    * `transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10))`
+    * without the interpreted lambda or the decimal-string round-trip.
+    * GraftSession required. */
   def tokenHashes16(toksCol: Column): Column =
-    transform(toksCol, t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+    call_function("graft_md5_longs", toksCol, lit(4))
+
+  /** Md5-prefix long per element — the hash-once staging for minhash
+    * sketches (60-bit prefix ⇒ nHex = 15). GraftSession required. */
+  def md5PrefixLongs(arr: Column, nHex: Int): Column =
+    call_function("graft_md5_longs", arr, lit(nHex))
 
   /** 16-bit SimHash from a MATERIALIZED per-token hash column: bit j of
-    * the result is set iff more token-hashes have bit j set than not. */
-  def simhash16FromHashes(hashesCol: Column): Column = {
-    val bits = (0 until 16).map { j =>
-      val mask = 1 << j
-      val votes = aggregate(hashesCol, lit(0),
-        (acc, h) => acc + when((h.bitwiseAND(lit(mask))) > 0, 1).otherwise(-1))
-      when(votes > 0, lit(mask)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+    * the result is set iff more token-hashes have bit j set than not.
+    * Native ONE-pass kernel (`graft.expressions.Simhash16`) — the
+    * composed form runs 16 interpreted aggregate votes over the array.
+    * The coalesce preserves the composed form's null-input behavior
+    * (null array → all votes fall to otherwise(0) → signature 0). */
+  def simhash16FromHashes(hashesCol: Column): Column =
+    coalesce(call_function("graft_simhash16", hashesCol), lit(0))
 
   def simhash16(text: Column): Column =
     simhash16FromHashes(tokenHashes16(tokens(text)))

@@ -135,9 +135,7 @@ object Dedup {
     staged
       .filter(size(col("__toks")) >= shingleSize)
       .withColumn("__shingles", shinglesFromTokens(col("__toks"), shingleSize))
-      .withColumn("__sh", transform(col("__shingles"),
-        s => conv(substring(md5(s), 1, 15), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType)))
+      .withColumn("__sh", md5PrefixLongs(col("__shingles"), 15))
       .withColumn("sig", minhashSketch(col("__sh"), k))
       .drop("__toks", "__shingles", "__sh")
 

@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** The native hashing kernels must emit exactly the values of the
+  * composed forms they replaced — they feed LSH band keys and simhash
+  * signatures, where a single changed bit changes candidate sets. */
+class HashExprsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "a b c d e f g h", "single", "")
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("id", "text")
+    .withColumn("toks", tokens(col("text")))
+
+  test("graft_md5_longs equals conv(substring(md5(s), 1, n), 16, 10) for n = 4 and 15") {
+    for (n <- Seq(4, 15)) {
+      val bad = docs.select(
+        (md5PrefixLongs(col("toks"), n) ===
+          transform(col("toks"),
+            t => conv(substring(md5(t), 1, n), 16, 10).cast(LongType))).as("ok"))
+        .filter(!$"ok").count()
+      withClue(s"nHex=$n: ") { bad shouldBe 0L }
+    }
+  }
+
+  test("graft_simhash16 equals the 16 composed aggregate votes") {
+    val hofSimhash = {
+      val hashes = transform(col("toks"),
+        t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+      (0 until 16).map { j =>
+        val mask = 1 << j
+        val votes = aggregate(hashes, lit(0),
+          (acc, h) => acc + when((h.bitwiseAND(lit(mask))) > 0, 1).otherwise(-1))
+        when(votes > 0, lit(mask)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val bad = docs
+      .select((simhash16FromHashes(tokenHashes16(col("toks"))) === hofSimhash).as("ok"))
+      .filter(!$"ok").count()
+    bad shouldBe 0L
+  }
+
+  test("null elements vote like h = 0 and a null input array yields 0") {
+    val edge = Seq(
+      (1L, Seq[java.lang.Long](0xffffL, null, 0xffffL)),
+      (2L, Seq[java.lang.Long](0xffffL, 0L, 0xffffL)),
+      (3L, null))
+      .toDF("id", "hs")
+    val r = edge.select($"id", simhash16FromHashes($"hs").as("sh")).orderBy("id").collect()
+    r(0).getInt(1) shouldBe r(1).getInt(1) // null element == explicit 0
+    r(2).getInt(1) shouldBe 0             // null array == composed-form 0
+    // md5 kernel: null elements pass through as null slots
+    val m = Seq((1L, Seq[String]("a", null, "b"))).toDF("id", "ss")
+      .select(md5PrefixLongs($"ss", 4).as("h")).head().getSeq[Any](0)
+    m.map(_ == null) shouldBe Seq(false, true, false)
+  }
+}
