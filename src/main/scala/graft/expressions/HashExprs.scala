@@ -35,6 +35,8 @@ case class Md5PrefixLongs(left: Expression, right: Expression) extends BinaryExp
       case ArrayType(_: StringType, _) =>
         if (!right.foldable || right.dataType != IntegerType)
           TypeCheckResult.TypeCheckFailure("graft_md5_longs: nHex must be an INT literal")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("graft_md5_longs: nHex must not be NULL")
         else {
           val n = right.eval().asInstanceOf[Number].intValue()
           if (n < 1 || n > 15)

@@ -28,6 +28,8 @@ case class NgramHashes(left: Expression, right: Expression) extends BinaryExpres
         s"graft_ngram_hashes requires STRING, got ${left.dataType.catalogString}")
     else if (!right.foldable || right.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure("graft_ngram_hashes: n must be an INT literal")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure("graft_ngram_hashes: n must not be NULL")
     else {
       val n = right.eval().asInstanceOf[Number].intValue()
       if (n < 1 || n > 7)
@@ -112,7 +114,8 @@ case class MinhashSketch(left: Expression, right: Expression) extends BinaryExpr
       case ArrayType(LongType, _) =>
         if (!right.foldable || right.dataType != IntegerType)
           TypeCheckResult.TypeCheckFailure("graft_minhash_sketch: k must be an INT literal")
-        else if (right.eval().asInstanceOf[Number].intValue() < 1)
+        else if (right.eval() == null ||
+          right.eval().asInstanceOf[Number].intValue() < 1)
           TypeCheckResult.TypeCheckFailure("graft_minhash_sketch: k must be >= 1")
         else TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(

@@ -211,6 +211,9 @@ case class LshBucket(first: Expression, second: Expression, third: Expression)
       !third.foldable || third.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         "graft_lsh_bucket: planes and firstPlane must be INT literals")
+    else if (second.eval() == null || third.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_lsh_bucket: planes and firstPlane must not be NULL")
     else {
       val p = second.eval().asInstanceOf[Number].intValue()
       if (p < 1 || p > 64)
