@@ -100,6 +100,98 @@ object Md5PrefixLongs {
     })
 }
 
+/** `graft_seeded_minhash(shingles, k)` — the k seeded-md5 minima of a
+  * string array in one pass: element i is the lexicographic minimum
+  * over shingles of `substring(md5(concat('<i>|', s)), 1, 16)` —
+  * exactly `array((0 until k).map(seed => array_min(transform(...))))`
+  * without k interpreted transform passes and k materialized hex
+  * arrays per row. Null elements are skipped (array_min semantics);
+  * no non-null input ⇒ null minima. The md5 calls themselves are the
+  * irreducible cost; this removes the per-seed lambda machinery. */
+case class SeededMinhash(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case ArrayType(_: StringType, _) =>
+        if (!right.foldable || right.dataType != IntegerType)
+          TypeCheckResult.TypeCheckFailure("graft_seeded_minhash: k must be an INT literal")
+        else if (right.eval() == null ||
+          right.eval().asInstanceOf[Number].intValue() < 1)
+          TypeCheckResult.TypeCheckFailure("graft_seeded_minhash: k must be >= 1")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_seeded_minhash requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_seeded_minhash"
+
+  private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
+
+  /** "<seed>|" prefixes, precomputed once per expression instance. */
+  private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(s => s"$s|".getBytes("UTF-8"))
+
+  def minima(a: ArrayData): Array[String] = {
+    val mins = new Array[String](k)
+    val m = a.numElements()
+    var i = 0
+    while (i < m) {
+      if (!a.isNullAt(i)) {
+        val sb = a.getUTF8String(i).getBytes
+        var s = 0
+        while (s < k) {
+          val p = prefixes(s)
+          val buf = new Array[Byte](p.length + sb.length)
+          System.arraycopy(p, 0, buf, 0, p.length)
+          System.arraycopy(sb, 0, buf, p.length, sb.length)
+          val h = DigestUtils.md5Hex(buf).substring(0, 16)
+          if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  protected override def nullSafeEval(arr: Any, kv: Any): Any =
+    new GenericArrayData(minima(arr.asInstanceOf[ArrayData])
+      .map(s => if (s == null) null else UTF8String.fromString(s)): Array[Any])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("seededMinhash", this, classOf[SeededMinhash].getName)
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val mins = ctx.freshName("mins")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      s"""
+         |String[] $mins = $self.minima($arr);
+         |Object[] $out = new Object[${k}];
+         |for (int $s = 0; $s < ${k}; $s++) {
+         |  $out[$s] = $mins[$s] == null ? null
+         |    : org.apache.spark.unsafe.types.UTF8String.fromString($mins[$s]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeededMinhash =
+    copy(left = newLeft, right = newRight)
+}
+
+object SeededMinhash {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_seeded_minhash"),
+    new ExpressionInfo(classOf[SeededMinhash].getCanonicalName, "graft_seeded_minhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_seeded_minhash takes (shingles, k)")
+      SeededMinhash(children(0), children(1))
+    })
+}
+
 /** `graft_simhash16(hashes)` — 16-bit simhash from per-token hashes in
   * ONE pass: bit j set iff more hashes have bit j set than not. The
   * composed form runs 16 interpreted aggregates over the array (one per

@@ -149,13 +149,17 @@ object TextFunctions {
     call_function("graft_minhash_sketch", hashes, lit(k))
 
   /** One min-hash: lexicographic min over shingles of the seeded md5's
-    * first 16 hex chars (== numeric min of the 64-bit prefix). */
+    * first 16 hex chars (== numeric min of the 64-bit prefix). The HOF
+    * reference form of one `graft_seeded_minhash` signature slot. */
   def minhash(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => substring(md5(concat(lit(s"$seed|"), s)), 1, 16)))
 
-  /** k-wide min-hash signature as an array of hex strings. */
+  /** k-wide min-hash signature as an array of hex strings — native
+    * fused kernel (`graft.expressions.SeededMinhash`): all k seeded
+    * minima in one pass over the shingles instead of k interpreted
+    * transform passes. GraftSession required. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(seed => minhash(shingles, seed)): _*)
+    call_function("graft_seeded_minhash", shingles, lit(k))
 
   /** LSH band keys: adjacent pairs of signature entries hashed together.
     * Docs sharing ANY band key become candidate pairs. */

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{CosineSim, DotProduct, LshBucket, Md5PrefixLongs, MinhashSketch, NgramHashes, RollingHash, Simhash16, TopKByScore}
+import graft.expressions.{CosineSim, DotProduct, LshBucket, Md5PrefixLongs, MinhashSketch, NgramHashes, RollingHash, SeededMinhash, Simhash16, TopKByScore}
 
 /** Engine extension hook, wired through `spark.sql.extensions`
   * (GraftSession sets it): the supported injection point for custom
@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(LshBucket.descriptor)
     ext.injectFunction(Md5PrefixLongs.descriptor)
     ext.injectFunction(Simhash16.descriptor)
+    ext.injectFunction(SeededMinhash.descriptor)
   }
 }

@@ -49,6 +49,20 @@ class HashExprsSpec extends SparkSpec {
     bad shouldBe 0L
   }
 
+  test("graft_seeded_minhash equals the per-seed array_min/transform composition") {
+    val shingled = docs.withColumn("sh", wordShingles(col("text"), 2))
+      .filter(org.apache.spark.sql.functions.size(col("sh")) >= 1)
+    val hofSig = array((0 until 6).map(seed => minhash(col("sh"), seed)): _*)
+    val bad = shingled
+      .select((minhashSignature(col("sh"), 6) === hofSig).as("ok"))
+      .filter(!$"ok").count()
+    bad shouldBe 0L
+    // empty shingle set: every slot null, like array_min over empty
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(minhashSignature($"sh", 3).as("sig")).head().getSeq[Any](0)
+    empty.forall(_ == null) shouldBe true
+  }
+
   test("null elements vote like h = 0 and a null input array yields 0") {
     val edge = Seq(
       (1L, Seq[java.lang.Long](0xffffL, null, 0xffffL)),
