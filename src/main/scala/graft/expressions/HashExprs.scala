@@ -192,6 +192,75 @@ object SeededMinhash {
     })
 }
 
+/** `graft_hit_count(toks, words)` — how many elements of `toks` appear
+  * in the literal word list, via one hash-set pass. Replaces
+  * `size(filter(toks, t => array_contains(words, t)))`: an interpreted
+  * filter lambda running a linear scan of the list per token. Null
+  * tokens don't count (array_contains(_, null) is null → filtered),
+  * and a null input array yields NULL (size-of-null semantics). */
+case class HitCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("graft_hit_count: words must be a literal array")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("graft_hit_count: words must not be NULL")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_hit_count requires (ARRAY<STRING>, ARRAY<STRING>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hit_count"
+
+  private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val a = right.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) s.add(a.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  def count(arr: ArrayData): Int = {
+    val m = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i) && wordSet.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  protected override def nullSafeEval(arr: Any, wv: Any): Any =
+    Integer.valueOf(count(arr.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hitCount", this, classOf[HitCount].getName)
+    nullSafeCodeGen(ctx, ev, (arr, _) => s"${ev.value} = $self.count($arr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HitCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object HitCount {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hit_count"),
+    new ExpressionInfo(classOf[HitCount].getCanonicalName, "graft_hit_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_hit_count takes (toks, words)")
+      HitCount(children(0), children(1))
+    })
+}
+
 /** `graft_simhash16(hashes)` — 16-bit simhash from per-token hashes in
   * ONE pass: bit j set iff more hashes have bit j set than not. The
   * composed form runs 16 interpreted aggregates over the array (one per

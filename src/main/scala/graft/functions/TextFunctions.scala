@@ -62,10 +62,12 @@ object TextFunctions {
   val SpanishStopwords: Seq[String] =
     Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las")
 
-  private def hitCount(toks: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(set, t)))
-  }
+  /** Native hash-set membership count (`graft.expressions.HitCount`) —
+    * the composed `size(filter(toks, t => array_contains(set, t)))`
+    * runs an interpreted lambda with a linear list scan per token.
+    * Same values incl. null-token and null-array edges. */
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    call_function("graft_hit_count", toks, array(words.map(lit): _*))
 
   def stopwordCount(text: Column): Column = hitCount(tokens(text), EnglishStopwords)
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{CosineSim, DotProduct, LshBucket, Md5PrefixLongs, MinhashSketch, NgramHashes, RollingHash, SeededMinhash, Simhash16, TopKByScore}
+import graft.expressions.{CosineSim, DotProduct, HitCount, LshBucket, Md5PrefixLongs, MinhashSketch, NgramHashes, RollingHash, SeededMinhash, Simhash16, TopKByScore}
 
 /** Engine extension hook, wired through `spark.sql.extensions`
   * (GraftSession sets it): the supported injection point for custom
@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Md5PrefixLongs.descriptor)
     ext.injectFunction(Simhash16.descriptor)
     ext.injectFunction(SeededMinhash.descriptor)
+    ext.injectFunction(HitCount.descriptor)
   }
 }

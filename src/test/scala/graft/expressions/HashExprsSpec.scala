@@ -63,6 +63,25 @@ class HashExprsSpec extends SparkSpec {
     empty.forall(_ == null) shouldBe true
   }
 
+  test("graft_hit_count equals size(filter(array_contains)) incl. null edges") {
+    val words = EnglishStopwords
+    val set = array(words.map(lit): _*)
+    val bad = docs.select(
+      (stopwordCountFromTokens(col("toks")) ===
+        org.apache.spark.sql.functions.size(
+          filter(col("toks"), t => array_contains(set, t)))).as("ok"))
+      .filter(!$"ok").count()
+    bad shouldBe 0L
+    // null token doesn't count; null input array -> NULL
+    val edge = Seq(
+      (1L, Seq[String]("the", null, "fox")),
+      (2L, null))
+      .toDF("id", "toks")
+      .select($"id", stopwordCountFromTokens($"toks").as("n")).orderBy("id").collect()
+    edge(0).getInt(1) shouldBe 1
+    edge(1).isNullAt(1) shouldBe true
+  }
+
   test("null elements vote like h = 0 and a null input array yields 0") {
     val edge = Seq(
       (1L, Seq[java.lang.Long](0xffffL, null, 0xffffL)),
