@@ -4,7 +4,7 @@ import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -189,6 +189,105 @@ object SeededMinhash {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_seeded_minhash takes (shingles, k)")
       SeededMinhash(children(0), children(1))
+    })
+}
+
+/** `graft_shingle_md5_longs(toks, n, nHex)` — md5-prefix long of every
+  * n-token shingle, fusing shingle construction and hashing: the
+  * composed `md5PrefixLongs(shinglesFromTokens(toks, n), nHex)` first
+  * materializes an array of joined shingle STRINGS via an interpreted
+  * transform (concat_ws over a slice per window), then hashes each.
+  * This loop joins each window's bytes into a scratch buffer and hashes
+  * directly — same values (concat_ws skips null tokens, reproduced
+  * here), fewer than-n-tokens input ⇒ empty array. */
+case class ShingleMd5Longs(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    first.dataType match {
+      case ArrayType(_: StringType, _) =>
+        if (!second.foldable || second.dataType != IntegerType ||
+          !third.foldable || third.dataType != IntegerType)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_shingle_md5_longs: n and nHex must be INT literals")
+        else if (second.eval() == null || third.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_shingle_md5_longs: n and nHex must not be NULL")
+        else {
+          val n = second.eval().asInstanceOf[Number].intValue()
+          val h = third.eval().asInstanceOf[Number].intValue()
+          if (n < 1) TypeCheckResult.TypeCheckFailure(
+            s"graft_shingle_md5_longs: n must be >= 1, got $n")
+          else if (h < 1 || h > 15) TypeCheckResult.TypeCheckFailure(
+            s"graft_shingle_md5_longs: nHex must be in [1, 15], got $h")
+          else TypeCheckResult.TypeCheckSuccess
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_md5_longs requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_md5_longs"
+
+  private lazy val n: Int = second.eval().asInstanceOf[Number].intValue()
+  private lazy val nHex: Int = third.eval().asInstanceOf[Number].intValue()
+
+  def hashes(a: ArrayData): Array[Long] = {
+    val m = a.numElements()
+    val count = m - n + 1
+    if (count <= 0) return Array.empty[Long]
+    // token bytes fetched once per element, reused across the n windows
+    // that contain it
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (a.isNullAt(i)) null else a.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](count)
+    val sb = new java.io.ByteArrayOutputStream(64)
+    i = 0
+    while (i < count) {
+      sb.reset()
+      var j = 0
+      var started = false
+      while (j < n) {
+        val t = toks(i + j)
+        if (t != null) { // concat_ws skips null elements
+          if (started) sb.write(' ')
+          sb.write(t, 0, t.length)
+          started = true
+        }
+        j += 1
+      }
+      out(i) = HashKernels.md5PrefixLong(sb.toByteArray, nHex)
+      i += 1
+    }
+    out
+  }
+
+  protected override def nullSafeEval(arr: Any, nv: Any, hv: Any): Any =
+    new GenericArrayData(hashes(arr.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleMd5", this, classOf[ShingleMd5Longs].getName)
+    nullSafeCodeGen(ctx, ev, (arr, _, _) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.hashes($arr));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ShingleMd5Longs =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object ShingleMd5Longs {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_md5_longs"),
+    new ExpressionInfo(classOf[ShingleMd5Longs].getCanonicalName, "graft_shingle_md5_longs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "graft_shingle_md5_longs takes (toks, n, nHex)")
+      ShingleMd5Longs(children(0), children(1), children(2))
     })
 }
 

@@ -145,6 +145,12 @@ object TextFunctions {
   def charNgramCodes(text: Column, n: Int): Column =
     call_function("graft_ngram_hashes", text, lit(n))
 
+  /** Fused shingle+hash staging: md5-prefix long of every n-token
+    * shingle without materializing the shingle strings
+    * (graft.expressions.ShingleMd5Longs). GraftSession required. */
+  def shingleMd5Longs(toks: Column, n: Int, nHex: Int): Column =
+    call_function("graft_shingle_md5_longs", toks, lit(n), lit(nHex))
+
   /** k-wide minhash signature of a long-array in one fused native pass
     * (graft.expressions.MinhashSketch). GraftSession required. */
   def minhashSketch(hashes: Column, k: Int): Column =

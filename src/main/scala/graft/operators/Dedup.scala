@@ -134,10 +134,9 @@ object Dedup {
   private def signaturesFromStage(staged: DataFrame, shingleSize: Int, k: Int): DataFrame =
     staged
       .filter(size(col("__toks")) >= shingleSize)
-      .withColumn("__shingles", shinglesFromTokens(col("__toks"), shingleSize))
-      .withColumn("__sh", md5PrefixLongs(col("__shingles"), 15))
+      .withColumn("__sh", shingleMd5Longs(col("__toks"), shingleSize, 15))
       .withColumn("sig", minhashSketch(col("__sh"), k))
-      .drop("__toks", "__shingles", "__sh")
+      .drop("__toks", "__sh")
 
   /** (band, doc_id[, blockCol]) exploded band keys with oversized buckets
     * dropped — only ids travel through the downstream self-join. */

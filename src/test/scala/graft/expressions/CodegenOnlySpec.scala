@@ -37,6 +37,7 @@ class CodegenOnlySpec extends SparkSpec {
         charNgramCodes(col("text"), 4).as("ng"),
         minhashSketch(charNgramCodes(col("text"), 4), 4).as("sk"),
         md5PrefixLongs(col("toks"), 15).as("ml"),
+        shingleMd5Longs(col("toks"), 3, 15).as("sml"),
         simhash16FromHashes(tokenHashes16(col("toks"))).as("sh"),
         minhashSignature(wordShingles(col("text"), 2), 4).as("sig"),
         stopwordCountFromTokens(col("toks")).as("hits"),
@@ -46,8 +47,8 @@ class CodegenOnlySpec extends SparkSpec {
         .collect()
       out.length shouldBe 2
       out.foreach { r =>
-        r.getDouble(8) shouldBe 1.0 +- 1e-9 // cos(v, v)
-        r.getString(9).length shouldBe 4
+        r.getAs[Double]("c") shouldBe 1.0 +- 1e-9 // cos(v, v)
+        r.getAs[String]("bk").length shouldBe 4
       }
       // graft_top_k (TypedImperativeAggregate) under codegen-only too
       val top = docs.select(explode(col("toks")).as("t"))

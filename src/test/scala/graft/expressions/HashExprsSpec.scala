@@ -49,6 +49,22 @@ class HashExprsSpec extends SparkSpec {
     bad shouldBe 0L
   }
 
+  test("graft_shingle_md5_longs equals md5PrefixLongs over shinglesFromTokens") {
+    for (n <- Seq(2, 3, 5)) {
+      val bad = docs.select(
+        (shingleMd5Longs(col("toks"), n, 15) ===
+          md5PrefixLongs(shinglesFromTokens(col("toks"), n), 15)).as("ok"))
+        .filter(!$"ok").count()
+      withClue(s"n=$n: ") { bad shouldBe 0L }
+    }
+    // null tokens are skipped by concat_ws — reproduced in the fused join
+    val withNull = Seq(Tuple1(Seq[String]("a", null, "b", "c"))).toDF("toks")
+    val fused = withNull.select(shingleMd5Longs($"toks", 2, 15)).head().getSeq[Long](0)
+    val composed = withNull
+      .select(md5PrefixLongs(shinglesFromTokens($"toks", 2), 15)).head().getSeq[Long](0)
+    fused shouldBe composed
+  }
+
   test("graft_seeded_minhash equals the per-seed array_min/transform composition") {
     val shingled = docs.withColumn("sh", wordShingles(col("text"), 2))
       .filter(org.apache.spark.sql.functions.size(col("sh")) >= 1)
