@@ -284,7 +284,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
-    LlmQueries.queries ++ CdcQueries.queries ++ StoreQueries.queries
+    LlmQueries.queries ++ CdcQueries.queries ++ StoreQueries.queries ++ JdbcQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_agg" -> (q01 _),
@@ -310,7 +310,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
-    CdcQueries.oracleSql ++ StoreQueries.oracleSql
+    CdcQueries.oracleSql ++ StoreQueries.oracleSql ++ JdbcQueries.oracleSql
 
   private def relationalOracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
