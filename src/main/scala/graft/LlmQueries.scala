@@ -159,6 +159,14 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy("doc_id")
 
+  private def d18(s: SparkSession, dir: String): DataFrame =
+    // sketch-estimated dedup: minhash-slot agreement prunes candidates
+    // before the exact verify; both scores returned for calibration
+    Dedup
+      .minhashEstimatePairs(documents(s, dir), shingleSize = 3, k = 8,
+        bands = 4, estThreshold = 0.25)
+      .orderBy("doc_a", "doc_b")
+
   private def d09(s: SparkSession, dir: String): DataFrame =
     Dedup
       .simhashSignatures(documents(s, dir))
@@ -300,6 +308,7 @@ object LlmQueries {
     "d15_incremental_dedup" -> (d15 _),
     "d16_char_ngram_near_dup" -> (d16 _),
     "d17_curation_pipeline" -> (d17 _),
+    "d18_minhash_estimate" -> (d18 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -484,6 +493,36 @@ object LlmQueries {
                 bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 1
+         ORDER BY doc_a, doc_b""",
+    "d18_minhash_estimate" ->
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         ok AS (SELECT * FROM (SELECT band, doc_id,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                   FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         est AS (SELECT doc_a, doc_b,
+                   round(CAST(list_sum(list_transform(range(1, 9), i ->
+                     CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+                     / 8.0, 4) AS est_jaccard
+                 FROM pairs
+                 JOIN sig sa ON sa.doc_id = doc_a
+                 JOIN sig sb ON sb.doc_id = doc_b),
+         kept AS (SELECT * FROM est WHERE est_jaccard >= 0.25)
+         SELECT k.doc_a, k.doc_b, k.est_jaccard,
+           round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 4)
+             AS jaccard
+         FROM kept k
+         JOIN sig ta ON ta.doc_id = k.doc_a
+         JOIN sig tb ON tb.doc_id = k.doc_b
          ORDER BY doc_a, doc_b""",
     "d17_curation_pipeline" ->
       s"""WITH f AS (SELECT doc_id, text, lang,

@@ -250,6 +250,59 @@ object Dedup {
       staged, pruned)
   }
 
+  /** Sketch-estimated near-duplicates: LSH candidates scored by the
+    * MINHASH ESTIMATE (fraction of matching signature slots ≈ Jaccard)
+    * BEFORE the exact verify — the production shape where the cheap
+    * signature comparison prunes the candidate set and only survivors
+    * pay the token-set join. Output carries both the estimate and the
+    * exact Jaccard so the estimator's calibration is itself checkable.
+    * The estimate filter compares the 4dp-ROUNDED value so an external
+    * engine reproduces boundary decisions. */
+  def minhashEstimatePairs(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      estThreshold: Double = 0.25,
+      maxBucket: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val staged = tokenStage(docs, textCol, None)
+    // signatures computed ONCE, shared by band generation and the
+    // estimate join (compact: id + k longs)
+    val sigs = signaturesFromStage(staged, shingleSize, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
+      .select("band", "doc_id")
+    val keep = banded.groupBy("band").count()
+      .filter(col("count") <= maxBucket).select("band")
+    val pruned = banded.join(keep, Seq("band"))
+    val pairs = pruned.select(col("band"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val estimated = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / k, 4))
+      .filter(col("est_jaccard") >= estThreshold)
+    val docToks = staged.select(col("doc_id"),
+      array_distinct(col("__toks")).as("toks"))
+    releasing(
+      estimated
+        .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+        .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard")),
+      staged, sigs)
+  }
+
   /** 16-bit simhash per document, hash array staged as a column. */
   def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
