@@ -159,6 +159,15 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy("doc_id")
 
+  private def d19(s: SparkSession, dir: String): DataFrame =
+    // near-dup clusters: connected components over the d07 pair graph;
+    // cluster id = min reachable doc_id ("keep doc_id == cluster" is
+    // the canonical-survivor filter)
+    Dedup
+      .nearDupClusters(Dedup.lshNearDuplicates(documents(s, dir),
+        shingleSize = 3, k = 8, bands = 4, threshold = 0.5))
+      .orderBy("doc_id")
+
   private def d18(s: SparkSession, dir: String): DataFrame =
     // sketch-estimated dedup: minhash-slot agreement prunes candidates
     // before the exact verify; both scores returned for calibration
@@ -309,6 +318,7 @@ object LlmQueries {
     "d16_char_ngram_near_dup" -> (d16 _),
     "d17_curation_pipeline" -> (d17 _),
     "d18_minhash_estimate" -> (d18 _),
+    "d19_dedup_clusters" -> (d19 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -494,6 +504,35 @@ object LlmQueries {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 1
          ORDER BY doc_a, doc_b""",
+    "d19_dedup_clusters" ->
+      // connected components of the d07 pair graph via a recursive
+      // closure: min reachable doc_id per member
+      s"""WITH RECURSIVE t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         ok AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                    a.toks AS toks_a, b2.toks AS toks_b
+                  FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         e AS (SELECT doc_a, doc_b FROM cand
+               WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE)
+                 >= 0.5),
+         eb AS (SELECT doc_a AS src, doc_b AS dst FROM e
+                UNION ALL SELECT doc_b, doc_a FROM e),
+         n AS (SELECT DISTINCT src AS doc_id FROM eb),
+         r AS (SELECT doc_id, doc_id AS cluster FROM n
+               UNION
+               SELECT eb.src AS doc_id, r.cluster FROM r JOIN eb ON eb.dst = r.doc_id)
+         SELECT doc_id, min(cluster) AS cluster FROM r GROUP BY doc_id
+         ORDER BY doc_id""",
     "d18_minhash_estimate" ->
       s"""WITH t AS ($ToksCte),
          sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles

@@ -303,6 +303,49 @@ object Dedup {
       staged, sigs)
   }
 
+  /** Connected components over near-duplicate pairs: every document is
+    * labeled with the MINIMUM doc_id reachable through the pair graph —
+    * the cluster id — so "keep one doc per duplicate cluster" becomes a
+    * trivial filter (doc_id == cluster). Iterative min-label
+    * propagation: each round every doc takes the min of its own label
+    * and its neighbors'; converges in O(cluster diameter) rounds (near-
+    * dup clusters are shallow — pairs share a signature band). Each
+    * round is one join + one agg over compact (id, label) rows,
+    * checkpointed so lineage doesn't grow with iterations — the same
+    * alternating pattern GraphFrames' connectedComponents runs at scale.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    while (!converged) {
+      val fromNeighbors = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
+        .groupBy("src")
+        .agg(min("cluster").as("ncluster"))
+        .select(col("src").as("doc_id"), col("ncluster"))
+      val next = labels
+        .join(fromNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changes = next
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old"))
+        .count()
+      labels = next
+      converged = changes == 0
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** 16-bit simhash per document, hash array staged as a column. */
   def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -96,4 +96,19 @@ class DedupSpec extends SparkSpec {
     sigs.count() shouldBe 1
     sigs.head.getAs[scala.collection.Seq[String]]("sig").length shouldBe 4
   }
+
+  test("nearDupClusters: chains merge transitively, components stay separate") {
+    import spark.implicits._
+    // component {1,2,3,7} via chain 1-2, 2-3, 3-7; component {5,9}; pair order mixed
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 3L), (9L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 9L -> 5L)
+  }
+
+  test("nearDupClusters: empty pair set yields empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.nearDupClusters(empty).count() shouldBe 0L
+  }
 }
