@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 
 /** Beyond-parity operators for LLM training-data pipelines (dedup,
   * similarity search, text analysis, multimodal plumbing), each with a
@@ -176,6 +176,47 @@ object LlmQueries {
         bands = 4, estThreshold = 0.25)
       .orderBy("doc_a", "doc_b")
 
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    // cross-split contamination: eval split = every 10th doc; a training
+    // doc "contaminates" an eval doc when it contains ≥ half of the eval
+    // doc's distinct word shingles (containment, not Jaccard — a prompt
+    // embedded in a longer doc should score 1.0)
+    val docs = documents(s, dir)
+    Dedup
+      .crossSplitContamination(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        shingleSize = 3, maxDf = 1000, threshold = 0.5)
+      .orderBy("eval_doc", "train_doc")
+  }
+
+  private def d21(s: SparkSession, dir: String): DataFrame =
+    // deterministic stratified downsample by language: en 10%, es 30%,
+    // zh 50%, everything else 20% — md5-bucketed so the sample is
+    // reproducible across runs/engines (rand() is neither)
+    Curation
+      .stratifiedSample(table(s, dir, "documents"), "doc_id", "lang",
+        Seq("en" -> 100, "es" -> 300, "zh" -> 500), defaultPermille = 200)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private def d22(s: SparkSession, dir: String): DataFrame =
+    Curation.topTfidfTermPerDoc(documents(s, dir)).orderBy("doc_id")
+
+  private def d23(s: SparkSession, dir: String): DataFrame =
+    // distribution-based quality filter: keep the top decile by quality
+    // score, with the boundary computed from a value histogram (never a
+    // global corpus sort)
+    Curation
+      .topFractionByValue(
+        table(s, dir, "documents")
+          .withColumn("__toks", tokens(col("text")))
+          .select(col("doc_id"),
+            qualityScoreFromTokens(col("text"), col("__toks")).as("quality")),
+        "quality", q = 0.9)
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+
   private def d09(s: SparkSession, dir: String): DataFrame =
     Dedup
       .simhashSignatures(documents(s, dir))
@@ -239,6 +280,11 @@ object LlmQueries {
         threshold = 0.3)
       .orderBy("query_id", "neighbor_id")
   }
+
+  private def e09(s: SparkSession, dir: String): DataFrame =
+    // one Lloyd k-means refinement step (assignment + centroid
+    // re-compute) — the training loop of the IVF coarse quantizer
+    Similarity.kmeansStep(table(s, dir, "embeddings")).orderBy("cell")
 
   private def d12(s: SparkSession, dir: String): DataFrame =
     // embedding-cosine near-dup: the vector-space dedup pass (semantic
@@ -319,6 +365,10 @@ object LlmQueries {
     "d17_curation_pipeline" -> (d17 _),
     "d18_minhash_estimate" -> (d18 _),
     "d19_dedup_clusters" -> (d19 _),
+    "d20_contamination" -> (d20 _),
+    "d21_stratified_sample" -> (d21 _),
+    "d22_tfidf_top_term" -> (d22 _),
+    "d23_quality_filter" -> (d23 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -326,6 +376,7 @@ object LlmQueries {
     "e05_knn_multiprobe" -> (e05 _),
     "e06_knn_topk_agg" -> (e06 _),
     "e08_range_search" -> (e08 _),
+    "e09_kmeans_step" -> (e09 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -533,6 +584,88 @@ object LlmQueries {
                SELECT eb.src AS doc_id, r.cluster FROM r JOIN eb ON eb.dst = r.doc_id)
          SELECT doc_id, min(cluster) AS cluster FROM r GROUP BY doc_id
          ORDER BY doc_id""",
+    "d20_contamination" ->
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, $Shingles3 AS shingles FROM t WHERE len(tk) >= 3),
+         hs AS (SELECT doc_id, list_distinct($ShingleHashes) AS hs FROM sh),
+         ev AS (SELECT doc_id AS eval_doc, hs, len(hs) AS n_eval FROM hs
+                WHERE doc_id % 10 = 0),
+         tr AS (SELECT doc_id AS train_doc, unnest(hs) AS h FROM hs
+                WHERE doc_id % 10 <> 0),
+         keep AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= 1000),
+         evh AS (SELECT eval_doc, n_eval, unnest(hs) AS h FROM ev),
+         shared AS (SELECT eval_doc, train_doc, min(n_eval) AS n_eval,
+                      count(*) AS n_shared
+                    FROM evh JOIN (SELECT * FROM tr JOIN keep USING (h)) USING (h)
+                    GROUP BY eval_doc, train_doc)
+         SELECT eval_doc, train_doc,
+           round(n_shared::DOUBLE / n_eval::DOUBLE, 4) AS overlap
+         FROM shared
+         WHERE round(n_shared::DOUBLE / n_eval::DOUBLE, 4) >= 0.5
+         ORDER BY eval_doc, train_doc""",
+    "d21_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+           CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 300 WHEN 'zh' THEN 500
+                     ELSE 200 END
+         ORDER BY doc_id""",
+    "d22_tfidf_top_term" ->
+      """WITH t AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, term, tf, df,
+                  round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 4) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
+         SELECT doc_id, term, tf, df, tfidf FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "d23_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         m AS (SELECT doc_id, text,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(tk, x -> x IN ($enList))) AS DOUBLE) AS stop_cnt,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) AS punct_cnt
+             FROM t),
+         qs AS (SELECT doc_id, round(
+             (CASE WHEN ntok BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + least(stop_cnt / ntok * 2.0, 1.0) * 0.4
+             + (1.0 - least(punct_cnt / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2,
+             4) AS quality
+           FROM m),
+         h AS (SELECT quality, count(*) AS cnt FROM qs GROUP BY quality),
+         c AS (SELECT quality, coalesce(sum(cnt) OVER (ORDER BY quality
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+                 sum(cnt) OVER () AS total FROM h),
+         kept AS (SELECT quality FROM c
+                  WHERE cum_lt::DOUBLE / total::DOUBLE >= 0.9)
+         SELECT doc_id, quality FROM qs JOIN kept USING (quality) ORDER BY doc_id""",
+    "e09_kmeans_step" ->
+      """WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
+             FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                     unnest(range(0, len(embedding))) AS dim FROM embeddings)
+             GROUP BY label, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         assign AS (SELECT cell, vec_id, v FROM (
+             SELECT ct2.label AS cell, e.vec_id, e.v,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, ct2.ct)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM v e CROSS JOIN cent ct2) WHERE rn = 1),
+         bd AS (SELECT cell, dim, sum(x) AS sx, count(*) AS n FROM
+                (SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS dim
+                 FROM assign)
+                GROUP BY cell, dim),
+         c6 AS (SELECT cell, dim, round(sx / n, 6) AS c6, n FROM bd)
+         SELECT cell, round(sqrt(sum(c6 * c6)), 4) AS centroid_norm,
+                max(n) AS n_vectors
+         FROM c6 GROUP BY cell ORDER BY cell""",
     "d18_minhash_estimate" ->
       s"""WITH t AS ($ToksCte),
          sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles

@@ -239,6 +239,18 @@ object SparkEntry {
         col("n_events"))
       .orderBy("w_start", "event_type")
 
+  private def s03(s: SparkSession, dir: String): DataFrame =
+    // chained stateful operators (per-window dedup → windowed count) ==
+    // streaming COUNT(DISTINCT user) per window; batch-executed here,
+    // stream-executed with state eviction in EventStreamsSpec
+    streaming.EventStreams
+      .windowedUniqueUsers(table(s, dir, "events"))
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+        col("n_users"))
+      .orderBy("w_start")
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -306,7 +318,8 @@ object SparkEntry {
     "q17_exists_semi" -> (q17 _),
     "q18_salted_join" -> (q18 _),
     "s01_windowed_counts" -> (s01 _),
-    "s02_sessionize" -> (s02 _)
+    "s02_sessionize" -> (s02 _),
+    "s03_windowed_unique" -> (s03 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -414,6 +427,11 @@ object SparkEntry {
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
          event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "s03_windowed_unique" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY w_start""",
     "s02_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

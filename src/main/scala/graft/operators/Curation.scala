@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, distribution-based quality filtering, and per-document
+  * salient-term extraction. All pure column/agg pipelines — no UDFs, no
+  * driver-side loops — built so their decisions are reproducible by an
+  * external SQL engine (the DuckDB oracle) bit-for-bit.
+  */
+object Curation {
+
+  /** Deterministic hash bucket of an id in [0, buckets): the md5-based
+    * stand-in for `rand()` that makes a sample reproducible across runs,
+    * engines, and cluster topologies (a `rand()` sample is none of
+    * those). 15 hex chars = 60 bits, so the bucket is uniform and the
+    * value fits a long exactly. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Stratified deterministic sample: per-stratum keep-rates in permille,
+    * applied map-side — no shuffle, no count pass, no rand(). The usual
+    * rebalancing pass (downsample the over-represented language / source
+    * before training). Rates are a Seq, not a Map, so the generated
+    * when-chain is deterministic. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      ratesPermille: Seq[(String, Int)],
+      defaultPermille: Int = 0): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, permille)) =>
+        when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 1000) < rate)
+  }
+
+  /** Rows whose `valueCol` sits in the top (1-q) fraction of the corpus
+    * distribution — "keep the top decile by quality score".
+    *
+    * Scale shape: the quantile boundary is computed from a VALUE
+    * HISTOGRAM, not a global sort of the corpus: `valueCol` is a rounded
+    * score with bounded cardinality (≤ ~10^4 distinct values at 4dp), so
+    * the groupBy collapses the corpus to a tiny frame, the cumulative
+    * window runs over distinct values only (the unpartitioned window is
+    * deliberate and safe at that size), and rows rejoin by value through
+    * a broadcast. A `percent_rank` window straight over the corpus would
+    * funnel 100 TB through one sort partition. */
+  def topFractionByValue(df: DataFrame, valueCol: String, q: Double): DataFrame = {
+    val hist = df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__cum_lt", coalesce(sum("__cnt").over(w), lit(0L)))
+      .withColumn("__total", sum("__cnt").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      // int/int double division: IEEE-deterministic across engines
+      .filter(col("__cum_lt").cast("double") / col("__total").cast("double") >= q)
+      .select(col(valueCol))
+    df.join(broadcast(cum), Seq(valueCol))
+  }
+
+  /** Top TF-IDF term per document: `tf × ln(N / df)` with the rank taken
+    * over the 4dp-ROUNDED score (ties broken by term) so the ordering is
+    * reproducible by an engine whose `ln` differs in the last ulp.
+    *
+    * Scale shape: explode → two key-shuffled aggs (term counts per doc,
+    * document frequency per term) → score join keyed by term → one
+    * per-doc window. The corpus size N is a 1-row agg broadcast into the
+    * projection. The df table is term-cardinality-sized; the tf table is
+    * the exploded corpus — both shuffles are on compact keys, text never
+    * moves after the explode. */
+  def topTfidfTermPerDoc(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(dfq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log(col("__n_docs").cast("double") / col("df").cast("double")), 4))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+}

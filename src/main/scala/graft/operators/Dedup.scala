@@ -398,6 +398,57 @@ object Dedup {
       sigs)
   }
 
+  /** Cross-split contamination: for every eval-split document, the
+    * training documents that contain a large fraction of its word
+    * shingles — the "is the benchmark in the training set?" check every
+    * training-data pipeline runs before a model ships. The score is
+    * shingle CONTAINMENT (shared distinct shingles / eval's distinct
+    * shingles), not Jaccard: a short eval prompt fully embedded in a long
+    * training doc should score 1.0, which symmetric Jaccard would dilute.
+    *
+    * Scale shape: both sides reduce to exploded (hash, id) rows — the
+    * join carries 8-byte keys and ids only, never text. The train-side
+    * document-frequency cap drops boilerplate shingles (shared by
+    * thousands of training docs): they carry no contamination signal but
+    * would dominate the join fanout, exactly like the LSH `maxBucket`
+    * guard. Candidate scoring is one count-agg per (eval, train) pair. */
+  def crossSplitContamination(
+      evalDocs: DataFrame,
+      trainDocs: DataFrame,
+      shingleSize: Int = 3,
+      maxDf: Int = 1000,
+      threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    def hashed(df: DataFrame, idAs: String): DataFrame = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col("doc_id").as(idAs),
+        array_distinct(shingleMd5Longs(col("__toks"), shingleSize, 15)).as("__hs"))
+    // eval side is read twice (sizes + exploded hashes): stage it once
+    val ev = hashed(evalDocs, "eval_doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSizes = ev.select(col("eval_doc"), size(col("__hs")).as("__n_eval"))
+    val evalH = ev.select(col("eval_doc"), explode(col("__hs")).as("h"))
+    // train side is read twice too (df-cap + join)
+    val trainH = hashed(trainDocs, "train_doc")
+      .select(col("train_doc"), explode(col("__hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = trainH.groupBy("h").count()
+      .filter(col("count") <= maxDf).select("h")
+    val shared = evalH
+      .join(trainH.join(keep, Seq("h")), Seq("h"))
+      .groupBy("eval_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"))
+    releasing(
+      shared
+        .join(evalSizes, Seq("eval_doc"))
+        .withColumn("overlap",
+          round(col("n_shared").cast("double") / col("__n_eval").cast("double"), 4))
+        .filter(col("overlap") >= threshold)
+        .select(col("eval_doc"), col("train_doc"), col("overlap")),
+      ev, trainH)
+  }
+
   /** Near-duplicates within a blocking key (e.g. source): LSH band
     * candidates CONFINED to the block, then exact Jaccard verify — the
     * scale-safe form of blocked dedup (candidates must share block AND

@@ -226,6 +226,41 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** One Lloyd k-means refinement step over the embedding corpus: seed
+    * centroids from the label assignment (the coarse quantizer
+    * `labelCentroidVectors` builds), re-assign every vector to its
+    * nearest centroid by cosine, and re-compute per-cell centroids from
+    * the new assignment. Iterating this to convergence IS distributed
+    * k-means training (the loop the IVF index builder would run); one
+    * step is the oracle-checkable unit.
+    *
+    * Scale shape: assignment is map-side (broadcast nlist×dim centroid
+    * table, argmax per row — no shuffle of vectors); the re-compute is
+    * the same two-level agg as labelCentroids (element-wise sums, never
+    * collect). Centroid components round to 6dp before the norm so the
+    * cross-row double-sum order can't leak into comparisons. */
+  def kmeansStep(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroidVectors(embeddings)
+    val byCos = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("label"))
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cell"), col("vec_id"), col("v"))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c6", round(col("sx") / col("n"), 6))
+      .groupBy("cell")
+      .agg(
+        round(sqrt(sum(col("c6") * col("c6"))), 4).as("centroid_norm"),
+        max("n").as("n_vectors"))
+      .select(col("cell"), col("centroid_norm"), col("n_vectors"))
+  }
+
   /** Per-label centroid (mean vector), returned with its L2 norm and
     * member count. Aggregates element-wise sums, not collect(). */
   def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame = {

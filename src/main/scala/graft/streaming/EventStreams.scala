@@ -40,6 +40,33 @@ object EventStreams {
         col("event_type"),
         col("n_events"))
 
+  /** Tumbling-window DISTINCT-user counts: per-window dedup state feeding
+    * a windowed count — the streaming form of
+    * `COUNT(DISTINCT user_id) GROUP BY window`, which no single
+    * aggregation can express incrementally.
+    *
+    * Two chained stateful operators (Spark ≥ 3.5 watermark propagation):
+    * dropDuplicates keyed on (window, user) holds one state row per
+    * distinct pair and the downstream count holds one row per open
+    * window; both evict when the watermark passes the window end, so
+    * state is O(distinct users per in-flight window), never O(history).
+    * In batch mode the same plan degenerates to distinct + count (the
+    * oracle seam). */
+  def windowedUniqueUsers(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(window(col("ts"), windowDur).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        col("w.start").as("w_start"),
+        col("w.end").as("w_end"),
+        col("n_users"))
+
   /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
     * within the watermark horizon are dropped, and key state older than
     * the watermark is evicted — state is O(keys in horizon), not

@@ -111,4 +111,29 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     Dedup.nearDupClusters(empty).count() shouldBe 0L
   }
+
+  test("crossSplitContamination scores containment, not Jaccard") {
+    // eval doc (5 tokens -> 3 shingles) fully embedded in a longer train
+    // doc: containment 1.0 even though symmetric Jaccard would be 3/8
+    val e = docs((10L, "alpha beta gamma delta epsilon", "e"))
+    val t = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "t"),
+      (2L, other, "t"))
+    val out = Dedup.crossSplitContamination(e, t, threshold = 0.5).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq((10L, 1L, 1.0))
+    // a threshold above the containment removes the pair
+    Dedup.crossSplitContamination(e, t, threshold = 1.01).count() shouldBe 0
+  }
+
+  test("crossSplitContamination maxDf guard drops boilerplate shingles") {
+    val e = docs((10L, "alpha beta gamma", "e"))
+    val t = docs((1L to 5L).map(i => (i, "alpha beta gamma", "t")): _*)
+    // the one shared shingle sits in 5 training docs: df-capped at 4 the
+    // signal disappears; at 5 every training doc scores 1.0
+    Dedup.crossSplitContamination(e, t, maxDf = 4, threshold = 0.1)
+      .count() shouldBe 0
+    Dedup.crossSplitContamination(e, t, maxDf = 5, threshold = 0.1)
+      .count() shouldBe 5
+  }
 }

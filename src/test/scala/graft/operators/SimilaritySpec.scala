@@ -72,4 +72,17 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     one.subsetOf(both) shouldBe true
   }
+
+  test("kmeansStep reassigns vectors to their nearest seed centroid") {
+    // seed centroids: q=(1,0,0,0), a≈(0.985,0.125,0.025,0),
+    // b=mean(v3,v4)=(-0.5,0.5,0,0). Cosine argmax: v0→q (1.0 vs ≈0.992),
+    // v1/v2→a (≈0.9997 vs ≈0.995), v3→b (0.707 vs ≈0.13),
+    // v4→b (0.707 vs -1) — every margin is wide, so the assignment is
+    // numerically unambiguous.
+    val out = Similarity.kmeansStep(emb).collect()
+    out.map(r => r.getString(0) -> r.getLong(2)).toMap shouldBe
+      Map("q" -> 1L, "a" -> 2L, "b" -> 2L)
+    out.map(_.getLong(2)).sum shouldBe vecs.length.toLong
+    out.foreach(_.getDouble(1) should be >= 0.0)
+  }
 }

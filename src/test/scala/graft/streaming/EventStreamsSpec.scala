@@ -131,6 +131,46 @@ class EventStreamsSpec extends SparkSpec {
     ids shouldBe Array(1L, 2L, 3L) // event 1 emitted once despite the batch-2 replay
   }
 
+  test("windowed unique users in batch: distinct count per window") {
+    val ev = eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 1L, "click"), // same user, same window
+      (3L, "2026-01-01 00:30:00", 2L, "view"),
+      (4L, "2026-01-01 01:15:00", 1L, "view"))
+    val out = EventStreams.windowedUniqueUsers(ev)
+      .orderBy("w_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      (ts("2026-01-01 00:00:00"), 2L),
+      (ts("2026-01-01 01:00:00"), 1L))
+  }
+
+  test("streaming windowed unique users: cross-batch dedup, watermark closes windows") {
+    val src = Files.createTempDirectory("es-wu-src").toString
+    val ckpt = Files.createTempDirectory("es-wu-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 2L, "click")), src, 1)
+    writeBatch(eventsDf(
+      (3L, "2026-01-01 00:30:00", 1L, "view")), src, 2) // same user+window, later batch
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 23:00:00", 9L, "click")), src, 3) // advances the watermark
+
+    val q = EventStreams
+      .windowedUniqueUsers(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        windowDur = "1 hour", watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("wu")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("wu").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2)))
+    // user 1's batch-2 replay inside the same window did NOT double-count
+    rows.toSeq shouldBe Seq((ts("2026-01-01 00:00:00"), 2L))
+  }
+
   test("windowed counts on a batch frame equals a plain group-by (oracle parity shape)") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
