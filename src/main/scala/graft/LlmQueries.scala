@@ -286,6 +286,10 @@ object LlmQueries {
     // re-compute) — the training loop of the IVF coarse quantizer
     Similarity.kmeansStep(table(s, dir, "embeddings")).orderBy("cell")
 
+  private def e10(s: SparkSession, dir: String): DataFrame =
+    // scalar int8 quantization of the corpus + reconstruction audit
+    Similarity.scalarQuantize(table(s, dir, "embeddings")).orderBy("vec_id")
+
   private def d12(s: SparkSession, dir: String): DataFrame =
     // embedding-cosine near-dup: the vector-space dedup pass (semantic
     // duplicates exact/minhash text dedup can't see)
@@ -377,6 +381,7 @@ object LlmQueries {
     "e06_knn_topk_agg" -> (e06 _),
     "e08_range_search" -> (e08 _),
     "e09_kmeans_step" -> (e09 _),
+    "e10_scalar_quantize" -> (e10 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -643,6 +648,26 @@ object LlmQueries {
          kept AS (SELECT quality FROM c
                   WHERE cum_lt::DOUBLE / total::DOUBLE >= 0.9)
          SELECT doc_id, quality FROM qs JOIN kept USING (quality) ORDER BY doc_id""",
+    "e10_scalar_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         d AS (SELECT unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM e),
+         r AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY dim),
+         rr AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his
+                FROM r),
+         q AS (SELECT vec_id, v, los, his,
+                 list_transform(range(0, len(v)), i ->
+                   CASE WHEN his[i+1] > los[i+1]
+                     THEN floor((v[i+1] - los[i+1]) / (his[i+1] - los[i+1])
+                            * 255.0 + 0.5)
+                     ELSE 0.0 END) AS codes
+               FROM e CROSS JOIN rr)
+         SELECT vec_id, list_sum(codes)::BIGINT AS code_sum,
+           round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(0, len(v)), i ->
+               (v[i+1] - (los[i+1] + codes[i+1] * (his[i+1] - los[i+1]) / 255.0)) *
+               (v[i+1] - (los[i+1] + codes[i+1] * (his[i+1] - los[i+1]) / 255.0)))),
+             (a, x) -> a + x)), 4) AS err
+         FROM q ORDER BY vec_id""",
     "e09_kmeans_step" ->
       """WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
              FROM (SELECT label, unnest(embedding)::DOUBLE AS x,

@@ -212,7 +212,30 @@ object StoreQueries {
     t.changes(v1).orderBy("o_orderkey")
   }
 
+  /** c17: time travel — RTAS (v1) → MERGE → DELETE, then read AS OF the
+    * RTAS snapshot: the original state must come back bit-identical even
+    * though two copy-on-write rewrites landed after it (Iceberg
+    * `VERSION AS OF` semantics — snapshots stay readable until expiry).
+    * The oracle is the plain base projection: any bleed-through from the
+    * later commits diverges the hash. */
+  private def c17(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_tt"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_tt")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = t.createOrReplace(base).version
+    t.mergeInto(
+      base.filter(col("o_orderkey") % 2 === 0).withColumn("o_orderstatus", lit("U")),
+      Seq("o_orderkey"))
+    t.deleteWhereExists(
+      base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    t.readVersion(v1).orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_time_travel" -> (c17 _),
     "c13_stats_pruned_scan" -> (c13 _),
     "c14_schema_evolution" -> (c14 _),
     "c15_incremental_scan" -> (c15 _),
@@ -225,6 +248,9 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c17_time_travel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
     // identical algorithm + parameters as the ad-hoc IVF query — the
     // persisted index changes the physical plan, not the result
     "e07_knn_ivf_index" -> LlmQueries.oracleSql("e04_knn_ivf"),

@@ -261,6 +261,45 @@ object Similarity {
       .select(col("cell"), col("centroid_norm"), col("n_vectors"))
   }
 
+  /** Scalar (int8-style) quantization of the embedding corpus: one agg
+    * pass derives per-dimension min/max ranges (a dim-count frame,
+    * broadcast), then every vector quantizes MAP-SIDE to codes in
+    * [0, 255] and reports its code checksum plus L2 reconstruction
+    * error. This is the SQ index-build step vector stores run at scale —
+    * codes are 4× smaller than float32 and scans keep the 2×dim range
+    * table in registers; the error column is the quality audit.
+    *
+    * Parity notes: `floor(x + 0.5)` instead of `round` (identical
+    * halfway behavior across engines); error folds the squared diffs in
+    * array order (both engines left-fold); code_sum is an exact integer
+    * check of every code. */
+  def scalarQuantize(embeddings: DataFrame): DataFrame = {
+    val ranges = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("lo")))),
+          s => s("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("dim"), col("hi")))),
+          s => s("hi")).as("his"))
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(ranges))
+      .withColumn("codes", expr(
+        "transform(sequence(0, size(v) - 1), i -> " +
+          "IF(his[i] > los[i], " +
+          "floor((v[i] - los[i]) / (his[i] - los[i]) * 255.0D + 0.5D), 0.0D))"))
+      .withColumn("code_sum",
+        expr("aggregate(codes, 0.0D, (a, c) -> a + c)").cast("long"))
+      .withColumn("err", round(sqrt(expr(
+        "aggregate(transform(sequence(0, size(v) - 1), i -> " +
+          "(v[i] - (los[i] + codes[i] * (his[i] - los[i]) / 255.0D)) * " +
+          "(v[i] - (los[i] + codes[i] * (his[i] - los[i]) / 255.0D))), " +
+          "0.0D, (a, x) -> a + x)")), 4))
+      .select(col("vec_id"), col("code_sum"), col("err"))
+  }
+
   /** Per-label centroid (mean vector), returned with its L2 norm and
     * member count. Aggregates element-wise sums, not collect(). */
   def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame = {

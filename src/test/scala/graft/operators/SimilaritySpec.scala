@@ -73,6 +73,23 @@ class SimilaritySpec extends SparkSpec {
     one.subsetOf(both) shouldBe true
   }
 
+  test("scalarQuantize: extremes hit codes 0/255 with zero error, midpoints round") {
+    val df = Seq(
+      (1L, Array(0.0f, 10.0f)),
+      (2L, Array(1.0f, 20.0f)),
+      (3L, Array(0.5f, 15.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(df).orderBy("vec_id").collect()
+    // per-dim min -> code 0, per-dim max -> code 255; both reconstruct exactly
+    out(0).getLong(1) shouldBe 0L
+    out(0).getDouble(2) shouldBe 0.0
+    out(1).getLong(1) shouldBe 510L
+    out(1).getDouble(2) shouldBe 0.0
+    // midpoint: floor(0.5 * 255 + 0.5) = 128 per dim; small nonzero error
+    out(2).getLong(1) shouldBe 256L
+    out(2).getDouble(2) should be > 0.0
+    out(2).getDouble(2) should be < 0.05
+  }
+
   test("kmeansStep reassigns vectors to their nearest seed centroid") {
     // seed centroids: q=(1,0,0,0), a≈(0.985,0.125,0.025,0),
     // b=mean(v3,v4)=(-0.5,0.5,0,0). Cosine argmax: v0→q (1.0 vs ≈0.992),
