@@ -217,6 +217,10 @@ object LlmQueries {
       .select("doc_id", "quality")
       .orderBy("doc_id")
 
+  private def d24(s: SparkSession, dir: String): DataFrame =
+    // unigram-LM quality proxy: avg negative log-likelihood per token
+    Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
+
   private def d09(s: SparkSession, dir: String): DataFrame =
     Dedup
       .simhashSignatures(documents(s, dir))
@@ -373,6 +377,7 @@ object LlmQueries {
     "d21_stratified_sample" -> (d21 _),
     "d22_tfidf_top_term" -> (d22 _),
     "d23_quality_filter" -> (d23 _),
+    "d24_unigram_loss" -> (d24 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -648,6 +653,15 @@ object LlmQueries {
          kept AS (SELECT quality FROM c
                   WHERE cum_lt::DOUBLE / total::DOUBLE >= 0.9)
          SELECT doc_id, quality FROM qs JOIN kept USING (quality) ORDER BY doc_id""",
+    "d24_unigram_loss" ->
+      """WITH t AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         f AS (SELECT term, count(*) AS ctf FROM t GROUP BY term),
+         tot AS (SELECT count(*) AS t_total FROM t),
+         j AS (SELECT doc_id, ln(ctf::DOUBLE / t_total::DOUBLE) AS lp
+               FROM t JOIN f USING (term) CROSS JOIN tot)
+         SELECT doc_id, round((-1.0 * sum(lp)) / count(*)::DOUBLE, 4) AS nll
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     "e10_scalar_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          d AS (SELECT unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM e),

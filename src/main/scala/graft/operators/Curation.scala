@@ -64,6 +64,29 @@ object Curation {
     df.join(broadcast(cum), Seq(valueCol))
   }
 
+  /** Per-document unigram language-model score: average negative
+    * log-likelihood per token under the corpus unigram distribution —
+    * the SQL-expressible proxy for the LM-perplexity quality filter
+    * (docs full of rare tokens score high, boilerplate scores low;
+    * filter both tails). A real pipeline swaps the unigram table for a
+    * trained LM; the plan shape is identical.
+    *
+    * Scale shape: explode → one agg for the term table → join tokens to
+    * term frequencies (shuffle on compact term keys) → per-doc agg. The
+    * corpus token total is a 1-row broadcast. */
+  def unigramLogLoss(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val total = toks.agg(count(lit(1)).as("__t_total"))
+    toks
+      .join(freq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(
+        (lit(-1.0) * sum(log(col("ctf").cast("double") / col("__t_total").cast("double"))))
+          / count(lit(1)).cast("double"), 4).as("nll"))
+  }
+
   /** Top TF-IDF term per document: `tf × ln(N / df)` with the rank taken
     * over the 4dp-ROUNDED score (ties broken by term) so the ordering is
     * reproducible by an engine whose `ln` differs in the last ulp.

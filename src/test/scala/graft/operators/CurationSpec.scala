@@ -49,6 +49,19 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted shouldBe Array(2L, 3L, 4L)
   }
 
+  test("unigramLogLoss: rare-token docs score higher than stereotypical ones") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common zebra quark")).toDF("doc_id", "text")
+    val out = Curation.unigramLogLoss(docs).orderBy("doc_id").collect()
+    // corpus: common×6, zebra×1, quark×1 of 8 tokens.
+    // doc 1 = -ln(6/8); doc 2 = -(2 ln(6/8) + 2 ln(1/8)) / 4
+    out(0).getDouble(1) shouldBe math.rint(-math.log(6.0 / 8.0) * 1e4) / 1e4
+    out(1).getDouble(1) shouldBe
+      math.rint(-(2 * math.log(6.0 / 8.0) + 2 * math.log(1.0 / 8.0)) / 4.0 * 1e4) / 1e4
+    out(1).getDouble(1) should be > out(0).getDouble(1)
+  }
+
   test("topTfidfTermPerDoc surfaces the distinguishing term per doc") {
     val docs = Seq(
       (1L, "common common zebra"),
