@@ -16,7 +16,8 @@ object ExplainAudit {
       "d07_lsh_near_dup", "q18_salted_join", "s01_windowed_counts",
       "d12_embed_near_dup", "e05_knn_multiprobe", "d13_rolling_fp",
       "d10_simhash_near_dup", "d17_curation_pipeline", "e08_range_search",
-      "d20_contamination", "d23_quality_filter", "e09_kmeans_step")) {
+      "d20_contamination", "d23_quality_filter", "e09_kmeans_step",
+      "d24_unigram_loss", "e10_scalar_quantize")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

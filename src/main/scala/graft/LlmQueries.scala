@@ -217,6 +217,18 @@ object LlmQueries {
       .select("doc_id", "quality")
       .orderBy("doc_id")
 
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    // the actionable tail of d20: training docs surviving decontamination
+    val docs = documents(s, dir)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val flagged = Dedup.crossSplitContamination(
+      docs.filter(col("doc_id") % 10 === 0), train,
+      shingleSize = 3, maxDf = 1000, threshold = 0.5)
+    Dedup.decontaminate(train, flagged)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   private def d24(s: SparkSession, dir: String): DataFrame =
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
@@ -378,6 +390,7 @@ object LlmQueries {
     "d22_tfidf_top_term" -> (d22 _),
     "d23_quality_filter" -> (d23 _),
     "d24_unigram_loss" -> (d24 _),
+    "d25_decontaminated" -> (d25 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -653,6 +666,26 @@ object LlmQueries {
          kept AS (SELECT quality FROM c
                   WHERE cum_lt::DOUBLE / total::DOUBLE >= 0.9)
          SELECT doc_id, quality FROM qs JOIN kept USING (quality) ORDER BY doc_id""",
+    "d25_decontaminated" ->
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, $Shingles3 AS shingles FROM t WHERE len(tk) >= 3),
+         hs AS (SELECT doc_id, list_distinct($ShingleHashes) AS hs FROM sh),
+         ev AS (SELECT doc_id AS eval_doc, hs, len(hs) AS n_eval FROM hs
+                WHERE doc_id % 10 = 0),
+         tr AS (SELECT doc_id AS train_doc, unnest(hs) AS h FROM hs
+                WHERE doc_id % 10 <> 0),
+         keep AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= 1000),
+         evh AS (SELECT eval_doc, n_eval, unnest(hs) AS h FROM ev),
+         shared AS (SELECT eval_doc, train_doc, min(n_eval) AS n_eval,
+                      count(*) AS n_shared
+                    FROM evh JOIN (SELECT * FROM tr JOIN keep USING (h)) USING (h)
+                    GROUP BY eval_doc, train_doc),
+         flagged AS (SELECT DISTINCT train_doc FROM shared
+                     WHERE round(n_shared::DOUBLE / n_eval::DOUBLE, 4) >= 0.5)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 10 <> 0
+           AND doc_id NOT IN (SELECT train_doc FROM flagged)
+         ORDER BY doc_id""",
     "d24_unigram_loss" ->
       """WITH t AS (SELECT doc_id,
            unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),

@@ -449,6 +449,17 @@ object Dedup {
       ev, trainH)
   }
 
+  /** The decontaminated training split: training documents minus every
+    * doc flagged by crossSplitContamination — the filter actually
+    * applied before training once the contamination report is reviewed.
+    * One left-anti join on ids against the (small) flagged set. */
+  def decontaminate(
+      trainDocs: DataFrame,
+      contamination: DataFrame): DataFrame =
+    trainDocs.join(
+      contamination.select(col("train_doc").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Near-duplicates within a blocking key (e.g. source): LSH band
     * candidates CONFINED to the block, then exact Jaccard verify — the
     * scale-safe form of blocked dedup (candidates must share block AND

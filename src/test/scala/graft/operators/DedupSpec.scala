@@ -126,6 +126,16 @@ class DedupSpec extends SparkSpec {
     Dedup.crossSplitContamination(e, t, threshold = 1.01).count() shouldBe 0
   }
 
+  test("decontaminate removes exactly the flagged training docs") {
+    val e = docs((10L, "alpha beta gamma delta epsilon", "e"))
+    val t = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "t"),
+      (2L, other, "t"))
+    val flagged = Dedup.crossSplitContamination(e, t, threshold = 0.5)
+    Dedup.decontaminate(t, flagged)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(2L)
+  }
+
   test("crossSplitContamination maxDf guard drops boilerplate shingles") {
     val e = docs((10L, "alpha beta gamma", "e"))
     val t = docs((1L to 5L).map(i => (i, "alpha beta gamma", "t")): _*)
