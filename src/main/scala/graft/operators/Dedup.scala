@@ -325,22 +325,23 @@ object Dedup {
       .localCheckpoint(true)
     var converged = edges.isEmpty
     while (!converged) {
-      val fromNeighbors = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
-        .groupBy("src")
-        .agg(min("cluster").as("ncluster"))
-        .select(col("src").as("doc_id"), col("ncluster"))
-      val next = labels
-        .join(fromNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+      // one pass per round: union the docs' own labels (old label rides
+      // along) with the neighbor-propagated ones, take the min per doc.
+      // min(old) recovers the unique own-label (propagated rows carry
+      // null), so convergence falls out of the same aggregate — no
+      // second join and no separate change-count pass per round.
+      val candidates = labels
+        .select(col("doc_id"), col("cluster"), col("cluster").as("old"))
+        .union(edges
+          .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
+          .select(col("src").as("doc_id"), col("cluster"),
+            lit(null).cast("long").as("old")))
+      val next = candidates
+        .groupBy("doc_id")
+        .agg(min("cluster").as("cluster"), min("old").as("old"))
         .localCheckpoint(true)
-      val changes = next
-        .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old"))
-        .count()
-      labels = next
-      converged = changes == 0
+      converged = next.filter(col("cluster") < col("old")).isEmpty
+      labels = next.select("doc_id", "cluster")
     }
     edges.unpersist(false)
     labels
