@@ -98,6 +98,51 @@ object SparkEntry {
       .orderBy("r_name", "n_name")
   }
 
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    // window FRAMES beyond latest-per-key: per-user running total and a
+    // 7-row moving sum, both over exact integer cents (floor(x*100+0.5)
+    // is engine-identical; penny sums are exact, so the running values
+    // hash-match regardless of either engine's frame-summation tree).
+    // One shuffle on user_id; frames evaluate incrementally per row.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .select(
+        col("user_id"), col("event_id"),
+        sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_cents"),
+        sum("cents").over(w.rowsBetween(-6, Window.currentRow)).as("ma7_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    // ROLLUP over the q04 snowflake: per-nation, per-region subtotal and
+    // grand-total rows in one pass (Spark expands grouping sets before
+    // the partial agg — still a single shuffle). grouping() flags are
+    // part of the output so subtotal rows hash deterministically. The
+    // grouping-sets statement goes through SQL: DataFrame `rollup` trips
+    // the dataset-id ambiguity check on multi-join inputs.
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .createOrReplaceTempView("graft_q20_flat")
+    s.sql(
+      """SELECT r_name, n_name, round(sum(rev), 2) AS revenue,
+        count(*) AS n_rows, CAST(GROUPING(r_name) AS INT) AS gr,
+        CAST(GROUPING(n_name) AS INT) AS gn
+        FROM graft_q20_flat GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+  }
+
   private def q17(s: SparkSession, dir: String): DataFrame = {
     // WHERE EXISTS (left semi) — the shape of the reference's DELETE guard.
     val o = table(s, dir, "orders")
@@ -317,6 +362,8 @@ object SparkEntry {
     "q16_schema_conform" -> (q16 _),
     "q17_exists_semi" -> (q17 _),
     "q18_salted_join" -> (q18 _),
+    "q19_window_frames" -> (q19 _),
+    "q20_rollup" -> (q20 _),
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
     "s03_windowed_unique" -> (s03 _)
@@ -427,6 +474,27 @@ object SparkEntry {
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
          event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "q19_window_frames" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+         SELECT user_id, event_id,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS run_cents,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_cents
+         FROM e ORDER BY user_id, event_id""",
+    "q20_rollup" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_rows,
+         CAST(GROUPING(r_name) AS INT) AS gr, CAST(GROUPING(n_name) AS INT) AS gn
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "s03_windowed_unique" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
