@@ -143,6 +143,27 @@ object SparkEntry {
         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
   }
 
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    // PIVOT with an explicit value list (fixed output schema — the
+    // driver-less form that scales: no distinct-scan of the pivot column,
+    // one partial-aggregated shuffle on user_id)
+    table(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    // UNPIVOT (melt) — the inverse reshape: wide per-part measures to
+    // long (measure, value) rows; pure map-side Expand, no shuffle
+    table(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+        floor(col("p_retailprice")).as("price_floor"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("price_floor")),
+        "measure", "value")
+      .orderBy("p_partkey", "measure")
+
   private def q17(s: SparkSession, dir: String): DataFrame = {
     // WHERE EXISTS (left semi) — the shape of the reference's DELETE guard.
     val o = table(s, dir, "orders")
@@ -364,6 +385,8 @@ object SparkEntry {
     "q18_salted_join" -> (q18 _),
     "q19_window_frames" -> (q19 _),
     "q20_rollup" -> (q20 _),
+    "q21_pivot" -> (q21 _),
+    "q22_unpivot" -> (q22 _),
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
     "s03_windowed_unique" -> (s03 _)
@@ -474,6 +497,21 @@ object SparkEntry {
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
          event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "q21_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q22_unpivot" ->
+      """SELECT p_partkey, 'size' AS measure, CAST(p_size AS BIGINT) AS value
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'price_floor', CAST(floor(p_retailprice) AS BIGINT)
+         FROM part
+         ORDER BY p_partkey, measure""",
     "q19_window_frames" ->
       """WITH e AS (SELECT user_id, event_id, ts,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
