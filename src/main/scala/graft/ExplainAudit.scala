@@ -17,7 +17,8 @@ object ExplainAudit {
       "d12_embed_near_dup", "e05_knn_multiprobe", "d13_rolling_fp",
       "d10_simhash_near_dup", "d17_curation_pipeline", "e08_range_search",
       "d20_contamination", "d23_quality_filter", "e09_kmeans_step",
-      "d24_unigram_loss", "e10_scalar_quantize")) {
+      "d24_unigram_loss", "e10_scalar_quantize", "q19_window_frames",
+      "q20_rollup", "q21_pivot", "q22_unpivot")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
