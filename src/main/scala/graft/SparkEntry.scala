@@ -164,6 +164,20 @@ object SparkEntry {
         "measure", "value")
       .orderBy("p_partkey", "measure")
 
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    // set operations (INTERSECT / EXCEPT): hash-dedup + shuffle on the
+    // key on both sides — semantics DISTINCT per SQL; labeled and
+    // unioned so one result exercises both
+    val a = table(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey")
+    val b = table(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey")
+    a.intersect(b).withColumn("src", lit("both"))
+      .unionAll(a.except(b).withColumn("src", lit("only_even")))
+      .select("src", "o_orderkey")
+      .orderBy("src", "o_orderkey")
+  }
+
   private def q17(s: SparkSession, dir: String): DataFrame = {
     // WHERE EXISTS (left semi) — the shape of the reference's DELETE guard.
     val o = table(s, dir, "orders")
@@ -387,6 +401,7 @@ object SparkEntry {
     "q20_rollup" -> (q20 _),
     "q21_pivot" -> (q21 _),
     "q22_unpivot" -> (q22 _),
+    "q23_set_ops" -> (q23 _),
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
     "s03_windowed_unique" -> (s03 _)
@@ -497,6 +512,13 @@ object SparkEntry {
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
          event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "q23_set_ops" ->
+      """WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT 'both' AS src, o_orderkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+         UNION ALL
+         SELECT 'only_even', o_orderkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+         ORDER BY src, o_orderkey""",
     "q21_pivot" ->
       """SELECT user_id,
          count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -272,7 +272,9 @@ object Similarity {
     * Parity notes: `floor(x + 0.5)` instead of `round` (identical
     * halfway behavior across engines); error folds the squared diffs in
     * array order (both engines left-fold); code_sum is an exact integer
-    * check of every code. */
+    * check of every code. Precondition: vectors are non-empty (the
+    * embeddings-table contract) — `sequence(0, -1)` on an empty array
+    * would descend, not return []. */
   def scalarQuantize(embeddings: DataFrame): DataFrame = {
     val ranges = embeddings
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
