@@ -229,6 +229,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    // JSONL metadata round-trip: documents ship as JSON lines in real
+    // pipelines; build the line deterministically, then parse fields
+    // back with both path extraction (get_json_object) and schema'd
+    // from_json — all map-side, codegen'd
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val meta = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType)))
+    table(s, dir, "documents")
+      .withColumn("__json", concat(
+        lit("{\"id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"), lit("\",\"src\":\""), col("source"),
+        lit("\"}")))
+      .select(
+        col("doc_id"),
+        get_json_object(col("__json"), "$.src").as("src"),
+        from_json(col("__json"), meta).getField("id").as("id_parsed"),
+        from_json(col("__json"), meta).getField("lang").as("lang_parsed"))
+      .orderBy("doc_id")
+  }
+
   private def d24(s: SparkSession, dir: String): DataFrame =
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
@@ -391,6 +412,7 @@ object LlmQueries {
     "d23_quality_filter" -> (d23 _),
     "d24_unigram_loss" -> (d24 _),
     "d25_decontaminated" -> (d25 _),
+    "d26_json_meta" -> (d26 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -686,6 +708,16 @@ object LlmQueries {
          WHERE doc_id % 10 <> 0
            AND doc_id NOT IN (SELECT train_doc FROM flagged)
          ORDER BY doc_id""",
+    "d26_json_meta" ->
+      """WITH j AS (SELECT doc_id,
+           '{"id":' || doc_id || ',"lang":"' || lang || '","src":"' || source || '"}'
+             AS js
+         FROM documents)
+         SELECT doc_id,
+           json_extract_string(js, '$.src') AS src,
+           CAST(json_extract(js, '$.id') AS BIGINT) AS id_parsed,
+           json_extract_string(js, '$.lang') AS lang_parsed
+         FROM j ORDER BY doc_id""",
     "d24_unigram_loss" ->
       """WITH t AS (SELECT doc_id,
            unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
