@@ -229,6 +229,11 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  private def d27(s: SparkSession, dir: String): DataFrame =
+    // lexical retrieval: BM25 top-25 for a fixed query over the corpus
+    Curation.bm25TopDocs(documents(s, dir),
+      terms = Seq("table", "query", "spark"), k = 25)
+
   private def d26(s: SparkSession, dir: String): DataFrame = {
     // JSONL metadata round-trip: documents ship as JSON lines in real
     // pipelines; build the line deterministically, then parse fields
@@ -413,6 +418,7 @@ object LlmQueries {
     "d24_unigram_loss" -> (d24 _),
     "d25_decontaminated" -> (d25 _),
     "d26_json_meta" -> (d26 _),
+    "d27_bm25_topk" -> (d27 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -708,6 +714,24 @@ object LlmQueries {
          WHERE doc_id % 10 <> 0
            AND doc_id NOT IN (SELECT train_doc FROM flagged)
          ORDER BY doc_id""",
+    "d27_bm25_topk" ->
+      // constants appear as the same float expressions the Scala side
+      // computes ((1.2 + 1.0), (1.0 - 0.75)) so both engines fold them
+      // to identical doubles
+      """WITH t AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                WHERE term IN ('table', 'query', 'spark') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM len),
+         sc AS (SELECT doc_id,
+             ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+               * (tf::DOUBLE * (1.2 + 1.0))
+               / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) AS s
+           FROM tf JOIN dfq USING (term) JOIN len USING (doc_id) CROSS JOIN stats)
+         SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 25""",
     "d26_json_meta" ->
       """WITH j AS (SELECT doc_id,
            '{"id":' || doc_id || ',"lang":"' || lang || '","src":"' || source || '"}'

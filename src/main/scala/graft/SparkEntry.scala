@@ -331,6 +331,18 @@ object SparkEntry {
         col("n_users"))
       .orderBy("w_start")
 
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    // sliding windows (2h length / 1h slide): every event counts in two
+    // overlapping windows; the generator expands map-side pre-shuffle
+    streaming.EventStreams
+      .slidingTypeCounts(table(s, dir, "events"))
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+        col("event_type"),
+        col("n_events"))
+      .orderBy("w_start", "event_type")
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -404,7 +416,8 @@ object SparkEntry {
     "q23_set_ops" -> (q23 _),
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
-    "s03_windowed_unique" -> (s03 _)
+    "s03_windowed_unique" -> (s03 _),
+    "s04_sliding_windows" -> (s04 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -555,6 +568,17 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "s04_sliding_windows" ->
+      // an event at t belongs to the hourly-aligned 2h windows starting
+      // at trunc_hour(t) and trunc_hour(t) - 1h
+      """WITH w AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+           UNION ALL
+           SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+           strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
+           event_type, count(*) AS n_events
+         FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
     "s03_windowed_unique" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,

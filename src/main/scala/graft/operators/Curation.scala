@@ -64,6 +64,49 @@ object Curation {
     df.join(broadcast(cum), Seq(valueCol))
   }
 
+  /** BM25 retrieval scoring (Lucene idf form) of the corpus against a
+    * fixed query-term set — the lexical-retrieval side of training-data
+    * search (e.g. "find documents about X to upweight"). Top-k by the
+    * 4dp-ROUNDED score with doc_id tie-break so the cut is reproducible.
+    *
+    * Scale shape: one corpus explode feeds tf / df / doc-length aggs
+    * (staged once, three compact key-shuffles); per-term scores join on
+    * doc_id and the 2-value corpus stats broadcast. Only docs containing
+    * a query term survive past the tf filter, so the scoring join is
+    * output-sized, not corpus-sized. */
+  def bm25TopDocs(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    Dedup.releasing(
+      tf.join(dfq, Seq("term"))
+        .join(len, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5) + 1.0)
+            * (col("tf").cast("double") * lit(k1 + 1.0))
+            / (col("tf").cast("double")
+              + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("s"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(k),
+      toks)
+  }
+
   /** Per-document unigram language-model score: average negative
     * log-likelihood per token under the corpus unigram distribution —
     * the SQL-expressible proxy for the LM-perplexity quality filter

@@ -40,6 +40,26 @@ object EventStreams {
         col("event_type"),
         col("n_events"))
 
+  /** SLIDING event-time windows (length > slide ⇒ each event lands in
+    * length/slide windows): same watermarked agg family as the tumbling
+    * form, state is one row per OPEN (window, type) pair — the overlap
+    * factor multiplies state and output, not input passes (the window()
+    * generator expands map-side before the single shuffle). */
+  def slidingTypeCounts(
+      events: DataFrame,
+      windowDur: String = "2 hours",
+      slideDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"),
+        col("n_events"))
+
   /** Tumbling-window DISTINCT-user counts: per-window dedup state feeding
     * a windowed count — the streaming form of
     * `COUNT(DISTINCT user_id) GROUP BY window`, which no single

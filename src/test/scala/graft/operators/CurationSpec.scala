@@ -49,6 +49,16 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted shouldBe Array(2L, 3L, 4L)
   }
 
+  test("bm25TopDocs ranks by term frequency; docs without query terms drop out") {
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val out = Curation.bm25TopDocs(docs, Seq("spark"), k = 5).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L) // doc 3 never scored
+    out(0).getDouble(1) should be > out(1).getDouble(1)
+  }
+
   test("unigramLogLoss: rare-token docs score higher than stereotypical ones") {
     val docs = Seq(
       (1L, "common common common common"),

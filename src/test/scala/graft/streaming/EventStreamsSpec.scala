@@ -171,6 +171,16 @@ class EventStreamsSpec extends SparkSpec {
     rows.toSeq shouldBe Seq((ts("2026-01-01 00:00:00"), 2L))
   }
 
+  test("sliding windows: each event lands in both overlapping windows") {
+    val ev = eventsDf((1L, "2026-01-01 05:30:00", 1L, "click"))
+    val out = EventStreams.slidingTypeCounts(ev)
+      .orderBy("w_start").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (ts("2026-01-01 04:00:00"), ts("2026-01-01 06:00:00"), 1L),
+      (ts("2026-01-01 05:00:00"), ts("2026-01-01 07:00:00"), 1L))
+  }
+
   test("windowed counts on a batch frame equals a plain group-by (oracle parity shape)") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
