@@ -328,6 +328,11 @@ object LlmQueries {
     // re-compute) — the training loop of the IVF coarse quantizer
     Similarity.kmeansStep(table(s, dir, "embeddings")).orderBy("cell")
 
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    // PQ codes: 8 subspaces, label-seeded codebooks, per-subspace error
+    Similarity.productQuantize(table(s, dir, "embeddings"), m = 8)
+      .orderBy("vec_id", "sub")
+
   private def e10(s: SparkSession, dir: String): DataFrame =
     // scalar int8 quantization of the corpus + reconstruction audit
     Similarity.scalarQuantize(table(s, dir, "embeddings")).orderBy("vec_id")
@@ -428,6 +433,7 @@ object LlmQueries {
     "e08_range_search" -> (e08 _),
     "e09_kmeans_step" -> (e09 _),
     "e10_scalar_quantize" -> (e10 _),
+    "e11_product_quantize" -> (e11 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -771,6 +777,20 @@ object LlmQueries {
                (v[i+1] - (los[i+1] + codes[i+1] * (his[i+1] - los[i+1]) / 255.0)))),
              (a, x) -> a + x)), 4) AS err
          FROM q ORDER BY vec_id""",
+    "e11_product_quantize" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS dim FROM e),
+         cd AS (SELECT label AS cl, dim, round(avg(x), 6) AS c
+                FROM d GROUP BY label, dim),
+         dist AS (SELECT vec_id, floor(dim * 8 / nd)::INT AS sub, cl,
+                    sum((x - c) * (x - c)) AS dist
+                  FROM d JOIN cd USING (dim)
+                  GROUP BY vec_id, floor(dim * 8 / nd)::INT, cl),
+         best AS (SELECT vec_id, sub, cl, dist, row_number() OVER
+                    (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn FROM dist)
+         SELECT vec_id, sub, cl AS code, round(dist, 4) AS sub_err
+         FROM best WHERE rn = 1 ORDER BY vec_id, sub""",
     "e09_kmeans_step" ->
       """WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
              FROM (SELECT label, unnest(embedding)::DOUBLE AS x,

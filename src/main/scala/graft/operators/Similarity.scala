@@ -302,6 +302,39 @@ object Similarity {
       .select(col("vec_id"), col("code_sum"), col("err"))
   }
 
+  /** Product quantization: the vector is split into `m` contiguous
+    * subspaces and each subvector is encoded as its nearest codeword —
+    * PQ codes are m small ints (vs dim floats), the compression behind
+    * billion-scale ANN indexes. Codebooks here are the label centroids
+    * restricted to each subspace (the deterministic seed, exactly like
+    * ivfKnn's coarse quantizer; iterating kmeansStep per subspace would
+    * train them). Output is long-format (vec_id, sub, code, sub_err) so
+    * the code column carries the label type unchanged.
+    *
+    * Scale shape: centroids are a (labels × dim) agg broadcast into the
+    * per-dimension join; encoding is one groupBy over (vec, sub, label)
+    * partial-aggregated distances and an argmin window per (vec, sub).
+    * Ties break by label ascending. */
+  def productQuantize(embeddings: DataFrame, m: Int = 8): DataFrame = {
+    val d = embeddings
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("nd"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val cd = d.groupBy("label", "dim").agg(round(avg("x"), 6).as("c"))
+      .withColumnRenamed("label", "cl")
+    val dist = d
+      .withColumn("sub", floor(col("dim") * m / col("nd")).cast("int"))
+      .join(broadcast(cd), Seq("dim"))
+      .groupBy("vec_id", "sub", "cl")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cl"))
+    dist
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cl").as("code"),
+        round(col("dist"), 4).as("sub_err"))
+  }
+
   /** Per-label centroid (mean vector), returned with its L2 norm and
     * member count. Aggregates element-wise sums, not collect(). */
   def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame = {

@@ -90,6 +90,21 @@ class SimilaritySpec extends SparkSpec {
     out(2).getDouble(2) should be < 0.05
   }
 
+  test("productQuantize encodes subspaces independently; ties break by label") {
+    // m=2 over the 4-dim fixture: subspaces are dims (0,1) and (2,3).
+    // v0=(1,0,0,0) is label q's only member, so q's codeword in sub 0 is
+    // exactly v0's subvector -> code q, err 0. In sub 1 both q's and b's
+    // codewords are (0,0): a 0-0 tie, broken by label asc -> code "b".
+    val out = Similarity.productQuantize(emb, m = 2).collect()
+    out.length shouldBe vecs.length * 2
+    out.foreach(_.getDouble(3) should be >= 0.0)
+    val v0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    v0(0).getString(2) shouldBe "q"
+    v0(0).getDouble(3) shouldBe 0.0
+    v0(1).getString(2) shouldBe "b"
+    v0(1).getDouble(3) shouldBe 0.0
+  }
+
   test("kmeansStep reassigns vectors to their nearest seed centroid") {
     // seed centroids: q=(1,0,0,0), a≈(0.985,0.125,0.025,0),
     // b=mean(v3,v4)=(-0.5,0.5,0,0). Cosine argmax: v0→q (1.0 vs ≈0.992),
