@@ -234,6 +234,10 @@ object LlmQueries {
     Curation.bm25TopDocs(documents(s, dir),
       terms = Seq("table", "query", "spark"), k = 25)
 
+  private def d28(s: SparkSession, dir: String): DataFrame =
+    // within-doc repetition ratios (Gopher-style quality signals)
+    Curation.repetitionStats(documents(s, dir)).orderBy("doc_id")
+
   private def d26(s: SparkSession, dir: String): DataFrame = {
     // JSONL metadata round-trip: documents ship as JSON lines in real
     // pipelines; build the line deterministically, then parse fields
@@ -333,6 +337,15 @@ object LlmQueries {
     Similarity.productQuantize(table(s, dir, "embeddings"), m = 8)
       .orderBy("vec_id", "sub")
 
+  private def e12(s: SparkSession, dir: String): DataFrame = {
+    // PQ-ADC search: queries scan corpus CODES with a broadcast
+    // distance lookup table (same split as e01/e02)
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .adcKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def e10(s: SparkSession, dir: String): DataFrame =
     // scalar int8 quantization of the corpus + reconstruction audit
     Similarity.scalarQuantize(table(s, dir, "embeddings")).orderBy("vec_id")
@@ -424,6 +437,7 @@ object LlmQueries {
     "d25_decontaminated" -> (d25 _),
     "d26_json_meta" -> (d26 _),
     "d27_bm25_topk" -> (d27 _),
+    "d28_repetition" -> (d28 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -434,6 +448,7 @@ object LlmQueries {
     "e09_kmeans_step" -> (e09 _),
     "e10_scalar_quantize" -> (e10 _),
     "e11_product_quantize" -> (e11 _),
+    "e12_knn_pq_adc" -> (e12 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -720,6 +735,18 @@ object LlmQueries {
          WHERE doc_id % 10 <> 0
            AND doc_id NOT IN (SELECT train_doc FROM flagged)
          ORDER BY doc_id""",
+    "d28_repetition" ->
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, $Shingles3 AS shingles FROM t WHERE len(tk) >= 3),
+         hs AS (SELECT doc_id, $ShingleHashes AS hs FROM sh),
+         x AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         c AS (SELECT doc_id, h, count(*) AS cnt FROM x GROUP BY doc_id, h),
+         p AS (SELECT doc_id, sum(cnt) AS total, count(*) AS n_distinct,
+                 max(cnt) AS top FROM c GROUP BY doc_id)
+         SELECT doc_id,
+           round(1.0 - n_distinct::DOUBLE / total::DOUBLE, 4) AS dup_ratio,
+           round(top::DOUBLE / total::DOUBLE, 4) AS top_ratio
+         FROM p ORDER BY doc_id""",
     "d27_bm25_topk" ->
       // constants appear as the same float expressions the Scala side
       // computes ((1.2 + 1.0), (1.0 - 0.75)) so both engines fold them
@@ -777,6 +804,37 @@ object LlmQueries {
                (v[i+1] - (los[i+1] + codes[i+1] * (his[i+1] - los[i+1]) / 255.0)))),
              (a, x) -> a + x)), 4) AS err
          FROM q ORDER BY vec_id""",
+    "e12_knn_pq_adc" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id >= 5),
+         d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS dim FROM e),
+         cd AS (SELECT label AS cl, dim, round(avg(x), 6) AS c
+                FROM d GROUP BY label, dim),
+         dist AS (SELECT vec_id, floor(dim * 8 / nd)::INT AS sub, cl,
+                    sum((x - c) * (x - c)) AS dist
+                  FROM d JOIN cd USING (dim)
+                  GROUP BY vec_id, floor(dim * 8 / nd)::INT, cl),
+         codes AS (SELECT vec_id AS neighbor_id, sub, cl AS code FROM (
+                     SELECT vec_id, sub, cl, row_number() OVER
+                       (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+                     FROM dist) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, len(embedding) AS nd,
+                 unnest(embedding::DOUBLE[]) AS qx,
+                 unnest(range(0, len(embedding))) AS dim
+               FROM embeddings WHERE vec_id < 5),
+         qt AS (SELECT query_id, floor(dim * 8 / nd)::INT AS sub, cl AS code,
+                  sum((qx - c) * (qx - c)) AS qd
+                FROM q JOIN cd USING (dim)
+                GROUP BY query_id, floor(dim * 8 / nd)::INT, cl),
+         adc AS (SELECT query_id, neighbor_id, sum(qd) AS adc
+                 FROM codes JOIN qt USING (sub, code)
+                 GROUP BY query_id, neighbor_id),
+         r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+                 (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+               FROM adc)
+         SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "e11_product_quantize" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,

@@ -64,6 +64,29 @@ object Curation {
     df.join(broadcast(cum), Seq(valueCol))
   }
 
+  /** Within-document repetition statistics over word shingles — the
+    * Gopher-style repetition filters (duplicate n-gram fraction, most-
+    * common n-gram fraction) that catch degenerate boilerplate no
+    * cross-document dedup sees. One explode + two key aggs per corpus
+    * pass; ratios are int/int double divisions (engine-exact). */
+  def repetitionStats(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val hashes = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(shingleMd5Longs(col("__toks"), n, 15)).as("h"))
+    hashes
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("total"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top"))
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("total").cast("double"), 4)
+          .as("dup_ratio"),
+        round(col("top").cast("double") / col("total").cast("double"), 4)
+          .as("top_ratio"))
+  }
+
   /** BM25 retrieval scoring (Lucene idf form) of the corpus against a
     * fixed query-term set — the lexical-retrieval side of training-data
     * search (e.g. "find documents about X to upweight"). Top-k by the

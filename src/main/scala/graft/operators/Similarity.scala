@@ -335,6 +335,57 @@ object Similarity {
         round(col("dist"), 4).as("sub_err"))
   }
 
+  /** ADC (asymmetric distance computation) kNN over PQ codes: corpus
+    * vectors are represented ONLY by their m codes; each query builds a
+    * (subspace × codeword) squared-distance lookup table against the
+    * corpus-trained codebook and approximate distance is m table adds
+    * per candidate — the scan that makes PQ indexes searchable at
+    * billion scale (codes + the broadcast table, never corpus floats).
+    *
+    * Plan: codebook and codes derive from the CORPUS exactly as in
+    * productQuantize; the query table is queries × labels × dims
+    * (tiny — broadcast); the scoring join is codes ⋈ table on
+    * (sub, code), one partial-aggregated sum per (query, candidate),
+    * then the usual top-k window. */
+  def adcKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 8): DataFrame = {
+    val d = corpus.select(col("vec_id"), col("label"),
+      size(col("embedding")).as("nd"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val cd = d.groupBy("label", "dim").agg(round(avg("x"), 6).as("c"))
+      .withColumnRenamed("label", "cl")
+    val codes = d
+      .withColumn("sub", floor(col("dim") * m / col("nd")).cast("int"))
+      .join(broadcast(cd), Seq("dim"))
+      .groupBy("vec_id", "sub", "cl")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cl"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cl").as("code"))
+    val qtable = queries
+      .select(col("vec_id").as("query_id"),
+        size(col("embedding")).as("nd"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "qx")))
+      .withColumn("sub", floor(col("dim") * m / col("nd")).cast("int"))
+      .join(broadcast(cd), Seq("dim"))
+      .groupBy("query_id", "sub", "cl")
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("qd"))
+      .withColumnRenamed("cl", "code")
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    codes
+      .join(broadcast(qtable), Seq("sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("qd").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc"))
+  }
+
   /** Per-label centroid (mean vector), returned with its L2 norm and
     * member count. Aggregates element-wise sums, not collect(). */
   def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame = {

@@ -59,6 +59,19 @@ class CurationSpec extends SparkSpec {
     out(0).getDouble(1) should be > out(1).getDouble(1)
   }
 
+  test("repetitionStats flags degenerate repeats, clears diverse text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),       // one shingle repeated 4x
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs).orderBy("doc_id").collect()
+    // doc 1: 4 shingles, 1 distinct -> dup 0.75, top 1.0
+    out(0).getDouble(1) shouldBe 0.75
+    out(0).getDouble(2) shouldBe 1.0
+    // doc 2: all 4 shingles distinct -> dup 0, top 0.25
+    out(1).getDouble(1) shouldBe 0.0
+    out(1).getDouble(2) shouldBe 0.25
+  }
+
   test("unigramLogLoss: rare-token docs score higher than stereotypical ones") {
     val docs = Seq(
       (1L, "common common common common"),
