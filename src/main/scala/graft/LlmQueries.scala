@@ -346,6 +346,21 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    // ANN quality audit: recall@5 of PQ-ADC search vs exact cosine kNN.
+    // ADC ranks by L2 over ROUNDED codebooks while the exact side ranks
+    // by cosine, so recall < 1.0 is expected — that measured gap is the
+    // point of the query.
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    Similarity
+      .recallAtK(
+        Similarity.adcKnn(queries, corpus, k = 5),
+        Similarity.bruteKnn(queries, corpus, k = 5), k = 5)
+      .orderBy("query_id")
+  }
+
   private def e10(s: SparkSession, dir: String): DataFrame =
     // scalar int8 quantization of the corpus + reconstruction audit
     Similarity.scalarQuantize(table(s, dir, "embeddings")).orderBy("vec_id")
@@ -449,6 +464,7 @@ object LlmQueries {
     "e10_scalar_quantize" -> (e10 _),
     "e11_product_quantize" -> (e11 _),
     "e12_knn_pq_adc" -> (e12 _),
+    "e13_ann_recall" -> (e13 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -804,6 +820,54 @@ object LlmQueries {
                (v[i+1] - (los[i+1] + codes[i+1] * (his[i+1] - los[i+1]) / 255.0)))),
              (a, x) -> a + x)), 4) AS err
          FROM q ORDER BY vec_id""",
+    "e13_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id >= 5),
+         d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS dim FROM e),
+         cd AS (SELECT label AS cl, dim, round(avg(x), 6) AS c
+                FROM d GROUP BY label, dim),
+         dist AS (SELECT vec_id, floor(dim * 8 / nd)::INT AS sub, cl,
+                    sum((x - c) * (x - c)) AS dist
+                  FROM d JOIN cd USING (dim)
+                  GROUP BY vec_id, floor(dim * 8 / nd)::INT, cl),
+         codes AS (SELECT vec_id AS neighbor_id, sub, cl AS code FROM (
+                     SELECT vec_id, sub, cl, row_number() OVER
+                       (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+                     FROM dist) WHERE rn = 1),
+         qq AS (SELECT vec_id AS query_id, len(embedding) AS nd,
+                 unnest(embedding::DOUBLE[]) AS qx,
+                 unnest(range(0, len(embedding))) AS dim
+               FROM embeddings WHERE vec_id < 5),
+         qt AS (SELECT query_id, floor(dim * 8 / nd)::INT AS sub, cl AS code,
+                  sum((qx - c) * (qx - c)) AS qd
+                FROM qq JOIN cd USING (dim)
+                GROUP BY query_id, floor(dim * 8 / nd)::INT, cl),
+         adc AS (SELECT query_id, neighbor_id, sum(qd) AS adc
+                 FROM codes JOIN qt USING (sub, code)
+                 GROUP BY query_id, neighbor_id),
+         ap5 AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+                   FROM adc) WHERE rank <= 5),
+         exq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+         exc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id >= 5),
+         exs AS (SELECT query_id, neighbor_id, $CosSql AS cos
+                 FROM exc CROSS JOIN exq),
+         ex5 AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM exs) WHERE rank <= 5),
+         hits AS (SELECT query_id, count(*) AS n_hits
+                  FROM ap5 JOIN ex5 USING (query_id, neighbor_id)
+                  GROUP BY query_id)
+         SELECT q2.query_id,
+           round(coalesce(n_hits, 0)::DOUBLE / 5.0, 4) AS recall
+         FROM (SELECT DISTINCT query_id FROM ex5) q2
+         LEFT JOIN hits USING (query_id)
+         ORDER BY query_id""",
     "e12_knn_pq_adc" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
                     WHERE vec_id >= 5),

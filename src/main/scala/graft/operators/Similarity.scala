@@ -386,6 +386,23 @@ object Similarity {
         round(col("adc"), 4).as("adc"))
   }
 
+  /** Recall@k of an approximate kNN result against the exact one: the
+    * evaluation every ANN deployment runs before trading accuracy for
+    * speed. Both inputs are (query_id, rank, neighbor_id, ...) frames;
+    * recall is |approx ∩ exact| / k per query. One semi-join on
+    * (query_id, neighbor_id) + a count agg — output is queries-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4).as("recall"))
+  }
+
   /** Per-label centroid (mean vector), returned with its L2 norm and
     * member count. Aggregates element-wise sums, not collect(). */
   def labelCentroids(embeddings: DataFrame, dim: Int): DataFrame = {

@@ -105,6 +105,19 @@ class SimilaritySpec extends SparkSpec {
     v0(1).getDouble(3) shouldBe 0.0
   }
 
+  test("recallAtK scores overlap per query, zero when disjoint") {
+    val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (7L, 1, 12L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // approx == exact: full recall for query 0; query 7 has 1 of k=2 hits
+    Similarity.recallAtK(exact, exact, k = 2)
+      .orderBy("query_id").collect()
+      .map(_.getDouble(1)).toSeq shouldBe Seq(1.0, 0.5)
+    val miss = Seq((0L, 1, 99L), (7L, 1, 98L)).toDF("query_id", "rank", "neighbor_id")
+    Similarity.recallAtK(miss, exact, k = 2)
+      .orderBy("query_id").collect()
+      .map(_.getDouble(1)).toSeq shouldBe Seq(0.0, 0.0)
+  }
+
   test("kmeansStep reassigns vectors to their nearest seed centroid") {
     // seed centroids: q=(1,0,0,0), a≈(0.985,0.125,0.025,0),
     // b=mean(v3,v4)=(-0.5,0.5,0,0). Cosine argmax: v0→q (1.0 vs ≈0.992),
