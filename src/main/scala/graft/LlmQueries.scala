@@ -238,6 +238,32 @@ object LlmQueries {
     // within-doc repetition ratios (Gopher-style quality signals)
     Curation.repetitionStats(documents(s, dir)).orderBy("doc_id")
 
+  private def d29(s: SparkSession, dir: String): DataFrame =
+    // concat-and-chunk sequence packing at a 256-token budget; the global
+    // token offset comes from a distributed two-phase prefix sum over
+    // 16-id range shards, never one corpus-wide window
+    Curation.packSequences(documents(s, dir), budget = 256, shardWidth = 16)
+      .orderBy("doc_id")
+
+  private def d30(s: SparkSession, dir: String): DataFrame =
+    // per-source quality cap (RefinedWeb-style per-domain cap): keep the
+    // 10 best-quality docs per source, rank over the ROUNDED score
+    Curation.perSourceCap(documents(s, dir), cap = 10)
+      .orderBy("source", "rnk")
+
+  private def d31(s: SparkSession, dir: String): DataFrame =
+    // vocabulary-growth curve in 2-doc buckets: new word types per
+    // bucket + cumulative vocab — the data-saturation diagnostic (this
+    // corpus saturates its vocab within the first few docs)
+    Curation.vocabGrowth(documents(s, dir), bucketWidth = 2)
+      .orderBy("bucket")
+
+  private def d32(s: SparkSession, dir: String): DataFrame =
+    // corpus-boilerplate ratio per doc: words present in ≥50% of docs
+    // (threshold sits mid-cliff: common vocab ~75% df, rare ~5%)
+    Curation.boilerplateRatio(documents(s, dir), dfPermille = 500)
+      .orderBy("doc_id")
+
   private def d26(s: SparkSession, dir: String): DataFrame = {
     // JSONL metadata round-trip: documents ship as JSON lines in real
     // pipelines; build the line deterministically, then parse fields
@@ -453,6 +479,10 @@ object LlmQueries {
     "d26_json_meta" -> (d26 _),
     "d27_bm25_topk" -> (d27 _),
     "d28_repetition" -> (d28 _),
+    "d29_seq_pack" -> (d29 _),
+    "d30_source_cap" -> (d30 _),
+    "d31_vocab_growth" -> (d31 _),
+    "d32_boilerplate" -> (d32 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -763,6 +793,69 @@ object LlmQueries {
            round(1.0 - n_distinct::DOUBLE / total::DOUBLE, 4) AS dup_ratio,
            round(top::DOUBLE / total::DOUBLE, 4) AS top_ratio
          FROM p ORDER BY doc_id""",
+    "d29_seq_pack" ->
+      // mirror of the two-phase prefix sum: one window cumsum is the
+      // oracle semantics; floor over a DOUBLE division on both sides
+      s"""WITH t AS ($ToksCte),
+         c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+         o AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+               FROM c),
+         s AS (SELECT doc_id, n_tokens, tok_offset,
+                 CAST(floor(tok_offset / 256.0) AS BIGINT) AS first_seq,
+                 CAST(floor((tok_offset + greatest(n_tokens, 1) - 1) / 256.0)
+                   AS BIGINT) AS last_seq
+               FROM o)
+         SELECT doc_id, n_tokens, tok_offset, first_seq, last_seq,
+           last_seq - first_seq + 1 AS n_seqs
+         FROM s ORDER BY doc_id""",
+    "d30_source_cap" ->
+      s"""WITH t AS ($ToksCte),
+         m AS (SELECT doc_id, source,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(tk, x -> x IN ($enList))) AS DOUBLE) AS stop_cnt,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) AS punct_cnt,
+             CAST(length(text) AS DOUBLE) AS nchar
+             FROM t),
+         q AS (SELECT doc_id, source, round(
+             (CASE WHEN ntok BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + least(stop_cnt / ntok * 2.0, 1.0) * 0.4
+             + (1.0 - least(punct_cnt / nchar * 10.0, 1.0)) * 0.2, 4) AS quality
+           FROM m),
+         r AS (SELECT doc_id, source, quality, row_number() OVER
+                 (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+               FROM q)
+         SELECT doc_id, source, quality, rnk FROM r
+         WHERE rnk <= 10 ORDER BY source, rnk""",
+    "d31_vocab_growth" ->
+      s"""WITH t AS ($ToksCte),
+         x AS (SELECT doc_id, unnest(tk) AS word FROM t),
+         w AS (SELECT word, min(doc_id) AS first_doc FROM x GROUP BY word),
+         b AS (SELECT CAST(floor(first_doc / 2.0) AS BIGINT) AS bucket,
+                 count(*) AS new_types
+               FROM w GROUP BY 1)
+         SELECT bucket, new_types,
+           CAST(sum(new_types) OVER (ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+         FROM b ORDER BY bucket""",
+    "d32_boilerplate" ->
+      s"""WITH t AS ($ToksCte),
+         toks AS (SELECT doc_id, unnest(tk) AS word FROM t),
+         n AS (SELECT count(*) AS n FROM documents),
+         dfs AS (SELECT word, count(DISTINCT doc_id) AS df
+                 FROM toks GROUP BY word),
+         boiler AS (SELECT word FROM dfs, n WHERE df * 1000 >= n * 500),
+         per AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+         hits AS (SELECT doc_id, count(*) AS n_boiler
+                  FROM toks JOIN boiler USING (word) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
+             AS boiler_ratio
+         FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
     "d27_bm25_topk" ->
       // constants appear as the same float expressions the Scala side
       // computes ((1.2 + 1.0), (1.0 - 0.75)) so both engines fold them

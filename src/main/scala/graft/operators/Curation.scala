@@ -178,4 +178,126 @@ object Curation {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Sequence packing: concatenate the corpus in doc_id order and chunk
+    * it into fixed `budget`-token training sequences, reporting for each
+    * document its global token offset and the sequence ids it spans —
+    * the concat-and-chunk packing every LM pretraining run does.
+    *
+    * Scale shape: the global running offset is a DISTRIBUTED two-phase
+    * prefix sum, never one unpartitioned window over the corpus. Docs
+    * are range-sharded on doc_id (`shardWidth` ids per shard); phase 1
+    * is a within-shard cumulative window (partitioned — parallel),
+    * phase 2 computes per-shard totals (shard-count-sized frame), takes
+    * their exclusive cumsum with a window over that tiny frame, and
+    * broadcasts the shard base offsets back. At 100 TB the only
+    * unpartitioned window runs over K shard rows. */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int,
+      shardWidth: Long,
+      textCol: String = "text"): DataFrame = {
+    val counted = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        floor(col("doc_id").cast("double") / shardWidth).cast("long").as("__shard"))
+    val inShard = Window.partitionBy("__shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = counted
+      .withColumn("__local", coalesce(sum("n_tokens").over(inShard), lit(0L)))
+    val shardBase = counted
+      .groupBy("__shard").agg(sum("n_tokens").as("__tot"))
+      .withColumn("__base", coalesce(
+        sum("__tot").over(Window.orderBy("__shard").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__shard", "__base")
+    withLocal.join(broadcast(shardBase), Seq("__shard"))
+      .withColumn("tok_offset", col("__base") + col("__local"))
+      .withColumn("first_seq",
+        floor(col("tok_offset").cast("double") / budget).cast("long"))
+      .withColumn("last_seq",
+        floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
+          .cast("double") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+  }
+
+  /** Per-source document cap: rank documents within each source by
+    * quality (desc, doc_id tie-break) and keep the best `cap` — the
+    * per-domain cap a web-corpus pipeline applies so no single domain
+    * dominates training (RefinedWeb-style). The rank runs over the
+    * 4dp-ROUNDED quality score so the cut is engine-reproducible.
+    *
+    * Scale shape: one window partitioned by source — parallel across
+    * sources; a skewed mega-source is still one partition's sort, which
+    * is exactly the semantics the cap needs (and the cap output is at
+    * most `cap × n_sources` rows). */
+  def perSourceCap(docs: DataFrame, cap: Int, textCol: String = "text"): DataFrame = {
+    val scored = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col("doc_id"), col("source"),
+        qualityScoreFromTokens(col(textCol), col("__toks")).as("quality"))
+    val w = Window.partitionBy("source").orderBy(desc("quality"), col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+  }
+
+  /** Corpus vocabulary-growth curve: bucket documents by doc_id range
+    * and count, per bucket, the word types whose FIRST corpus occurrence
+    * falls in that bucket, plus the cumulative vocabulary size — the
+    * saturation diagnostic that tells you when more data stops adding
+    * new vocabulary.
+    *
+    * Scale shape: explode → min(doc_id) per word (one key shuffle that
+    * also dedups) → bucket agg; the cumulative window runs over the
+    * bucket frame only (corpus_ids / bucketWidth rows). */
+  def vocabGrowth(docs: DataFrame, bucketWidth: Long, textCol: String = "text"): DataFrame = {
+    val first = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(min("doc_id").as("__first_doc"))
+    first
+      .withColumn("bucket",
+        floor(col("__first_doc").cast("double") / bucketWidth).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+      .withColumn("vocab_size",
+        sum("new_types").over(Window.orderBy("bucket").rowsBetween(
+          Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-document boilerplate ratio: the fraction of token occurrences
+    * that are corpus-boilerplate words, where a word is boilerplate when
+    * it appears in ≥ dfPermille‰ of documents. The integer cross-
+    * multiplied threshold (`df × 1000 ≥ n_docs × permille`) keeps the
+    * cut exact — no float document fraction to diverge on.
+    *
+    * Scale shape: one explode staged and reused for document frequency,
+    * per-doc totals, and the boilerplate-hit count; the boilerplate
+    * vocabulary (tiny by construction — words in most documents) and
+    * the 1-row corpus count are broadcast. */
+  def boilerplateRatio(
+      docs: DataFrame,
+      dfPermille: Int,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val boiler = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") * 1000 >= col("__n") * dfPermille)
+      .select("word")
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val hits = toks.join(broadcast(boiler), Seq("word"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    Dedup.releasing(
+      perDoc.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double"), 4).as("boiler_ratio")),
+      toks)
+  }
 }

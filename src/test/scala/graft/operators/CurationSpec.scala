@@ -98,4 +98,60 @@ class CurationSpec extends SparkSpec {
     // a doc of only corpus-wide terms scores 0 (idf = ln(1))
     out(2).getDouble(4) shouldBe 0.0
   }
+
+  test("packSequences: offsets form an exact prefix sum across shard joins") {
+    // 3-token docs, budget 4: doc k starts at offset 3k; shardWidth 2
+    // forces the cross-shard base-offset path for every second doc
+    val docs = (0L to 9L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, budget = 4, shardWidth = 2)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(2)).toSeq shouldBe (0L to 9L).map(_ * 3)
+    // doc 1 spans tokens 3..5 -> seqs 0..1
+    out(1).getLong(3) shouldBe 0L
+    out(1).getLong(4) shouldBe 1L
+    out(1).getLong(5) shouldBe 2L - 0L
+    // doc 4 spans tokens 12..14 -> seq 3 only
+    out(4).getLong(3) shouldBe 3L
+    out(4).getLong(4) shouldBe 3L
+    out(4).getLong(5) shouldBe 1L
+  }
+
+  test("perSourceCap keeps the top-cap docs per source, doc_id breaks ties") {
+    // quality is identical for same-text docs -> rank falls back to doc_id
+    val docs = Seq(
+      (1L, "s1", "the and is of to in a b c d"),
+      (2L, "s1", "the and is of to in a b c d"),
+      (3L, "s1", "x y z q w e r t y u"),
+      (4L, "s2", "the and is of to in a b c d")).toDF("doc_id", "source", "text")
+    val out = Curation.perSourceCap(docs, cap = 2)
+      .orderBy("source", "rnk").collect()
+    out.map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq shouldBe
+      Seq((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1))
+    // stopword-free doc 3 ranks below the tied stopword-rich pair
+    out.map(_.getLong(0)) should not contain 3L
+  }
+
+  test("vocabGrowth counts first occurrences per bucket, cumsum is the vocab") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), // bucket 0: types a, b, c
+      (2L, "c d"), (3L, "d d")) // bucket 1: only d is new
+      .toDF("doc_id", "text")
+    val out = Curation.vocabGrowth(docs, bucketWidth = 2)
+      .orderBy("bucket").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((0L, 3L, 3L), (1L, 1L, 4L))
+  }
+
+  test("boilerplateRatio uses the exact permille df cut; zero-hit docs rate 0") {
+    // 'x' in 3/4 docs (750‰), 'y' in 2/4 (500‰), 'z'/'w' in 1/4 (250‰)
+    val docs = Seq(
+      (1L, "x x y"), (2L, "x y"), (3L, "x z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateRatio(docs, dfPermille = 500)
+      .orderBy("doc_id").collect()
+    // boiler vocab = {x, y} (>= 500‰ inclusive)
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq shouldBe Seq(
+        (1L, 3L, 3L, 1.0), (2L, 2L, 2L, 1.0), (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0))
+  }
 }
