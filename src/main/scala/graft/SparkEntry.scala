@@ -178,6 +178,50 @@ object SparkEntry {
       .orderBy("src", "o_orderkey")
   }
 
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    // CUBE: all four grouping sets over (priority, status) in one pass —
+    // Spark expands the sets map-side before the partial agg, so the
+    // plan is still one shuffle. GROUPING flags disambiguate subtotal
+    // NULLs from data NULLs in the hashed output.
+    table(s, dir, "orders").createOrReplaceTempView("graft_q24_orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS total,
+        CAST(GROUPING(o_orderpriority) AS INT) AS gp,
+        CAST(GROUPING(o_orderstatus) AS INT) AS gs
+        FROM graft_q24_orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")
+  }
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    // exact percentiles (percentile = continuous interpolation at rank
+    // 1 + p(n-1), the quantile_cont definition) per group — sort-based
+    // within each group's agg buffer, one shuffle on the group key
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        min("l_quantity").as("q_min"),
+        max("l_quantity").as("q_max"))
+      .orderBy("l_returnflag")
+
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    // correlated scalar subquery: parts priced above their brand's
+    // average. Catalyst decorrelates this into the same agg + join a
+    // hand-written plan would use — the point is that the subquery
+    // FORM survives optimization, not a row-at-a-time re-execution.
+    table(s, dir, "part").createOrReplaceTempView("graft_q26_part")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        FROM graft_q26_part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+                               FROM graft_q26_part p2
+                               WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey""")
+  }
+
   private def q17(s: SparkSession, dir: String): DataFrame = {
     // WHERE EXISTS (left semi) — the shape of the reference's DELETE guard.
     val o = table(s, dir, "orders")
@@ -414,6 +458,9 @@ object SparkEntry {
     "q21_pivot" -> (q21 _),
     "q22_unpivot" -> (q22 _),
     "q23_set_ops" -> (q23 _),
+    "q24_cube" -> (q24 _),
+    "q25_percentiles" -> (q25 _),
+    "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
     "s03_windowed_unique" -> (s03 _),
@@ -532,6 +579,26 @@ object SparkEntry {
          UNION ALL
          SELECT 'only_even', o_orderkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
          ORDER BY src, o_orderkey""",
+    "q24_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total,
+         CAST(GROUPING(o_orderpriority) AS INT) AS gp,
+         CAST(GROUPING(o_orderstatus) AS INT) AS gs
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+         min(l_quantity) AS q_min, max(l_quantity) AS q_max
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q26_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM part p
+         WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_partkey""",
     "q21_pivot" ->
       """SELECT user_id,
          count(*) FILTER (WHERE event_type = 'click') AS click,
