@@ -387,6 +387,17 @@ object SparkEntry {
         col("n_events"))
       .orderBy("w_start", "event_type")
 
+  private def s05(s: SparkSession, dir: String): DataFrame =
+    // stream-stream interval join (conversion attribution), batch-run
+    // for the oracle; the streaming path with watermark-derived state
+    // eviction is driven in EventStreamsSpec
+    streaming.EventStreams.intervalJoin(table(s, dir, "events"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("gap_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -464,7 +475,8 @@ object SparkEntry {
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
     "s03_windowed_unique" -> (s03 _),
-    "s04_sliding_windows" -> (s04 _)
+    "s04_sliding_windows" -> (s04 _),
+    "s05_interval_join" -> (s05 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -664,6 +676,16 @@ object SparkEntry {
          c AS (SELECT g.*, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM g)
          SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
                 strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS s_end, n_events
-         FROM c WHERE sid < max_sid ORDER BY user_id, s_start"""
+         FROM c WHERE sid < max_sid ORDER BY user_id, s_start""",
+    "s05_interval_join" ->
+      """SELECT user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           USING (user_id)
+         WHERE p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+         ORDER BY user_id, click_id, purchase_id"""
   )
 }

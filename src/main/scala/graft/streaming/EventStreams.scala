@@ -101,6 +101,43 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream event-time interval join: attribute each purchase to
+    * every click by the SAME user in the preceding `horizonSec` seconds
+    * — the conversion-attribution join. The time bound lives INSIDE the
+    * join condition (not a post-filter) so the streaming planner can
+    * derive state-eviction watermarks for both sides: click state is
+    * held only `horizonSec + delay`, purchase state only `delay` —
+    * bounded state, O(events in horizon) per side, never O(history).
+    *
+    * Scale shape (batch and micro-batch alike): one shuffle of each
+    * side on user_id, then a per-key time-range probe; output is
+    * pairs-within-horizon-sized, never the cross product. Runs
+    * unchanged on batch DataFrames — the oracle seam — while
+    * EventStreamsSpec drives the watermarked streaming path. */
+  def intervalJoin(
+      events: DataFrame,
+      leftType: String = "click",
+      rightType: String = "purchase",
+      horizonSec: Long = 3600L,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $horizonSec SECOND"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
 
   case class Session(

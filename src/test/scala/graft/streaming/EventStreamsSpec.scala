@@ -131,6 +131,41 @@ class EventStreamsSpec extends SparkSpec {
     ids shouldBe Array(1L, 2L, 3L) // event 1 emitted once despite the batch-2 replay
   }
 
+  test("batch interval join: purchases attach to preceding same-user clicks only") {
+    val ev = eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),
+      (2L, "2026-01-01 10:30:00", 1L, "purchase"), // 30 min after click 1 -> pair
+      (3L, "2026-01-01 12:00:00", 1L, "purchase"), // > 1h after click 1 -> no pair
+      (4L, "2026-01-01 09:59:00", 1L, "purchase"), // before the click -> no pair
+      (5L, "2026-01-01 10:10:00", 2L, "purchase")) // other user -> no pair
+    val out = EventStreams.intervalJoin(ev, horizonSec = 3600L).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq shouldBe
+      Seq((1L, 1L, 2L, 30L * 60 * 1000000))
+  }
+
+  test("streaming interval join pairs across micro-batches under the watermark") {
+    val src = Files.createTempDirectory("es-ij-src").toString
+    val ckpt = Files.createTempDirectory("es-ij-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+    writeBatch(eventsDf(
+      (2L, "2026-01-01 10:40:00", 1L, "purchase"), // joins batch-1 click state
+      (3L, "2026-01-01 23:00:00", 9L, "view")), src, 2) // advances the watermark
+
+    val q = EventStreams
+      .intervalJoin(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        horizonSec = 3600L, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("ij")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    spark.table("ij").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 1L, 2L)) // the cross-batch pair, exactly once
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
