@@ -387,6 +387,16 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
+  private def e14(s: SparkSession, dir: String): DataFrame = {
+    // IVF-PQ composition: coarse cells cut the candidate set, ADC over
+    // codes ranks it — the plan shape of a billion-vector ANN index
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .ivfPqKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def e10(s: SparkSession, dir: String): DataFrame =
     // scalar int8 quantization of the corpus + reconstruction audit
     Similarity.scalarQuantize(table(s, dir, "embeddings")).orderBy("vec_id")
@@ -495,6 +505,7 @@ object LlmQueries {
     "e11_product_quantize" -> (e11 _),
     "e12_knn_pq_adc" -> (e12 _),
     "e13_ann_recall" -> (e13 _),
+    "e14_knn_ivf_pq" -> (e14 _),
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
@@ -961,6 +972,65 @@ object LlmQueries {
          FROM (SELECT DISTINCT query_id FROM ex5) q2
          LEFT JOIN hits USING (query_id)
          ORDER BY query_id""",
+    "e14_knn_ivf_pq" ->
+      // e04's IVF cell restriction composed with e12's ADC scoring: the
+      // shared per-(label,dim) mean table serves as both the coarse
+      // centroids and the PQ codebooks
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id >= 5),
+         cd0 AS (SELECT label, dim, round(avg(x), 6) AS c
+                 FROM (SELECT label, unnest(v) AS x,
+                         unnest(range(0, len(v))) AS dim FROM e)
+                 GROUP BY label, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd0 GROUP BY label),
+         corpus AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+         assign AS (SELECT cell, neighbor_id FROM (
+             SELECT ct2.label AS cell, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                 list_inner_product(c.cv, ct2.ct)
+                   / (sqrt(list_inner_product(c.cv, c.cv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM corpus c CROSS JOIN cent ct2) WHERE rn = 1),
+         q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+         probe AS (SELECT cell, query_id FROM (
+             SELECT ct2.label AS cell, q0.query_id,
+               row_number() OVER (PARTITION BY q0.query_id ORDER BY
+                 list_inner_product(q0.qv, ct2.ct)
+                   / (sqrt(list_inner_product(q0.qv, q0.qv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM q0 CROSS JOIN cent ct2) WHERE rn <= 3),
+         cand AS (SELECT query_id, neighbor_id FROM assign JOIN probe USING (cell)),
+         cdm AS (SELECT label AS cl, dim, c FROM cd0),
+         d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS dim FROM e),
+         dist AS (SELECT vec_id, floor(dim * 8 / nd)::INT AS sub, cl,
+                    sum((x - c) * (x - c)) AS dist
+                  FROM d JOIN cdm USING (dim)
+                  GROUP BY vec_id, floor(dim * 8 / nd)::INT, cl),
+         codes AS (SELECT vec_id AS neighbor_id, sub, cl AS code FROM (
+                     SELECT vec_id, sub, cl, row_number() OVER
+                       (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+                     FROM dist) WHERE rn = 1),
+         qq AS (SELECT vec_id AS query_id, len(embedding) AS nd,
+                 unnest(embedding::DOUBLE[]) AS qx,
+                 unnest(range(0, len(embedding))) AS dim
+               FROM embeddings WHERE vec_id < 5),
+         qt AS (SELECT query_id, floor(dim * 8 / nd)::INT AS sub, cl AS code,
+                  sum((qx - c) * (qx - c)) AS qd
+                FROM qq JOIN cdm USING (dim)
+                GROUP BY query_id, floor(dim * 8 / nd)::INT, cl),
+         adc AS (SELECT query_id, neighbor_id, sum(qd) AS adc
+                 FROM cand JOIN codes USING (neighbor_id)
+                 JOIN qt USING (query_id, sub, code)
+                 GROUP BY query_id, neighbor_id),
+         r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+                 (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+               FROM adc)
+         SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "e12_knn_pq_adc" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
                     WHERE vec_id >= 5),

@@ -386,6 +386,81 @@ object Similarity {
         round(col("adc"), 4).as("adc"))
   }
 
+  /** IVF-PQ search — the composition every billion-vector ANN index
+    * actually runs: the IVF coarse quantizer restricts the candidate set
+    * to the query's `nprobe` nearest cells, and PQ asymmetric-distance
+    * scoring ranks ONLY those candidates from codes. Neither full
+    * vectors nor full-corpus distances ever materialize: per query the
+    * scored set is (corpus/nlist)×nprobe codes.
+    *
+    * Scale shape: cell assignment and query-cell probing are map-side
+    * against a broadcast nlist×dim centroid table; the candidate join is
+    * keyed on cell; ADC scoring joins candidates to codes (key: vec id)
+    * and to the broadcast per-query distance table (key: sub, code).
+    * At 100 TB the corpus-sized frames are codes and cell assignments —
+    * both a few bytes per vector. */
+  def ivfPqKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 8,
+      nprobe: Int = 3): DataFrame = {
+    val cents = labelCentroidVectors(corpus)
+    val byCos = (idCol: String) =>
+      Window.partitionBy(idCol).orderBy(desc("cos_c"), col("label"))
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(byCos("neighbor_id")))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cell"), col("neighbor_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(byCos("query_id")))
+      .filter(col("rn") <= nprobe)
+      .select(col("label").as("cell"), col("query_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("cell"))
+      .select("query_id", "neighbor_id")
+
+    val d = corpus.select(col("vec_id"), col("label"),
+      size(col("embedding")).as("nd"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val cd = d.groupBy("label", "dim").agg(round(avg("x"), 6).as("c"))
+      .withColumnRenamed("label", "cl")
+    val codes = d
+      .withColumn("sub", floor(col("dim") * m / col("nd")).cast("int"))
+      .join(broadcast(cd), Seq("dim"))
+      .groupBy("vec_id", "sub", "cl")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cl"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cl").as("code"))
+    val qtable = queries
+      .select(col("vec_id").as("query_id"),
+        size(col("embedding")).as("nd"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "qx")))
+      .withColumn("sub", floor(col("dim") * m / col("nd")).cast("int"))
+      .join(broadcast(cd), Seq("dim"))
+      .groupBy("query_id", "sub", "cl")
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("qd"))
+      .withColumnRenamed("cl", "code")
+
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    candidates
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qtable), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("qd").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc"))
+  }
+
   /** Recall@k of an approximate kNN result against the exact one: the
     * evaluation every ANN deployment runs before trading accuracy for
     * speed. Both inputs are (query_id, rank, neighbor_id, ...) frames;

@@ -105,6 +105,22 @@ class SimilaritySpec extends SparkSpec {
     v0(1).getDouble(3) shouldBe 0.0
   }
 
+  test("ivfPqKnn: full probe equals plain ADC; nprobe=1 restricts to one cell") {
+    val queries = emb.filter($"vec_id" === 0)
+    val corpus = emb.filter($"vec_id" > 0)
+    // probing every cell (2 labels) makes the candidate cut a no-op, so
+    // the composed search must equal unrestricted ADC over the corpus
+    val full = Similarity.ivfPqKnn(queries, corpus, k = 4, m = 2, nprobe = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val adc = Similarity.adcKnn(queries, corpus, k = 4, m = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    full.toSeq shouldBe adc.toSeq
+    // nprobe=1: only the query's nearest cell ('a' = {1,2}) is scanned
+    val one = Similarity.ivfPqKnn(queries, corpus, k = 4, m = 2, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    one shouldBe Set(1L, 2L)
+  }
+
   test("recallAtK scores overlap per query, zero when disjoint") {
     val exact = Seq((0L, 1, 10L), (0L, 2, 11L), (7L, 1, 12L))
       .toDF("query_id", "rank", "neighbor_id")
