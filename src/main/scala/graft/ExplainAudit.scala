@@ -18,7 +18,9 @@ object ExplainAudit {
       "d10_simhash_near_dup", "d17_curation_pipeline", "e08_range_search",
       "d20_contamination", "d23_quality_filter", "e09_kmeans_step",
       "d24_unigram_loss", "e10_scalar_quantize", "q19_window_frames",
-      "q20_rollup", "q21_pivot", "q22_unpivot")) {
+      "q20_rollup", "q21_pivot", "q22_unpivot",
+      "q24_cube", "q26_scalar_subquery", "d29_seq_pack", "d32_boilerplate",
+      "e14_knn_ivf_pq", "s05_interval_join")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
