@@ -289,6 +289,11 @@ object LlmQueries {
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
 
+  private def d33(s: SparkSession, dir: String): DataFrame =
+    // static data-mixing weights toward an equal-share language mixture
+    Curation.mixtureWeights(table(s, dir, "documents"), "lang")
+      .orderBy("lang")
+
   private def d09(s: SparkSession, dir: String): DataFrame =
     Dedup
       .simhashSignatures(documents(s, dir))
@@ -493,6 +498,7 @@ object LlmQueries {
     "d30_source_cap" -> (d30 _),
     "d31_vocab_growth" -> (d31 _),
     "d32_boilerplate" -> (d32 _),
+    "d33_mixture_weights" -> (d33 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -867,6 +873,18 @@ object LlmQueries {
            round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
              AS boiler_ratio
          FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
+    "d33_mixture_weights" ->
+      s"""WITH t AS (SELECT lang,
+             string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         per AS (SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+                 FROM t GROUP BY lang),
+         tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_strata FROM per)
+         SELECT lang, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / total::DOUBLE, 6) AS share,
+           round(least(1.0, (total::DOUBLE / n_strata::DOUBLE) / n_tokens::DOUBLE), 6)
+             AS weight
+         FROM per, tot ORDER BY lang""",
     "d27_bm25_topk" ->
       // constants appear as the same float expressions the Scala side
       // computes ((1.2 + 1.0), (1.0 - 0.75)) so both engines fold them

@@ -266,6 +266,36 @@ object Curation {
           Window.unboundedPreceding, 0)))
   }
 
+  /** Training-mixture reweighting: per-stratum token shares and the
+    * sampling weight that moves the mixture toward equal stratum
+    * shares — the static data-mixing step (DoReMi-style reweighting
+    * with fixed target weights) run before epoch sampling. The weight
+    * is `min(1, target_share / actual_share)`: over-represented strata
+    * are downsampled, under-represented ones keep everything (a batch
+    * sampler can't mint data it does not have).
+    *
+    * Scale shape: token counting is map-side per row; one agg keyed by
+    * stratum; shares divide by a 1-row broadcast total. Output is
+    * strata-sized. */
+  def mixtureWeights(
+      docs: DataFrame,
+      stratumCol: String,
+      textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col(stratumCol), size(tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+    val totals = per.agg(sum("n_tokens").as("__total"),
+      count(lit(1)).as("__n_strata"))
+    per.crossJoin(broadcast(totals))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(least(lit(1.0),
+          (col("__total").cast("double") / col("__n_strata").cast("double"))
+            / col("n_tokens").cast("double")), 6).as("weight"))
+  }
+
   /** Per-document boilerplate ratio: the fraction of token occurrences
     * that are corpus-boilerplate words, where a word is boilerplate when
     * it appears in ≥ dfPermille‰ of documents. The integer cross-

@@ -142,6 +142,20 @@ class CurationSpec extends SparkSpec {
       Seq((0L, 3L, 3L), (1L, 1L, 4L))
   }
 
+  test("mixtureWeights downsamples the over-represented stratum only") {
+    // en: 6 tokens, de: 2 tokens -> total 8, target share 1/2 = 4 tokens
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e f"), (3L, "de", "g h"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.mixtureWeights(docs, "lang").orderBy("lang").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("de", 1L, 2L), ("en", 2L, 6L))
+    out(0).getDouble(3) shouldBe 0.25 // de share
+    out(0).getDouble(4) shouldBe 1.0  // under-represented: keep all
+    out(1).getDouble(3) shouldBe 0.75
+    out(1).getDouble(4) shouldBe math.rint(4.0 / 6.0 * 1e6) / 1e6
+  }
+
   test("boilerplateRatio uses the exact permille df cut; zero-hit docs rate 0") {
     // 'x' in 3/4 docs (750‰), 'y' in 2/4 (500‰), 'z'/'w' in 1/4 (250‰)
     val docs = Seq(
