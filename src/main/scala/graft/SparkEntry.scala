@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -176,6 +177,25 @@ object SparkEntry {
       .unionAll(a.except(b).withColumn("src", lit("only_even")))
       .select("src", "o_orderkey")
       .orderBy("src", "o_orderkey")
+  }
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    // analytic-function battery over one per-user window pass: lag/lead
+    // navigation, rank over exact cents (doubles never feed an order),
+    // ntile quartiles — every function partitions on user_id, so the
+    // plan is ONE shuffle with two in-partition sorts (time order and
+    // spend order)
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    table(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .select(
+        col("user_id"), col("event_id"),
+        lag("event_type", 1).over(byTime).as("prev_type"),
+        lead("event_type", 1).over(byTime).as("next_type"),
+        rank().over(Window.partitionBy("user_id")
+          .orderBy(desc("cents"), col("event_id"))).as("spend_rank"),
+        ntile(4).over(byTime).as("quartile"))
+      .orderBy("user_id", "event_id")
   }
 
   private def q24(s: SparkSession, dir: String): DataFrame = {
@@ -398,6 +418,19 @@ object SparkEntry {
         col("gap_us"))
       .orderBy("user_id", "click_id", "purchase_id")
 
+  private def s06(s: SparkSession, dir: String): DataFrame =
+    // left-outer interval join: every click emits exactly once, with its
+    // attribution or nulls — the streaming null row is a watermark
+    // decision (no match can still arrive), batch-run here for the oracle
+    streaming.EventStreams.intervalJoin(table(s, dir, "events"),
+      joinType = "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("purchase_ts"),
+        col("gap_us"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -470,13 +503,15 @@ object SparkEntry {
     "q22_unpivot" -> (q22 _),
     "q23_set_ops" -> (q23 _),
     "q24_cube" -> (q24 _),
+    "q27_analytics" -> (q27 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
     "s02_sessionize" -> (s02 _),
     "s03_windowed_unique" -> (s03 _),
     "s04_sliding_windows" -> (s04 _),
-    "s05_interval_join" -> (s05 _)
+    "s05_interval_join" -> (s05 _),
+    "s06_outer_interval_join" -> (s06 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -591,6 +626,28 @@ object SparkEntry {
          UNION ALL
          SELECT 'only_even', o_orderkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
          ORDER BY src, o_orderkey""",
+    "q27_analytics" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+         SELECT user_id, event_id,
+           lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type,
+           rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id)
+             AS spend_rank,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS quartile
+         FROM e ORDER BY user_id, event_id""",
+    "s06_outer_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+         ORDER BY c.user_id, click_id, purchase_id NULLS FIRST""",
     "q24_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS total,

@@ -113,13 +113,20 @@ object EventStreams {
     * side on user_id, then a per-key time-range probe; output is
     * pairs-within-horizon-sized, never the cross product. Runs
     * unchanged on batch DataFrames — the oracle seam — while
-    * EventStreamsSpec drives the watermarked streaming path. */
+    * EventStreamsSpec drives the watermarked streaming path.
+    *
+    * `joinType` extends the same plan to outer attribution: with
+    * `left_outer`, a click with no purchase in its horizon emits once
+    * with null purchase columns — in streaming ONLY after the watermark
+    * proves no match can still arrive (the null row is a watermark
+    * decision, not a timeout guess). */
   def intervalJoin(
       events: DataFrame,
       leftType: String = "click",
       rightType: String = "purchase",
       horizonSec: Long = 3600L,
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -131,7 +138,8 @@ object EventStreams {
     clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $horizonSec SECOND"))
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $horizonSec SECOND"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))

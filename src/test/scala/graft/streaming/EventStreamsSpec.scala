@@ -166,6 +166,38 @@ class EventStreamsSpec extends SparkSpec {
       Seq((1L, 1L, 2L)) // the cross-batch pair, exactly once
   }
 
+  test("streaming outer interval join emits the null row only after the watermark") {
+    val src = Files.createTempDirectory("es-oj-src").toString
+    val ckpt = Files.createTempDirectory("es-oj-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),   // will never match
+      (2L, "2026-01-01 10:05:00", 2L, "click"),
+      (3L, "2026-01-01 10:20:00", 2L, "purchase")), src, 1)
+    // sentinels must pass BOTH type filters: each branch owns a watermark
+    // node and the global watermark is their min, so a click-only (or
+    // filtered-out) sentinel would pin the other branch at its old value
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 23:00:00", 8L, "click"),
+      (5L, "2026-01-01 23:00:00", 9L, "purchase")), src, 2)
+
+    val q = EventStreams
+      .intervalJoin(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        horizonSec = 3600L, watermarkDelay = "2 hours", joinType = "left_outer")
+      .writeStream.format("memory").queryName("oj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("oj").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // matched pair emitted with its purchase; unmatched click 1 emitted
+    // exactly once with nulls, and only because the watermark proved it.
+    // Sentinel click 4's own horizon is NOT yet past the watermark, so
+    // the join correctly withholds it — no premature null row.
+    rows shouldBe Set((2L, 3L), (1L, -1L))
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
