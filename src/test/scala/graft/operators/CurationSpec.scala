@@ -116,6 +116,29 @@ class CurationSpec extends SparkSpec {
     out(4).getLong(5) shouldBe 1L
   }
 
+  test("packSequences is shard-width invariant: any sharding = sequential cumsum") {
+    // irregular token counts (incl. a doc spanning many sequences) and
+    // SPARSE doc_ids, so shard boundaries hit empty shards too
+    val lens = Seq(3, 17, 1, 256, 9, 300, 2, 64, 128, 5)
+    val ids = Seq(0L, 1L, 7L, 8L, 30L, 31L, 32L, 100L, 101L, 999L)
+    val docs = ids.zip(lens)
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val expected = lens.scanLeft(0L)(_ + _).init // sequential exclusive prefix
+    for (width <- Seq(1L, 3L, 16L, 64L, 10000L)) {
+      val out = Curation.packSequences(docs, budget = 128, shardWidth = width)
+        .orderBy("doc_id").collect()
+      withClue(s"shardWidth=$width: ") {
+        out.map(_.getLong(2)).toSeq shouldBe expected
+        // seq span invariants hold row-wise
+        out.foreach { r =>
+          r.getLong(3) shouldBe r.getLong(2) / 128
+          r.getLong(4) shouldBe (r.getLong(2) + r.getLong(1) - 1) / 128
+        }
+      }
+    }
+  }
+
   test("perSourceCap keeps the top-cap docs per source, doc_id breaks ties") {
     // quality is identical for same-text docs -> rank falls back to doc_id
     val docs = Seq(
