@@ -289,6 +289,23 @@ object LlmQueries {
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
 
+  private def d34(s: SparkSession, dir: String): DataFrame =
+    // sketch cardinality with an oracle-ENFORCED tolerance: the HLL++
+    // estimate itself is engine-specific, so the checked output is the
+    // exact count plus a within-5% flag — the oracle expects TRUE, so a
+    // drifting estimator fails the gate. At 100 TB the sketch is the
+    // only affordable per-key distinct (fixed-size state, one pass, no
+    // distinct shuffle of user ids per group).
+    table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_exact"),
+        approx_count_distinct("user_id", 0.02).as("__n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")).cast("double")
+          <= col("n_exact").cast("double") * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
   private def d33(s: SparkSession, dir: String): DataFrame =
     // static data-mixing weights toward an equal-share language mixture
     Curation.mixtureWeights(table(s, dir, "documents"), "lang")
@@ -499,6 +516,7 @@ object LlmQueries {
     "d31_vocab_growth" -> (d31 _),
     "d32_boilerplate" -> (d32 _),
     "d33_mixture_weights" -> (d33 _),
+    "d34_sketch_distinct" -> (d34 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -873,6 +891,10 @@ object LlmQueries {
            round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
              AS boiler_ratio
          FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
+    "d34_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         TRUE AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "d33_mixture_weights" ->
       s"""WITH t AS (SELECT lang,
              string_split_regex(trim(text), '\\s+') AS tk FROM documents),

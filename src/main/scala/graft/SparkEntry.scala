@@ -198,6 +198,20 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    // NOT IN subquery — planned as a null-aware anti join (stricter than
+    // NOT EXISTS: one null in the subquery empties the result, so
+    // Catalyst inserts the null check rather than a plain anti join)
+    table(s, dir, "orders").createOrReplaceTempView("graft_q28_orders")
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_q28_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus
+        FROM graft_q28_orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM graft_q28_lineitem
+                                 WHERE l_quantity > 45)
+        ORDER BY o_orderkey""")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     // CUBE: all four grouping sets over (priority, status) in one pass —
     // Spark expands the sets map-side before the partial agg, so the
@@ -504,6 +518,7 @@ object SparkEntry {
     "q23_set_ops" -> (q23 _),
     "q24_cube" -> (q24 _),
     "q27_analytics" -> (q27 _),
+    "q28_not_in" -> (q28 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -626,6 +641,11 @@ object SparkEntry {
          UNION ALL
          SELECT 'only_even', o_orderkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
          ORDER BY src, o_orderkey""",
+    "q28_not_in" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_quantity > 45)
+         ORDER BY o_orderkey""",
     "q27_analytics" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
