@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -289,6 +290,38 @@ object LlmQueries {
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
 
+  private def d35(s: SparkSession, dir: String): DataFrame = {
+    // the full training-data manifest — every curation stage composed in
+    // one plan: exact dedup → quality + language gate → eval-split
+    // decontamination → per-source cap → sequence packing. Each stage is
+    // the already-verified operator; the composition is what a real
+    // pipeline ships, and Catalyst fuses the stages into one DAG (no
+    // materialization between them except the contamination stage's
+    // released caches).
+    val docs = documents(s, dir)
+    val flagged = Dedup.crossSplitContamination(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      shingleSize = 3, maxDf = 1000, threshold = 0.5)
+    val surv = Dedup.exactDedup(docs)
+      .filter(col("doc_id") % 10 =!= 0)
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("quality", qualityScoreFromTokens(col("text"), col("__toks")))
+      .withColumn("lang_pred", langIdFromTokens(col("text"), col("__toks")))
+      .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+    val clean = Dedup.decontaminate(surv, flagged)
+    val capped = clean
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("quality"), col("doc_id"))))
+      .filter(col("rnk") <= 15)
+    Curation.packSequences(capped.select("doc_id", "text"),
+        budget = 256, shardWidth = 16)
+      .join(capped.select("doc_id", "source", "quality"), Seq("doc_id"))
+      .select("doc_id", "source", "quality", "n_tokens", "tok_offset",
+        "first_seq")
+      .orderBy("doc_id")
+  }
+
   private def d34(s: SparkSession, dir: String): DataFrame =
     // sketch cardinality with an oracle-ENFORCED tolerance: the HLL++
     // estimate itself is engine-specific, so the checked output is the
@@ -517,6 +550,7 @@ object LlmQueries {
     "d32_boilerplate" -> (d32 _),
     "d33_mixture_weights" -> (d33 _),
     "d34_sketch_distinct" -> (d34 _),
+    "d35_training_manifest" -> (d35 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -891,6 +925,68 @@ object LlmQueries {
            round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
              AS boiler_ratio
          FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
+    "d35_training_manifest" ->
+      // the d17 + d25 + d30 + d29 oracle fragments composed end-to-end
+      s"""WITH f AS (SELECT doc_id, text, lang, source,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g')),
+                                   '\\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         r0 AS (SELECT doc_id, text, lang, source, row_number() OVER
+                 (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+         dd AS (SELECT doc_id, text, lang, source FROM r0 WHERE rn = 1),
+         t2 AS (SELECT doc_id, text, lang, source,
+                 string_split_regex(trim(text), '\\s+') AS tk FROM dd),
+         m AS (SELECT doc_id, text, lang, source, tk,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(tk, x -> x IN ($enList))) AS DOUBLE) AS stop_cnt,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) AS punct_cnt
+             FROM t2),
+         qs AS (SELECT doc_id, text, lang, source, tk, round(
+             (CASE WHEN ntok BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + least(stop_cnt / ntok * 2.0, 1.0) * 0.4
+             + (1.0 - least(punct_cnt / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2,
+             4) AS quality
+           FROM m),
+         lp AS (SELECT doc_id, lang, source, quality, CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN len(list_filter(tk, x -> x IN ($esList))) >
+                  len(list_filter(tk, x -> x IN ($enList))) THEN 'es'
+             ELSE 'en' END AS lang_pred
+           FROM qs),
+         surv AS (SELECT doc_id, source, quality FROM lp
+                  WHERE quality >= 0.5 AND lang_pred = lang AND doc_id % 10 <> 0),
+         t AS ($ToksCte),
+         sh AS (SELECT doc_id, $Shingles3 AS shingles FROM t WHERE len(tk) >= 3),
+         hs AS (SELECT doc_id, list_distinct($ShingleHashes) AS hs FROM sh),
+         ev AS (SELECT doc_id AS eval_doc, hs, len(hs) AS n_eval FROM hs
+                WHERE doc_id % 10 = 0),
+         tr AS (SELECT doc_id AS train_doc, unnest(hs) AS h FROM hs
+                WHERE doc_id % 10 <> 0),
+         keep AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= 1000),
+         evh AS (SELECT eval_doc, n_eval, unnest(hs) AS h FROM ev),
+         shared AS (SELECT eval_doc, train_doc, min(n_eval) AS n_eval,
+                      count(*) AS n_shared
+                    FROM evh JOIN (SELECT * FROM tr JOIN keep USING (h)) USING (h)
+                    GROUP BY eval_doc, train_doc),
+         flagged AS (SELECT DISTINCT train_doc FROM shared
+                     WHERE round(n_shared::DOUBLE / n_eval::DOUBLE, 4) >= 0.5),
+         clean AS (SELECT * FROM surv
+                   WHERE doc_id NOT IN (SELECT train_doc FROM flagged)),
+         capped AS (SELECT doc_id, source, quality FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+             FROM clean) WHERE rnk <= 15),
+         tok AS (SELECT c.doc_id, c.source, c.quality,
+                   CAST(len(string_split_regex(trim(d2.text), '\\s+')) AS BIGINT)
+                     AS n_tokens
+                 FROM capped c JOIN documents d2 USING (doc_id)),
+         o AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset FROM tok)
+         SELECT doc_id, source, quality, n_tokens, tok_offset,
+           CAST(floor(tok_offset / 256.0) AS BIGINT) AS first_seq
+         FROM o ORDER BY doc_id""",
     "d34_sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
          TRUE AS approx_ok
