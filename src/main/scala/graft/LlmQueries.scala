@@ -290,6 +290,64 @@ object LlmQueries {
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
 
+  private def d36(s: SparkSession, dir: String): DataFrame = {
+    // one BPE merge iteration over the corpus: count within-token char
+    // bigrams and rank merge candidates — the inner loop of tokenizer
+    // training, run as two explodes + one key agg (tokens staged as a
+    // column first so the bigram lambda reads an attribute)
+    val toks = table(s, dir, "documents")
+      .withColumn("__toks", tokens(col("text")))
+      .select(explode(col("__toks")).as("t"))
+      .filter(length(col("t")) >= 2)
+    toks
+      .select(explode(transform(
+        sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(20)
+  }
+
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    // distribution-drift monitor: per-bucket CDF gap of the doc-length
+    // distribution between two splits (the Kolmogorov–Smirnov statistic
+    // is this column's max). Buckets collapse the corpus to a tiny
+    // frame, so the cumulative windows run over buckets, never rows.
+    val b = table(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("is_a"),
+        floor(col("n_chars").cast("double") / 50).cast("long").as("bucket"))
+    val counts = b.groupBy("bucket").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .crossJoin(broadcast(counts.agg(
+        sum("na").as("__ta"), sum("nb").as("__tb"))))
+      .select(col("bucket"), col("na"), col("nb"),
+        round(abs(
+          col("ca").cast("double") / col("__ta").cast("double")
+            - col("cb").cast("double") / col("__tb").cast("double")), 6)
+          .as("cdf_gap"))
+      .orderBy("bucket")
+  }
+
+  private def d38(s: SparkSession, dir: String): DataFrame = {
+    // within-doc token entropy (nats): the diversity quality signal —
+    // degenerate repetition scores near 0, uniform vocab scores ln(n).
+    // One explode, one (doc, term) agg, one per-doc agg.
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tot", sum("tf").over(Window.partitionBy("doc_id")))
+    val p = col("tf").cast("double") / col("tot").cast("double")
+    tf.groupBy("doc_id")
+      .agg(round(lit(-1.0) * sum(p * log(p)), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   private def d35(s: SparkSession, dir: String): DataFrame = {
     // the full training-data manifest — every curation stage composed in
     // one plan: exact dedup → quality + language gate → eval-split
@@ -551,6 +609,9 @@ object LlmQueries {
     "d33_mixture_weights" -> (d33 _),
     "d34_sketch_distinct" -> (d34 _),
     "d35_training_manifest" -> (d35 _),
+    "d36_bpe_merge" -> (d36 _),
+    "d37_drift_cdf" -> (d37 _),
+    "d38_token_entropy" -> (d38 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -925,6 +986,72 @@ object LlmQueries {
            round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
              AS boiler_ratio
          FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
+    "d36_bpe_merge" ->
+      s"""WITH t AS ($ToksCte),
+         tok AS (SELECT unnest(tk) AS tt FROM t),
+         pairs AS (SELECT unnest(list_transform(range(1, length(tt)),
+                     i -> substr(tt, i::INT, 2))) AS pair
+                   FROM tok WHERE length(tt) >= 2)
+         SELECT pair, count(*) AS n FROM pairs
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "d37_drift_cdf" ->
+      """WITH b AS (SELECT doc_id % 2 = 0 AS is_a,
+           CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket FROM documents),
+         c AS (SELECT bucket,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+               FROM b GROUP BY bucket),
+         k AS (SELECT bucket, na, nb,
+                 sum(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
+                 sum(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb,
+                 sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+               FROM c)
+         SELECT bucket, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round(abs(ca::DOUBLE / ta::DOUBLE - cb::DOUBLE / tb::DOUBLE), 6)
+             AS cdf_gap
+         FROM k ORDER BY bucket""",
+    "d38_token_entropy" ->
+      s"""WITH t AS ($ToksCte),
+         x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+         wt AS (SELECT doc_id, tf,
+                  sum(tf) OVER (PARTITION BY doc_id) AS tot FROM tf)
+         SELECT doc_id, round(-sum((tf::DOUBLE / tot::DOUBLE)
+           * ln(tf::DOUBLE / tot::DOUBLE)), 4) AS entropy
+         FROM wt GROUP BY doc_id ORDER BY doc_id""",
+    "d36_bpe_merge" ->
+      s"""WITH t AS ($ToksCte),
+         tok AS (SELECT unnest(tk) AS tt FROM t),
+         pairs AS (SELECT unnest(list_transform(range(1, length(tt)),
+                     i -> substr(tt, i::INT, 2))) AS pair
+                   FROM tok WHERE length(tt) >= 2)
+         SELECT pair, count(*) AS n FROM pairs
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "d37_drift_cdf" ->
+      """WITH b AS (SELECT doc_id % 2 = 0 AS is_a,
+           CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket FROM documents),
+         c AS (SELECT bucket,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+               FROM b GROUP BY bucket),
+         k AS (SELECT bucket, na, nb,
+                 sum(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
+                 sum(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb,
+                 sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+               FROM c)
+         SELECT bucket, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round(abs(ca::DOUBLE / ta::DOUBLE - cb::DOUBLE / tb::DOUBLE), 6)
+             AS cdf_gap
+         FROM k ORDER BY bucket""",
+    "d38_token_entropy" ->
+      s"""WITH t AS ($ToksCte),
+         x AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
+         wt AS (SELECT doc_id, tf,
+                  sum(tf) OVER (PARTITION BY doc_id) AS tot FROM tf)
+         SELECT doc_id, round(-sum((tf::DOUBLE / tot::DOUBLE)
+           * ln(tf::DOUBLE / tot::DOUBLE)), 4) AS entropy
+         FROM wt GROUP BY doc_id ORDER BY doc_id""",
     "d35_training_manifest" ->
       // the d17 + d25 + d30 + d29 oracle fragments composed end-to-end
       s"""WITH f AS (SELECT doc_id, text, lang, source,
