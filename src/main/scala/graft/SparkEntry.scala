@@ -212,6 +212,41 @@ object SparkEntry {
         ORDER BY o_orderkey""")
   }
 
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    // backward AS-OF join: each purchase picks up the user's latest
+    // click at-or-before it — one union + one windowed last() per key,
+    // never a range join that pairs each purchase with its whole click
+    // history (Merge.asofJoin scaladoc has the plan analysis)
+    val ev = table(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    Merge.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        Seq("click_id", "click_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    // range join against a broadcast band table: the non-equi condition
+    // plans a BroadcastNestedLoopJoin, which IS the scale path when one
+    // side is a handful of ranges — each task scans its partition once
+    // against the in-memory bands, no shuffle of the fact side
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 30.0),
+      ("high", 30.0, 51.0)).toDF("band", "lo", "hi")
+    table(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("band")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     // CUBE: all four grouping sets over (priority, status) in one pass —
     // Spark expands the sets map-side before the partial agg, so the
@@ -519,6 +554,8 @@ object SparkEntry {
     "q24_cube" -> (q24 _),
     "q27_analytics" -> (q27 _),
     "q28_not_in" -> (q28 _),
+    "q29_asof_join" -> (q29 _),
+    "q30_range_join" -> (q30 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -641,6 +678,24 @@ object SparkEntry {
          UNION ALL
          SELECT 'only_even', o_orderkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
          ORDER BY src, o_orderkey""",
+    "q29_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+         SELECT p.user_id, purchase_id, click_id,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(click_ts::TIMESTAMP) AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY p.user_id, purchase_id""",
+    "q30_range_join" ->
+      """SELECT band, count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0),
+               ('high', 30.0, 51.0)) AS b(band, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY band ORDER BY band""",
     "q28_not_in" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem

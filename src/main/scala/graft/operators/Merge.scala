@@ -62,4 +62,53 @@ object Merge {
       keys: Seq[String],
       broadcastProbe: Boolean = false): DataFrame =
     target.join(keyed(probe, keys, broadcastProbe), keys, "left_semi")
+
+  /** Backward AS-OF join: each left row picks up the LATEST right row
+    * with `right.ts <= left.ts` for the same key (inclusive at equal
+    * timestamps), or nulls when no prior right row exists — the
+    * time-series state-attachment join (quotes→trades, config→events).
+    *
+    * Spark has no asof operator, and the naive form (range join +
+    * latest-per-pair dedup) explodes: every left row pairs with its
+    * ENTIRE right history before the window discards all but one. This
+    * plan instead UNIONS the tagged sides and takes one running
+    * `last(·, ignoreNulls)` per key over the merged time order —
+    * exactly one shuffle on the key, state O(1) per row, zero
+    * intermediate blow-up, skew-safe (a hot key costs one partition's
+    * sort, same as any windowed op).
+    *
+    * Right rows sort BEFORE left rows at the same timestamp (side 0 vs
+    * 1), which is what makes the join inclusive. The right values
+    * travel as ONE struct, so a null inside a right row is carried
+    * as-is rather than ignoreNulls-skipping to an older row. `rightVals`
+    * must not collide with left column names.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val rightU = right.select(
+      keyCols ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(rightVals.map(col): _*).as("__r")): _*)
+    val leftU = left.select(
+      col("*"),
+      col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(rightU.schema("__r").dataType).as("__r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Long.MinValue, 0)
+    leftU.unionByName(rightU, allowMissingColumns = true)
+      .withColumn("__m", last("__r", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(v => col(s"__m.$v").as(v)): _*)
+  }
 }
