@@ -20,7 +20,8 @@ object ExplainAudit {
       "d24_unigram_loss", "e10_scalar_quantize", "q19_window_frames",
       "q20_rollup", "q21_pivot", "q22_unpivot",
       "q24_cube", "q26_scalar_subquery", "d29_seq_pack", "d32_boilerplate",
-      "e14_knn_ivf_pq", "s05_interval_join")) {
+      "e14_knn_ivf_pq", "s05_interval_join", "q29_asof_join",
+      "q30_range_join", "d35_training_manifest")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -290,6 +290,23 @@ object LlmQueries {
     // unigram-LM quality proxy: avg negative log-likelihood per token
     Curation.unigramLogLoss(documents(s, dir)).orderBy("doc_id")
 
+  private def d39(s: SparkSession, dir: String): DataFrame = {
+    // Zipf fit of the corpus term distribution: regression aggregates
+    // (regr_slope/regr_r2) over (ln rank, ln freq) — the one-row corpus
+    // health summary (natural text ≈ -1; this synthetic corpus's flat
+    // 30-word head shows up as a shallow slope). Rank ties break by term
+    // so both engines regress over identical points.
+    val freq = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("n"), col("term"))))
+    freq.agg(
+      round(expr("regr_slope(ln(n), ln(rnk))"), 4).as("zipf_slope"),
+      round(expr("regr_r2(ln(n), ln(rnk))"), 4).as("r2"),
+      count(lit(1)).as("n_terms"))
+  }
+
   private def d36(s: SparkSession, dir: String): DataFrame = {
     // one BPE merge iteration over the corpus: count within-token char
     // bigrams and rank merge candidates — the inner loop of tokenizer
@@ -612,6 +629,7 @@ object LlmQueries {
     "d36_bpe_merge" -> (d36 _),
     "d37_drift_cdf" -> (d37 _),
     "d38_token_entropy" -> (d38 _),
+    "d39_zipf_fit" -> (d39 _),
     "e01_knn_brute" -> (e01 _),
     "e02_knn_lsh" -> (e02 _),
     "e03_label_centroids" -> (e03 _),
@@ -986,6 +1004,15 @@ object LlmQueries {
            round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
              AS boiler_ratio
          FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
+    "d39_zipf_fit" ->
+      s"""WITH t AS ($ToksCte),
+         x AS (SELECT unnest(tk) AS term FROM t),
+         f AS (SELECT term, count(*) AS n FROM x GROUP BY term),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM f)
+         SELECT round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rnk)), 4) AS r2,
+           count(*) AS n_terms
+         FROM r""",
     "d36_bpe_merge" ->
       s"""WITH t AS ($ToksCte),
          tok AS (SELECT unnest(tk) AS tt FROM t),
@@ -1019,6 +1046,15 @@ object LlmQueries {
          SELECT doc_id, round(-sum((tf::DOUBLE / tot::DOUBLE)
            * ln(tf::DOUBLE / tot::DOUBLE)), 4) AS entropy
          FROM wt GROUP BY doc_id ORDER BY doc_id""",
+    "d39_zipf_fit" ->
+      s"""WITH t AS ($ToksCte),
+         x AS (SELECT unnest(tk) AS term FROM t),
+         f AS (SELECT term, count(*) AS n FROM x GROUP BY term),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM f)
+         SELECT round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rnk)), 4) AS r2,
+           count(*) AS n_terms
+         FROM r""",
     "d36_bpe_merge" ->
       s"""WITH t AS ($ToksCte),
          tok AS (SELECT unnest(tk) AS tt FROM t),
