@@ -35,6 +35,28 @@ class AsofJoinSpec extends SparkSpec {
     out(0).getTimestamp(4) shouldBe ts("2026-01-01 10:05:00")
   }
 
+  test("asofJoin equals the naive range-join reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t_ts", "id")
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i.toDouble))
+      .toDF("k", "q_ts", "px")
+    val fast = Merge.asofJoin(left, right, Seq("k"), "t_ts", "q_ts", Seq("px"))
+      .select("id", "px").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // reference: range join (every right row at-or-before) + max-ts pick
+    val l = left.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val rr = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    l.foreach { case (k, ts, id) =>
+      val cand = rr.filter(q => q._1 == k && !q._2.after(ts))
+      val expect = if (cand.isEmpty) null
+        else cand.maxBy(q => (q._2.getTime, q._3))._3
+      withClue(s"id=$id: ") { fast(id) shouldBe expect }
+    }
+  }
+
   test("asofJoin carries a null INSIDE a matched right row instead of skipping it") {
     val right = Seq(
       (1L, ts("2026-01-01 10:00:00"), Some(1.0)),
