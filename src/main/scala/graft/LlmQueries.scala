@@ -543,6 +543,16 @@ object LlmQueries {
   // multimodal plumbing
   // ------------------------------------------------------------------
 
+  private def m05(s: SparkSession, dir: String): DataFrame =
+    // batch embedding extraction: payload → long-format features through
+    // the once-per-partition "model" (MultimodalSpec proves the init
+    // amortization with an accumulator)
+    Multimodal
+      .embedStub(
+        Multimodal.packPayload(table(s, dir, "documents"), "text", "image/fake"),
+        idCol = "doc_id")
+      .orderBy("doc_id", "dim")
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal
       .packPayload(table(s, dir, "documents"), "text", "text/plain")
@@ -646,7 +656,8 @@ object LlmQueries {
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
-    "m04_resize_stub" -> (m04 _)
+    "m04_resize_stub" -> (m04 _),
+    "m05_embed_stub" -> (m05 _)
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -1643,6 +1654,11 @@ object LlmQueries {
          SELECT label, round(sqrt(sum(sx/n * (sx/n))), 4) AS centroid_norm,
                 max(n) AS n_vectors
          FROM d GROUP BY label ORDER BY label""",
+    "m05_embed_stub" ->
+      """SELECT doc_id, unnest(range(0, 4))::INT AS dim,
+         (length(text)::BIGINT * 2654435761 % 1000 + unnest(range(0, 4))) % 1000
+           AS feat
+         FROM documents ORDER BY doc_id, dim""",
     "m01_multimodal_pack" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
          substr(text, 1, 8) AS head,

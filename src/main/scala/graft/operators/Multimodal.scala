@@ -82,4 +82,42 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** STUB EMBEDDER — the batch-inference pass that turns media payloads
+    * into feature vectors, in the shape real model serving needs: the
+    * "model" is constructed ONCE per partition (the expensive step a
+    * per-row UDF would repeat millions of times) and rows stream
+    * through it iterator-to-iterator, batch-amortized — the Scala
+    * analog of a `mapInPandas` embedding UDF. `initCounter`, when
+    * supplied, counts model constructions so tests can PROVE the
+    * amortization (== number of partitions, not rows).
+    *
+    * Output is long-format (id, dim, feat) — joins/aggregates downstream
+    * without array-type friction. The fake feature is a deterministic
+    * byte-length hash; a real encoder swaps in without changing the
+    * plumbing. */
+  def embedStub(
+      df: DataFrame,
+      idCol: String,
+      dim: Int = 4,
+      initCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dim", IntegerType),
+      StructField("feat", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("payload")).mapPartitions { rows =>
+      initCounter.foreach(_.add(1L)) // "model load" happens here, once
+      val model = new Object // ??? real encoder session goes here
+      require(model != null)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val len = if (payload == null) 0L else payload.length.toLong
+        val base = len * 2654435761L % 1000L
+        (0 until dim).iterator.map(j =>
+          Row(id, j, (base + j) % 1000L))
+      }
+    }(enc)
+  }
 }

@@ -60,4 +60,19 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.sampleSegment(col("payload"), 3, 4).as("seg")).collect()
     new String(out.head.getAs[Array[Byte]]("seg"), "UTF-8") shouldBe "cdef"
   }
+
+  test("embedStub loads the model once per PARTITION, not once per row") {
+    val acc = spark.sparkContext.longAccumulator("embed-inits")
+    val many = spark.range(0, 64).toDF("doc_id")
+      .withColumn("text", concat(lit("payload-"), col("doc_id")))
+      .repartition(4)
+    val out = Multimodal.embedStub(
+      Multimodal.packPayload(many, "text", "image/fake"),
+      idCol = "doc_id", dim = 4, initCounter = Some(acc))
+    out.count() shouldBe 64 * 4
+    acc.value shouldBe 4L // one "model load" per partition for 64 rows
+    // deterministic feature: len("payload-0")=9 -> 9*2654435761 % 1000
+    val f0 = out.filter($"doc_id" === 0 && $"dim" === 0).collect().head.getLong(2)
+    f0 shouldBe (9L * 2654435761L % 1000L)
+  }
 }
