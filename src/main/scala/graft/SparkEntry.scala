@@ -480,6 +480,19 @@ object SparkEntry {
       .orderBy(col("user_id"), col("click_id"),
         col("purchase_id").asc_nulls_first)
 
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    // the STREAMING form of q29's as-of join: O(1)-per-key custom state
+    // (latest click) via flatMapGroupsWithState; batch-executed it is
+    // exactly the as-of join, so it shares q29's DuckDB ASOF oracle —
+    // one semantics, two engine paths, both hash-checked
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[streaming.EventStreams.TypedEvent]
+    streaming.EventStreams.asofAttach(ev).toDF()
+      .orderBy("user_id", "purchase_id")
+  }
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -563,7 +576,8 @@ object SparkEntry {
     "s03_windowed_unique" -> (s03 _),
     "s04_sliding_windows" -> (s04 _),
     "s05_interval_join" -> (s05 _),
-    "s06_outer_interval_join" -> (s06 _)
+    "s06_outer_interval_join" -> (s06 _),
+    "s07_stream_asof" -> (s07 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -809,6 +823,26 @@ object SparkEntry {
          SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
                 strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS s_end, n_events
          FROM c WHERE sid < max_sid ORDER BY user_id, s_start""",
+    "s07_stream_asof" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+         SELECT p.user_id, purchase_id, click_id,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(click_ts::TIMESTAMP) AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY p.user_id, purchase_id""",
+    "s07_stream_asof" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+         SELECT p.user_id, purchase_id, click_id,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(click_ts::TIMESTAMP) AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY p.user_id, purchase_id""",
     "s05_interval_join" ->
       """SELECT user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,

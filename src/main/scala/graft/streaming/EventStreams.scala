@@ -197,4 +197,50 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String)
+
+  case class Attached(user_id: Long, purchase_id: Long,
+      click_id: Option[Long], gap_us: Option[Long])
+
+  /** Streaming AS-OF enrichment with EXPLICIT custom state: each
+    * purchase attaches the user's latest click at-or-before it. State is
+    * O(1) per key — just the newest click seen — which is the streaming
+    * form of the backward as-of join (`Merge.asofJoin` is the batch
+    * window form; both are oracle-checked against the same DuckDB ASOF
+    * JOIN).
+    *
+    * Within a micro-batch events process in event-time order, so
+    * in-batch disorder is absorbed; ACROSS micro-batches the attachment
+    * is best-effort (a click arriving after the purchase's batch cannot
+    * retroactively attach — the documented enrichment-join tradeoff;
+    * exact cross-batch event-time ordering needs the interval-join
+    * operator instead). In batch execution everything is one "batch",
+    * so the semantics are exactly the as-of join. */
+  def asofAttach(events: Dataset[TypedEvent]): Dataset[Attached] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Timestamp), Attached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent],
+         state: GroupState[(Long, Timestamp)]) =>
+          // clicks sort before purchases at the same timestamp: inclusive
+          val sorted = rows.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+          val out = Seq.newBuilder[Attached]
+          var latest = state.getOption
+          for (e <- sorted) {
+            if (e.event_type == "click")
+              latest = Some((e.event_id, e.ts))
+            else
+              out += Attached(uid, e.event_id, latest.map(_._1),
+                latest.map(c => micros(e.ts) - micros(c._2)))
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

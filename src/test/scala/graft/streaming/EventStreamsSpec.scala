@@ -198,6 +198,32 @@ class EventStreamsSpec extends SparkSpec {
     rows shouldBe Set((2L, 3L), (1L, -1L))
   }
 
+  test("streaming asofAttach: latest-click state enriches purchases across batches") {
+    val src = Files.createTempDirectory("es-aa-src").toString
+    val ckpt = Files.createTempDirectory("es-aa-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),
+      (2L, "2026-01-01 10:01:00", 1L, "click")), src, 1)
+    writeBatch(eventsDf(
+      (3L, "2026-01-01 10:30:00", 1L, "purchase"),  // state: click 2
+      (4L, "2026-01-01 10:20:00", 2L, "purchase")), src, 2) // no click -> null
+
+    val q = EventStreams
+      .asofAttach(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+        .as[EventStreams.TypedEvent])
+      .toDF()
+      .writeStream.format("memory").queryName("aa")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    spark.table("aa").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet shouldBe Set((3L, 2L), (4L, -1L))
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
