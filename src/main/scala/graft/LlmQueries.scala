@@ -598,6 +598,55 @@ object LlmQueries {
         md5(Multimodal.sampleSegment(col("payload"), 1, 16)).as("head_md5"))
       .orderBy("doc_id")
 
+  private def d40(s: SparkSession, dir: String): DataFrame =
+    // embedding-space semantic dedup: candidate pairs only inside coarse
+    // quantizer cells (IVF-style), exact cosine within
+    Similarity
+      .semanticDedup(table(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  private def d41(s: SparkSession, dir: String): DataFrame =
+    // RAG chunking: 32-token windows, stride 24 (8-token overlap)
+    Curation
+      .chunkWithOverlap(table(s, dir, "documents"), chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  private def d42(s: SparkSession, dir: String): DataFrame = {
+    // PII scrub: the corpus text carries no addresses, so append a
+    // deterministic doc_id-derived footer (email + numeric code) and
+    // scrub THAT — the redaction logic runs against known ground truth
+    val withPii = table(s, dir, "documents").withColumn("pii_text",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com code "), col("doc_id") * 7919 % 10000))
+    Curation.piiScrub(withPii, "pii_text").orderBy("doc_id")
+  }
+
+  private def d43(s: SparkSession, dir: String): DataFrame =
+    Curation.datasetCard(table(s, dir, "documents")).orderBy("source")
+
+  private def e15(s: SparkSession, dir: String): DataFrame = {
+    // exact MIPS over a deterministically re-scaled corpus (squared
+    // per-id factors give the norm spread real MIPS workloads have)
+    val emb = table(s, dir, "embeddings")
+    val scale = ((lit(1) + col("vec_id") % 16) * (lit(1) + col("vec_id") % 16))
+      .cast("double")
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * scale).as("cv"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("qv"))
+    Similarity.mipsKnnNormPruned(qs, corpus, k = 5).orderBy("query_id", "rank")
+  }
+
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    // frame-sampling manifest over the opaque payload: the decoder work
+    // list (offsets + lengths + content hashes), no decode needed
+    Multimodal
+      .frameManifest(
+        Multimodal.packPayload(table(s, dir, "documents"), "text", "video/fake"),
+        frameBytes = 16)
+      .orderBy("doc_id", "frame_no")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -657,7 +706,13 @@ object LlmQueries {
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
     "m04_resize_stub" -> (m04 _),
-    "m05_embed_stub" -> (m05 _)
+    "m05_embed_stub" -> (m05 _),
+    "d40_semantic_dedup" -> (d40 _),
+    "d41_chunk_overlap" -> (d41 _),
+    "d42_pii_scrub" -> (d42 _),
+    "d43_dataset_card" -> (d43 _),
+    "e15_mips_norm_prune" -> (e15 _),
+    "m06_frame_manifest" -> (m06 _)
   )
 
   // ---- oracle SQL -----------------------------------------------------
@@ -1685,6 +1740,97 @@ object LlmQueries {
            round(CASE WHEN d.byte_len = 0 THEN 0.0
                  ELSE b.byte_sum::DOUBLE / d.byte_len END, 4) AS mean_luma
          FROM d JOIN b ON b.doc_id = d.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "d40_semantic_dedup" ->
+      """WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
+             FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                     unnest(range(0, len(embedding))) AS dim FROM embeddings)
+             GROUP BY label, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         assign AS (SELECT cell, vec_id, v FROM (
+             SELECT ct2.label AS cell, e.vec_id, e.v,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, ct2.ct)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM e CROSS JOIN cent ct2) WHERE rn = 1),
+         p AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_inner_product(a.v, b.v)
+                   / (sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+               FROM assign a JOIN assign b ON a.cell = b.cell
+                 AND a.vec_id < b.vec_id)
+         SELECT cell, vec_a, vec_b, cos FROM p WHERE cos >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "d41_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         c AS (SELECT doc_id, tk,
+                 unnest(range(0, (len(tk)-1)//24 + 1)) AS chunk_id FROM t),
+         sl AS (SELECT doc_id, chunk_id,
+                  list_slice(tk, chunk_id*24 + 1,
+                    least(chunk_id*24 + 32, len(tk))) AS ch FROM c)
+         SELECT doc_id, chunk_id, len(ch) AS n_tokens,
+           md5(array_to_string(ch, ' ')) AS chunk_md5
+         FROM sl ORDER BY doc_id, chunk_id""",
+    "d42_pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@mail.example.com code '
+             || (doc_id*7919 % 10000) AS t FROM documents),
+         r AS (SELECT doc_id, t,
+           regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]*[a-z]', '<EMAIL>', 'g') AS t1
+           FROM a)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]*[a-z]')) AS n_emails,
+           len(regexp_extract_all(t1, '[0-9]{3,}')) AS n_nums,
+           md5(regexp_replace(t1, '[0-9]{3,}', '<NUM>', 'g')) AS redacted_md5
+         FROM r ORDER BY doc_id""",
+    "d43_dataset_card" ->
+      """WITH d AS (SELECT source, lang,
+             len(string_split_regex(trim(text), '\s+')) AS ntok FROM documents),
+         b AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                 round(avg(ntok::DOUBLE), 4) AS avg_tokens,
+                 quantile_cont(ntok, 0.5) AS p50_tokens,
+                 count(DISTINCT lang) AS n_langs
+               FROM d GROUP BY source),
+         tl AS (SELECT source, lang AS top_lang FROM (
+                 SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY count(*) DESC, lang) AS rn
+                 FROM d GROUP BY source, lang) WHERE rn = 1),
+         t AS (SELECT CAST(sum(ntok) AS BIGINT) AS corpus_tokens FROM d)
+         SELECT source, n_docs, total_tokens, avg_tokens, p50_tokens, n_langs,
+           top_lang,
+           round(total_tokens::DOUBLE / corpus_tokens::DOUBLE, 4) AS token_share
+         FROM b JOIN tl USING (source) CROSS JOIN t ORDER BY source""",
+    "e15_mips_norm_prune" ->
+      // plain brute force: the engine's norm-bound prune is SOUND, so
+      // pruned top-k must equal the exhaustive answer exactly
+      """WITH c AS (SELECT vec_id AS neighbor_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x * ((1 + vec_id % 16)*(1 + vec_id % 16))::DOUBLE) AS cv
+           FROM embeddings WHERE vec_id >= 5),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT query_id, neighbor_id, list_inner_product(qv, cv) AS dot
+               FROM c CROSS JOIN q),
+         r AS (SELECT query_id, neighbor_id, dot, row_number() OVER
+                 (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, rank, neighbor_id, round(dot, 4) AS dot
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m06_frame_manifest" ->
+      // ASCII corpus (verified): byte slices of the packed payload ==
+      // char slices of the text
+      """WITH f AS (SELECT doc_id, text,
+           unnest(range(0, (length(text)-1)//16 + 1)) AS frame_no
+           FROM documents)
+         SELECT doc_id, frame_no, frame_no*16 AS byte_offset,
+           least(16, length(text) - frame_no*16) AS frame_len,
+           md5(substr(text, (frame_no*16 + 1)::INT, 16)) AS frame_md5
+         FROM f ORDER BY doc_id, frame_no"""
   )
 }

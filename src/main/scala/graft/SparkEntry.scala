@@ -247,6 +247,46 @@ object SparkEntry {
       .orderBy("band")
   }
 
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    // gap-filled time histogram: counts per (hour, event_type) joined
+    // against the DENSE hour×type grid so silent hours surface as 0 —
+    // the dashboard/densification primitive. The grid derives from a
+    // 1-row min/max agg (sequence-exploded, broadcast), so the only
+    // full-data pass is the groupBy; grid ⨝ counts is broadcast-hash.
+    val ev = table(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("n_events"))
+    val hours = ev.agg(min("h").as("h_min"), max("h").as("h_max"))
+      .select(explode(sequence(col("h_min"), col("h_max"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val grid = hours.crossJoin(ev.select("event_type").distinct())
+    grid.join(counts, Seq("h", "event_type"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hour", "event_type")
+  }
+
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    // deterministic MODE per group (most frequent order priority per
+    // market segment, ties broken lexicographically): count-then-rank —
+    // two shuffles on small keys, never a collect
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val counts = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("n_orders"), col("o_orderpriority"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     // CUBE: all four grouping sets over (priority, status) in one pass —
     // Spark expands the sets map-side before the partial agg, so the
@@ -569,6 +609,8 @@ object SparkEntry {
     "q28_not_in" -> (q28 _),
     "q29_asof_join" -> (q29 _),
     "q30_range_join" -> (q30 _),
+    "q31_gap_fill" -> (q31 _),
+    "q32_group_mode" -> (q32 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -710,6 +752,28 @@ object SparkEntry {
                ('high', 30.0, 51.0)) AS b(band, lo, hi)
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY band ORDER BY band""",
+    "q31_gap_fill" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+         counts AS (SELECT h, event_type, count(*) AS n_events
+                    FROM e GROUP BY h, event_type),
+         grid AS (SELECT unnest(generate_series(
+                    (SELECT min(h) FROM e), (SELECT max(h) FROM e),
+                    INTERVAL 1 HOUR)) AS h)
+         SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+           coalesce(counts.n_events, 0) AS n_events
+         FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+         LEFT JOIN counts ON counts.h = grid.h
+           AND counts.event_type = t.event_type
+         ORDER BY hour, t.event_type""",
+    "q32_group_mode" ->
+      """WITH counts AS (SELECT c_mktsegment, o_orderpriority,
+             count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, o_orderpriority),
+         r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY n_orders DESC, o_orderpriority) AS rn FROM counts)
+         SELECT c_mktsegment, o_orderpriority AS mode_priority, n_orders
+         FROM r WHERE rn = 1 ORDER BY c_mktsegment""",
     "q28_not_in" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem

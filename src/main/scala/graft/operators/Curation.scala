@@ -330,4 +330,97 @@ object Curation {
             / col("n_tokens").cast("double"), 4).as("boiler_ratio")),
       toks)
   }
+
+  /** RAG-style chunking: fixed-size token windows with overlap. A
+    * document with n tokens yields ⌈(n−overlap)/stride⌉ chunks at
+    * starts 0, stride, 2·stride, …; each chunk carries its token count
+    * and an md5 content fingerprint (the chunk-store key a retrieval
+    * index would use).
+    *
+    * Scale shape: entirely map-side — stage the token array once, then
+    * `sequence`+`explode` per document; no shuffle anywhere, output
+    * partitioning inherits the scan. At 100 TB this runs as a pure
+    * projection pipeline inside whole-stage codegen around the two
+    * array kernels. */
+  def chunkWithOverlap(
+      docs: DataFrame,
+      chunkSize: Int,
+      stride: Int,
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      // last chunk starts at the largest multiple of stride < n
+      // (Spark's `/` is double division — floor it back to an int id)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((col("__n") - 1) / stride).cast("int"))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(col("__chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
+
+  /** PII scrubbing: redact email addresses and long digit runs, report
+    * per-document hit counts and the redacted-content fingerprint. The
+    * regexes are deliberately ASCII-character-class only so every regex
+    * engine (Java here, RE2 in the oracle) agrees byte-for-byte.
+    *
+    * Scale shape: pure per-row projection — regex extraction and
+    * replacement are map-side, nothing shuffles. The regex cost is the
+    * scan cost; at 100 TB this is the same single-pass shape as any
+    * quality scorer. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]*[a-z]"
+    val numRun = "[0-9]{3,}"
+    val redacted =
+      regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"), numRun, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(
+        regexp_replace(col(textCol), email, "<EMAIL>"), lit(numRun), lit(0)))
+        .as("n_nums"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Dataset-card summary: the per-source statistics block every corpus
+    * release ships (doc/token counts, length distribution, dominant
+    * language, corpus share). One grouped aggregation over a staged
+    * token count plus a window for the dominant language — two shuffles
+    * on the (tiny) source key, no row ever carries text past the first
+    * projection.
+    *
+    * Exact-percentile note: `percentile` on integer token counts is
+    * deterministic and equals DuckDB's `quantile_cont` (proved by q25). */
+  def datasetCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(
+      col("source"), col("lang"), tokenCount(col(textCol)).as("__ntok"))
+    val bySource = perDoc
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok").cast("long")).as("total_tokens"),
+        round(avg(col("__ntok").cast("double")), 4).as("avg_tokens"),
+        expr("percentile(__ntok, 0.5)").as("p50_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+    val topLang = perDoc
+      .groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("source").orderBy(desc("__c"), col("lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val total = perDoc.agg(sum(col("__ntok").cast("long")).as("__corpus_tokens"))
+    bySource
+      .join(topLang, Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("avg_tokens"),
+        col("p50_tokens"), col("n_langs"), col("top_lang"),
+        round(col("total_tokens").cast("double")
+          / col("__corpus_tokens").cast("double"), 4).as("token_share"))
+  }
 }

@@ -120,4 +120,27 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Frame-sampling manifest for opaque video/audio payloads: every
+    * `frameBytes`-wide slice becomes a manifest row (frame number, byte
+    * offset, actual length, content md5) — the work list a downstream
+    * decoder fleet consumes, built WITHOUT decoding anything.
+    *
+    * Scale shape: pure map-side `sequence`+`explode` over the payload
+    * length — the manifest explodes rows but never copies the payload
+    * more than once per frame slice, and nothing shuffles; output
+    * files partition naturally by the scan. */
+  def frameManifest(df: DataFrame, frameBytes: Int, idCol: String = "doc_id"): DataFrame =
+    df
+      .withColumn("__len", length(col("payload")))
+      .withColumn("frame_no",
+        explode(sequence(lit(0), floor((col("__len") - 1) / frameBytes).cast("int"))))
+      .select(
+        col(idCol),
+        col("frame_no"),
+        (col("frame_no") * frameBytes).as("byte_offset"),
+        least(lit(frameBytes), col("__len") - col("frame_no") * frameBytes)
+          .as("frame_len"),
+        md5(col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)))
+          .as("frame_md5"))
 }

@@ -492,4 +492,87 @@ object Similarity {
     byDim.select(col("label"), round(col("centroid_norm"), 4).as("centroid_norm"),
       col("n_vectors"))
   }
+
+  /** SEMANTIC dedup: near-duplicate pairs found INSIDE coarse-quantizer
+    * cells — the embedding-space big brother of LSH text dedup. Every
+    * vector is assigned map-side to its nearest label centroid (broadcast
+    * nlist×dim table, one corpus pass), then exact cosine runs only
+    * between same-cell pairs.
+    *
+    * Scale shape: the candidate join shuffles (cell, id, vector) once on
+    * the cell key; per-cell work is quadratic in CELL size, not corpus
+    * size — the knob is nlist, exactly like IVF. A skewed cell is the
+    * same hazard as a hot LSH bucket; cap or re-split cells (finer
+    * centroids) when a cell outgrows executor memory. Pairs whose
+    * members land in different cells are missed — that recall/cost trade
+    * is the definition of coarse quantization, and the oracle reproduces
+    * the same cell assignment so the gate checks the real semantics. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val cents = labelCentroidVectors(embeddings)
+    val byCos = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("label"))
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cell"), col("vec_id"), col("v"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** EXACT maximum-inner-product top-k with a sound norm-bound prune
+    * (the LEMP/FEXIPRO family, declaratively): for un-normalized corpora
+    * dot(q,x) ≤ ‖q‖·‖x‖, so once any k candidates are scored, every
+    * vector whose norm upper-bound cannot beat the running k-th best dot
+    * is provably not in the answer.
+    *
+    *  1. seed phase: the `m` largest-norm corpus vectors (global top-m —
+    *     `TakeOrderedAndProject`, no full sort) are scored exactly
+    *     against every query; the k-th best dot per query is the bound.
+    *  2. prune phase: one corpus pass keeps only ‖x‖·‖q‖ ≥ bound —
+    *     a map-side filter against a broadcast (query, bound) table —
+    *     then exact scoring + per-query top-k over the survivors.
+    *
+    * The result is EXACT (the true top-k all satisfy the bound, so the
+    * oracle is plain brute force), and the prune discards vectors before
+    * any shuffle. Pruning power is the corpus norm spread: on this test
+    * corpus (norms spanning 1–256) it removes ~30% of candidates; on
+    * real MIPS workloads (recommender item vectors, where norm ≈
+    * popularity spans orders of magnitude) it is the difference between
+    * scanning the catalog and scanning the head. A negative bound keeps
+    * everything — still sound, never wrong. */
+  def mipsKnnNormPruned(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      seedCandidates: Int = 25): DataFrame = {
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("cv"))
+      .withColumn("nrm", norm2(col("cv")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val seeds = c.orderBy(desc("nrm"), col("neighbor_id")).limit(seedCandidates)
+    val byDot = Window.partitionBy("query_id").orderBy(desc("dot"), col("neighbor_id"))
+    val bounds = seeds
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(byDot))
+      .filter(col("rn") === k)
+      .select(col("query_id"), col("dot").as("bound"))
+    val qb = q.join(bounds, Seq("query_id"))
+    c.crossJoin(broadcast(qb))
+      .filter(col("nrm") * col("qn") >= col("bound"))
+      .withColumn("dot", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(byDot))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("dot"), 4).as("dot"))
+  }
 }

@@ -191,4 +191,59 @@ class CurationSpec extends SparkSpec {
       .toSeq shouldBe Seq(
         (1L, 3L, 3L, 1.0), (2L, 2L, 2L, 1.0), (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0))
   }
+
+  test("chunkWithOverlap: stride windows, clamped tail, shared overlap") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9 → sizes 4,4,4,1
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkWithOverlap(docs, chunkSize = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 1, 2, 3)
+    out.map(_.getInt(2)).toSeq shouldBe Seq(4, 4, 4, 1)
+    // overlapping token t3 appears in chunk 0 (tail) and chunk 1 (head):
+    // chunk fingerprints differ but both contain t3's text — check via
+    // reconstruction of the chunk contents
+    val md5c0 = out(0).getString(3)
+    val md5c1 = out(1).getString(3)
+    md5c0 should not be md5c1
+    // a one-chunk doc: 3 tokens, chunk 4, stride 3 → exactly one chunk
+    val one = Curation.chunkWithOverlap(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), 4, 3).collect()
+    one.length shouldBe 1
+    one.head.getInt(2) shouldBe 3
+  }
+
+  test("piiScrub counts and redacts emails and digit runs") {
+    val docs = Seq(
+      (1L, "reach me at john.doe@example.com or 555123 ok"),
+      (2L, "no pii here"),
+      (3L, "a@b.c and x@y.zz plus 12 (too short) and 99999")).toDF("doc_id", "text")
+    val out = Curation.piiScrub(docs).orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq shouldBe
+      Seq((1L, 1, 1), (2L, 0, 0), (3L, 2, 1))
+    // redaction is total: the fingerprints of scrubbed text with
+    // different PII but same payload agree
+    val same = Curation.piiScrub(Seq(
+      (1L, "id 111222 mail a.one@host.com end"),
+      (2L, "id 999888 mail b.two@other.org end")).toDF("doc_id", "text"))
+      .select("redacted_md5").distinct().count()
+    same shouldBe 1L
+  }
+
+  test("datasetCard aggregates per-source stats with deterministic top lang") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "web"),
+      (2L, "a b", "es", "web"),
+      (3L, "a b c d e f", "en", "books"),
+      (4L, "a b c d", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.datasetCard(docs).orderBy("source").collect()
+    val web = out.find(_.getString(0) == "web").get
+    web.getLong(1) shouldBe 3L       // n_docs
+    web.getLong(2) shouldBe 10L      // total tokens 4+2+4
+    web.getString(6) shouldBe "en"   // top lang (2 en vs 1 es)
+    web.getDouble(7) shouldBe math.rint(10.0 / 16.0 * 1e4) / 1e4
+    val books = out.find(_.getString(0) == "books").get
+    books.getLong(5) shouldBe 1L     // n_langs
+    books.getDouble(4) shouldBe 6.0  // p50 of a single doc
+  }
 }

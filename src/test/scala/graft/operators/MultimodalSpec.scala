@@ -75,4 +75,20 @@ class MultimodalSpec extends SparkSpec {
     val f0 = out.filter($"doc_id" === 0 && $"dim" === 0).collect().head.getLong(2)
     f0 shouldBe (9L * 2654435761L % 1000L)
   }
+
+  test("frameManifest tiles the payload with a clamped final frame") {
+    // 22 bytes, 8-byte frames → offsets 0,8,16 with lengths 8,8,6
+    val docs = Seq((1L, "0123456789abcdefghijkl")).toDF("doc_id", "text")
+    val out = Multimodal
+      .frameManifest(Multimodal.packPayload(docs, "text", "video/fake"), 8)
+      .orderBy("frame_no").collect()
+    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 1, 2)
+    out.map(_.getInt(2)).toSeq shouldBe Seq(0, 8, 16)
+    out.map(_.getInt(3)).toSeq shouldBe Seq(8, 8, 6)
+    // content hash matches the byte slice it indexes
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("01234567".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    out.head.getString(4) shouldBe expected
+  }
 }

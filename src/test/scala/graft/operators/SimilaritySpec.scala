@@ -146,4 +146,40 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.getLong(2)).sum shouldBe vecs.length.toLong
     out.foreach(_.getDouble(1) should be >= 0.0)
   }
+
+  test("semanticDedup pairs only within a cell, above threshold, a<b once") {
+    // v1,v2 share cell "a" (cos≈0.998); v3,v4 share cell "b" but are
+    // orthogonal (cos 0) — only the (1,2) pair may survive at 0.9
+    val out = Similarity.semanticDedup(emb, threshold = 0.9).collect()
+    out.map(r => (r.getLong(1), r.getLong(2))).toSeq shouldBe Seq((1L, 2L))
+    out.head.getDouble(3) should be > 0.99
+  }
+
+  test("mipsKnnNormPruned equals brute-force MIPS on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val dim = 8
+    val rows = (0L until n).map { i =>
+      // norms spread over ~2 orders of magnitude, like real item vectors
+      val scale = math.pow(10, rnd.nextDouble() * 2).toFloat
+      (i, Array.fill(dim)((rnd.nextFloat() * 2 - 1) * scale))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding".cast("array<double>").as("qv"))
+    val cs = df.filter($"vec_id" >= 3)
+      .select($"vec_id", $"embedding".cast("array<double>").as("cv"))
+    val pruned = Similarity.mipsKnnNormPruned(qs, cs, k = 4)
+      .orderBy("query_id", "rank").collect()
+    // naive reference: score every pair, rank per query
+    val qRows = rows.filter(_._1 < 3)
+    val cRows = rows.filter(_._1 >= 3)
+    val expect = qRows.flatMap { case (qid, qv) =>
+      cRows.map { case (cid, cv) =>
+        (qid, cid, qv.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      }.sortBy { case (_, cid, d) => (-d, cid) }.take(4).zipWithIndex
+        .map { case ((_, cid, _), r) => (qid, r + 1, cid) }
+    }
+    pruned.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq shouldBe expect
+  }
 }
