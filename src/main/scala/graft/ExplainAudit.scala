@@ -21,7 +21,9 @@ object ExplainAudit {
       "q20_rollup", "q21_pivot", "q22_unpivot",
       "q24_cube", "q26_scalar_subquery", "d29_seq_pack", "d32_boilerplate",
       "e14_knn_ivf_pq", "s05_interval_join", "q29_asof_join",
-      "q30_range_join", "d35_training_manifest")) {
+      "q30_range_join", "d35_training_manifest",
+      "d40_semantic_dedup", "d41_chunk_overlap", "e15_mips_norm_prune",
+      "q31_gap_fill", "q32_group_mode", "m06_frame_manifest")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -234,7 +234,32 @@ object StoreQueries {
     t.readVersion(v1).orderBy("o_orderkey")
   }
 
+  /** c18: sort-clustered compaction — interleaved appends (every entry
+    * spans the full key range → stats prune nothing), then
+    * `rewriteSortedDataFiles` re-clusters on o_totalprice, and a
+    * price-range `readWhere` runs over the pruned slices. The oracle is
+    * the plain relational filter: the clustering pass must change the
+    * PLAN (fewer entries scanned — LakeTableSpec asserts that), never
+    * the rows. */
+  private def c18(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_sorted"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_sorted")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    t.createOrReplace(base.filter(col("o_orderkey") % 3 === 0))
+    t.append(base.filter(col("o_orderkey") % 3 === 1))
+    t.append(base.filter(col("o_orderkey") % 3 === 2))
+    t.rewriteSortedDataFiles(Seq("o_totalprice"), targetFileBytes = 64 * 1024)
+    t.readWhere(col("o_totalprice").between(50000.0, 100000.0))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_sorted_rewrite" -> (c18 _),
     "c17_time_travel" -> (c17 _),
     "c13_stats_pruned_scan" -> (c13 _),
     "c14_schema_evolution" -> (c14 _),
@@ -248,6 +273,11 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c18_sorted_rewrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "c17_time_travel" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          ORDER BY o_orderkey""",

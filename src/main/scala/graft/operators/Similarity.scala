@@ -510,6 +510,9 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
     val cents = labelCentroidVectors(embeddings)
     val byCos = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("label"))
+    // staged: a self-join otherwise replays the whole centroid-assignment
+    // subtree (broadcast + window) once PER SIDE — cache the (cell, id,
+    // vector) rows and both join inputs read the same materialization
     val assigned = embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .crossJoin(broadcast(cents))
@@ -517,13 +520,16 @@ object Similarity {
       .withColumn("rn", row_number().over(byCos))
       .filter(col("rn") === 1)
       .select(col("label").as("cell"), col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"))
+    Dedup.releasing(
+      a.join(b, Seq("cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+        .filter(col("cos") >= threshold)
+        .select(col("cell"), col("vec_a"), col("vec_b"), col("cos")),
+      assigned)
   }
 
   /** EXACT maximum-inner-product top-k with a sound norm-bound prune

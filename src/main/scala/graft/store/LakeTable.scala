@@ -764,6 +764,47 @@ class LakeTable(
     (before, dataFileCount(currentSnapshot.get))
   }
 
+  /** Sort-clustered compaction (`rewrite_data_files(strategy => 'sort')`
+    * analog, the Z-order/sort-order optimization pass): rewrite the
+    * table as range-partitioned, internally sorted slices on `sortCols`,
+    * each committed as its OWN manifest entry with tight footer min/max.
+    * Append-churned entries carry full-range stats (a value predicate
+    * prunes nothing); after clustering, entry ranges are near-disjoint
+    * and `readWhere` on the sort key plans only the overlapping slices.
+    *
+    * Scale shape: one range-partitioner shuffle + per-slice sort — the
+    * cost of a global sort, run once per maintenance window; the staged
+    * shuffle output is cached so each slice's write job re-reads the
+    * exchange, not the table. Returns (filesBefore, filesAfter). */
+  def rewriteSortedDataFiles(
+      sortCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val s = requireExists()
+    val before = dataFileCount(s)
+    val bytes = dataByteSize(s)
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cols = sortCols.map(col)
+    val staged = prepared(read, s)
+      .repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__shard", org.apache.spark.sql.functions.spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val shards = staged.select("__shard").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val entries = shards.toSeq.flatMap { sh =>
+        writeData(staged.filter(col("__shard") === sh).drop("__shard"),
+          s.partitionCols)._2
+      }
+      commit("rewrite-data-files-sort")(_ =>
+        (s.schema, s.partitionCols, entries, s.properties,
+          Map("rewritten-files" -> before.toString,
+            "sort-order" -> sortCols.mkString(","))))
+      (before, dataFileCount(currentSnapshot.get))
+    } finally staged.unpersist(false)
+  }
+
   /** Delete unreferenced data dirs older than `olderThanMs` wall-clock
     * (`remove_orphan_files` analog). Returns #dirs removed. */
   def removeOrphanFiles(olderThanMs: Long): Int = synchronized {

@@ -156,6 +156,35 @@ class LakeTableSpec extends SparkSpec {
     t.read.count() shouldBe 1
   }
 
+  test("rewriteSortedDataFiles clusters entries so range predicates prune") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.sorted")
+    // ids deliberately interleaved across appends: every append entry
+    // spans (almost) the full id range, so value pruning is useless
+    val all = (0L until 400L)
+    t.createOrReplace(all.filter(_ % 4 == 0).map(i => (i, s"s$i")).toDF("id", "v"))
+    (1 to 3).foreach(r =>
+      t.append(all.filter(_ % 4 == r).map(i => (i, s"s$i")).toDF("id", "v")))
+    val preSnap = t.currentSnapshot.get
+    val cond = col("id").between(100, 120)
+    // before: every entry overlaps [100, 120]
+    t.prunedEntries(preSnap, cond).size shouldBe preSnap.entries.size
+    t.prunedEntries(preSnap, cond).size should be >= 4
+    val (before, after) = t.rewriteSortedDataFiles(Seq("id"), targetFileBytes = 2048)
+    before should be >= 4
+    after should be >= 3 // small target bytes forces multiple slices
+    val postSnap = t.currentSnapshot.get
+    postSnap.summary("sort-order") shouldBe "id"
+    // after: the clustered entries have near-disjoint ranges — the
+    // range predicate plans strictly fewer entries than exist
+    val surviving = t.prunedEntries(postSnap, cond)
+    surviving.size should be < postSnap.entries.size
+    // correctness unchanged: same rows, filtered read exact
+    t.read.count() shouldBe 400
+    t.readWhere(cond).orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe
+      (100L to 120L)
+  }
+
   test("removeOrphanFiles deletes unreferenced dirs past the age threshold") {
     val t = freshCatalog().table("db.o")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))
