@@ -23,7 +23,9 @@ object ExplainAudit {
       "e14_knn_ivf_pq", "s05_interval_join", "q29_asof_join",
       "q30_range_join", "d35_training_manifest",
       "d40_semantic_dedup", "d41_chunk_overlap", "e15_mips_norm_prune",
-      "q31_gap_fill", "q32_group_mode", "m06_frame_manifest")) {
+      "q31_gap_fill", "q32_group_mode", "m06_frame_manifest",
+      "q33_funnel", "q34_cohort_retention", "d44_bigram_loss",
+      "e16_matryoshka_rerank", "c18_sorted_rewrite")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -638,6 +638,19 @@ object LlmQueries {
     Similarity.mipsKnnNormPruned(qs, corpus, k = 5).orderBy("query_id", "rank")
   }
 
+  private def d44(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramLogLoss(documents(s, dir)).orderBy("doc_id")
+
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    // Matryoshka two-phase: 16-dim prefix shortlist (of 64), exact
+    // full-dim re-rank of the top 20
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .matryoshkaKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5, prefixDims = 16, shortlist = 20)
+      .orderBy("query_id", "rank")
+  }
+
   private def m06(s: SparkSession, dir: String): DataFrame =
     // frame-sampling manifest over the opaque payload: the decoder work
     // list (offsets + lengths + content hashes), no decode needed
@@ -712,6 +725,8 @@ object LlmQueries {
     "d42_pii_scrub" -> (d42 _),
     "d43_dataset_card" -> (d43 _),
     "e15_mips_norm_prune" -> (e15 _),
+    "e16_matryoshka_rerank" -> (e16 _),
+    "d44_bigram_loss" -> (d44 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1831,6 +1846,48 @@ object LlmQueries {
          SELECT doc_id, frame_no, frame_no*16 AS byte_offset,
            least(16, length(text) - frame_no*16) AS frame_len,
            md5(substr(text, (frame_no*16 + 1)::INT, 16)) AS frame_md5
-         FROM f ORDER BY doc_id, frame_no"""
+         FROM f ORDER BY doc_id, frame_no""",
+    "d44_bigram_loss" ->
+      s"""WITH t AS ($ToksCte),
+         u AS (SELECT unnest(tk) AS w FROM t),
+         uc AS (SELECT w, count(*) AS cw FROM u GROUP BY w),
+         tot AS (SELECT count(*) AS t_total FROM u),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                  i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+                FROM t WHERE len(tk) >= 2),
+         bp AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         bc AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY w1, w2)
+         SELECT doc_id, round(
+             -sum(ln(0.7 * cb::DOUBLE / c1.cw::DOUBLE
+                     + 0.3 * c2.cw::DOUBLE / t_total::DOUBLE))
+               / count(*), 4) AS nll
+         FROM bp
+         JOIN bc USING (w1, w2)
+         JOIN uc c1 ON c1.w = bp.w1
+         JOIN uc c2 ON c2.w = bp.w2
+         CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    "e16_matryoshka_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               list_slice(embedding::DOUBLE[], 1, 16) AS qp
+             FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               list_slice(embedding::DOUBLE[], 1, 16) AS cp
+             FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, qv, cv,
+                 round(list_inner_product(qp, cp)
+                   / (sqrt(list_inner_product(qp, qp))
+                      * sqrt(list_inner_product(cp, cp))), 6) AS cos_p
+               FROM c CROSS JOIN q),
+         sl AS (SELECT query_id, neighbor_id, qv, cv, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos_p DESC, neighbor_id) AS rn
+                FROM s),
+         rr AS (SELECT query_id, neighbor_id, $CosSql AS cos
+                FROM sl WHERE rn <= 20),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM rr)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

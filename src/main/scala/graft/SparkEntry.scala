@@ -287,6 +287,56 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    // conversion funnel signup → click → purchase in EVENT-TIME order: a
+    // user advances a stage only with an event strictly after their
+    // previous stage's first event. Three user-keyed min-aggs, each
+    // moving only (user_id, ts) pairs; the 3-row funnel report joins
+    // scalar counts, so nothing wide ever shuffles.
+    val ev = table(s, dir, "events").select("user_id", "event_type", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(signups, Seq("user_id"))
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    def stage(df: DataFrame, no: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_users"))
+    val funnel = stage(signups, 1, "signup")
+      .unionByName(stage(clicks, 2, "click"))
+      .unionByName(stage(purchases, 3, "purchase"))
+    val w = Window.orderBy("stage_no") // 3-row frame: single partition is fine
+    funnel
+      .withColumn("conv_rate", round(
+        col("n_users").cast("double")
+          / coalesce(lag("n_users", 1).over(w), col("n_users")).cast("double"), 4))
+      .orderBy("stage_no")
+  }
+
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    // cohort retention triangle: users grouped by first-seen week, one
+    // row per (cohort, week offset) with the count still active. The
+    // distinct pass collapses (user, week) activity BEFORE the count —
+    // the only wide shuffle carries (user_id, 2 dates).
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val firstWeek = ev.groupBy("user_id").agg(min("w").as("cw"))
+    ev.join(firstWeek, Seq("user_id"))
+      .select(col("user_id"), col("cw"),
+        (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"))
+      .distinct()
+      .groupBy("cw", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     // CUBE: all four grouping sets over (priority, status) in one pass —
     // Spark expands the sets map-side before the partial agg, so the
@@ -611,6 +661,8 @@ object SparkEntry {
     "q30_range_join" -> (q30 _),
     "q31_gap_fill" -> (q31 _),
     "q32_group_mode" -> (q32 _),
+    "q33_funnel" -> (q33 _),
+    "q34_cohort_retention" -> (q34 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -774,6 +826,34 @@ object SparkEntry {
                  ORDER BY n_orders DESC, o_orderpriority) AS rn FROM counts)
          SELECT c_mktsegment, o_orderpriority AS mode_priority, n_orders
          FROM r WHERE rn = 1 ORDER BY c_mktsegment""",
+    "q33_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+             WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+             JOIN s USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+             GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+             JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+             GROUP BY e.user_id),
+         f AS (SELECT 1 AS stage_no, 'signup' AS stage,
+                 (SELECT count(*) FROM s) AS n_users
+               UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+               UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+         SELECT stage_no, stage, n_users,
+           round(n_users::DOUBLE / coalesce(lag(n_users, 1)
+             OVER (ORDER BY stage_no), n_users)::DOUBLE, 4) AS conv_rate
+         FROM f ORDER BY stage_no""",
+    "q34_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+         f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT e.user_id, cw,
+                 date_diff('day', cw, w) // 7 AS week_offset
+               FROM e JOIN f USING (user_id))
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+           count(*) AS n_users
+         FROM a GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""",
     "q28_not_in" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem

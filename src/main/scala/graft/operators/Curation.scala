@@ -331,6 +331,50 @@ object Curation {
       toks)
   }
 
+  /** Interpolated bigram language-model score per document: the average
+    * negative log of `λ·P(w2|w1) + (1−λ)·P(w2)` over the document's
+    * bigrams, with MLE probabilities from corpus counts — the standard
+    * next-word-predictability quality signal one notch above d24's
+    * unigram loss (catches scrambled word salads that unigram stats
+    * rate as fluent).
+    *
+    * Scale shape: one explode for unigram counts, one map-side bigram
+    * expansion over the staged token array; both count aggs shuffle
+    * compact word keys. The probability join is keyed by bigram/word;
+    * the corpus total is a broadcast 1-row agg. All probabilities are
+    * integer-count ratios (IEEE-deterministic); the final mean is
+    * rounded to 4dp (the d24 precedent the oracle reproduces). */
+  def bigramLogLoss(
+      docs: DataFrame,
+      lambda: Double = 0.7,
+      textCol: String = "text"): DataFrame = {
+    val staged = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col("doc_id"), col("__toks"))
+    val toks = staged.select(col("doc_id"), explode(col("__toks")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = toks.agg(count(lit(1)).as("__t_total"))
+    val pairs = staged
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(
+        (lit(-1.0) * sum(log(
+          lit(lambda) * col("cb").cast("double") / col("c1").cast("double")
+            + lit(1.0 - lambda) * col("c2").cast("double")
+            / col("__t_total").cast("double"))))
+          / count(lit(1)).cast("double"), 4).as("nll"))
+  }
+
   /** RAG-style chunking: fixed-size token windows with overlap. A
     * document with n tokens yields ⌈(n−overlap)/stride⌉ chunks at
     * starts 0, stride, 2·stride, …; each chunk carries its token count

@@ -493,6 +493,49 @@ object Similarity {
       col("n_vectors"))
   }
 
+  /** Matryoshka (MRL) two-phase ANN: score every corpus vector with the
+    * PREFIX of the embedding (nested-representation models order
+    * information by dimension), keep the top `shortlist` per query, then
+    * re-rank only the shortlist with full-dimension cosine. The cheap
+    * pass reads prefixDims/dim of the vector bytes; the exact pass runs
+    * on shortlist-sized data — the standard accuracy/cost trade for
+    * MRL-style embeddings, expressed as two declarative passes.
+    *
+    * Scale shape: phase 1 is bruteKnn's one-pass broadcast scan, but a
+    * column-pruned one: at rest the prefix can live as its own (struct
+    * or separate) column so the scan never reads the full vectors;
+    * phase 2 touches shortlist×queries rows only. Approximate by
+    * construction (a true neighbor outside the prefix shortlist is
+    * missed) — the oracle runs the same algorithm, and e13's recall
+    * audit pattern measures the loss against exact kNN. */
+  def matryoshkaKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      prefixDims: Int,
+      shortlist: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qp", slice(col("qv"), 1, prefixDims))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cp", slice(col("cv"), 1, prefixDims))
+    val byPrefix = Window.partitionBy("query_id")
+      .orderBy(desc("cos_p"), col("neighbor_id"))
+    val short = c
+      .crossJoin(broadcast(q))
+      // rank on the 6dp-rounded prefix cosine so the shortlist CUT is
+      // reproducible by engines whose float sums differ in the last ulp
+      .withColumn("cos_p", round(cosine(col("qp"), col("cp")), 6))
+      .withColumn("rn", row_number().over(byPrefix))
+      .filter(col("rn") <= shortlist)
+    val byFull = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    short
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(byFull))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** SEMANTIC dedup: near-duplicate pairs found INSIDE coarse-quantizer
     * cells — the embedding-space big brother of LSH text dedup. Every
     * vector is assigned map-side to its nearest label centroid (broadcast

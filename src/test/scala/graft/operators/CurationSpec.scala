@@ -246,4 +246,26 @@ class CurationSpec extends SparkSpec {
     books.getLong(5) shouldBe 1L     // n_langs
     books.getDouble(4) shouldBe 6.0  // p50 of a single doc
   }
+
+  test("bigramLogLoss: predictable word order scores lower than scrambled") {
+    // doc 1 repeats the corpus-dominant bigram chain; doc 2 uses the
+    // same unigrams in an order whose bigrams are corpus-rare
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "b b a a b a b b"),
+      (3L, "a b a b"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Curation.bigramLogLoss(docs).orderBy("doc_id").collect()
+    out.length shouldBe 4 // every doc has >= 2 tokens
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byId(1L) should be < byId(2L)
+    // one-bigram doc: loss is exactly -ln(0.7*P(b|a) + 0.3*P(b))
+    val single = Curation.bigramLogLoss(Seq((9L, "x y")).toDF("doc_id", "text"))
+      .collect().head.getDouble(1)
+    // corpus of one doc: P(y|x) = 1, P(y) = 1/2 → -ln(0.7 + 0.15)
+    single shouldBe math.rint(-math.log(0.85) * 1e4) / 1e4
+    // sub-bigram docs drop out
+    Curation.bigramLogLoss(Seq((9L, "solo")).toDF("doc_id", "text"))
+      .count() shouldBe 0L
+  }
 }

@@ -182,4 +182,26 @@ class SimilaritySpec extends SparkSpec {
     }
     pruned.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq shouldBe expect
   }
+
+  test("matryoshkaKnn with a full-corpus shortlist equals exact bruteKnn") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), "x"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val qs = df.filter($"vec_id" < 3)
+    val cs = df.filter($"vec_id" >= 3)
+    val exact = Similarity.bruteKnn(qs, cs, k = 4)
+      .orderBy("query_id", "rank").collect()
+    // shortlist covers the whole corpus → the prefix pass cannot drop a
+    // true neighbor, so the re-rank must reproduce exact kNN
+    val full = Similarity.matryoshkaKnn(qs, cs, k = 4, prefixDims = 4, shortlist = 57)
+      .orderBy("query_id", "rank").collect()
+    full.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq shouldBe
+      exact.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // tight shortlist: still k results per query, ranks contiguous
+    val tight = Similarity.matryoshkaKnn(qs, cs, k = 4, prefixDims = 4, shortlist = 8)
+      .orderBy("query_id", "rank").collect()
+    tight.length shouldBe 3 * 4
+    tight.groupBy(_.getLong(0)).values.foreach(
+      _.map(_.getInt(1)).sorted.toSeq shouldBe Seq(1, 2, 3, 4))
+  }
 }
