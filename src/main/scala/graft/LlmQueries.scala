@@ -651,6 +651,40 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def d45(s: SparkSession, dir: String): DataFrame = {
+    // canonical-representative selection: for every near-dup cluster
+    // (d19's connected components) keep the HIGHEST-QUALITY member (tie →
+    // lowest doc_id), with the member count — the "which copy do we
+    // train on" decision, quality-aware instead of d19's min-id rule.
+    // max(struct(quality, -doc_id, doc_id)) picks the representative in
+    // the same single agg that counts members — no window pass needed.
+    val docs = documents(s, dir)
+    val clusters = Dedup.nearDupClusters(
+      Dedup.lshNearDuplicates(docs, shingleSize = 3, k = 8, bands = 4,
+        threshold = 0.5))
+    val quality = docs
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"),
+        qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("d"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m.d").as("rep_doc"),
+        col("m.quality").as("quality"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  private def e17(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .filteredKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def m06(s: SparkSession, dir: String): DataFrame =
     // frame-sampling manifest over the opaque payload: the decoder work
     // list (offsets + lengths + content hashes), no decode needed
@@ -726,7 +760,9 @@ object LlmQueries {
     "d43_dataset_card" -> (d43 _),
     "e15_mips_norm_prune" -> (e15 _),
     "e16_matryoshka_rerank" -> (e16 _),
+    "e17_filtered_knn" -> (e17 _),
     "d44_bigram_loss" -> (d44 _),
+    "d45_cluster_reps" -> (d45 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1867,6 +1903,65 @@ object LlmQueries {
          JOIN uc c2 ON c2.w = bp.w2
          CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
+    "e17_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+               FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, neighbor_id, q.label AS label, $CosSql AS cos
+               FROM c JOIN q USING (label)),
+         r AS (SELECT query_id, neighbor_id, label, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, rank, neighbor_id, label, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d45_cluster_reps" ->
+      // d19's recursive closure + d02's quality formula: per cluster,
+      // the highest-quality member (ties → lowest doc_id) and the size
+      s"""WITH RECURSIVE t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         ok AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                    a.toks AS toks_a, b2.toks AS toks_b
+                  FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         e AS (SELECT doc_a, doc_b FROM cand
+               WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE)
+                 >= 0.5),
+         eb AS (SELECT doc_a AS src, doc_b AS dst FROM e
+                UNION ALL SELECT doc_b, doc_a FROM e),
+         n AS (SELECT DISTINCT src AS doc_id FROM eb),
+         r AS (SELECT doc_id, doc_id AS cluster FROM n
+               UNION
+               SELECT eb.src AS doc_id, r.cluster FROM r JOIN eb ON eb.dst = r.doc_id),
+         cl AS (SELECT doc_id, min(cluster) AS cluster FROM r GROUP BY doc_id),
+         qm AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS tk2 FROM documents),
+         qs AS (SELECT doc_id, round(
+             (CASE WHEN CAST(len(tk2) AS DOUBLE) BETWEEN 5 AND 1000
+                THEN 1.0 ELSE 0.0 END) * 0.4
+             + least(CAST(len(list_filter(tk2, x -> x IN ($enList))) AS DOUBLE)
+                 / CAST(len(tk2) AS DOUBLE) * 2.0, 1.0) * 0.4
+             + (1.0 - least(CAST(length(text) - length(regexp_replace(text,
+                 '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2,
+             4) AS quality
+           FROM qm),
+         j AS (SELECT cluster, cl.doc_id AS doc_id, quality,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY quality DESC, cl.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cluster) AS n_members
+               FROM cl JOIN qs ON qs.doc_id = cl.doc_id)
+         SELECT cluster, doc_id AS rep_doc, quality, n_members
+         FROM j WHERE rn = 1 ORDER BY cluster""",
     "e16_matryoshka_rerank" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                list_slice(embedding::DOUBLE[], 1, 16) AS qp

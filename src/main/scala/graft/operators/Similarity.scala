@@ -493,6 +493,29 @@ object Similarity {
       col("n_vectors"))
   }
 
+  /** Metadata-FILTERED exact kNN: neighbors must satisfy the query's
+    * metadata predicate — here label equality, the tenant/shard/category
+    * constraint every production vector store supports. This is the
+    * PRE-filter strategy: the label equi-join restricts candidates
+    * BEFORE any vector is scored, so a query against a 1% tenant scores
+    * 1% of the corpus (post-filtering would score everything and then
+    * drop 99%, or worse, return < k survivors). At scale the corpus can
+    * be partitioned/bucketed by label, making the candidate fetch a
+    * pruned scan instead of a shuffle. */
+  def filteredKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("label"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("label"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(q), Seq("label"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Matryoshka (MRL) two-phase ANN: score every corpus vector with the
     * PREFIX of the embedding (nested-representation models order
     * information by dimension), keep the top `shortlist` per query, then

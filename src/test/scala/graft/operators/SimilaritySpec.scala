@@ -183,6 +183,27 @@ class SimilaritySpec extends SparkSpec {
     pruned.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq shouldBe expect
   }
 
+  test("filteredKnn restricts neighbors to the query's label partition") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), s"t${i % 4}"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val qs = df.filter($"vec_id" < 4) // one query per label
+    val cs = df.filter($"vec_id" >= 4)
+    val out = Similarity.filteredKnn(qs, cs, k = 3)
+      .orderBy("query_id", "rank").collect()
+    out.length shouldBe 4 * 3
+    // every neighbor carries the query's own label
+    val lbl = rows.map(r => r._1 -> r._3).toMap
+    out.foreach(r => lbl(r.getLong(2)) shouldBe r.getString(3))
+    // and within a label it IS exact kNN: compare against bruteKnn run
+    // on that label's slice alone
+    val slice = Similarity.bruteKnn(
+      qs.filter($"label" === "t0"), cs.filter($"label" === "t0"), k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    out.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSeq shouldBe slice
+  }
+
   test("matryoshkaKnn with a full-corpus shortlist equals exact bruteKnn") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), "x"))
