@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON: pass the
+// forked process's stdout through verbatim (no "[info] " prefixes) and
+// drop sbt's trailing "[success] Total time" footer.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

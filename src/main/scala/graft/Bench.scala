@@ -43,8 +43,11 @@ object Bench {
     val qs = results.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // stop() BEFORE printing: the JSON must be the final stdout line for
+    // the driver's parser (session shutdown logs at INFO are suppressed,
+    // but ordering makes it robust regardless of log level).
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
