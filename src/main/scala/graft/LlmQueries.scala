@@ -685,6 +685,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    // hybrid RAG retrieval: BM25 lexical list + cosine list vs query
+    // vector 0, fused by reciprocal rank (corpus = docs 5+, matching the
+    // kNN queries/corpus split; doc_id aligns with vec_id)
+    val emb = table(s, dir, "embeddings")
+    Curation.hybridRrf(
+      documents(s, dir).filter(col("doc_id") >= 5),
+      emb.filter(col("vec_id") === 0),
+      emb.filter(col("vec_id") >= 5),
+      terms = Seq("table", "query", "spark"),
+      kIn = 50, kOut = 10)
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   private def m06(s: SparkSession, dir: String): DataFrame =
     // frame-sampling manifest over the opaque payload: the decoder work
     // list (offsets + lengths + content hashes), no decode needed
@@ -761,6 +775,7 @@ object LlmQueries {
     "e15_mips_norm_prune" -> (e15 _),
     "e16_matryoshka_rerank" -> (e16 _),
     "e17_filtered_knn" -> (e17 _),
+    "e18_hybrid_rrf" -> (e18 _),
     "d44_bigram_loss" -> (d44 _),
     "d45_cluster_reps" -> (d45 _),
     "m06_frame_manifest" -> (m06 _)
@@ -1596,6 +1611,44 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e18_hybrid_rrf" ->
+      // BM25 list and cosine list computed exactly like d27/e01 (over
+      // the doc_id/vec_id >= 5 corpus, query vector 0), ranks fused by
+      // 1/(60+rank); absent-list ranks report 0 and contribute nothing
+      s"""WITH t AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS term
+           FROM documents WHERE doc_id >= 5),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                WHERE term IN ('table', 'query', 'spark') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         len AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM len),
+         sc AS (SELECT doc_id,
+             ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+               * (tf::DOUBLE * (1.2 + 1.0))
+               / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * dl::DOUBLE / avgdl)) AS s
+           FROM tf JOIN dfq USING (term) JOIN len USING (doc_id) CROSS JOIN stats),
+         bm AS (SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY doc_id
+                ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+                 FROM bm),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         s2 AS (SELECT doc_id, $CosSql AS cos FROM c CROSS JOIN q),
+         vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+                FROM s2 QUALIFY vec_rank <= 50),
+         f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(1.0 / (60 + l.lex_rank), 0.0)
+                   + coalesce(1.0 / (60 + v.vec_rank), 0.0) AS rrf,
+                 coalesce(l.lex_rank, 0) AS lex_rank,
+                 coalesce(v.vec_rank, 0) AS vec_rank
+               FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id
+               ORDER BY rrf DESC, coalesce(l.doc_id, v.doc_id) LIMIT 10)
+         SELECT doc_id, round(rrf, 6) AS rrf, lex_rank, vec_rank
+         FROM f ORDER BY round(rrf, 6) DESC, doc_id""",
     "e01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                      FROM embeddings WHERE vec_id < 5),

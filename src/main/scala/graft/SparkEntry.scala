@@ -337,6 +337,22 @@ object SparkEntry {
       .orderBy("cohort_week", "week_offset")
   }
 
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    // statistical aggregate battery: Pearson correlation, sample
+    // stddev/variance per group — one partial-agg shuffle carrying the
+    // O(1) co-moment state per group, never the rows (the same
+    // merge-formula plan at any scale). Ratio-normalized outputs round
+    // stably at 4dp across engines.
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        round(corr("l_discount", "l_extendedprice"), 4).as("corr_disc_price"),
+        round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+        round(var_samp("l_quantity"), 4).as("var_qty"))
+      .orderBy("l_returnflag")
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     // CUBE: all four grouping sets over (priority, status) in one pass —
     // Spark expands the sets map-side before the partial agg, so the
@@ -663,6 +679,7 @@ object SparkEntry {
     "q32_group_mode" -> (q32 _),
     "q33_funnel" -> (q33 _),
     "q34_cohort_retention" -> (q34 _),
+    "q35_stat_aggs" -> (q35 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -854,6 +871,13 @@ object SparkEntry {
          SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
            count(*) AS n_users
          FROM a GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""",
+    "q35_stat_aggs" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_samp(l_quantity), 4) AS var_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q28_not_in" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem

@@ -258,7 +258,58 @@ object StoreQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** c19: write-audit-publish — stage an append AND a merge on a branch
+    * (main keeps serving the pre-batch state), then `fastForward`
+    * publishes the audited branch head as ONE metadata-only snapshot
+    * (Iceberg branch + fast_forward). The oracle is the net
+    * transformation; isolation itself is asserted in LakeTableSpec. */
+  private def c19(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_wap"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_wap")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base.filter(col("o_orderkey") % 3 === 0))
+    t.dropBranch("audit") // stale branch from a prior run of this query
+    t.createBranch("audit")
+    val b = t.branch("audit")
+    b.append(base.filter(col("o_orderkey") % 3 === 1))
+    b.mergeInto(
+      base.filter(col("o_orderkey") % 15 === 0)
+        .withColumn("o_orderstatus", lit("W")),
+      Seq("o_orderkey"))
+    t.fastForward("audit")
+    t.read.orderBy("o_orderkey")
+  }
+
+  /** c20: tag-pinned time travel through snapshot expiry — tag the
+    * initial version, land two COW rewrites, expire everything but the
+    * head, and read the TAG: the tagged snapshot (metadata AND its data
+    * dirs) must survive the GC that removed the untagged middle
+    * version. */
+  private def c20(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_tag"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_tagged")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base)
+    t.createTag("baseline")
+    t.mergeInto(
+      base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") + 500.0, 2))
+        .withColumn("o_orderstatus", lit("U")),
+      Seq("o_orderkey"))
+    t.deleteWhereExists(
+      base.filter(col("o_orderkey") % 9 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    t.expireSnapshots(keepLast = 1)
+    t.readTag("baseline").orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_wap_publish" -> (c19 _),
+    "c20_tag_expire" -> (c20 _),
     "c18_sorted_rewrite" -> (c18 _),
     "c17_time_travel" -> (c17 _),
     "c13_stats_pruned_scan" -> (c13 _),
@@ -273,6 +324,19 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c19_wap_publish" ->
+      // branch staged: append of %3=1 plus 'W' merge on %15=0, published
+      // onto the %3=0 base in one fast-forward
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 15 = 0 THEN 'W' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         ORDER BY o_orderkey""",
+    "c20_tag_expire" ->
+      // the tag pins the PRE-rewrite state: plain base projection
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
     "c18_sorted_rewrite" ->
       """SELECT o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS sum_price

@@ -130,6 +130,43 @@ object Curation {
       toks)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion: fuse a BM25 lexical
+    * top-`kIn` list with an embedding-cosine top-`kIn` list as
+    * `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))` (Cormack et al.'s RRF —
+    * the standard score-free fusion for RAG retrieval, robust because it
+    * never compares raw scores across modalities). A doc missing from
+    * one list contributes only the other term (rank reported as 0).
+    *
+    * Scale shape: each ranking is its own top-k plan (BM25: token
+    * explode + two aggs; vector: broadcast-query corpus scan), and the
+    * fusion is a full-outer join of two k-row lists — driver-trivial
+    * regardless of corpus size. Ranks are taken over the ROUNDED bm25
+    * (4dp) and raw per-row cosine, both deterministic across engines. */
+  def hybridRrf(
+      docs: DataFrame,
+      queryVec: DataFrame,
+      corpusVecs: DataFrame,
+      terms: Seq[String],
+      kIn: Int = 50,
+      kOut: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopDocs(docs, terms, kIn)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val vec = Similarity.bruteKnn(queryVec, corpusVecs, kIn)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("vec_rank"))
+    val invRank = (r: Column) =>
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")), lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", invRank(col("lex_rank")) + invRank(col("vec_rank")))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(kOut)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+  }
+
   /** Per-document unigram language-model score: average negative
     * log-likelihood per token under the corpus unigram distribution —
     * the SQL-expressible proxy for the LM-perplexity quality filter

@@ -72,11 +72,12 @@ case class Snapshot(
 class LakeTable(
     val spark: SparkSession,
     val location: String,
-    val name: String) {
+    val name: String,
+    metaSubpath: String = "_meta") {
 
   import LakeTable._
 
-  private val metaDir = new Path(s"$location/_meta")
+  private val metaDir = new Path(s"$location/$metaSubpath")
   private def fs: FileSystem = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // -------------------------------------------------------------------
@@ -397,7 +398,12 @@ class LakeTable(
     val cur = requireExists()
     val hi = toVersion.getOrElse(cur.version)
     val hiSnap = if (hi == cur.version) cur else readSnapshot(hi)
-    val appendOps = Set("append", "append-evolve")
+    // "publish" (branch fast-forward) diffs exactly like an append: its
+    // entry set is the main parent's plus the branch's additions, so the
+    // manifest diff yields the branch-added dirs. (Publishing a branch
+    // that REWROTE shared dirs surfaces the rewritten entries as adds —
+    // same contract as Iceberg's skip-overwrite incremental options.)
+    val appendOps = Set("append", "append-evolve", "publish")
     val added = allSnapshots
       .filter(s => s.version > fromVersion && s.version <= hi && appendOps(s.operation))
       .map { s =>
@@ -727,17 +733,132 @@ class LakeTable(
       .map(readSnapshot)
 
   // -------------------------------------------------------------------
+  // refs: tags + branches (Iceberg named references / write-audit-publish)
+  // -------------------------------------------------------------------
+
+  private def tagsPath = new Path(metaDir, "tags.json")
+
+  /** Named tags: immutable pointers to committed versions (Iceberg
+    * `ALTER TABLE ... CREATE TAG`). Tagged versions survive
+    * `expireSnapshots` until the tag is dropped. */
+  def tags: Map[String, Long] =
+    if (!fs.exists(tagsPath)) Map.empty
+    else {
+      val in = fs.open(tagsPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val n = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+      n.properties().iterator().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+
+  def createTag(tag: String, version: Option[Long] = None): Unit = synchronized {
+    val v = version.getOrElse(requireExists().version)
+    try readSnapshot(v)
+    catch { case e: java.io.FileNotFoundException =>
+      throw new IllegalArgumentException(s"cannot tag $name v$v: no such snapshot", e)
+    }
+    writeTags(tags + (tag -> v))
+  }
+
+  def dropTag(tag: String): Unit = synchronized { writeTags(tags - tag) }
+
+  /** Read the table AS OF the tagged snapshot (`VERSION AS OF 'tag'`). */
+  def readTag(tag: String): DataFrame =
+    readVersion(tags.getOrElse(tag,
+      throw new IllegalArgumentException(s"no tag '$tag' on $name")))
+
+  private def writeTags(m: Map[String, Long]): Unit = {
+    val n = Mapper.createObjectNode()
+    m.foreach { case (k, v) => n.put(k, v) }
+    fs.mkdirs(metaDir)
+    val tmp = new Path(metaDir, s".tmp-tags-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+    finally out.close()
+    fs.delete(tagsPath, false)
+    if (!fs.rename(tmp, tagsPath))
+      throw new IllegalStateException(s"could not write tags for $name")
+  }
+
+  /** View of branch `b`: its own snapshot lineage under
+    * `<meta>/branch-<b>/`, SHARING the table's immutable data dirs —
+    * every LakeTable operation (append, merge, compaction, time travel)
+    * works on the branch without copying data, exactly like Iceberg
+    * branches. Create with [[createBranch]]; publish with
+    * [[fastForward]]. */
+  def branch(b: String): LakeTable = {
+    require(b.matches("[A-Za-z0-9_-]+"), s"invalid branch name: $b")
+    new LakeTable(spark, location, s"$name@$b", s"$metaSubpath/branch-$b")
+  }
+
+  /** Fork branch `b` at the current version: the branch head starts as a
+    * copy of the current snapshot (same version number — the fork
+    * point), and subsequent branch commits advance only the branch. The
+    * write-audit-publish staging pattern: write to the branch, audit it,
+    * then [[fastForward]] main. */
+  def createBranch(b: String): LakeTable = synchronized {
+    val head = requireExists()
+    val bt = branch(b)
+    require(!bt.exists, s"branch $b already exists on $name")
+    bt.writeSnapshot(head.copy(
+      operation = "fork",
+      summary = Map("forked-from" -> name, "fork-version" -> head.version.toString)))
+    bt
+  }
+
+  def listBranches: Seq[String] =
+    if (!fs.exists(metaDir)) Nil
+    else fs.listStatus(metaDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("branch-"))
+      .map(_.getPath.getName.stripPrefix("branch-"))
+      .sorted
+
+  /** Publish branch `b`: commit its head state to main as one "publish"
+    * snapshot (Iceberg `fast_forward`). Requires main to still be at the
+    * branch's fork point — if main advanced, the branch must be re-based
+    * (re-forked) first; rejecting here is what makes audit-then-publish
+    * safe. Metadata-only: the branch's data dirs are already in place. */
+  def fastForward(b: String): Snapshot = synchronized {
+    val bt = branch(b)
+    val bHead = bt.requireExists()
+    val fork = bt.allSnapshots.head
+    val main = requireExists()
+    require(main.version == fork.version,
+      s"cannot fast-forward $name to branch $b: main advanced to " +
+        s"v${main.version} past the fork point v${fork.version}")
+    if (bHead.version == fork.version) main
+    else commit("publish")(_ =>
+      (bHead.schema, bHead.partitionCols, bHead.entries, bHead.properties,
+        Map("branch" -> b, "branch-version" -> bHead.version.toString)))
+  }
+
+  /** Delete branch `b`'s metadata. Unpublished data dirs it alone
+    * referenced become orphans, collected by [[removeOrphanFiles]]. */
+  def dropBranch(b: String): Unit = synchronized {
+    fs.delete(new Path(metaDir, s"branch-$b"), true); ()
+  }
+
+  /** Data dirs referenced by any snapshot of any branch — pinned against
+    * expiry/orphan-collection while the branch exists. */
+  private def branchReferencedDirs: Set[String] =
+    listBranches.flatMap(b =>
+      branch(b).allSnapshots.flatMap(_.entries.map(_.dir))).toSet
+
+  // -------------------------------------------------------------------
   // maintenance (CALL-procedure analogs, maintenance.py semantics)
   // -------------------------------------------------------------------
 
-  /** Drop all snapshot metadata except the newest `keepLast`, then drop
-    * data dirs no retained snapshot references. Returns #expired. */
+  /** Drop all snapshot metadata except the newest `keepLast` and any
+    * TAGGED versions, then drop data dirs no retained snapshot (and no
+    * branch) references. Returns #expired. */
   def expireSnapshots(keepLast: Int = 1): Int = synchronized {
     val all = allSnapshots
-    if (all.size <= keepLast) 0
+    val tagged = tags.values.toSet
+    val keepVersions = all.takeRight(keepLast).map(_.version).toSet ++ tagged
+    val (keep, expire) = all.partition(s => keepVersions(s.version))
+    if (expire.isEmpty) 0
     else {
-      val (expire, keep) = all.splitAt(all.size - keepLast)
-      val referenced = keep.flatMap(_.entries.map(_.dir)).toSet
+      val referenced =
+        keep.flatMap(_.entries.map(_.dir)).toSet ++ branchReferencedDirs
       expire.foreach(s => fs.delete(new Path(metaDir, f"v${s.version}%05d.json"), false))
       val dataRoot = new Path(s"$location/data")
       if (fs.exists(dataRoot))
@@ -808,7 +929,8 @@ class LakeTable(
   /** Delete unreferenced data dirs older than `olderThanMs` wall-clock
     * (`remove_orphan_files` analog). Returns #dirs removed. */
   def removeOrphanFiles(olderThanMs: Long): Int = synchronized {
-    val referenced = allSnapshots.flatMap(_.entries.map(_.dir)).toSet
+    val referenced =
+      allSnapshots.flatMap(_.entries.map(_.dir)).toSet ++ branchReferencedDirs
     val dataRoot = new Path(s"$location/data")
     if (!fs.exists(dataRoot)) 0
     else {

@@ -331,4 +331,84 @@ class LakeTableSpec extends SparkSpec {
     cat.dropTable("db.t1")
     cat.listTables("db") shouldBe Seq("t2")
   }
+
+  test("branch: writes stay isolated until fastForward publishes them") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("audit")
+    val b = t.branch("audit")
+    b.append(df(Seq((2L, "b", 2.0))))
+    b.mergeInto(df(Seq((1L, "A", 10.0))), Seq("id"))
+    // audit: branch sees both changes, main sees neither
+    b.read.count() shouldBe 2
+    b.read.filter(col("status") === "A").count() shouldBe 1
+    t.read.count() shouldBe 1
+    t.read.filter(col("status") === "A").count() shouldBe 0
+    t.listBranches shouldBe Seq("audit")
+    // publish: one snapshot brings the branch state to main
+    val pub = t.fastForward("audit")
+    pub.operation shouldBe "publish"
+    t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq shouldBe Seq((1L, "A"), (2L, "b"))
+  }
+
+  test("branch: fastForward rejected once main advances past the fork") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("stale")
+    t.branch("stale").append(df(Seq((2L, "b", 2.0))))
+    t.append(df(Seq((3L, "c", 3.0)))) // main moves on
+    an[IllegalArgumentException] should be thrownBy t.fastForward("stale")
+    // no-op publish: a branch with no commits fast-forwards to main itself
+    val t2 = freshCatalog().table("db.u")
+    t2.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t2.createBranch("empty")
+    t2.fastForward("empty").version shouldBe t2.currentSnapshot.get.version
+  }
+
+  test("branch: publish surfaces in the incremental scan as added rows") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0)))).version
+    t.createBranch("wap")
+    t.branch("wap").append(df(Seq((2L, "b", 2.0), (3L, "c", 3.0))))
+    t.fastForward("wap")
+    t.changes(v1).orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(2L, 3L)
+  }
+
+  test("tags: tagged versions survive expireSnapshots until dropped") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.createTag("baseline")
+    t.mergeInto(df(Seq((1L, "U", 9.0))), Seq("id")) // COW rewrite
+    t.append(df(Seq((3L, "c", 3.0))))
+    t.expireSnapshots(keepLast = 1) shouldBe 1 // v2 expired; v1 tagged, v3 kept
+    // tagged snapshot still fully readable after expiry dropped v2
+    t.readTag("baseline").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"))
+    t.tags shouldBe Map("baseline" -> 1L)
+    an[java.io.FileNotFoundException] should be thrownBy t.readVersion(2L)
+    t.dropTag("baseline")
+    t.expireSnapshots(keepLast = 1) shouldBe 1 // now v1 goes too
+    an[java.io.FileNotFoundException] should be thrownBy t.readVersion(1L)
+    t.read.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("U", "b", "c")
+  }
+
+  test("expire/orphan collection never deletes dirs a live branch references") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("keepme")
+    val b = t.branch("keepme")
+    b.append(df(Seq((2L, "b", 2.0)))) // data dir referenced ONLY by the branch
+    t.append(df(Seq((3L, "c", 3.0))))
+    t.expireSnapshots(keepLast = 1)
+    t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    b.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    // dropped branch's private dir becomes a collectable orphan
+    t.dropBranch("keepme")
+    t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000) should be >= 1
+    t.listBranches shouldBe empty
+  }
 }
