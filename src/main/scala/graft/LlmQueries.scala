@@ -685,6 +685,12 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def d46(s: SparkSession, dir: String): DataFrame =
+    // duplicated 5-gram span coverage per doc (exact-substring dedup
+    // signal: how much of the doc is corpus-repeated spans)
+    Dedup.dupNgramCoverage(documents(s, dir), shingleSize = 5)
+      .orderBy("doc_id")
+
   private def e18(s: SparkSession, dir: String): DataFrame = {
     // hybrid RAG retrieval: BM25 lexical list + cosine list vs query
     // vector 0, fused by reciprocal rank (corpus = docs 5+, matching the
@@ -778,6 +784,7 @@ object LlmQueries {
     "e18_hybrid_rrf" -> (e18 _),
     "d44_bigram_loss" -> (d44 _),
     "d45_cluster_reps" -> (d45 _),
+    "d46_dup_ngram_spans" -> (d46 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1611,6 +1618,24 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d46_dup_ngram_spans" ->
+      // distinct 60-bit md5 gram hashes per doc (mirror of
+      // shingleMd5Longs n=5), df >= 2 marks a corpus-repeated span
+      s"""WITH t AS ($ToksCte),
+         g0 AS (SELECT doc_id, list_transform(range(1, len(tk) - 3), i ->
+                  array_to_string(list_slice(tk, i, i + 4), ' ')) AS gs
+                FROM t WHERE len(tk) >= 5),
+         gu AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+         gr AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gu),
+         d AS (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2),
+         pd AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id),
+         ht AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN d USING (h)
+                GROUP BY doc_id)
+         SELECT pd.doc_id, n_grams, coalesce(n_dup, 0) AS n_dup,
+           round(coalesce(n_dup, 0)::DOUBLE / n_grams::DOUBLE, 4) AS dup_frac
+         FROM pd LEFT JOIN ht ON pd.doc_id = ht.doc_id
+         ORDER BY pd.doc_id""",
     "e18_hybrid_rrf" ->
       // BM25 list and cosine list computed exactly like d27/e01 (over
       // the doc_id/vec_id >= 5 corpus, query vector 0), ranks fused by

@@ -337,6 +337,24 @@ object SparkEntry {
       .orderBy("cohort_week", "week_offset")
   }
 
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    // sketch-based quantiles with an oracle-ENFORCED sanity band: the
+    // t-digest-style approx_percentile value is engine-specific, so the
+    // checked output is the exact median plus a flag that the estimate
+    // landed inside the exact p45..p55 band — at 100 TB the sketch
+    // (fixed-size state, single pass) is the only affordable per-group
+    // quantile; the exact percentile here is the local-scale audit
+    table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        expr("percentile(value, 0.45)").as("__lo"),
+        expr("percentile(value, 0.55)").as("__hi"),
+        percentile_approx(col("value"), lit(0.5), lit(2000)).as("__pa"))
+      .select(col("event_type"), col("p50_exact"),
+        (col("__pa") >= col("__lo") && col("__pa") <= col("__hi")).as("approx_ok"))
+      .orderBy("event_type")
+
   private def q35(s: SparkSession, dir: String): DataFrame =
     // statistical aggregate battery: Pearson correlation, sample
     // stddev/variance per group — one partial-agg shuffle carrying the
@@ -599,6 +617,25 @@ object SparkEntry {
       .orderBy("user_id", "purchase_id")
   }
 
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    // the STREAMING form of q33's funnel: per-user O(1) stage state
+    // (flatMapGroupsWithState) emitting a progress row whenever a stage
+    // advances; batch-executed it yields exactly the per-user funnel
+    // table, so the oracle is the q33-style per-user SQL
+    import s.implicits._
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = table(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[streaming.EventStreams.TypedEvent]
+    streaming.EventStreams.funnelProgress(ev).toDF()
+      .select(
+        col("user_id"), col("stage"),
+        date_format(col("signup_ts"), fmt).as("signup_ts"),
+        coalesce(date_format(col("click_ts"), fmt), lit("-")).as("click_ts"),
+        coalesce(date_format(col("purchase_ts"), fmt), lit("-")).as("purchase_ts"))
+      .orderBy("user_id")
+  }
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -680,6 +717,8 @@ object SparkEntry {
     "q33_funnel" -> (q33 _),
     "q34_cohort_retention" -> (q34 _),
     "q35_stat_aggs" -> (q35 _),
+    "q36_approx_quantile" -> (q36 _),
+    "s08_stream_funnel" -> (s08 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -871,6 +910,33 @@ object SparkEntry {
          SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
            count(*) AS n_users
          FROM a GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""",
+    "q36_approx_quantile" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50_exact,
+         TRUE AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s08_stream_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY e.user_id)
+         SELECT s.user_id,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                WHEN c.click_ts IS NOT NULL THEN 2 ELSE 1 END AS stage,
+           strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           coalesce(strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f'), '-')
+             AS click_ts,
+           coalesce(strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f'), '-')
+             AS purchase_ts
+         FROM s LEFT JOIN c ON s.user_id = c.user_id
+                LEFT JOIN p ON s.user_id = p.user_id
+         ORDER BY s.user_id""",
     "q35_stat_aggs" ->
       """SELECT l_returnflag, count(*) AS n,
          round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

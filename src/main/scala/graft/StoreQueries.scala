@@ -250,7 +250,7 @@ object StoreQueries {
     t.createOrReplace(base.filter(col("o_orderkey") % 3 === 0))
     t.append(base.filter(col("o_orderkey") % 3 === 1))
     t.append(base.filter(col("o_orderkey") % 3 === 2))
-    t.rewriteSortedDataFiles(Seq("o_totalprice"), targetFileBytes = 64 * 1024)
+    t.rewriteSortedDataFiles(Seq("o_totalprice"), targetFileBytes = 128 * 1024)
     t.readWhere(col("o_totalprice").between(50000.0, 100000.0))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),

@@ -450,6 +450,45 @@ object Dedup {
       ev, trainH)
   }
 
+  /** Duplicated n-gram span coverage: the fraction of each document's
+    * DISTINCT word n-grams occurring in at least `minDocs` documents —
+    * the repeated-span signal behind exact-substring dedup (the
+    * "dedup training data" measure at n-gram granularity). A
+    * high-coverage doc is assembled from corpus-repeated content even
+    * when no single document matches it end-to-end (template families,
+    * boilerplate mosaics); d32's single-word df ratio cannot see spans.
+    *
+    * Scale shape: grams live as 60-bit md5 longs from the first
+    * projection on (strings never shuffle); one distinct over (doc,
+    * gram), one df agg on the gram key, one join back. All three hash
+    * exchanges carry (long, long) pairs — at 100 TB the widest state is
+    * the distinct, which is the signal's irreducible cost. */
+  def dupNgramCoverage(
+      docs: DataFrame,
+      shingleSize: Int = 5,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col("doc_id"),
+        explode(array_distinct(shingleMd5Longs(col("__toks"), shingleSize, 15)))
+          .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("h")
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(dup, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    releasing(
+      perDoc.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_grams").cast("double"), 4).as("dup_frac")),
+      grams)
+  }
+
   /** The decontaminated training split: training documents minus every
     * doc flagged by crossSplitContamination — the filter actually
     * applied before training once the contamination report is reviewed.

@@ -914,9 +914,18 @@ class LakeTable(
     try {
       val shards = staged.select("__shard").distinct()
         .collect().map(_.getInt(0)).sorted
-      val entries = shards.toSeq.flatMap { sh =>
-        writeData(staged.filter(col("__shard") === sh).drop("__shard"),
-          s.partitionCols)._2
+      // per-slice writes are independent jobs over the cached exchange —
+      // run them concurrently (bounded pool) instead of one-at-a-time;
+      // entry order stays deterministic (Future.sequence preserves it)
+      val entries = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = RewriteEc
+        Await.result(
+          Future.sequence(shards.toSeq.map(sh => Future(
+            writeData(staged.filter(col("__shard") === sh).drop("__shard"),
+              s.partitionCols)._2))),
+          Duration.Inf).flatten
       }
       commit("rewrite-data-files-sort")(_ =>
         (s.schema, s.partitionCols, entries, s.properties,
@@ -963,6 +972,16 @@ class CommitConflictException(msg: String, cause: Throwable)
 
 object LakeTable {
   private val VersionFileRe = "v(\\d+)\\.json".r
+
+  /** Bounded pool for concurrent per-slice rewrite jobs (daemon threads
+    * so an abandoned session still exits). */
+  private val RewriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "lake-rewrite")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Hidden partition column carrying the hash-bucket id. */
   val BucketCol = "__bucket"

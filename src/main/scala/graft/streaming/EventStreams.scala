@@ -218,6 +218,66 @@ object EventStreams {
     * exact cross-batch event-time ordering needs the interval-join
     * operator instead). In batch execution everything is one "batch",
     * so the semantics are exactly the as-of join. */
+  case class FunnelState(
+      signupTs: Option[Timestamp],
+      clickTs: Option[Timestamp],
+      purchaseTs: Option[Timestamp])
+
+  case class FunnelRow(
+      user_id: Long,
+      stage: Int,
+      signup_ts: Timestamp,
+      click_ts: Option[Timestamp],
+      purchase_ts: Option[Timestamp])
+
+  /** Streaming conversion funnel (signup → click → purchase) with
+    * EXPLICIT per-user state: a stage advances only on an event STRICTLY
+    * after the previous stage's first event — q33's batch semantics,
+    * held incrementally. State is O(1) per user (three timestamps); a
+    * user emits a fresh progress row in every micro-batch that advances
+    * their stage, so the sink always holds the latest funnel position.
+    *
+    * Within a micro-batch events process in event-time order (in-batch
+    * disorder absorbed); across batches a late-arriving earlier event
+    * cannot rewind a stage — the same documented enrichment tradeoff as
+    * [[asofAttach]]. Batch-executed there is one "batch", so the output
+    * is exactly the per-user funnel table the q33-style SQL derives. */
+  def funnelProgress(events: Dataset[TypedEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "signup" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val before = state.getOption.getOrElse(FunnelState(None, None, None))
+          var st = before
+          for (e <- sorted) e.event_type match {
+            case "signup" if st.signupTs.isEmpty =>
+              st = st.copy(signupTs = Some(e.ts))
+            case "click" if st.clickTs.isEmpty &&
+              st.signupTs.exists(t0 => micros(e.ts) > micros(t0)) =>
+              st = st.copy(clickTs = Some(e.ts))
+            case "purchase" if st.purchaseTs.isEmpty &&
+              st.clickTs.exists(t0 => micros(e.ts) > micros(t0)) =>
+              st = st.copy(purchaseTs = Some(e.ts))
+            case _ =>
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            val stage =
+              if (st.purchaseTs.isDefined) 3
+              else if (st.clickTs.isDefined) 2
+              else 1
+            Iterator.single(
+              FunnelRow(uid, stage, st.signupTs.get, st.clickTs, st.purchaseTs))
+          }
+      }
+  }
+
   def asofAttach(events: Dataset[TypedEvent]): Dataset[Attached] = {
     import events.sparkSession.implicits._
     events

@@ -224,6 +224,52 @@ class EventStreamsSpec extends SparkSpec {
       .toSet shouldBe Set((3L, 2L), (4L, -1L))
   }
 
+  test("streaming funnelProgress: stages advance across batches, strictly-after rule holds") {
+    val src = Files.createTempDirectory("es-fp-src").toString
+    val ckpt = Files.createTempDirectory("es-fp-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "signup"),
+      (2L, "2026-01-01 09:00:00", 1L, "click"), // BEFORE signup: no advance
+      (3L, "2026-01-01 10:00:00", 2L, "signup")), src, 1)
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 11:00:00", 1L, "click"), // after signup: stage 2
+      (5L, "2026-01-01 10:30:00", 2L, "purchase")), src, 2) // no click yet: stays 1
+    writeBatch(eventsDf(
+      (6L, "2026-01-01 12:00:00", 1L, "purchase")), src, 3) // stage 3
+
+    val q = EventStreams
+      .funnelProgress(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+        .as[EventStreams.TypedEvent])
+      .toDF()
+      .writeStream.format("memory").queryName("fp")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // one progress row per (user, advance): user 1 walks 1 -> 2 -> 3,
+    // user 2 enters at 1 and never advances (purchase without click)
+    spark.table("fp").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap shouldBe
+      Map(1L -> Seq(1, 2, 3), 2L -> Seq(1))
+  }
+
+  test("funnelProgress in batch equals the per-user funnel SQL shape") {
+    val out = EventStreams.funnelProgress(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "signup"),
+      (2L, "2026-01-01 10:00:00", 1L, "click"),   // same instant: NOT after
+      (3L, "2026-01-01 10:05:00", 1L, "click"),
+      (4L, "2026-01-01 10:04:00", 1L, "purchase"), // before first valid click
+      (5L, "2026-01-01 10:06:00", 1L, "purchase"),
+      (6L, "2026-01-01 10:00:00", 3L, "click"))    // never signed up
+      .selectExpr("event_id", "ts", "user_id", "event_type")
+      .as[EventStreams.TypedEvent])
+      .collect().map(r => (r.user_id, r.stage)).toSeq
+    out shouldBe Seq((1L, 3))
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
