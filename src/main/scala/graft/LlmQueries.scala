@@ -691,6 +691,16 @@ object LlmQueries {
     Dedup.dupNgramCoverage(documents(s, dir), shingleSize = 5)
       .orderBy("doc_id")
 
+  private def d47(s: SparkSession, dir: String): DataFrame = {
+    // incremental near-dup: the %5==0 "micro-batch" probes the rest of
+    // the corpus ("history") — only cross-side candidates are scored
+    val docs = documents(s, dir)
+    Dedup.incrementalNearDuplicates(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def e18(s: SparkSession, dir: String): DataFrame = {
     // hybrid RAG retrieval: BM25 lexical list + cosine list vs query
     // vector 0, fused by reciprocal rank (corpus = docs 5+, matching the
@@ -785,6 +795,7 @@ object LlmQueries {
     "d44_bigram_loss" -> (d44 _),
     "d45_cluster_reps" -> (d45 _),
     "d46_dup_ngram_spans" -> (d46 _),
+    "d47_incr_near_dup" -> (d47 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1618,6 +1629,35 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d47_incr_near_dup" ->
+      // d07's pipeline with the band join restricted to incoming(%5==0)
+      // × history(%5!=0); each side carries its own bucket cap
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         nw AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 5 = 0) WHERE bn <= 1000),
+         ol AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 5 <> 0) WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                     a.toks AS toks_a, b2.toks AS toks_b
+                   FROM nw a JOIN ol b2 ON a.band = b2.band)
+         SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "d46_dup_ngram_spans" ->
       // distinct 60-bit md5 gram hashes per doc (mirror of
       // shingleMd5Longs n=5), df >= 2 marks a corpus-repeated span

@@ -636,6 +636,16 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  private def s09(s: SparkSession, dir: String): DataFrame =
+    // trending top-3 types per hour window; in streaming the rank stage
+    // runs per closed window in foreachBatch (EventStreamsSpec drives it)
+    streaming.EventStreams
+      .windowedTopTypes(table(s, dir, "events"), topK = 3)
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("rnk"), col("event_type"), col("n_events"))
+      .orderBy("w_start", "rnk")
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -719,6 +729,7 @@ object SparkEntry {
     "q35_stat_aggs" -> (q35 _),
     "q36_approx_quantile" -> (q36 _),
     "s08_stream_funnel" -> (s08 _),
+    "s09_windowed_topk" -> (s09 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -910,6 +921,16 @@ object SparkEntry {
          SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
            count(*) AS n_users
          FROM a GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""",
+    "s09_windowed_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS w_start,
+             event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT w_start, event_type, n_events,
+             row_number() OVER (PARTITION BY w_start
+               ORDER BY n_events DESC, event_type) AS rnk FROM c)
+         SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, rnk,
+           event_type, n_events
+         FROM r WHERE rnk <= 3 ORDER BY w_start, rnk""",
     "q36_approx_quantile" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 4) AS p50_exact,

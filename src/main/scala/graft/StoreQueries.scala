@@ -307,9 +307,31 @@ object StoreQueries {
     t.readTag("baseline").orderBy("o_orderkey")
   }
 
+  /** c21: MERGE with schema evolution — the upsert batch carries a
+    * column the table has never seen; the merge widens the schema and
+    * applies in one commit, untouched rows reading back with nulls for
+    * the new column (Iceberg merge-with-evolution semantics). */
+  private def c21(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_mev"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_mev")
+    val base = table(s, dir, "orders")
+    t.createOrReplace(base.select("o_orderkey", "o_totalprice"))
+    t.mergeIntoEvolve(
+      base.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").as("priority")),
+      Seq("o_orderkey"))
+    t.read
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("priority"), lit("-")).as("priority"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c19_wap_publish" -> (c19 _),
     "c20_tag_expire" -> (c20 _),
+    "c21_merge_evolve" -> (c21 _),
     "c18_sorted_rewrite" -> (c18 _),
     "c17_time_travel" -> (c17 _),
     "c13_stats_pruned_scan" -> (c13 _),
@@ -337,6 +359,11 @@ object StoreQueries {
       // the tag pins the PRE-rewrite state: plain base projection
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          ORDER BY o_orderkey""",
+    "c21_merge_evolve" ->
+      """SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_orderpriority ELSE '-' END
+           AS priority
+         FROM orders ORDER BY o_orderkey""",
     "c18_sorted_rewrite" ->
       """SELECT o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS sum_price

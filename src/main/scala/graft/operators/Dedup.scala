@@ -203,6 +203,43 @@ object Dedup {
       staged, pruned)
   }
 
+  /** Incremental NEAR-dup: LSH candidates of each INCOMING doc against
+    * the HISTORY corpus only, verified by exact token Jaccard — the
+    * near-dup companion of [[incrementalDedup]] (which only catches
+    * byte-identical fingerprints). No incoming×incoming or
+    * history×history pair is ever generated: the band join's probe side
+    * is the micro-batch, so the per-batch cost is O(batch bands ×
+    * bucket), independent of history size. In a live ingest the history
+    * side's banded signatures are exactly what the pipeline has already
+    * computed for prior batches (persist them once, probe many times).
+    * Sides must have disjoint doc_ids (a split corpus). */
+  def incrementalNearDuplicates(
+      incoming: DataFrame,
+      history: DataFrame,
+      shingleSize: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val stagedNew = tokenStage(incoming, textCol, None)
+    val stagedOld = tokenStage(history, textCol, None)
+    val prunedNew = bandedIds(stagedNew, shingleSize, k, bands, maxBucket, None)
+    val prunedOld = bandedIds(stagedOld, shingleSize, k, bands, maxBucket, None)
+    val pairs = prunedNew.select(col("band"), col("doc_id").as("doc_a"))
+      .join(prunedOld.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val docToks = stagedNew
+      .select(col("doc_id"), array_distinct(col("__toks")).as("toks"))
+      .unionByName(
+        stagedOld.select(col("doc_id"), array_distinct(col("__toks")).as("toks")))
+    releasing(
+      jaccardOnPairs(pairs, docToks, threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+      stagedNew, stagedOld, prunedNew, prunedOld)
+  }
+
   /** Character-n-gram Jaccard near-duplicates: minhash+LSH candidate
     * generation over char n-grams of the NORMALIZED text, exact
     * distinct-hash Jaccard verify. Same scale shape as

@@ -528,6 +528,31 @@ class LakeTable(
       graft.operators.Merge.upsert(targetSlice, src, keys)
     }
 
+  /** MERGE with SCHEMA EVOLUTION: the stored schema widens union-by-name
+    * (source-only columns appended, nullable — appendEvolve's add-column
+    * rule) and the upsert runs against the widened schema, existing rows
+    * reading through with nulls for the new columns. Unlike the pruned
+    * [[mergeInto]], a schema-changing merge is a FULL copy-on-write
+    * (every entry must be considered under the new schema) — the rare
+    * explicit-evolution event, not the per-micro-batch path. */
+  def mergeIntoEvolve(source: DataFrame, keys: Seq[String]): Snapshot = {
+    val s = requireExists()
+    val widened = mergedSchema(s.schema, source.schema)
+    def conformTo(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(widened.fields.map(f =>
+        (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    }
+    val out = graft.operators.Merge.upsert(conformTo(read), conformTo(source), keys)
+    val withBucket = bucketSpec(s).map(withDerivedBucket(out, _)).getOrElse(out)
+    val (_, entries) = writeData(withBucket, s.partitionCols)
+    commit("merge-evolve")(_ =>
+      (widened, s.partitionCols, entries, s.properties,
+        Map("added-columns" ->
+          (widened.fieldNames.length - s.schema.fieldNames.length).toString)))
+  }
+
   /** DELETE FROM this table WHERE EXISTS (keys match `deletes`)
     * (`cdc_pipeline.py:239-251`). Same partition pruning as merge. */
   def deleteWhereExists(deletes: DataFrame, keys: Seq[String]): Snapshot =

@@ -40,6 +40,31 @@ object EventStreams {
         col("event_type"),
         col("n_events"))
 
+  /** Top-`topK` event types per window by count — the trending-items
+    * report. Batch-executed it is the oracle-checked composition below;
+    * in a STREAM the rank stage must run in `foreachBatch` over the
+    * windows the watermark has CLOSED (the append-mode output of the
+    * windowed agg), because ranking an open window would reorder on
+    * every update — [[rankWindows]] is that per-batch stage, and the
+    * streaming spec drives it end-to-end. */
+  def windowedTopTypes(
+      events: DataFrame,
+      topK: Int = 3,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    rankWindows(windowedTypeCounts(events, windowDur, watermarkDelay), topK)
+
+  /** Rank stage of [[windowedTopTypes]]: deterministic top-k within each
+    * window (count desc, then type). One shuffle on w_start; rows are
+    * (window × type) aggregates, never events. */
+  def rankWindows(counts: DataFrame, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start").orderBy(desc("n_events"), col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
+
   /** SLIDING event-time windows (length > slide ⇒ each event lands in
     * length/slide windows): same watermarked agg family as the tumbling
     * form, state is one row per OPEN (window, type) pair — the overlap

@@ -47,6 +47,34 @@ class DedupSpec extends SparkSpec {
       Dedup.exactDedup(d).select("doc_id").collect().map(_.getLong(0)).sorted
   }
 
+  test("incrementalNearDuplicates scores only incoming-vs-history pairs") {
+    val hist = docs((10L, near1, "h"), (11L, other, "h"))
+    val incoming = docs(
+      (1L, near2, "a"),  // near-dup of history 10
+      (2L, near2, "a"))  // near-dup of 1 AND of history 10
+    val pairs = Dedup.incrementalNearDuplicates(incoming, hist, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // 1-2 (incoming x incoming) and 10-11 (history x history) never appear
+    pairs shouldBe Array((1L, 10L), (2L, 10L))
+  }
+
+  test("incrementalNearDuplicates matches the full-corpus cross-side subset") {
+    val d = docs(
+      (1L, near1, "a"), (2L, near2, "a"), (3L, other, "a"),
+      (4L, near1, "b"), (5L, near2 + " extra", "b"))
+    val incoming = d.filter(col("doc_id") % 2 === 0)
+    val history = d.filter(col("doc_id") % 2 =!= 0)
+    val incr = Dedup.incrementalNearDuplicates(incoming, history, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: all-pairs result restricted to (even, odd) sides
+    val full = Dedup.lshNearDuplicates(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a % 2 == 0 && b % 2 != 0 }
+      .toSet
+    incr shouldBe full
+  }
+
   test("lshNearDuplicates finds true near-dups and respects threshold") {
     val d = docs((1L, near1, "a"), (2L, near2, "a"), (3L, other, "a"))
     val pairs = Dedup.lshNearDuplicates(d, threshold = 0.5)

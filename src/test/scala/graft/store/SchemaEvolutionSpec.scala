@@ -29,6 +29,26 @@ class SchemaEvolutionSpec extends SparkSpec {
     rows(2).getInt(2) shouldBe 30
   }
 
+  test("mergeIntoEvolve: upsert batch with a new column widens and applies in one commit") {
+    val t = freshTable
+    t.mergeIntoEvolve(
+      Seq((2L, "B", 20), (3L, "c", 30)).toDF("id", "v", "extra"), Seq("id"))
+    t.schema.fieldNames.toSeq shouldBe Seq("id", "v", "extra")
+    t.currentSnapshot.get.operation shouldBe "merge-evolve"
+    val rows = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    // 1 untouched (null new col), 2 updated, 3 inserted
+    rows.toSeq shouldBe Seq((1L, "a", -1), (2L, "B", 20), (3L, "c", 30))
+  }
+
+  test("mergeIntoEvolve without new columns degrades to a plain upsert") {
+    val t = freshTable
+    t.mergeIntoEvolve(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    t.schema.fieldNames.toSeq shouldBe Seq("id", "v")
+    t.read.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe Seq("A", "b")
+  }
+
   test("appendEvolve fills table columns the batch lacks with nulls") {
     val t = freshTable
     t.appendEvolve(Seq(Tuple1(4L)).toDF("id"))

@@ -270,6 +270,46 @@ class EventStreamsSpec extends SparkSpec {
     out shouldBe Seq((1L, 3))
   }
 
+  test("streaming windowed top-k: rank in foreachBatch over watermark-closed windows") {
+    val src = Files.createTempDirectory("es-tk-src").toString
+    val ckpt = Files.createTempDirectory("es-tk-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 2L, "click"),
+      (3L, "2026-01-01 00:30:00", 3L, "view"),
+      (4L, "2026-01-01 00:40:00", 4L, "view"),
+      (5L, "2026-01-01 00:50:00", 5L, "view"),
+      (6L, "2026-01-01 00:55:00", 6L, "purchase")), src, 1)
+    writeBatch(eventsDf(
+      (7L, "2026-01-01 23:00:00", 9L, "click")), src, 2) // closes the 00h window
+
+    val ranked = scala.collection.mutable.ArrayBuffer[(String, Int, String, Long)]()
+    val q = EventStreams
+      .windowedTypeCounts(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src))
+      .writeStream
+      .foreachBatch { (closed: org.apache.spark.sql.DataFrame, _: Long) =>
+        // append-mode batches hold only CLOSED windows: rank is final
+        EventStreams.rankWindows(closed, topK = 2).collect().foreach(r =>
+          ranked.synchronized {
+            ranked += ((r.getTimestamp(0).toString, r.getInt(4),
+              r.getString(2), r.getLong(3)))
+          })
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // only the 00h window closed (23h stays open past the watermark);
+    // top-2 of {view:3, click:2, purchase:1}
+    ranked.filter(_._1.startsWith("2026-01-01 00")).sortBy(_._2).toList shouldBe
+      List(
+        ("2026-01-01 00:00:00.0", 1, "view", 3L),
+        ("2026-01-01 00:00:00.0", 2, "click", 2L))
+    ranked.map(_._3) should not contain "purchase"
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
