@@ -328,10 +328,33 @@ object StoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** c22: Z-ORDER compaction end-to-end — the events table re-clustered
+    * on the interleaved (user_id, event_id) curve, then a 2-D box
+    * predicate scanned through readWhere: stats pruning now works on
+    * BOTH dimensions (LakeTableSpec proves the plan-level pruning; the
+    * oracle proves the rows). */
+  private def c22(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_z"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.events_z")
+    val ev = table(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    t.createOrReplace(ev)
+    t.rewriteZOrderedDataFiles(Seq("user_id", "event_id"),
+      targetFileBytes = 256 * 1024)
+    val b = ev.agg(max("user_id"), max("event_id")).head()
+    val (bu, be) = (b.getLong(0) / 4, b.getLong(1) / 4)
+    t.readWhere(col("user_id") <= bu && col("event_id") <= be)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c19_wap_publish" -> (c19 _),
     "c20_tag_expire" -> (c20 _),
     "c21_merge_evolve" -> (c21 _),
+    "c22_zorder_scan" -> (c22 _),
     "c18_sorted_rewrite" -> (c18 _),
     "c17_time_travel" -> (c17 _),
     "c13_stats_pruned_scan" -> (c13 _),
@@ -359,6 +382,12 @@ object StoreQueries {
       // the tag pins the PRE-rewrite state: plain base projection
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          ORDER BY o_orderkey""",
+    "c22_zorder_scan" ->
+      """WITH b AS (SELECT max(user_id) // 4 AS bu, max(event_id) // 4 AS be
+                    FROM events)
+         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events, b WHERE user_id <= bu AND event_id <= be
+         GROUP BY event_type ORDER BY event_type""",
     "c21_merge_evolve" ->
       """SELECT o_orderkey, o_totalprice,
          CASE WHEN o_orderkey % 4 = 0 THEN o_orderpriority ELSE '-' END

@@ -872,13 +872,15 @@ class LakeTable(
   // maintenance (CALL-procedure analogs, maintenance.py semantics)
   // -------------------------------------------------------------------
 
-  /** Drop all snapshot metadata except the newest `keepLast` and any
-    * TAGGED versions, then drop data dirs no retained snapshot (and no
-    * branch) references. Returns #expired. */
-  def expireSnapshots(keepLast: Int = 1): Int = synchronized {
+  /** Drop all snapshot metadata except the newest `keepLast`, any TAGGED
+    * versions, and (Iceberg `expire_snapshots(older_than => …)` parity)
+    * snapshots younger than `olderThanMs`; then drop data dirs no
+    * retained snapshot (and no branch) references. Returns #expired. */
+  def expireSnapshots(keepLast: Int = 1, olderThanMs: Long = Long.MaxValue): Int = synchronized {
     val all = allSnapshots
     val tagged = tags.values.toSet
-    val keepVersions = all.takeRight(keepLast).map(_.version).toSet ++ tagged
+    val keepVersions = all.takeRight(keepLast).map(_.version).toSet ++ tagged ++
+      all.filter(_.timestampMs >= olderThanMs).map(_.version)
     val (keep, expire) = all.partition(s => keepVersions(s.version))
     if (expire.isEmpty) 0
     else {
@@ -926,14 +928,63 @@ class LakeTable(
       sortCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(sortCols.nonEmpty, "sortCols must be non-empty")
+    rewriteClustered(sortCols.map(col), targetFileBytes,
+      "rewrite-data-files-sort", Map("sort-order" -> sortCols.mkString(",")))
+  }
+
+  /** Z-ORDER compaction (`rewrite_data_files(strategy => 'sort',
+    * sort_order => 'zorder(a, b)')` analog): rewrite the table clustered
+    * on the INTERLEAVED bits of the (range-normalized) cluster columns.
+    * A lexicographic sort gives tight entry ranges only on its leading
+    * column; the z-curve preserves locality in EVERY clustered dimension
+    * at once, so after the rewrite a range predicate on ANY of the
+    * columns prunes entries from the manifest stats — the
+    * multi-dimensional analog of [[rewriteSortedDataFiles]].
+    *
+    * Normalization is one min/max agg per column (driver-side constants
+    * folded into the codegen'd z-value expression); the rewrite itself
+    * is the same single range shuffle + concurrent slice writes as the
+    * linear sort. */
+  def rewriteZOrderedDataFiles(
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    val s = requireExists()
+    val aggExprs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = read.agg(aggExprs.head, aggExprs.tail: _*).head()
+    // 16 bits per dimension: value -> rank in [0, 65535] by linear
+    // range normalization, then bit-interleave across dimensions
+    val zExpr = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      val rank16 = least(lit(65535),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0))
+        .cast("long")
+      (0 until 16).map(b =>
+        shiftleft(shiftright(rank16, b).bitwiseAND(lit(1L)),
+          b * zCols.size + i).cast("long"))
+        .reduce((a, b2) => a.bitwiseOR(b2))
+    }.reduce((a, b2) => a.bitwiseOR(b2))
+    rewriteClustered(Seq(zExpr), targetFileBytes,
+      "rewrite-data-files-zorder", Map("zorder-by" -> zCols.mkString(",")))
+  }
+
+  /** Shared clustering rewrite: one range-partitioner shuffle on
+    * `clusterExprs`, per-slice sort, each slice committed as its own
+    * manifest entry with tight footer stats. */
+  private def rewriteClustered(
+      clusterExprs: Seq[Column],
+      targetFileBytes: Long,
+      operation: String,
+      summaryExtra: Map[String, String]): (Int, Int) = {
     val s = requireExists()
     val before = dataFileCount(s)
     val bytes = dataByteSize(s)
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val cols = sortCols.map(col)
     val staged = prepared(read, s)
-      .repartitionByRange(n, cols: _*)
-      .sortWithinPartitions(cols: _*)
+      .repartitionByRange(n, clusterExprs: _*)
+      .sortWithinPartitions(clusterExprs: _*)
       .withColumn("__shard", org.apache.spark.sql.functions.spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -952,10 +1003,9 @@ class LakeTable(
               s.partitionCols)._2))),
           Duration.Inf).flatten
       }
-      commit("rewrite-data-files-sort")(_ =>
+      commit(operation)(_ =>
         (s.schema, s.partitionCols, entries, s.properties,
-          Map("rewritten-files" -> before.toString,
-            "sort-order" -> sortCols.mkString(","))))
+          Map("rewritten-files" -> before.toString) ++ summaryExtra))
       (before, dataFileCount(currentSnapshot.get))
     } finally staged.unpersist(false)
   }

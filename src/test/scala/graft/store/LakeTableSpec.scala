@@ -185,6 +185,36 @@ class LakeTableSpec extends SparkSpec {
       (100L to 120L)
   }
 
+  test("rewriteZOrderedDataFiles: range predicates on EVERY z column prune") {
+    import spark.implicits._
+    def grid(): org.apache.spark.sql.DataFrame =
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
+        .toDF("x", "y", "payload")
+    // linear sort on x: y-range predicates prune nothing (each x-slice
+    // spans the full y range)
+    val lin = freshCatalog().table("db.linear")
+    lin.createOrReplace(grid())
+    lin.rewriteSortedDataFiles(Seq("x"), targetFileBytes = 4 * 1024)
+    val linSnap = lin.currentSnapshot.get
+    val yCond = col("y").between(0, 7)
+    linSnap.entries.size should be >= 4
+    lin.prunedEntries(linSnap, yCond).size shouldBe linSnap.entries.size
+    // z-order on (x, y): BOTH dimensions prune
+    val zt = freshCatalog().table("db.zorder")
+    zt.createOrReplace(grid())
+    zt.rewriteZOrderedDataFiles(Seq("x", "y"), targetFileBytes = 4 * 1024)
+    val zSnap = zt.currentSnapshot.get
+    zSnap.summary("zorder-by") shouldBe "x,y"
+    zSnap.entries.size should be >= 4
+    zt.prunedEntries(zSnap, col("x").between(0, 7)).size should be <
+      zSnap.entries.size
+    zt.prunedEntries(zSnap, yCond).size should be < zSnap.entries.size
+    // correctness unchanged under the curve rewrite
+    zt.read.count() shouldBe 64 * 64
+    zt.readWhere(col("x") === 3 && col("y") === 5)
+      .collect().map(_.getLong(2)).toSeq shouldBe Seq(3 * 64 + 5)
+  }
+
   test("removeOrphanFiles deletes unreferenced dirs past the age threshold") {
     val t = freshCatalog().table("db.o")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))
