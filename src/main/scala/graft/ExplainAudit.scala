@@ -25,7 +25,10 @@ object ExplainAudit {
       "d40_semantic_dedup", "d41_chunk_overlap", "e15_mips_norm_prune",
       "q31_gap_fill", "q32_group_mode", "m06_frame_manifest",
       "q33_funnel", "q34_cohort_retention", "d44_bigram_loss",
-      "e16_matryoshka_rerank", "c18_sorted_rewrite")) {
+      "e16_matryoshka_rerank", "c18_sorted_rewrite",
+      "q35_stat_aggs", "q36_approx_quantile", "e18_hybrid_rrf",
+      "d46_dup_ngram_spans", "d47_incr_near_dup", "s08_stream_funnel",
+      "s09_windowed_topk", "c22_zorder_scan")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
