@@ -853,7 +853,7 @@ object LlmQueries {
       s"(CASE WHEN substr($b, (fi+1)::INT, 1) = '1' THEN '0' ELSE '1' END) || " +
       s"substr($b, (fi+2)::INT, ($planes - fi - 1)::INT)))"
 
-  private val CosSql =
+  private[graft] val CosSql =
     "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * " +
       "sqrt(list_inner_product(cv, cv)))"
 

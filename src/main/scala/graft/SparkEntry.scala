@@ -646,6 +646,20 @@ object SparkEntry {
         col("rnk"), col("event_type"), col("n_events"))
       .orderBy("w_start", "rnk")
 
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    // stream-static enrichment: events pick up their dimension row via a
+    // broadcast join (no stream-side shuffle, no state); the streaming
+    // spec proves the static side is re-planned per micro-batch
+    val ev = table(s, dir, "events")
+      .withColumn("n_key", pmod(col("user_id"), lit(25L)))
+    val dim = table(s, dir, "nation")
+      .select(col("n_nationkey").as("n_key"), col("n_name"))
+    streaming.EventStreams.staticEnrich(ev, dim, Seq("n_key"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("n_name")
+  }
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -730,6 +744,7 @@ object SparkEntry {
     "q36_approx_quantile" -> (q36 _),
     "s08_stream_funnel" -> (s08 _),
     "s09_windowed_topk" -> (s09 _),
+    "s10_static_enrich" -> (s10 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -921,6 +936,10 @@ object SparkEntry {
          SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
            count(*) AS n_users
          FROM a GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""",
+    "s10_static_enrich" ->
+      """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "s09_windowed_topk" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS w_start,
              event_type, count(*) AS n_events

@@ -307,6 +307,24 @@ object StoreQueries {
     t.readTag("baseline").orderBy("o_orderkey")
   }
 
+  /** e19: INCREMENTAL index maintenance — the IVF index is built on the
+    * initial corpus, later vectors are appended against the FROZEN
+    * quantizer (assign + store-append, untouched cells' files intact),
+    * and the query sees both generations. The oracle recomputes the
+    * same frozen-centroid algorithm over the full corpus. */
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ivfa"))
+    cat.createDatabase("lake")
+    val emb = table(s, dir, "embeddings")
+    IvfIndex.build(cat, "lake", "anninc",
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 400))
+    IvfIndex.append(cat, "lake", "anninc", emb.filter(col("vec_id") >= 400))
+    IvfIndex
+      .query(cat, "lake", "anninc", emb.filter(col("vec_id") < 5), k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** c21: MERGE with schema evolution — the upsert batch carries a
     * column the table has never seen; the merge widens the schema and
     * applies in one commit, untouched rows reading back with nulls for
@@ -365,7 +383,8 @@ object StoreQueries {
     "c12_lake_bucketed_cow" -> (c12 _),
     "c09_watermark_ledger" -> (c09 _),
     "c10_maintenance_ledger" -> (c10 _),
-    "e07_knn_ivf_index" -> (e07 _)
+    "e07_knn_ivf_index" -> (e07 _),
+    "e19_knn_ivf_append" -> (e19 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -404,6 +423,42 @@ object StoreQueries {
     // identical algorithm + parameters as the ad-hoc IVF query — the
     // persisted index changes the physical plan, not the result
     "e07_knn_ivf_index" -> LlmQueries.oracleSql("e04_knn_ivf"),
+    "e19_knn_ivf_append" ->
+      // e04's frozen-centroid IVF, with the quantizer trained on the
+      // INITIAL build subset [5, 400) while search covers all >= 5
+      s"""WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
+               FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                       unnest(range(0, len(embedding))) AS dim
+                     FROM embeddings WHERE vec_id >= 5 AND vec_id < 400)
+               GROUP BY label, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id >= 5),
+         assign AS (SELECT cell, neighbor_id, cv FROM (
+             SELECT ct2.label AS cell, c.neighbor_id, c.cv,
+               row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                 list_inner_product(c.cv, ct2.ct)
+                   / (sqrt(list_inner_product(c.cv, c.cv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM corpus c CROSS JOIN cent ct2) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         probe AS (SELECT cell, query_id, qv FROM (
+             SELECT ct2.label AS cell, q.query_id, q.qv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_inner_product(q.qv, ct2.ct)
+                   / (sqrt(list_inner_product(q.qv, q.qv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM q CROSS JOIN cent ct2) WHERE rn <= 3),
+         s AS (SELECT query_id, neighbor_id, ${LlmQueries.CosSql} AS cos
+               FROM assign a JOIN probe p USING (cell)),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "c14_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
          CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '-' END AS status

@@ -50,6 +50,21 @@ object IvfIndex {
       .createOrReplace(assigned, partitionBy = Seq("cell"))
   }
 
+  /** Incremental ADD: assign new vectors to the EXISTING (frozen) coarse
+    * quantizer and APPEND them to the partitioned cells table — the
+    * standard IVF maintenance path: no retrain, no rebuild, and the
+    * store-level append never rewrites untouched cells' files. Recall
+    * drifts only as the data distribution drifts, which is when a
+    * periodic `build` re-trains (the compaction analog). */
+  def append(cat: LakeCatalog, db: String, name: String, newVectors: DataFrame): Unit = {
+    val cents = cat.table(s"$db.${name}_centroids").read
+    val assigned = nearestCells(
+      newVectors.select(col("vec_id"), col("embedding")), cents, n = 1,
+      idAs = "vec_id", vecAs = "embedding")
+    cat.table(s"$db.${name}_cells").append(assigned)
+    ()
+  }
+
   /** ANN top-k against the persisted index. */
   def query(
       cat: LakeCatalog,

@@ -243,6 +243,14 @@ object EventStreams {
     * exact cross-batch event-time ordering needs the interval-join
     * operator instead). In batch execution everything is one "batch",
     * so the semantics are exactly the as-of join. */
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * CURRENT state of the static (batch) side — Structured Streaming
+    * re-plans the static relation per batch, so a dimension table
+    * updated between batches enriches later events with the new rows.
+    * The dim side is broadcast: no stream-side shuffle, no state. */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   case class FunnelState(
       signupTs: Option[Timestamp],
       clickTs: Option[Timestamp],

@@ -48,6 +48,30 @@ class IvfIndexSpec extends SparkSpec {
     plan should not include "PartitionFilters: []"
   }
 
+  test("append: frozen quantizer, old cell files intact, new vectors searchable") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    IvfIndex.build(cat, "lake", "ann", emb.filter($"vec_id" >= 6))
+    val cells = cat.table("lake.ann_cells")
+    val centsBefore = cat.table("lake.ann_centroids").read.collect().map(_.toString).sorted
+    val dirsBefore = cells.currentSnapshot.get.entries.map(e => (e.dir, e.partition)).toSet
+    // a vector unlike anything in the corpus, appended post-build
+    val extra = Seq((100L, Array(0f, 0f, 0f, 9f))).toDF("vec_id", "embedding")
+    IvfIndex.append(cat, "lake", "ann", extra)
+    // centroids untouched (frozen quantizer), appended manifest keeps
+    // every pre-append entry (append-only store path)
+    cat.table("lake.ann_centroids").read.collect().map(_.toString).sorted shouldBe
+      centsBefore
+    val dirsAfter = cells.currentSnapshot.get.entries.map(e => (e.dir, e.partition)).toSet
+    dirsBefore.subsetOf(dirsAfter) shouldBe true
+    dirsAfter.size should be > dirsBefore.size
+    // the appended vector is found by a query at its own position
+    val probe = Seq((200L, Array(0f, 0f, 0f, 9f))).toDF("vec_id", "embedding")
+    val out = IvfIndex.query(cat, "lake", "ann", probe, k = 1, nprobe = 1).collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(100L) // nearest = itself
+    out.map(_.getDouble(3)).toSeq shouldBe Seq(1.0)
+  }
+
   test("rebuild is idempotent (createOrReplace), query works after rebuild") {
     val cat = freshCat
     cat.createDatabase("lake")

@@ -215,6 +215,30 @@ class LakeTableSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSeq shouldBe Seq(3 * 64 + 5)
   }
 
+  test("z-order readWhere equals the plain filter on randomized boxes") {
+    import spark.implicits._
+    val zt = freshCatalog().table("db.zrand")
+    val rows = (for (x <- 0L until 48L; y <- 0L until 48L) yield (x, y, x * 48 + y))
+    zt.createOrReplace(rows.toDF("x", "y", "payload"))
+    zt.rewriteZOrderedDataFiles(Seq("x", "y"), targetFileBytes = 4 * 1024)
+    val snap = zt.currentSnapshot.get
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val (x0, y0) = (rnd.nextInt(48), rnd.nextInt(48))
+      val (x1, y1) = (x0 + rnd.nextInt(48 - x0), y0 + rnd.nextInt(48 - y0))
+      val cond = col("x").between(x0, x1) && col("y").between(y0, y1)
+      val got = zt.readWhere(cond).select("payload")
+        .collect().map(_.getLong(0)).sorted
+      val want = rows.filter { case (x, y, _) =>
+        x >= x0 && x <= x1 && y >= y0 && y <= y1 }.map(_._3).sorted
+      got.toSeq shouldBe want
+      // pruning is sound AND (for small boxes) actually engages
+      val planned = zt.prunedEntries(snap, cond).size
+      planned should be <= snap.entries.size
+      if (x1 - x0 <= 8 && y1 - y0 <= 8) planned should be < snap.entries.size
+    }
+  }
+
   test("removeOrphanFiles deletes unreferenced dirs past the age threshold") {
     val t = freshCatalog().table("db.o")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))

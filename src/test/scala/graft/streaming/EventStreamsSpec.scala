@@ -310,6 +310,43 @@ class EventStreamsSpec extends SparkSpec {
     ranked.map(_._3) should not contain "purchase"
   }
 
+  test("stream-static enrich: each run's batches join the CURRENT dim table") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("es-se-src").toString
+    val dimPath = Files.createTempDirectory("es-se-dim").toString + "/dim"
+    val ckpt = Files.createTempDirectory("es-se-ckpt").toString
+    Seq((1L, "bronze")).toDF("n_key", "tier").write.parquet(dimPath)
+    writeBatch(eventsDf((1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def runOnce(): Unit = {
+      val dim = spark.read.parquet(dimPath)
+      val q = EventStreams
+        .staticEnrich(
+          spark.readStream.schema(schema).parquet(src)
+            .withColumn("n_key", col("user_id")),
+          dim, Seq("n_key"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.synchronized {
+            seen += ((r.getAs[Long]("event_id"), r.getAs[String]("tier")))
+          })
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // dim changes between runs; the checkpoint resumes (event 1 is NOT
+    // reprocessed) and only the new event joins the new dim content
+    Seq((1L, "gold")).toDF("n_key", "tier").write.mode("overwrite").parquet(dimPath)
+    writeBatch(eventsDf((2L, "2026-01-01 11:00:00", 1L, "click")), src, 2)
+    runOnce()
+
+    seen.toSet shouldBe Set((1L, "bronze"), (2L, "gold"))
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
