@@ -715,6 +715,34 @@ object LlmQueries {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
+  private def e20(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .bruteKnnMetricBattery(emb.filter(col("vec_id") < 5),
+        emb.filter(col("vec_id") >= 5), k = 5)
+      .orderBy("metric", "query_id", "rank")
+  }
+
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    // cross-modal exact dedup: the same content packed under two
+    // modalities (every doc as text/plain, every third ALSO as a
+    // video transcript) collapses to one content group keyed by the
+    // payload hash, modalities listed per group — the multimodal
+    // ingest's duplicate-content report
+    val docs = table(s, dir, "documents")
+    val a = Multimodal.packPayload(docs, "text", "text/plain")
+    val b = Multimodal.packPayload(
+      docs.filter(col("doc_id") % 3 === 0), "text", "video/transcript")
+    a.unionByName(b)
+      .select(col("doc_id"), col("modality"), md5(col("payload")).as("fp"))
+      .groupBy("fp")
+      .agg(
+        min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_items"),
+        array_join(array_sort(collect_set("modality")), ",").as("modalities"))
+      .orderBy("fp")
+  }
+
   private def m06(s: SparkSession, dir: String): DataFrame =
     // frame-sampling manifest over the opaque payload: the decoder work
     // list (offsets + lengths + content hashes), no decode needed
@@ -792,6 +820,8 @@ object LlmQueries {
     "e16_matryoshka_rerank" -> (e16 _),
     "e17_filtered_knn" -> (e17 _),
     "e18_hybrid_rrf" -> (e18 _),
+    "e20_metric_battery" -> (e20 _),
+    "m07_crossmodal_dedup" -> (m07 _),
     "d44_bigram_loss" -> (d44 _),
     "d45_cluster_reps" -> (d45 _),
     "d46_dup_ngram_spans" -> (d46 _),
@@ -1658,6 +1688,40 @@ object LlmQueries {
          WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "e20_metric_battery" ->
+      // three rankings over one scored cross join; negl2 mirrors the
+      // zip-fold (qv[i]-cv[i])^2 ordered sum exactly
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         sc AS (SELECT query_id, neighbor_id,
+             $CosSql AS cos,
+             list_inner_product(qv, cv) AS dot,
+             -sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> (qv[i] - cv[i]) * (qv[i] - cv[i])))) AS negl2
+           FROM c CROSS JOIN q),
+         u AS (SELECT query_id, neighbor_id, 'cos' AS metric, cos AS score FROM sc
+               UNION ALL
+               SELECT query_id, neighbor_id, 'dot', dot FROM sc
+               UNION ALL
+               SELECT query_id, neighbor_id, 'negl2', negl2 FROM sc),
+         r AS (SELECT metric, query_id, neighbor_id, score, row_number() OVER
+                 (PARTITION BY query_id, metric
+                  ORDER BY score DESC, neighbor_id) AS rank FROM u)
+         SELECT metric, query_id, rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank <= 5 ORDER BY metric, query_id, rank""",
+    "m07_crossmodal_dedup" ->
+      """WITH u AS (
+           SELECT doc_id, 'text/plain' AS modality, md5(text) AS fp
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'video/transcript', md5(text) FROM documents
+           WHERE doc_id % 3 = 0)
+         SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_items,
+           array_to_string(list_sort(list_distinct(list(modality))), ',')
+             AS modalities
+         FROM u GROUP BY fp ORDER BY fp""",
     "d46_dup_ngram_spans" ->
       // distinct 60-bit md5 gram hashes per doc (mirror of
       // shingleMd5Longs n=5), df >= 2 marks a corpus-repeated span

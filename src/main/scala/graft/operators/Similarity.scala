@@ -80,6 +80,33 @@ object Similarity {
     * BEFORE the exchange, so the shuffle carries partitions×queries×k
     * rows regardless of corpus size — the exact-kNN plan that survives
     * a 100 TB corpus. */
+  /** Metric battery: the same brute-force top-k under THREE metrics at
+    * once — cosine, inner product (MIPS), and L2 distance (as the
+    * higher-is-better -L2). One broadcast-query corpus pass computes all
+    * three scores; each metric ranks independently. When vector norms
+    * vary the three disagree — interchanging them silently is the
+    * classic retrieval bug, and this battery makes the choice explicit
+    * and auditable. */
+  def bruteKnnMetricBattery(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id", "metric")
+      .orderBy(desc("score"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("dot", dotDouble(col("qv"), col("cv")))
+      .withColumn("negl2", -l2Distance(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(map(
+          lit("cos"), col("cos"),
+          lit("dot"), col("dot"),
+          lit("negl2"), col("negl2"))).as(Seq("metric", "score")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("metric"), col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   def bruteKnnTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
