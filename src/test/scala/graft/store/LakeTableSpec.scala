@@ -430,6 +430,26 @@ class LakeTableSpec extends SparkSpec {
       Seq(2L, 3L)
   }
 
+  test("branch and main commits interleave without conflicts; histories independent") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("b")
+    val b = t.branch("b")
+    t.append(df(Seq((2L, "m", 2.0))))   // main v2
+    b.append(df(Seq((3L, "x", 3.0))))   // branch v2 — same NUMBER, own namespace
+    t.append(df(Seq((4L, "m", 4.0))))   // main v3
+    b.append(df(Seq((5L, "x", 5.0))))   // branch v3
+    t.history.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    b.history.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 4L)
+    b.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L, 5L)
+    // a second branch of the same name is rejected while the first lives
+    an[IllegalArgumentException] should be thrownBy t.createBranch("b")
+    t.dropBranch("b")
+    t.createBranch("b") // re-creatable after drop, forked at CURRENT main
+    t.branch("b").read.count() shouldBe 3
+  }
+
   test("tags: tagged versions survive expireSnapshots until dropped") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
