@@ -73,13 +73,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
-  /** Exact kNN via the custom bounded top-k aggregate — same contract
-    * and results as bruteKnn, different physical shape: the window form
-    * shuffles every scored (query, candidate) row to rank it, while
-    * `graft_top_k` reduces each map partition to a k-heap per query
-    * BEFORE the exchange, so the shuffle carries partitions×queries×k
-    * rows regardless of corpus size — the exact-kNN plan that survives
-    * a 100 TB corpus. */
   /** Metric battery: the same brute-force top-k under THREE metrics at
     * once — cosine, inner product (MIPS), and L2 distance (as the
     * higher-is-better -L2). One broadcast-query corpus pass computes all
@@ -107,6 +100,13 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Exact kNN via the custom bounded top-k aggregate — same contract
+    * and results as bruteKnn, different physical shape: the window form
+    * shuffles every scored (query, candidate) row to rank it, while
+    * `graft_top_k` reduces each map partition to a k-heap per query
+    * BEFORE the exchange, so the shuffle carries partitions×queries×k
+    * rows regardless of corpus size — the exact-kNN plan that survives
+    * a 100 TB corpus. */
   def bruteKnnTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))

@@ -950,19 +950,28 @@ class LakeTable(
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(zCols.size >= 2, "z-ordering needs at least two columns")
     val s = requireExists()
+    val before = dataFileCount(s)
     val aggExprs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = read.agg(aggExprs.head, aggExprs.tail: _*).head()
-    // 16 bits per dimension: value -> rank in [0, 65535] by linear
-    // range normalization, then bit-interleave across dimensions
+    // empty table (or an all-null column): nothing to cluster — bounds
+    // are null and the curve is undefined; no-op like an empty compaction
+    if (zCols.indices.exists(i => bounds.isNullAt(2 * i))) return (before, before)
+    // up to 16 bits per dimension, shrunk so every interleaved position
+    // stays below bit 63 — Java shift amounts wrap mod 64, so a 4+-column
+    // curve at full width would silently alias high bits onto low ones
+    val bitsPerDim = math.min(16, 62 / zCols.size)
+    val buckets = 1L << bitsPerDim
+    // rank in [0, 2^bits) by linear range normalization, then
+    // bit-interleave across dimensions (nulls sort first via z null)
     val zExpr = zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = if (hi > lo) hi - lo else 1.0
-      val rank16 = least(lit(65535),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0))
+      val rank = least(lit(buckets - 1),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * buckets.toDouble))
         .cast("long")
-      (0 until 16).map(b =>
-        shiftleft(shiftright(rank16, b).bitwiseAND(lit(1L)),
+      (0 until bitsPerDim).map(b =>
+        shiftleft(shiftright(rank, b).bitwiseAND(lit(1L)),
           b * zCols.size + i).cast("long"))
         .reduce((a, b2) => a.bitwiseOR(b2))
     }.reduce((a, b2) => a.bitwiseOR(b2))

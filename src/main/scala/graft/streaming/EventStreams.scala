@@ -229,20 +229,6 @@ object EventStreams {
   case class Attached(user_id: Long, purchase_id: Long,
       click_id: Option[Long], gap_us: Option[Long])
 
-  /** Streaming AS-OF enrichment with EXPLICIT custom state: each
-    * purchase attaches the user's latest click at-or-before it. State is
-    * O(1) per key — just the newest click seen — which is the streaming
-    * form of the backward as-of join (`Merge.asofJoin` is the batch
-    * window form; both are oracle-checked against the same DuckDB ASOF
-    * JOIN).
-    *
-    * Within a micro-batch events process in event-time order, so
-    * in-batch disorder is absorbed; ACROSS micro-batches the attachment
-    * is best-effort (a click arriving after the purchase's batch cannot
-    * retroactively attach — the documented enrichment-join tradeoff;
-    * exact cross-batch event-time ordering needs the interval-join
-    * operator instead). In batch execution everything is one "batch",
-    * so the semantics are exactly the as-of join. */
   /** Stream-static enrichment join: every micro-batch joins against the
     * CURRENT state of the static (batch) side — Structured Streaming
     * re-plans the static relation per batch, so a dimension table
@@ -311,6 +297,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming AS-OF enrichment with EXPLICIT custom state: each
+    * purchase attaches the user's latest click at-or-before it. State is
+    * O(1) per key — just the newest click seen — which is the streaming
+    * form of the backward as-of join (`Merge.asofJoin` is the batch
+    * window form; both are oracle-checked against the same DuckDB ASOF
+    * JOIN).
+    *
+    * Within a micro-batch events process in event-time order, so
+    * in-batch disorder is absorbed; ACROSS micro-batches the attachment
+    * is best-effort (a click arriving after the purchase's batch cannot
+    * retroactively attach — the documented enrichment-join tradeoff;
+    * exact cross-batch event-time ordering needs the interval-join
+    * operator instead). In batch execution everything is one "batch",
+    * so the semantics are exactly the as-of join. */
   def asofAttach(events: Dataset[TypedEvent]): Dataset[Attached] = {
     import events.sparkSession.implicits._
     events

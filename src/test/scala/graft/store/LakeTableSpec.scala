@@ -470,6 +470,23 @@ class LakeTableSpec extends SparkSpec {
       Seq("U", "b", "c")
   }
 
+  test("expireSnapshots(olderThan) retains every snapshot younger than the cutoff") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.overwrite(df(Seq((2L, "b", 2.0))))
+    val cutoff = System.currentTimeMillis() + 1 // both are older than this
+    Thread.sleep(5)
+    t.overwrite(df(Seq((3L, "c", 3.0))))
+    t.overwrite(df(Seq((4L, "d", 4.0))))
+    // keepLast=1 alone would drop v1..v3; the age cutoff shields v3 and
+    // v4 (committed after it), so only the two OLD snapshots expire
+    t.expireSnapshots(keepLast = 1, olderThanMs = cutoff) shouldBe 2
+    t.history.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(3L, 4L)
+    t.readVersion(3L).head().getString(1) shouldBe "c"
+    // a future cutoff expires nothing younger than keepLast protection
+    t.expireSnapshots(keepLast = 2, olderThanMs = Long.MaxValue) shouldBe 0
+  }
+
   test("expire/orphan collection never deletes dirs a live branch references") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))
