@@ -362,6 +362,39 @@ object SparkEntry {
           .as("approx_ok"))
       .orderBy("event_type")
 
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    // scalar string-function battery — split_part, edit distance,
+    // pad/reverse/translate/regexp, every one engine-portable (the
+    // oracle reproduces each bit-for-bit); all map-side, codegen'd
+    table(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_name")).as("name_rev"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("name_head"),
+        repeat(substring(col("p_brand"), 1, 2), 2).as("brand_rep"))
+      .orderBy("p_partkey")
+
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    // calendar/date-function battery over o_orderdate: quarter, ISO
+    // week, last-of-month, day arithmetic, month truncation — the
+    // partition-derivation vocabulary of a date-organized lake
+    table(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        (dayofweek(col("o_orderdate"))).as("dow"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+      .orderBy("o_orderkey")
+
   private def q35(s: SparkSession, dir: String): DataFrame =
     // statistical aggregate battery: Pearson correlation, sample
     // stddev/variance per group — one partial-agg shuffle carrying the
@@ -667,6 +700,22 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  private def s11(s: SparkSession, dir: String): DataFrame =
+    // the NATIVE session-window operator (s02 is the custom-state form of
+    // the same semantics): sessions merge while each event starts before
+    // the previous session end (= last event + gap, strict <), so the
+    // window end is last_event + gap. Batch-executed every session
+    // emits; under a stream the watermark closes them incrementally.
+    table(s, dir, "events")
+      .groupBy(session_window(col("ts"), "2 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -749,9 +798,12 @@ object SparkEntry {
     "q34_cohort_retention" -> (q34 _),
     "q35_stat_aggs" -> (q35 _),
     "q36_approx_quantile" -> (q36 _),
+    "q37_string_battery" -> (q37 _),
+    "q38_date_battery" -> (q38 _),
     "s08_stream_funnel" -> (s08 _),
     "s09_windowed_topk" -> (s09 _),
     "s10_static_enrich" -> (s10 _),
+    "s11_session_window" -> (s11 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -947,6 +999,42 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "s11_session_window" ->
+      // native session_window semantics: a gap of EXACTLY 2h starts a
+      // new session (merge iff next_start < prev_end), end = last + gap
+      """WITH x AS (SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+         FROM events),
+         s AS (SELECT user_id, ts, sum(brk) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+         g AS (SELECT user_id, sid, min(ts) AS t0,
+                 max(ts) + INTERVAL 2 HOUR AS t1,
+                 count(*) AS n_events FROM s GROUP BY 1, 2)
+         SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+                strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS s_end, n_events
+         FROM g ORDER BY user_id, s_start""",
+    "q37_string_battery" ->
+      """SELECT p_partkey,
+         split_part(p_type, ' ', 1) AS type_head,
+         levenshtein(p_brand, p_type) AS lev_bt,
+         lpad(p_brand, 12, '*') AS brand_pad,
+         reverse(p_name) AS name_rev,
+         translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+         coalesce(regexp_extract(p_name, '^[a-z]+'), '') AS name_head,
+         repeat(substr(p_brand, 1, 2), 2) AS brand_rep
+         FROM part ORDER BY p_partkey""",
+    "q38_date_battery" ->
+      """SELECT o_orderkey,
+         quarter(o_orderdate) AS qtr,
+         weekofyear(o_orderdate) AS iso_week,
+         dayofweek(o_orderdate) + 1 AS dow,
+         last_day(o_orderdate) AS month_end,
+         o_orderdate::DATE + 30 AS plus30,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+         date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since
+         FROM orders ORDER BY o_orderkey""",
     "s09_windowed_topk" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS w_start,
              event_type, count(*) AS n_events
