@@ -18,28 +18,25 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession
-      .builder(appName = "graft-scale-probe", master = s"local[$cpus]",
-        shufflePartitions = cpus.toInt)
-      .getOrCreate()
+    val spark = GraftSession.builder(appName = "graft-scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val par = spark.sparkContext.defaultParallelism
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = base.count()
-    // each replica rewrites its vocabulary with a replica-specific
-    // vowel substitution (a bijection on tokens): the near-dup structure
-    // WITHIN a replica is preserved exactly while replicas share almost
-    // no tokens — duplicate density stays constant as the corpus grows,
-    // so wall-clock measures scaling, not a synthetic pair explosion
-    val targets = Seq("aeiou", "bcdfg", "hjklm", "npqrs", "tvwxz",
-      "01234", "56789", "AEIOU", "BCDFG", "HJKLM")
+    // every TOKEN gets a replica-unique suffix — a true bijection on the
+    // vocabulary (no collisions, no case-normalization collapse), so the
+    // near-dup structure WITHIN a replica is preserved exactly while
+    // replicas share zero tokens: duplicate density stays constant as
+    // the corpus grows and wall-clock measures scaling, not a synthetic
+    // pair explosion. Works for any mult.
     def replica(i: Int): DataFrame = base.select(
       (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
-      translate(col("text"), "aeiou", targets(i % targets.size)).as("text"),
+      (if (i == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", s"$$1q${i}x")).as("text"),
       col("lang"), col("source"), col("n_chars"))
     val big = (0 until mult).map(replica).reduce(_ unionByName _)
-      .repartition(cpus.toInt)
+      .repartition(par)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"PROBE corpus: ${big.count()} docs (${n} x $mult)")
 

@@ -351,7 +351,7 @@ object SparkEntry {
     table(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("__n"),
+        count(col("value")).as("__n"), // non-null points — what the band holds
         round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
         expr("percentile(value, 0.45)").as("__lo"),
         expr("percentile(value, 0.55)").as("__hi"),
@@ -702,10 +702,11 @@ object SparkEntry {
 
   private def s11(s: SparkSession, dir: String): DataFrame =
     // the NATIVE session-window operator (s02 is the custom-state form of
-    // the same semantics): sessions merge while each event starts before
-    // the previous session end (= last event + gap, strict <), so the
-    // window end is last_event + gap. Batch-executed every session
-    // emits; under a stream the watermark closes them incrementally.
+    // the same semantics): an event extends the session while its gap to
+    // the previous event is AT MOST the gap duration (exactly-gap still
+    // merges — verified against Spark's merge rule), and the window end
+    // is last_event + gap. Batch-executed every session emits; under a
+    // stream the watermark closes them incrementally.
     table(s, dir, "events")
       .groupBy(session_window(col("ts"), "2 hours").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -1000,11 +1001,12 @@ object SparkEntry {
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
     "s11_session_window" ->
-      // native session_window semantics: a gap of EXACTLY 2h starts a
-      // new session (merge iff next_start < prev_end), end = last + gap
+      // native session_window semantics: a gap of exactly 2h still
+      // MERGES (split only when the gap strictly exceeds it — same rule
+      // as s02's custom state), end = last + gap
       """WITH x AS (SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+                  > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
          FROM events),
          s AS (SELECT user_id, ts, sum(brk) OVER
                  (PARTITION BY user_id ORDER BY ts, event_id

@@ -963,13 +963,17 @@ class LakeTable(
     val bitsPerDim = math.min(16, 62 / zCols.size)
     val buckets = 1L << bitsPerDim
     // rank in [0, 2^bits) by linear range normalization, then
-    // bit-interleave across dimensions (nulls sort first via z null)
+    // bit-interleave across dimensions; null values take rank 0
+    // explicitly (least() would SKIP the null and hand them the max
+    // rank, scattering null rows into the max corner's stats) — so
+    // nulls cluster with the minimum corner
     val zExpr = zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = if (hi > lo) hi - lo else 1.0
-      val rank = least(lit(buckets - 1),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * buckets.toDouble))
-        .cast("long")
+      val rank = when(col(c).isNull, lit(0L)).otherwise(
+        least(lit(buckets - 1),
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * buckets.toDouble))
+          .cast("long"))
       (0 until bitsPerDim).map(b =>
         shiftleft(shiftright(rank, b).bitwiseAND(lit(1L)),
           b * zCols.size + i).cast("long"))
