@@ -368,7 +368,32 @@ object StoreQueries {
       .orderBy("event_type")
   }
 
+  /** c23: rollback — two copy-on-write mutations land, then
+    * `rollbackTo(v1)` rewinds the table state in a NEW commit
+    * (history moves forward, data rewinds); the final read must be the
+    * untouched base. A follow-up append proves the table stays fully
+    * writable after the rollback. */
+  private def c23(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rb"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_rb")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)).version
+    t.mergeInto(
+      base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("X")),
+      Seq("o_orderkey"))
+    t.deleteWhereExists(
+      base.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    t.rollbackTo(v1)
+    t.append(base.filter(col("o_orderkey") % 2 === 1))
+    t.read.orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_rollback" -> (c23 _),
     "c19_wap_publish" -> (c19 _),
     "c20_tag_expire" -> (c20 _),
     "c21_merge_evolve" -> (c21 _),
@@ -388,6 +413,11 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c23_rollback" ->
+      // the rollback erases the merge and delete entirely; the appended
+      // odd keys land after it — so the final state is simply ALL keys
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
     "c19_wap_publish" ->
       // branch staged: append of %3=1 plus 'W' merge on %15=0, published
       // onto the %3=0 base in one fast-forward

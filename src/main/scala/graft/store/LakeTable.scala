@@ -560,6 +560,23 @@ class LakeTable(
       graft.operators.Merge.deleteMatching(targetSlice, src, keys)
     }
 
+  /** `rollback_to_snapshot` analog: commit a NEW snapshot that restores
+    * version `version`'s schema/partitioning/entries/properties — the
+    * table's state rewinds while history moves forward (the rolled-back
+    * commits stay readable until expiry, exactly Iceberg's rollback).
+    * Metadata-only: no data is copied or rewritten. */
+  def rollbackTo(version: Long): Snapshot = {
+    val target =
+      try readSnapshot(version)
+      catch { case e: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"cannot roll back $name to v$version: no such snapshot", e)
+      }
+    commit("rollback")(_ =>
+      (target.schema, target.partitionCols, target.entries, target.properties,
+        Map("rolled-back-to" -> version.toString)))
+  }
+
   /** ALTER TABLE … SET TBLPROPERTIES analog: a metadata-only commit
     * (data dirs untouched). Used for table/column comment sync
     * (`schema_validate.py:111,202` stores comments as properties). */

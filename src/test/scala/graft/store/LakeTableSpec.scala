@@ -470,6 +470,23 @@ class LakeTableSpec extends SparkSpec {
       Seq("U", "b", "c")
   }
 
+  test("rollbackTo rewinds state in a forward commit; history intact, table writable") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
+    t.mergeInto(df(Seq((1L, "X", 9.0))), Seq("id"))
+    t.deleteWhereExists(df(Seq((2L, "x", 0.0))).select("id"), Seq("id"))
+    val rb = t.rollbackTo(v1)
+    rb.operation shouldBe "rollback"
+    rb.version shouldBe 4L // history moved FORWARD
+    t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq shouldBe Seq((1L, "a"), (2L, "b"))
+    // the rolled-back intermediate state stays time-travelable
+    t.readVersion(3L).count() shouldBe 1
+    t.append(df(Seq((3L, "c", 3.0))))
+    t.read.count() shouldBe 3
+    an[IllegalArgumentException] should be thrownBy t.rollbackTo(99L)
+  }
+
   test("expireSnapshots(olderThan) retains every snapshot younger than the cutoff") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))
