@@ -717,6 +717,18 @@ object SparkEntry {
         col("n_events"))
       .orderBy("user_id", "s_start")
 
+  private def s12(s: SparkSession, dir: String): DataFrame =
+    // hysteresis alerting (alert at value >= 100 while armed, re-arm at
+    // <= 20): one boolean of state per user; batch-executed it equals
+    // the gaps-and-islands SQL the oracle runs
+    streaming.EventStreams
+      .thresholdAlerts(table(s, dir, "events"), high = 100.0, low = 20.0)
+      .toDF()
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("value"))
+      .orderBy("user_id", "event_id")
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -805,6 +817,7 @@ object SparkEntry {
     "s09_windowed_topk" -> (s09 _),
     "s10_static_enrich" -> (s10 _),
     "s11_session_window" -> (s11 _),
+    "s12_threshold_alerts" -> (s12 _),
     "q25_percentiles" -> (q25 _),
     "q26_scalar_subquery" -> (q26 _),
     "s01_windowed_counts" -> (s01 _),
@@ -1000,6 +1013,19 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "s12_threshold_alerts" ->
+      // gaps-and-islands form of hysteresis: an alert is a high event
+      // whose latest preceding high-or-low event is a low (or absent —
+      // keys start armed); mid-band events never change the state
+      """WITH hl AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN value >= 100.0 THEN 'hi' ELSE 'lo' END AS kind
+         FROM events WHERE value >= 100.0 OR value <= 20.0),
+         x AS (SELECT *, lag(kind) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS pk FROM hl)
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
+         FROM x WHERE kind = 'hi' AND (pk IS NULL OR pk = 'lo')
+         ORDER BY user_id, event_id""",
     "s11_session_window" ->
       // native session_window semantics: a gap of exactly 2h still
       // MERGES (split only when the gap strictly exceeds it — same rule

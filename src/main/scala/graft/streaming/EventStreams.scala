@@ -229,6 +229,45 @@ object EventStreams {
   case class Attached(user_id: Long, purchase_id: Long,
       click_id: Option[Long], gap_us: Option[Long])
 
+  case class Alert(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  /** Hysteresis threshold ALERTING with one-bit-per-key state: a key
+    * alerts when its value crosses `high` while ARMED, then stays
+    * silenced until a value at or below `low` re-arms it — the standard
+    * monitoring semantics that suppresses alert storms while a metric
+    * hovers above threshold. State is a single boolean per key, carried
+    * across micro-batches in `GroupState`; within a batch events process
+    * in event-time order. Batch-executed it equals the gaps-and-islands
+    * SQL (an alert is a high event whose latest preceding high-or-low
+    * event is a low, or that has none), which is the oracle seam. */
+  def thresholdAlerts(
+      events: DataFrame,
+      high: Double,
+      low: Double): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value").cast("double"))
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+         state: GroupState[Boolean]) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._1))
+          var armed = state.getOption.getOrElse(true)
+          val out = Seq.newBuilder[Alert]
+          for ((eid, ts, _, value) <- sorted) {
+            if (value >= high && armed) {
+              out += Alert(uid, eid, ts, value)
+              armed = false
+            } else if (value <= low) armed = true
+          }
+          state.update(armed)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * CURRENT state of the static (batch) side — Structured Streaming
     * re-plans the static relation per batch, so a dimension table

@@ -347,6 +347,33 @@ class EventStreamsSpec extends SparkSpec {
     seen.toSet shouldBe Set((1L, "bronze"), (2L, "gold"))
   }
 
+  test("streaming thresholdAlerts: armed bit survives batches, storms suppressed") {
+    val src = Files.createTempDirectory("es-ta-src").toString
+    val ckpt = Files.createTempDirectory("es-ta-ckpt").toString
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      eventsDf((id, t, u, "metric")).withColumn("value", lit(v))
+    def batchOf(rows: org.apache.spark.sql.DataFrame, i: Int) = writeBatch(rows, src, i)
+    batchOf(ev(1L, "2026-01-01 10:00:00", 1L, 150.0)  // alert (armed)
+      .unionByName(ev(2L, "2026-01-01 10:01:00", 1L, 160.0)), 1) // suppressed
+    batchOf(ev(3L, "2026-01-01 10:02:00", 1L, 170.0)  // STILL suppressed (state)
+      .unionByName(ev(4L, "2026-01-01 10:03:00", 1L, 5.0)), 2)   // re-arms
+    batchOf(ev(5L, "2026-01-01 10:04:00", 1L, 120.0), 3) // alerts again
+
+    val q = EventStreams
+      .thresholdAlerts(
+        spark.readStream.schema(ev(0L, "2026-01-01 00:00:00", 0L, 0.0).schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        high = 100.0, low = 20.0)
+      .toDF()
+      .writeStream.format("memory").queryName("ta")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    spark.table("ta").collect().map(_.getAs[Long]("event_id")).sorted.toSeq shouldBe
+      Seq(1L, 5L)
+  }
+
   test("windowed unique users in batch: distinct count per window") {
     val ev = eventsDf(
       (1L, "2026-01-01 00:10:00", 1L, "click"),
