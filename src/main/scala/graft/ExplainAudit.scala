@@ -28,7 +28,10 @@ object ExplainAudit {
       "e16_matryoshka_rerank", "c18_sorted_rewrite",
       "q35_stat_aggs", "q36_approx_quantile", "e18_hybrid_rrf",
       "d46_dup_ngram_spans", "d47_incr_near_dup", "s08_stream_funnel",
-      "s09_windowed_topk", "c22_zorder_scan")) {
+      "s09_windowed_topk", "c22_zorder_scan", "q37_string_battery",
+      "q38_date_battery", "s11_session_window", "s12_threshold_alerts",
+      "s10_static_enrich", "e20_metric_battery", "e19_knn_ivf_append",
+      "c23_rollback")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
