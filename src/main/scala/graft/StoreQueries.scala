@@ -392,7 +392,33 @@ object StoreQueries {
     t.read.orderBy("o_orderkey")
   }
 
+  /** c24: row-level changelog between the initial snapshot and the
+    * head — after an update-merge, an insert-merge, and a delete, the
+    * changelog must report exactly the net per-key changes with both
+    * update images (net-change semantics: a row updated then deleted
+    * inside the range reports one delete with its ORIGINAL image). */
+  private def c24(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_cl"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_cl")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)).version
+    t.mergeInto(
+      base.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", round(col("o_totalprice") + 500.0, 2))
+        .unionByName(base.filter(col("o_orderkey") % 2 === 1)),
+      Seq("o_orderkey"))
+    t.deleteWhereExists(
+      base.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    t.changelog(v1, t.currentSnapshot.get.version, Seq("o_orderkey"))
+      .orderBy("_change_type", "o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
     "c19_wap_publish" -> (c19 _),
     "c20_tag_expire" -> (c20 _),
@@ -413,6 +439,28 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c24_changelog" ->
+      // net endpoint diff: deletes report ORIGINAL images (even when the
+      // row was updated mid-range, i.e. %12=0), inserts are the odd
+      // keys, updates (%4=0 and not deleted) emit both images
+      """WITH ev AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                     FROM orders WHERE o_orderkey % 2 = 0),
+         od AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  'delete' AS _change_type
+           FROM ev WHERE o_orderkey % 6 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert' FROM od
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 'update_preimage'
+           FROM ev WHERE o_orderkey % 4 = 0 AND o_orderkey % 6 <> 0
+           UNION ALL
+           SELECT o_orderkey, 'U', round(o_totalprice + 500.0, 2),
+                  'update_postimage'
+           FROM ev WHERE o_orderkey % 4 = 0 AND o_orderkey % 6 <> 0)
+         ORDER BY _change_type, o_orderkey""",
     "c23_rollback" ->
       // the rollback erases the merge and delete entirely; the appended
       // odd keys land after it — so the final state is simply ALL keys

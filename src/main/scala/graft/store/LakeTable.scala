@@ -560,6 +560,38 @@ class LakeTable(
       graft.operators.Merge.deleteMatching(targetSlice, src, keys)
     }
 
+  /** Row-level CHANGELOG between two snapshots (the
+    * `create_changelog_view` analog): one full-outer join of the two
+    * versions on the row keys classifies every key as insert / delete /
+    * update, updates emitting BOTH images (`update_preimage` /
+    * `update_postimage`) like Iceberg's changelog rows. Net-change
+    * semantics: intermediate commits inside the range collapse (a row
+    * updated then deleted reports one delete with the FROM-version
+    * image). Cost is one key-shuffle of each endpoint snapshot —
+    * manifest diffing cannot give row-level images, so two reads is the
+    * irreducible price of pre/post rows. */
+  def changelog(fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    val preT = readVersion(fromVersion)
+    val postT = readVersion(toVersion)
+    val cols = postT.columns.toSeq
+    val pre = preT
+      .select(struct(cols.map(col): _*).as("__pre") +: keys.map(col): _*)
+    val post = postT
+      .select(struct(cols.map(col): _*).as("__post") +: keys.map(col): _*)
+    val j = pre.join(post, keys, "full_outer")
+    val del = j.filter(col("__post").isNull)
+      .select(col("__pre.*")).withColumn("_change_type", lit("delete"))
+    val ins = j.filter(col("__pre").isNull)
+      .select(col("__post.*")).withColumn("_change_type", lit("insert"))
+    val upd = j.filter(col("__pre").isNotNull && col("__post").isNotNull &&
+      col("__pre") =!= col("__post"))
+    del.unionByName(ins)
+      .unionByName(upd.select(col("__pre.*"))
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(upd.select(col("__post.*"))
+        .withColumn("_change_type", lit("update_postimage")))
+  }
+
   /** `rollback_to_snapshot` analog: commit a NEW snapshot that restores
     * version `version`'s schema/partitioning/entries/properties — the
     * table's state rewinds while history moves forward (the rolled-back

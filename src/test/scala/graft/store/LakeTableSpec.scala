@@ -470,6 +470,24 @@ class LakeTableSpec extends SparkSpec {
       Seq("U", "b", "c")
   }
 
+  test("changelog: net row-level diff with both update images") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(
+      df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))).version
+    t.mergeInto(df(Seq((2L, "B", 20.0), (4L, "d", 4.0))), Seq("id"))
+    t.deleteWhereExists(df(Seq((3L, "x", 0.0), (4L, "x", 0.0))).select("id"), Seq("id"))
+    val cl = t.changelog(v1, t.currentSnapshot.get.version, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    cl shouldBe Set(
+      (2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage"),
+      (3L, "c", "delete")) // row 4: inserted AND deleted inside the range -> no net change
+    // unchanged rows never appear
+    cl.map(_._1) should not contain 1L
+    // empty range: no changes
+    t.changelog(v1, v1, Seq("id")).count() shouldBe 0
+  }
+
   test("rollbackTo rewinds state in a forward commit; history intact, table writable") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
