@@ -362,6 +362,18 @@ object SparkEntry {
           .as("approx_ok"))
       .orderBy("event_type")
 
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    // LISTAGG / string_agg parity: per-group ordered concatenation —
+    // deterministic because the collect is sorted before joining (a bare
+    // collect_list order is partition-dependent); one shuffle, and the
+    // concatenated payload is bounded by the group's distinct values
+    table(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
   private def q37(s: SparkSession, dir: String): DataFrame =
     // scalar string-function battery — split_part, edit distance,
     // pad/reverse/translate/regexp, every one engine-portable (the
@@ -813,6 +825,7 @@ object SparkEntry {
     "q36_approx_quantile" -> (q36 _),
     "q37_string_battery" -> (q37 _),
     "q38_date_battery" -> (q38 _),
+    "q39_listagg" -> (q39 _),
     "s08_stream_funnel" -> (s08 _),
     "s09_windowed_topk" -> (s09 _),
     "s10_static_enrich" -> (s10 _),
@@ -1043,6 +1056,11 @@ object SparkEntry {
          SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
                 strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS s_end, n_events
          FROM g ORDER BY user_id, s_start""",
+    "q39_listagg" ->
+      """SELECT n_regionkey,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations,
+         count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q37_string_battery" ->
       """SELECT p_partkey,
          split_part(p_type, ' ', 1) AS type_head,

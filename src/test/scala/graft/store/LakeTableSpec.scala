@@ -488,6 +488,27 @@ class LakeTableSpec extends SparkSpec {
     t.changelog(v1, v1, Seq("id")).count() shouldBe 0
   }
 
+  test("applying a changelog to the from-version reproduces the to-version") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(
+      df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (5L, "e", 5.0)))).version
+    t.mergeInto(df(Seq((2L, "B", 20.0), (4L, "d", 4.0), (5L, "E", 50.0))), Seq("id"))
+    t.deleteWhereExists(df(Seq((3L, "x", 0.0))).select("id"), Seq("id"))
+    val v3 = t.currentSnapshot.get.version
+    val cl = t.changelog(v1, v3, Seq("id")).cache()
+    // consume the changelog like a downstream CDC subscriber: upsert the
+    // post-images + inserts, delete the deletes — state must converge
+    val upserts = cl.filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    val deletes = cl.filter(col("_change_type") === "delete").select("id")
+    val replayed = graft.operators.Merge.deleteMatching(
+      graft.operators.Merge.upsert(t.readVersion(v1), upserts, Seq("id")),
+      deletes, Seq("id"))
+    replayed.orderBy("id").collect().map(_.toString).toSeq shouldBe
+      t.readVersion(v3).orderBy("id").collect().map(_.toString).toSeq
+    cl.unpersist()
+  }
+
   test("rollbackTo rewinds state in a forward commit; history intact, table writable") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
