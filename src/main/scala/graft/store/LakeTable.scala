@@ -196,7 +196,8 @@ class LakeTable(
   private def commit(
       operation: String,
       retries: Int = 0,
-      retryWaitMs: Long = 200)(
+      retryWaitMs: Long = 200,
+      parentOverride: Option[Long] = None)(
       buildEntries: Option[Snapshot] => (StructType, Seq[String], Seq[ManifestEntry], Map[String, String], Map[String, String])): Snapshot =
     synchronized {
       var attempt = 0
@@ -206,7 +207,9 @@ class LakeTable(
         val (sch, pcols, entries, props, summary) = buildEntries(parent)
         val snap = Snapshot(
           version = parent.map(_.version + 1).getOrElse(1L),
-          parentVersion = parent.map(_.version),
+          // a rollback re-parents onto the RESTORED version so the
+          // rolled-back commits leave the ancestry chain
+          parentVersion = parentOverride.orElse(parent.map(_.version)),
           operation = operation,
           timestampMs = System.currentTimeMillis(),
           schema = sch,
@@ -404,8 +407,33 @@ class LakeTable(
     // that REWROTE shared dirs surfaces the rewritten entries as adds —
     // same contract as Iceberg's skip-overwrite incremental options.)
     val appendOps = Set("append", "append-evolve", "publish")
+    // only ANCESTORS of the `to` snapshot count: a rollback points its
+    // parent at the restored version, so appends that were rolled back
+    // drop out of the chain and are never re-emitted (Iceberg's
+    // ancestor rule). Scanning from a version that is itself no longer
+    // an ancestor under-reports by construction — an incremental
+    // consumer must resync after a rewind it did not observe.
+    val ancestors = {
+      val b = Set.newBuilder[Long]
+      var cur: Option[Snapshot] = Some(hiSnap)
+      while (cur.exists(_.version > fromVersion)) {
+        b += cur.get.version
+        cur = cur.get.parentVersion.map { v =>
+          try readSnapshot(v)
+          catch {
+            case e: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"incremental scan of $name needs snapshot v$v (ancestor of " +
+                  s"v${hiSnap.version}) but it was expired — start from a retained version",
+                e)
+          }
+        }
+      }
+      b.result()
+    }
     val added = allSnapshots
-      .filter(s => s.version > fromVersion && s.version <= hi && appendOps(s.operation))
+      .filter(s => ancestors(s.version) && s.version > fromVersion &&
+        s.version <= hi && appendOps(s.operation))
       .map { s =>
         val parentKeys = s.parentVersion
           .map { v =>
@@ -571,25 +599,42 @@ class LakeTable(
     * manifest diffing cannot give row-level images, so two reads is the
     * irreducible price of pre/post rows. */
   def changelog(fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
-    val preT = readVersion(fromVersion)
     val postT = readVersion(toVersion)
+    val postSnap = readSnapshot(toVersion)
+    // schema may have EVOLVED inside the range: null-backfill the pre
+    // side to the post schema (same rule as the incremental scan)
+    val preT = conform(
+      postSnap.schema.fields.foldLeft(readVersion(fromVersion))((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))),
+      postSnap)
     val cols = postT.columns.toSeq
-    val pre = preT
-      .select(struct(cols.map(col): _*).as("__pre") +: keys.map(col): _*)
-    val post = postT
-      .select(struct(cols.map(col): _*).as("__post") +: keys.map(col): _*)
-    val j = pre.join(post, keys, "full_outer")
-    val del = j.filter(col("__post").isNull)
-      .select(col("__pre.*")).withColumn("_change_type", lit("delete"))
-    val ins = j.filter(col("__pre").isNull)
-      .select(col("__post.*")).withColumn("_change_type", lit("insert"))
-    val upd = j.filter(col("__pre").isNotNull && col("__post").isNotNull &&
-      col("__pre") =!= col("__post"))
-    del.unionByName(ins)
-      .unionByName(upd.select(col("__pre.*"))
-        .withColumn("_change_type", lit("update_preimage")))
-      .unionByName(upd.select(col("__post.*"))
-        .withColumn("_change_type", lit("update_postimage")))
+    val pre = preT.select(struct(cols.map(col): _*).as("__pre")
+      +: keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ka$i") }: _*)
+    val post = postT.select(struct(cols.map(col): _*).as("__post")
+      +: keys.zipWithIndex.map { case (k, i) => col(k).as(s"__kb$i") }: _*)
+    // null-SAFE key equality: a null-keyed row present in both versions
+    // must match itself, not split into a phantom delete+insert pair
+    val cond = keys.indices.map(i => col(s"__ka$i") <=> col(s"__kb$i"))
+      .reduce(_ && _)
+    // drop unchanged keys, then classify each surviving row ONCE
+    // (null-safe struct comparison, so a null -> value field change
+    // still counts as an update) and emit 1 image for insert/delete, 2
+    // for updates, via one explode — the join executes a single time,
+    // not once per change type
+    pre.join(post, cond, "full_outer")
+      .filter(col("__pre").isNull || col("__post").isNull ||
+        !(col("__pre") <=> col("__post")))
+      .withColumn("__imgs",
+        when(col("__post").isNull,
+          array(struct(col("__pre").as("img"), lit("delete").as("t"))))
+          .when(col("__pre").isNull,
+            array(struct(col("__post").as("img"), lit("insert").as("t"))))
+          .otherwise(array(
+            struct(col("__pre").as("img"), lit("update_preimage").as("t")),
+            struct(col("__post").as("img"), lit("update_postimage").as("t")))))
+      .select(explode(col("__imgs")).as("__ch"))
+      .select(col("__ch.img.*"), col("__ch.t").as("_change_type"))
   }
 
   /** `rollback_to_snapshot` analog: commit a NEW snapshot that restores
@@ -604,7 +649,7 @@ class LakeTable(
         throw new IllegalArgumentException(
           s"cannot roll back $name to v$version: no such snapshot", e)
       }
-    commit("rollback")(_ =>
+    commit("rollback", parentOverride = Some(version))(_ =>
       (target.schema, target.partitionCols, target.entries, target.properties,
         Map("rolled-back-to" -> version.toString)))
   }

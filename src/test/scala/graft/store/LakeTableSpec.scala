@@ -488,6 +488,38 @@ class LakeTableSpec extends SparkSpec {
     t.changelog(v1, v1, Seq("id")).count() shouldBe 0
   }
 
+  test("changes after rollback: rolled-back appends leave the ancestry, never re-emitted") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0)))).version
+    t.append(df(Seq((2L, "x", 2.0)))) // rolled back below
+    t.rollbackTo(v1)
+    t.append(df(Seq((3L, "y", 3.0))))
+    t.changes(v1).collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+  }
+
+  test("changelog across schema evolution null-backfills the pre side") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
+    t.appendEvolve(Seq((3L, "c", 3.0, 30)).toDF("id", "status", "amount", "extra"))
+    val cl = t.changelog(v1, t.currentSnapshot.get.version, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(4),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    cl shouldBe Set((3L, "insert", 30)) // old rows unchanged (null extra on both sides)
+  }
+
+  test("changelog matches a null-keyed row to itself (no phantom delete+insert)") {
+    import spark.implicits._
+    val rows = Seq((Option(1L), "a"), (None, "n"))
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(rows.toDF("id", "status")).version
+    t.append(Seq((Option(9L), "z")).toDF("id", "status"))
+    val cl = t.changelog(v1, t.currentSnapshot.get.version, Seq("id")).collect()
+    cl.map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+      .toSeq shouldBe Seq((9L, "insert")) // the null-key row is NOT churned
+  }
+
   test("applying a changelog to the from-version reproduces the to-version") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(
