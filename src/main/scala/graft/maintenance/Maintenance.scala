@@ -59,14 +59,28 @@ object Maintenance {
 
   /** rewrite_data_files + expire_snapshots in sequence; expire is skipped
     * (and recorded as such) when the rewrite failed (`maintenance.py:66-186`). */
+  /** Clustering strategy for the compaction pass — the
+    * `rewrite_data_files(strategy => ..., sort_order => ...)` procedure
+    * arguments: `BinPack` (default), `Sort(cols)` (linear clustering),
+    * or `ZOrder(cols)` (multi-dimensional interleaved clustering). */
+  sealed trait RewriteStrategy
+  case object BinPack extends RewriteStrategy
+  final case class Sort(cols: Seq[String]) extends RewriteStrategy
+  final case class ZOrder(cols: Seq[String]) extends RewriteStrategy
+
   def runCompaction(
       cat: LakeCatalog,
       dagId: String,
       fqn: String,
       batchId: Option[Long] = None,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      strategy: RewriteStrategy = BinPack): Unit = {
     val rewriteOk = recorded(cat, dagId, fqn, "rewrite_data_files", batchId) {
-      val (rewritten, added) = cat.table(fqn).rewriteDataFiles(targetFileBytes)
+      val (rewritten, added) = strategy match {
+        case BinPack => cat.table(fqn).rewriteDataFiles(targetFileBytes)
+        case Sort(cols) => cat.table(fqn).rewriteSortedDataFiles(cols, targetFileBytes)
+        case ZOrder(cols) => cat.table(fqn).rewriteZOrderedDataFiles(cols, targetFileBytes)
+      }
       (Some(rewritten.toLong), Some(added.toLong))
     }
 

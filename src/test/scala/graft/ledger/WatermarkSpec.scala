@@ -128,6 +128,26 @@ class WatermarkSpec extends SparkSpec {
     cat.table("s.data").history.count() shouldBe 1 // expire kept only newest
   }
 
+  test("runCompaction with Sort/ZOrder strategies clusters and records the same ledger rows") {
+    val cat = freshCatalog()
+    Watermark.ensureWatermarkTables(cat)
+    cat.createDatabase("s")
+    import spark.implicits._
+    cat.table("s.zdata").createOrReplace(
+      (for (x <- 1L to 40L; y <- 1L to 40L) yield (x, y)).toDF("x", "y")
+        .repartition(8))
+    Maintenance.runCompaction(cat, "dag", "s.zdata",
+      targetFileBytes = 4 * 1024, strategy = Maintenance.ZOrder(Seq("x", "y")))
+    val wm = cat.table(Watermark.MaintenanceTable).read
+      .select("procedure_type", "status").orderBy("procedure_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    wm shouldBe Seq(("expire_snapshots", "success"), ("rewrite_data_files", "success"))
+    val snap = cat.table("s.zdata").currentSnapshot.get
+    snap.operation shouldBe "rewrite-data-files-zorder"
+    snap.summary("zorder-by") shouldBe "x,y"
+    cat.table("s.zdata").read.count() shouldBe 1600
+  }
+
   test("runCompaction failure records failed + skipped, never throws") {
     val cat = freshCatalog()
     Watermark.ensureWatermarkTables(cat)
