@@ -57,8 +57,6 @@ object Maintenance {
     }
   }
 
-  /** rewrite_data_files + expire_snapshots in sequence; expire is skipped
-    * (and recorded as such) when the rewrite failed (`maintenance.py:66-186`). */
   /** Clustering strategy for the compaction pass — the
     * `rewrite_data_files(strategy => ..., sort_order => ...)` procedure
     * arguments: `BinPack` (default), `Sort(cols)` (linear clustering),
@@ -68,6 +66,8 @@ object Maintenance {
   final case class Sort(cols: Seq[String]) extends RewriteStrategy
   final case class ZOrder(cols: Seq[String]) extends RewriteStrategy
 
+  /** rewrite_data_files + expire_snapshots in sequence; expire is skipped
+    * (and recorded as such) when the rewrite failed (`maintenance.py:66-186`). */
   def runCompaction(
       cat: LakeCatalog,
       dagId: String,

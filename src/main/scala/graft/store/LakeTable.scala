@@ -398,70 +398,72 @@ class LakeTable(
     * entries come from a manifest diff against the parent snapshot, no
     * table scan. Snapshots in the range must not be expired. */
   def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
-    val cur = requireExists()
-    val hi = toVersion.getOrElse(cur.version)
-    val hiSnap = if (hi == cur.version) cur else readSnapshot(hi)
+    requireExists()
+    // one metadata pass: every retained snapshot, indexed by version —
+    // the ancestry walk and the entry diffs below resolve from this map
+    // instead of re-opening snapshot files
+    val all = allSnapshots
+    val byVersion = all.map(s => s.version -> s).toMap
+    val hi = toVersion.getOrElse(all.last.version)
+    val hiSnap = byVersion.getOrElse(hi, readSnapshot(hi))
     // "publish" (branch fast-forward) diffs exactly like an append: its
     // entry set is the main parent's plus the branch's additions, so the
     // manifest diff yields the branch-added dirs. (Publishing a branch
     // that REWROTE shared dirs surfaces the rewritten entries as adds —
     // same contract as Iceberg's skip-overwrite incremental options.)
     val appendOps = Set("append", "append-evolve", "publish")
+    def expired(v: Long, role: String): Nothing =
+      throw new IllegalStateException(
+        s"incremental scan of $name needs snapshot v$v ($role of " +
+          s"v${hiSnap.version}) but it was expired — start from a retained version")
     // only ANCESTORS of the `to` snapshot count: a rollback points its
     // parent at the restored version, so appends that were rolled back
     // drop out of the chain and are never re-emitted (Iceberg's
     // ancestor rule). Scanning from a version that is itself no longer
     // an ancestor under-reports by construction — an incremental
-    // consumer must resync after a rewind it did not observe.
+    // consumer must resync after a rewind it did not observe. The walk
+    // never READS a snapshot at or below `fromVersion` (its version is
+    // known from the child's parent pointer), and a branch FORK's
+    // parent lives in the main lineage — the walk stops at the fork
+    // instead of treating the main snapshot as expired.
     val ancestors = {
       val b = Set.newBuilder[Long]
-      var cur: Option[Snapshot] = Some(hiSnap)
-      while (cur.exists(_.version > fromVersion)) {
-        b += cur.get.version
-        cur = cur.get.parentVersion.map { v =>
-          try readSnapshot(v)
-          catch {
-            case e: java.io.FileNotFoundException =>
-              throw new IllegalStateException(
-                s"incremental scan of $name needs snapshot v$v (ancestor of " +
-                  s"v${hiSnap.version}) but it was expired — start from a retained version",
-                e)
-          }
+      var node: Option[Snapshot] = Some(hiSnap)
+      while (node.exists(_.version > fromVersion)) {
+        val s = node.get
+        b += s.version
+        node = s.parentVersion match {
+          case Some(v) if v > fromVersion =>
+            byVersion.get(v).orElse(
+              if (s.operation == "fork") None else expired(v, "ancestor"))
+          case _ => None
         }
       }
       b.result()
     }
-    val added = allSnapshots
-      .filter(s => ancestors(s.version) && s.version > fromVersion &&
-        s.version <= hi && appendOps(s.operation))
+    val added = all
+      .filter(s => ancestors(s.version) && appendOps(s.operation))
       .map { s =>
         val parentKeys = s.parentVersion
-          .map { v =>
-            val parent =
-              try readSnapshot(v)
-              catch {
-                case e: java.io.FileNotFoundException =>
-                  throw new IllegalStateException(
-                    s"incremental scan of $name needs snapshot v$v (parent of " +
-                      s"v${s.version}) but it was expired — start from a retained version",
-                    e)
-              }
-            parent.entries.map(e => (e.dir, e.partition)).toSet
-          }
+          .map(v => byVersion.getOrElse(v, expired(v, s"parent of v${s.version}"))
+            .entries.map(e => (e.dir, e.partition)).toSet)
           .getOrElse(Set.empty[(String, Option[String])])
         readEntries(s, s.entries.filterNot(e => parentKeys((e.dir, e.partition))))
       }
     if (added.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hiSnap.schema)
-    else {
-      val unioned = added.reduce(_.unionByName(_, allowMissingColumns = true))
-      val backfilled = hiSnap.schema.fields.foldLeft(unioned)((d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType)))
-      conform(backfilled, hiSnap)
-    }
+    else conform(backfillTo(added.reduce(
+      _.unionByName(_, allowMissingColumns = true)), hiSnap), hiSnap)
   }
+
+  /** Null-backfill columns `snap`'s schema has that `df` lacks — the
+    * schema-evolution read rule shared by the incremental scan and the
+    * changelog view. */
+  private def backfillTo(df: DataFrame, snap: Snapshot): DataFrame =
+    snap.schema.fields.foldLeft(df)((d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
 
   // -------------------------------------------------------------------
   // write operations
@@ -599,15 +601,11 @@ class LakeTable(
     * manifest diffing cannot give row-level images, so two reads is the
     * irreducible price of pre/post rows. */
   def changelog(fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
-    val postT = readVersion(toVersion)
     val postSnap = readSnapshot(toVersion)
+    val postT = readEntries(postSnap, postSnap.entries)
     // schema may have EVOLVED inside the range: null-backfill the pre
     // side to the post schema (same rule as the incremental scan)
-    val preT = conform(
-      postSnap.schema.fields.foldLeft(readVersion(fromVersion))((d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType))),
-      postSnap)
+    val preT = conform(backfillTo(readVersion(fromVersion), postSnap), postSnap)
     val cols = postT.columns.toSeq
     val pre = preT.select(struct(cols.map(col): _*).as("__pre")
       +: keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ka$i") }: _*)

@@ -498,6 +498,30 @@ class LakeTableSpec extends SparkSpec {
     t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
   }
 
+  test("changes stays usable when expiry drops the rollback's restored ancestor") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0)))).version
+    t.append(df(Seq((2L, "x", 2.0))))
+    t.append(df(Seq((3L, "x", 3.0))))
+    t.rollbackTo(v1) // v4, parent v1
+    t.expireSnapshots(keepLast = 3) shouldBe 1 // drops v1 (v4's parent!)
+    // consumers at the RETAINED rolled-back versions: the walk stops at
+    // the fromVersion boundary without reading the expired v1 — empty
+    // feed (the rewind is unobservable incrementally), never a crash
+    t.changes(2L).count() shouldBe 0
+    t.changes(3L).count() shouldBe 0
+  }
+
+  test("changes on a branch below the fork stops at the fork, not a phantom expiry error") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.append(df(Seq((2L, "m", 2.0)))) // main v2
+    t.createBranch("b") // fork v2 in the branch namespace; its parent v1 is main-only
+    val b = t.branch("b")
+    b.append(df(Seq((3L, "x", 3.0)))) // branch v3
+    b.changes(0L).collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+  }
+
   test("changelog across schema evolution null-backfills the pre side") {
     import spark.implicits._
     val t = freshCatalog().table("db.t")
