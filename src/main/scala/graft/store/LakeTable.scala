@@ -396,26 +396,34 @@ class LakeTable(
     * evolution are null-backfilled and the result conforms to the
     * `toVersion` schema. Cost is O(appended data in the range): added
     * entries come from a manifest diff against the parent snapshot, no
-    * table scan. Snapshots in the range must not be expired. */
+    * table scan. Snapshots in the range must not be expired.
+    *
+    * Only ANCESTORS of the `to` snapshot are emitted. Two consequences:
+    * after a [[rollbackTo]], a consumer positioned at a rolled-back
+    * version receives an EMPTY feed (an incremental append stream
+    * cannot express a rewind — resync from the rollback); on a BRANCH
+    * table, the scan covers only branch-lineage snapshots — main
+    * commits below the fork are not re-emitted, so a branch consumer
+    * must start from the fork version (or scan main for the prefix). */
   def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
-    requireExists()
     // one metadata pass: every retained snapshot, indexed by version —
     // the ancestry walk and the entry diffs below resolve from this map
     // instead of re-opening snapshot files
     val all = allSnapshots
+    if (all.isEmpty) throw new IllegalStateException(s"table $name does not exist")
     val byVersion = all.map(s => s.version -> s).toMap
+    def expired(v: Long, role: String): Nothing =
+      throw new IllegalStateException(
+        s"incremental scan of $name needs snapshot v$v ($role) but it " +
+          "was expired — start from a retained version")
     val hi = toVersion.getOrElse(all.last.version)
-    val hiSnap = byVersion.getOrElse(hi, readSnapshot(hi))
+    val hiSnap = byVersion.getOrElse(hi, expired(hi, "the requested toVersion"))
     // "publish" (branch fast-forward) diffs exactly like an append: its
     // entry set is the main parent's plus the branch's additions, so the
     // manifest diff yields the branch-added dirs. (Publishing a branch
     // that REWROTE shared dirs surfaces the rewritten entries as adds —
     // same contract as Iceberg's skip-overwrite incremental options.)
     val appendOps = Set("append", "append-evolve", "publish")
-    def expired(v: Long, role: String): Nothing =
-      throw new IllegalStateException(
-        s"incremental scan of $name needs snapshot v$v ($role of " +
-          s"v${hiSnap.version}) but it was expired — start from a retained version")
     // only ANCESTORS of the `to` snapshot count: a rollback points its
     // parent at the restored version, so appends that were rolled back
     // drop out of the chain and are never re-emitted (Iceberg's
@@ -435,7 +443,8 @@ class LakeTable(
         node = s.parentVersion match {
           case Some(v) if v > fromVersion =>
             byVersion.get(v).orElse(
-              if (s.operation == "fork") None else expired(v, "ancestor"))
+              if (s.operation == "fork") None
+              else expired(v, s"ancestor of v${hiSnap.version}"))
           case _ => None
         }
       }
