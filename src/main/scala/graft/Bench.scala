@@ -43,11 +43,23 @@ object Bench {
     val qs = results.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // stop() BEFORE printing: the JSON must be the final stdout line for
-    // the driver's parser (session shutdown logs at INFO are suppressed,
-    // but ordering makes it robust regardless of log level).
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    // Per-query timings go to a file and an EARLY stdout line; the driver
+    // keeps only a ~2 KB tail of stdout and parses the LAST line as JSON,
+    // so the final line must be a compact summary (r04's 4.8 KB full line
+    // overflowed the tail window and parsed as null).
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(fullJson)
+    // stop() BEFORE the final print: the compact JSON must be the last
+    // stdout line for the driver's parser (session shutdown logs at INFO
+    // are suppressed, but ordering makes it robust regardless of level).
     spark.stop()
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","detail":"bench_detail.json"}""")
   }
 }

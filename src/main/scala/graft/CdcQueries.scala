@@ -138,9 +138,9 @@ object CdcQueries {
         encode(col("o_orderstatus"), "UTF-8")).as("frame"))
     framed.select(
       col("id"),
-      Transforms.confluentSchemaId(col("frame")).as("schema_id"),
+      Transforms.confluentSchemaId(col("frame")).cast("long").as("schema_id"),
       decode(Transforms.confluentPayload(col("frame")), "UTF-8").as("payload_s"),
-      (length(col("frame")) - 5).as("payload_len"))
+      (length(col("frame")) - 5).cast("long").as("payload_len"))
       .orderBy("id")
   }
 

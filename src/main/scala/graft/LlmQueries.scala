@@ -45,7 +45,7 @@ object LlmQueries {
       .withColumn("__toks", tokens(col("text")))
       .select(
         col("doc_id"),
-        size(col("__toks")).as("n_tokens"),
+        size(col("__toks")).cast("long").as("n_tokens"),
         (aggregate(transform(col("__toks"), t => length(t)), lit(0), _ + _)
           .cast("double") / size(col("__toks")).cast("double")).as("avg_tok_len"))
       .orderBy("doc_id")
@@ -80,8 +80,8 @@ object LlmQueries {
     table(s, dir, "documents")
       .select(
         col("doc_id"),
-        bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        tokenCount(col("text")).as("n_ws_tokens"))
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        tokenCount(col("text")).cast("long").as("n_ws_tokens"))
       .orderBy("doc_id")
 
   // ------------------------------------------------------------------
@@ -558,7 +558,7 @@ object LlmQueries {
       .packPayload(table(s, dir, "documents"), "text", "text/plain")
       .select(
         col("doc_id"),
-        length(col("payload")).as("byte_len"),
+        length(col("payload")).cast("long").as("byte_len"),
         substring(col("text"), 1, 8).as("head"),
         (length(col("payload")) === length(col("text"))).as("is_ascii"))
       .orderBy("doc_id")
@@ -569,8 +569,8 @@ object LlmQueries {
       .select(
         col("doc_id"),
         col("meta.byte_len").as("byte_len"),
-        col("meta.width").as("width"),
-        col("meta.height").as("height"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
         round(col("meta.mean_luma"), 4).as("mean_luma"))
       .orderBy("doc_id")
 
@@ -582,7 +582,7 @@ object LlmQueries {
         stride = 3)
       .select(
         col("doc_id"),
-        length(col("resized")).as("r_len"),
+        length(col("resized")).cast("long").as("r_len"),
         md5(col("resized")).as("r_md5"))
       .orderBy("doc_id")
 
@@ -594,7 +594,7 @@ object LlmQueries {
       .select(
         col("doc_id"),
         decode(Multimodal.sampleSegment(col("payload"), 3, 10), "UTF-8").as("seg"),
-        length(Multimodal.sampleSegment(col("payload"), 3, 10)).as("seg_len"),
+        length(Multimodal.sampleSegment(col("payload"), 3, 10)).cast("long").as("seg_len"),
         md5(Multimodal.sampleSegment(col("payload"), 1, 16)).as("head_md5"))
       .orderBy("doc_id")
 
@@ -997,7 +997,7 @@ object LlmQueries {
       s"""WITH t AS ($ToksCte),
          s AS (SELECT doc_id, ($simhashSql) AS sh FROM t)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS dist
+                CAST(bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS BIGINT) AS dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 1
          ORDER BY doc_a, doc_b""",

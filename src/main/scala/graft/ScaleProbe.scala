@@ -49,6 +49,43 @@ object ScaleProbe {
     time("lsh_near_dup")(Dedup.lshNearDuplicates(big, maxBucket = 1000))
     time("dup_ngram_coverage")(Dedup.dupNgramCoverage(big))
     time("simhash_near_dup")(Dedup.simhashNearDuplicates(big))
+
+    // ANN probes (the e04/e07/e19 IVF family): corpus replicated with
+    // id offsets — per-cell population grows `mult`×, and the claim
+    // under test is that candidate generation stays cell-bounded (query
+    // cost ~linear in corpus, never all-pairs) while index build is a
+    // one-shuffle assignment. Queries stay FIXED (25 vectors) so probe
+    // wall-clock isolates corpus growth.
+    import graft.operators.{IvfIndex, Similarity}
+    import graft.store.LakeCatalog
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def embReplica(i: Int): DataFrame = embBase.select(
+      (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+      col("embedding"), col("label"))
+    val embBig = (0 until mult).map(embReplica).reduce(_ unionByName _)
+      .repartition(par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = embBase.filter(col("vec_id") < 25)
+    println(s"PROBE embeddings: ${embBig.count()} vectors x ${queries.count()} queries")
+
+    time("ivf_knn_derive (e04)")(
+      Similarity.ivfKnn(queries, embBig, k = 5, nprobe = 3))
+    val cat = new LakeCatalog(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_probe_ivf_$mult")
+    cat.createDatabase("probe")
+    time("ivf_index_build (e07)") {
+      IvfIndex.build(cat, "probe", "ann", embBig)
+      cat.table("probe.ann_cells").read
+    }
+    time("ivf_index_query (e07)")(
+      IvfIndex.query(cat, "probe", "ann", queries, k = 5, nprobe = 3))
+    time("ivf_index_append (e19)") {
+      // one replica's worth of fresh vectors against the frozen quantizer
+      IvfIndex.append(cat, "probe", "ann", embReplica(mult))
+      cat.table("probe.ann_cells").read
+    }
+    time("ivf_query_after_append")(
+      IvfIndex.query(cat, "probe", "ann", queries, k = 5, nprobe = 3))
     spark.stop()
   }
 }

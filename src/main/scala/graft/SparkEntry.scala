@@ -193,8 +193,8 @@ object SparkEntry {
         lag("event_type", 1).over(byTime).as("prev_type"),
         lead("event_type", 1).over(byTime).as("next_type"),
         rank().over(Window.partitionBy("user_id")
-          .orderBy(desc("cents"), col("event_id"))).as("spend_rank"),
-        ntile(4).over(byTime).as("quartile"))
+          .orderBy(desc("cents"), col("event_id"))).cast("long").as("spend_rank"),
+        ntile(4).over(byTime).cast("long").as("quartile"))
       .orderBy("user_id", "event_id")
   }
 
@@ -328,7 +328,7 @@ object SparkEntry {
     val firstWeek = ev.groupBy("user_id").agg(min("w").as("cw"))
     ev.join(firstWeek, Seq("user_id"))
       .select(col("user_id"), col("cw"),
-        (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"))
+        (datediff(col("w"), col("cw")) / 7).cast("long").as("week_offset"))
       .distinct()
       .groupBy("cw", "week_offset")
       .agg(count(lit(1)).as("n_users"))
@@ -382,7 +382,7 @@ object SparkEntry {
       .select(
         col("p_partkey"),
         split(col("p_type"), " ").getItem(0).as("type_head"),
-        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev_bt"),
         lpad(col("p_brand"), 12, "*").as("brand_pad"),
         reverse(col("p_name")).as("name_rev"),
         translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
@@ -397,14 +397,14 @@ object SparkEntry {
     table(s, dir, "orders")
       .select(
         col("o_orderkey"),
-        quarter(col("o_orderdate")).as("qtr"),
-        weekofyear(col("o_orderdate")).as("iso_week"),
-        (dayofweek(col("o_orderdate"))).as("dow"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
         last_day(col("o_orderdate")).as("month_end"),
         date_add(col("o_orderdate"), 30).as("plus30"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
           .as("month_start"),
-        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"))
       .orderBy("o_orderkey")
 
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -561,7 +561,7 @@ object SparkEntry {
         col("p_partkey"),
         col("p_name"),
         upper(col("p_brand")).as("brand_u"),
-        length(col("p_type")).as("type_len"))
+        length(col("p_type")).cast("long").as("type_len"))
       .orderBy("p_partkey")
 
   private def q14(s: SparkSession, dir: String): DataFrame =
@@ -695,7 +695,7 @@ object SparkEntry {
       .windowedTopTypes(table(s, dir, "events"), topK = 3)
       .select(
         date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-        col("rnk"), col("event_type"), col("n_events"))
+        col("rnk").cast("long").as("rnk"), col("event_type"), col("n_events"))
       .orderBy("w_start", "rnk")
 
   private def s10(s: SparkSession, dir: String): DataFrame = {
@@ -1191,10 +1191,10 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, ts,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
          SELECT user_id, event_id,
-           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS UNBOUNDED PRECEDING) AS run_cents,
-           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_cents
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_cents
          FROM e ORDER BY user_id, event_id""",
     "q20_rollup" ->
       """SELECT r_name, n_name,

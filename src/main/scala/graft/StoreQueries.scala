@@ -39,6 +39,42 @@ object StoreQueries {
     t.read.orderBy("o_orderkey")
   }
 
+  /** c25: the c06 lifecycle in MERGE-ON-READ mode — RTAS → MoR MERGE
+    * (update evens, O(batch) commit: new data dir + equality-delete
+    * file, nothing rewritten) → MoR DELETE (multiples of 7, delete file
+    * only) → read (anti-join applies the masks) → position-delete
+    * compaction (folds the delete files physically) → read again. The
+    * returned frame is the POST-compaction state; matching the same
+    * oracle as a COW run proves the mask semantics and the fold are
+    * both exact. This is the heavy-update CDC shape at 100 TB: writes
+    * track the micro-batch, maintenance amortizes the read-side debt. */
+  private def c25(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_")))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_mor")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base)
+    val source = base
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+      .withColumn("o_orderstatus", lit("U"))
+    t.mergeIntoMoR(source, Seq("o_orderkey"))
+    t.deleteWhereExistsMoR(
+      base.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val masked = t.read
+    val (removedDeletes, _) = t.rewritePositionDeleteFiles()
+    require(removedDeletes == 2, s"expected to fold 2 delete files, got $removedDeletes")
+    val folded = t.read
+    // the masked (pre-compaction) and folded (post-compaction) reads
+    // must agree row-for-row — cheap to assert here, and it turns this
+    // oracle row into a check of BOTH read paths
+    require(masked.exceptAll(folded).isEmpty && folded.exceptAll(masked).isEmpty,
+      "MoR masked read and post-compaction read diverge")
+    folded.orderBy("o_orderkey")
+  }
+
   /** c07: same lifecycle on a year-partitioned table, exercising the
     * partition-pruned copy-on-write path: the merge/delete batches touch
     * a single year, so only that partition is rewritten — the shape a
@@ -430,6 +466,7 @@ object StoreQueries {
     "c14_schema_evolution" -> (c14 _),
     "c15_incremental_scan" -> (c15 _),
     "c06_lake_merge_delete" -> (c06 _),
+    "c25_lake_mor_merge_delete" -> (c25 _),
     "c07_lake_partitioned_cow" -> (c07 _),
     "c12_lake_bucketed_cow" -> (c12 _),
     "c09_watermark_ledger" -> (c09 _),
@@ -553,6 +590,14 @@ object StoreQueries {
          FROM events, b WHERE event_id BETWEEN q AND 2*q
          GROUP BY event_type ORDER BY event_type""",
     "c06_lake_merge_delete" ->
+      """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice + 1000.0, 2)
+              ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 7 <> 0
+         ORDER BY o_orderkey""",
+    // MoR run of the same net transformation — identical oracle to c06
+    "c25_lake_mor_merge_delete" ->
       """SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
          CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice + 1000.0, 2)

@@ -100,20 +100,21 @@ object Maintenance {
     ()
   }
 
-  /** Standalone small-file rewrite, interval-gated by the caller via the
-    * pre-fetched last-success map (`maintenance.py:189-246`;
-    * `cdc_pipeline.py:421-425`). The CoW store's analog of Iceberg's
-    * position-delete debt is the small-file debt left by partition
-    * rewrites, so the procedure body is the same bin-pack rewrite
-    * recorded under its own procedure type. */
+  /** `rewrite_position_delete_files`, interval-gated by the caller via
+    * the pre-fetched last-success map (`maintenance.py:189-246`;
+    * `cdc_pipeline.py:421-425`): folds the table's outstanding
+    * merge-on-read equality-delete files into the data entries they
+    * mask and clears them, recording (removed delete files, rewritten
+    * entries) in the maintenance ledger like the Iceberg procedure's
+    * result row. A no-op (0, 0) on copy-on-write tables. */
   def runPositionDeleteCompaction(
       cat: LakeCatalog,
       dagId: String,
       fqn: String,
       batchId: Option[Long] = None): Unit = {
     recorded(cat, dagId, fqn, "rewrite_position_delete_files", batchId) {
-      val (rewritten, added) = cat.table(fqn).rewriteDataFiles()
-      (Some(rewritten.toLong), Some(added.toLong))
+      val (removedDeletes, rewritten) = cat.table(fqn).rewritePositionDeleteFiles()
+      (Some(removedDeletes.toLong), Some(rewritten.toLong))
     }
     ()
   }

@@ -277,7 +277,7 @@ object Curation {
         qualityScoreFromTokens(col(textCol), col("__toks")).as("quality"))
     val w = Window.partitionBy("source").orderBy(desc("quality"), col("doc_id"))
     scored
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= cap)
   }
 
@@ -440,8 +440,8 @@ object Curation {
         slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
       .select(
         col("doc_id"),
-        col("chunk_id"),
-        size(col("__chunk")).as("n_tokens"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
   }
 
@@ -461,10 +461,11 @@ object Curation {
       regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"), numRun, "<NUM>")
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(col(textCol), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
       size(regexp_extract_all(
         regexp_replace(col(textCol), email, "<EMAIL>"), lit(numRun), lit(0)))
-        .as("n_nums"),
+        .cast("long").as("n_nums"),
       md5(redacted).as("redacted_md5"))
   }
 

@@ -432,7 +432,7 @@ object Dedup {
         .select(
           least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"),
-          hamming16(col("sh_a"), col("sh_b")).as("dist")),
+          hamming16(col("sh_a"), col("sh_b")).cast("long").as("dist")),
       sigs)
   }
 

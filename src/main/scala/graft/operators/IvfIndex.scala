@@ -87,7 +87,7 @@ object IvfIndex {
       .withColumn("cos", cosine(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
 }

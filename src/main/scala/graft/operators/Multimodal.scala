@@ -137,10 +137,10 @@ object Multimodal {
         explode(sequence(lit(0), floor((col("__len") - 1) / frameBytes).cast("int"))))
       .select(
         col(idCol),
-        col("frame_no"),
-        (col("frame_no") * frameBytes).as("byte_offset"),
+        col("frame_no").cast("long").as("frame_no"),
+        (col("frame_no") * frameBytes).cast("long").as("byte_offset"),
         least(lit(frameBytes), col("__len") - col("frame_no") * frameBytes)
-          .as("frame_len"),
+          .cast("long").as("frame_len"),
         md5(col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)))
           .as("frame_md5"))
 }

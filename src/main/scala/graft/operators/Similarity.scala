@@ -35,7 +35,7 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** ANN top-k: only corpus vectors in the query's LSH bucket are scored.
@@ -51,7 +51,7 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Cosine RANGE search: every corpus vector within cosine ≥
@@ -96,7 +96,7 @@ object Similarity {
           lit("negl2"), col("negl2"))).as(Seq("metric", "score")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("metric"), col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("metric"), col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("score"), 4).as("score"))
   }
 
@@ -115,7 +115,7 @@ object Similarity {
       .groupBy("query_id")
       .agg(topKByScore(col("cos"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
-      .select(col("query_id"), (col("i") + 1).cast("int").as("rank"),
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("neighbor_id"), round(col("e.score"), 4).as("cos"))
   }
 
@@ -145,7 +145,7 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
@@ -249,7 +249,7 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
 
@@ -409,7 +409,7 @@ object Similarity {
       .agg(sum("qd").as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("adc"), 4).as("adc"))
   }
 
@@ -484,7 +484,7 @@ object Similarity {
       .agg(sum("qd").as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("adc"), 4).as("adc"))
   }
 
@@ -539,7 +539,7 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("label"),
         round(col("cos"), 4).as("cos"))
   }
 
@@ -582,7 +582,7 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(byFull))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
 
@@ -671,7 +671,7 @@ object Similarity {
       .withColumn("dot", dot(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(byDot))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("dot"), 4).as("dot"))
   }
 }

@@ -20,17 +20,28 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * path inside it ("p=v[/p2=v2]"). A snapshot may reference directories
   * written by EARLIER snapshots — that is what makes appends and
   * partition-pruned rewrites O(changed data), not O(table).
+  *
+  * `seq` is the entry's DATA SEQUENCE NUMBER (the version whose commit
+  * wrote the directory; 0 for entries from before sequence tracking).
+  * It orders data against merge-on-read delete files: a delete entry
+  * applies only to data entries with a strictly LOWER sequence — the
+  * Iceberg v2 sequencing rule.
   */
 case class ManifestEntry(
     dir: String,
     partition: Option[String],
-    stats: Map[String, (String, String)] = Map.empty) {
+    stats: Map[String, (String, String)] = Map.empty,
+    seq: Long = 0L) {
   def dataPath(tableLocation: String): String = {
     val base = s"$tableLocation/data/$dir"
     partition.map(p => s"$base/$p").getOrElse(base)
   }
 }
 
+/** `deleteEntries` are outstanding merge-on-read EQUALITY-DELETE files
+  * (parquet of key tuples, `seq` = the deleting commit's version); a
+  * read drops any data row whose key appears in a delete entry with a
+  * higher sequence. Empty for copy-on-write tables. */
 case class Snapshot(
     version: Long,
     parentVersion: Option[Long],
@@ -40,7 +51,8 @@ case class Snapshot(
     partitionCols: Seq[String],
     entries: Seq[ManifestEntry],
     properties: Map[String, String],
-    summary: Map[String, String])
+    summary: Map[String, String],
+    deleteEntries: Seq[ManifestEntry] = Nil)
 
 /** Parquet-backed versioned table with an Iceberg-style optimistic
   * snapshot-commit protocol — the local stand-in for the reference's
@@ -66,14 +78,31 @@ case class Snapshot(
   *    directories whose partition appears in the source batch are
   *    rewritten — at 100 TB a date-partitioned CDC target rewrites a few
   *    recent partitions per micro-batch, not the table;
+  *  - heavy-update tables can run MERGE-ON-READ instead
+  *    ([[mergeIntoMoR]]/[[deleteWhereExistsMoR]]): O(batch) equality-
+  *    delete commits, folded back by [[rewritePositionDeleteFiles]];
   *  - readers get plain parquet scans (vectorized, filter-pushdown,
   *    partition-pruned by Catalyst via the Hive dir layout).
+  *
+  * Manifest ceiling (design bound, deliberate): `entries` lives in ONE
+  * JSON document per version, processed on the driver — there is no
+  * manifest-file tree like real Iceberg, so commit and planning cost is
+  * O(entries), ~100 bytes of JSON each. Entries are per write-directory
+  * × partition (NOT per data file), so the count grows by the
+  * partitions touched per commit and is RESET by any full rewrite
+  * ([[rewriteDataFiles]] and the clustering rewrites collapse the
+  * manifest to O(current partitions); COW merge/delete replace the
+  * touched partitions' entries instead of adding). Practical limit:
+  * ~10^4 entries keeps commits at single-digit milliseconds of JSON;
+  * ~10^5 is tens of ms; past that, run a compaction — the same cadence
+  * Iceberg needs `rewrite_manifests` at. A CDC table maintained on the
+  * reference's own compaction interval never approaches the ceiling.
   */
 class LakeTable(
     val spark: SparkSession,
     val location: String,
     val name: String,
-    metaSubpath: String = "_meta") {
+    private val metaSubpath: String = "_meta") {
 
   import LakeTable._
 
@@ -111,14 +140,8 @@ class LakeTable(
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val n = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
-    Snapshot(
-      version = n.get("version").asLong(),
-      parentVersion = Option(n.get("parent")).filter(!_.isNull).map(_.asLong()),
-      operation = n.get("operation").asText(),
-      timestampMs = n.get("timestampMs").asLong(),
-      schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
-      partitionCols = n.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
-      entries = n.get("entries").elements().asScala.map { e =>
+    def entriesOf(field: String): Seq[ManifestEntry] =
+      Option(n.get(field)).filter(!_.isNull).map(_.elements().asScala.map { e =>
         val stats = Option(e.get("stats")).filter(!_.isNull).map { sn =>
           sn.fields().asScala.map { kv =>
             kv.getKey -> (kv.getValue.get("min").asText(), kv.getValue.get("max").asText())
@@ -127,10 +150,20 @@ class LakeTable(
         ManifestEntry(
           e.get("dir").asText(),
           Option(e.get("partition")).filter(!_.isNull).map(_.asText()),
-          stats)
-      }.toSeq,
+          stats,
+          Option(e.get("seq")).filter(!_.isNull).map(_.asLong()).getOrElse(0L))
+      }.toSeq).getOrElse(Nil)
+    Snapshot(
+      version = n.get("version").asLong(),
+      parentVersion = Option(n.get("parent")).filter(!_.isNull).map(_.asLong()),
+      operation = n.get("operation").asText(),
+      timestampMs = n.get("timestampMs").asLong(),
+      schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      partitionCols = n.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
+      entries = entriesOf("entries"),
       properties = objToMap(n.get("properties").asInstanceOf[ObjectNode]),
-      summary = objToMap(n.get("summary").asInstanceOf[ObjectNode]))
+      summary = objToMap(n.get("summary").asInstanceOf[ObjectNode]),
+      deleteEntries = entriesOf("deleteEntries"))
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -141,18 +174,23 @@ class LakeTable(
     n.put("timestampMs", s.timestampMs)
     n.put("schema", s.schema.json)
     val pc = n.putArray("partitionCols"); s.partitionCols.foreach(pc.add)
-    val arr = n.putArray("entries")
-    s.entries.foreach { e =>
-      val en = arr.addObject()
-      en.put("dir", e.dir)
-      e.partition.fold[Unit](en.putNull("partition"))(p => { en.put("partition", p); () })
-      if (e.stats.nonEmpty) {
-        val sn = en.putObject("stats")
-        e.stats.foreach { case (c, (mn, mx)) =>
-          val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+    def putEntries(field: String, es: Seq[ManifestEntry]): Unit = {
+      val arr = n.putArray(field)
+      es.foreach { e =>
+        val en = arr.addObject()
+        en.put("dir", e.dir)
+        e.partition.fold[Unit](en.putNull("partition"))(p => { en.put("partition", p); () })
+        if (e.stats.nonEmpty) {
+          val sn = en.putObject("stats")
+          e.stats.foreach { case (c, (mn, mx)) =>
+            val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+          }
         }
+        if (e.seq != 0L) en.put("seq", e.seq)
       }
     }
+    putEntries("entries", s.entries)
+    if (s.deleteEntries.nonEmpty) putEntries("deleteEntries", s.deleteEntries)
     val props = n.putObject("properties"); s.properties.foreach { case (k, v) => props.put(k, v) }
     val sum = n.putObject("summary"); s.summary.foreach { case (k, v) => sum.put(k, v) }
 
@@ -161,28 +199,31 @@ class LakeTable(
     // Commit point: fully write a hidden temp file, then atomically claim
     // the version file — readers never observe partial metadata (the temp
     // name is filtered by VersionFileRe) and exactly one writer wins each
-    // version. On local FS the claim is a hard-link creation (atomic,
-    // fails if the target exists; plain rename is exists-check-then-move
-    // through ChecksumFileSystem and can interleave). On HDFS-like
-    // schemes rename itself is atomic-no-overwrite — the same protocol
-    // as Iceberg's HadoopTableOperations.
+    // version — the same protocol as Iceberg's HadoopTableOperations.
     val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
     finally out.close()
-    val claimed =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else fs.rename(tmp, target)
+    val claimed = claimFile(tmp, target)
     fs.delete(tmp, false)
     if (!claimed)
       throw new CommitConflictException(s"concurrent commit on $name v${s.version}", null)
   }
+
+  /** Atomic no-overwrite claim of `target` from a fully-written `tmp`.
+    * On local FS the claim is a hard-link creation (atomic, fails if the
+    * target exists; plain rename is exists-check-then-move through
+    * ChecksumFileSystem and can interleave). On HDFS-like schemes rename
+    * itself is atomic-no-overwrite. Exactly one claimant wins. */
+  private def claimFile(tmp: Path, target: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else fs.rename(tmp, target)
 
   /** Optimistic commit. `retries > 0` is only safe for ADDITIVE builds
     * (append, ledger insert): `buildEntries` re-runs against the fresh
@@ -197,7 +238,12 @@ class LakeTable(
       operation: String,
       retries: Int = 0,
       retryWaitMs: Long = 200,
-      parentOverride: Option[Long] = None)(
+      parentOverride: Option[Long] = None,
+      // merge-on-read delete files: default carries the parent's
+      // outstanding deletes forward (COW commits never touch them);
+      // MoR writers append, position-delete compaction clears
+      deleteEntriesFn: Option[Snapshot] => Seq[ManifestEntry] =
+        p => p.map(_.deleteEntries).getOrElse(Nil))(
       buildEntries: Option[Snapshot] => (StructType, Seq[String], Seq[ManifestEntry], Map[String, String], Map[String, String])): Snapshot =
     synchronized {
       var attempt = 0
@@ -205,8 +251,13 @@ class LakeTable(
       while (result == null) {
         val parent = currentSnapshot
         val (sch, pcols, entries, props, summary) = buildEntries(parent)
+        val version = parent.map(_.version + 1).getOrElse(1L)
+        // freshly-written entries carry the StampAtCommit sentinel —
+        // their data sequence number is this commit's version
+        def stamp(es: Seq[ManifestEntry]) =
+          es.map(e => if (e.seq == StampAtCommit) e.copy(seq = version) else e)
         val snap = Snapshot(
-          version = parent.map(_.version + 1).getOrElse(1L),
+          version = version,
           // a rollback re-parents onto the RESTORED version so the
           // rolled-back commits leave the ancestry chain
           parentVersion = parentOverride.orElse(parent.map(_.version)),
@@ -214,9 +265,10 @@ class LakeTable(
           timestampMs = System.currentTimeMillis(),
           schema = sch,
           partitionCols = pcols,
-          entries = entries,
+          entries = stamp(entries),
           properties = props,
-          summary = summary)
+          summary = summary,
+          deleteEntries = stamp(deleteEntriesFn(parent)))
         try {
           writeSnapshot(snap)
           result = snap
@@ -248,10 +300,10 @@ class LakeTable(
       .parquet(abs)
     val entries =
       if (partitionCols.isEmpty)
-        Seq(ManifestEntry(dir, None, footerStats(new Path(abs), df.schema)))
+        Seq(ManifestEntry(dir, None, footerStats(new Path(abs), df.schema), StampAtCommit))
       else listLeafPartitions(new Path(abs), partitionCols.length)
         .map(rel => ManifestEntry(dir, Some(rel),
-          footerStats(new Path(s"$abs/$rel"), df.schema)))
+          footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))
     (dir, entries)
   }
 
@@ -339,11 +391,12 @@ class LakeTable(
       .parquet(s"$location/data")
   }
 
-  /** Current table contents as a plain parquet-backed DataFrame. */
+  /** Current table contents as a plain parquet-backed DataFrame
+    * (merge-on-read delete files, if any, applied). */
   def read: DataFrame = {
     val s = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table $name does not exist"))
-    readEntries(s, s.entries)
+    morRead(s, s.entries)
   }
 
   /** Filtered read with MANIFEST-LEVEL min/max pruning (the Iceberg
@@ -356,7 +409,7 @@ class LakeTable(
   def readWhere(cond: Column): DataFrame = {
     val s = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table $name does not exist"))
-    readEntries(s, prunedEntries(s, cond)).filter(cond)
+    morRead(s, prunedEntries(s, cond)).filter(cond)
   }
 
   /** Entries surviving stats pruning for `cond` (exposed for planning
@@ -382,7 +435,7 @@ class LakeTable(
     * `VERSION AS OF` — snapshots stay readable until expireSnapshots). */
   def readVersion(version: Long): DataFrame = {
     val s = readSnapshot(version)
-    readEntries(s, s.entries)
+    morRead(s, s.entries)
   }
 
   /** Incremental BATCH scan — the Iceberg `start-snapshot-id`
@@ -429,11 +482,16 @@ class LakeTable(
     // drop out of the chain and are never re-emitted (Iceberg's
     // ancestor rule). Scanning from a version that is itself no longer
     // an ancestor under-reports by construction — an incremental
-    // consumer must resync after a rewind it did not observe. The walk
-    // never READS a snapshot at or below `fromVersion` (its version is
-    // known from the child's parent pointer), and a branch FORK's
-    // parent lives in the main lineage — the walk stops at the fork
-    // instead of treating the main snapshot as expired.
+    // consumer must resync after a rewind it did not observe. The
+    // ancestry WALK never opens a snapshot at or below `fromVersion`
+    // (versions come from the child's parent pointer), but the manifest
+    // DIFF below still reads the snapshot AT `fromVersion` whenever its
+    // child is an append-family snapshot — so the boundary snapshot
+    // itself must be retained in that (common) case; only non-append
+    // boundaries (the child is a rollback/fork/rewrite) tolerate an
+    // expired `fromVersion`. A branch FORK's parent lives in the main
+    // lineage — the walk stops at the fork instead of treating the
+    // main snapshot as expired.
     val ancestors = {
       val b = Set.newBuilder[Long]
       var node: Option[Snapshot] = Some(hiSnap)
@@ -554,7 +612,7 @@ class LakeTable(
   def overwrite(df: DataFrame): Snapshot = {
     val s = requireExists()
     val (_, entries) = writeData(prepared(df, s), s.partitionCols)
-    commit("overwrite")(_ =>
+    commit("overwrite", deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
   }
 
@@ -586,7 +644,7 @@ class LakeTable(
     val out = graft.operators.Merge.upsert(conformTo(read), conformTo(source), keys)
     val withBucket = bucketSpec(s).map(withDerivedBucket(out, _)).getOrElse(out)
     val (_, entries) = writeData(withBucket, s.partitionCols)
-    commit("merge-evolve")(_ =>
+    commit("merge-evolve", deleteEntriesFn = _ => Nil)(_ =>
       (widened, s.partitionCols, entries, s.properties,
         Map("added-columns" ->
           (widened.fieldNames.length - s.schema.fieldNames.length).toString)))
@@ -611,7 +669,7 @@ class LakeTable(
     * irreducible price of pre/post rows. */
   def changelog(fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
     val postSnap = readSnapshot(toVersion)
-    val postT = readEntries(postSnap, postSnap.entries)
+    val postT = morRead(postSnap, postSnap.entries)
     // schema may have EVOLVED inside the range: null-backfill the pre
     // side to the post schema (same rule as the incremental scan)
     val preT = conform(backfillTo(readVersion(fromVersion), postSnap), postSnap)
@@ -656,7 +714,8 @@ class LakeTable(
         throw new IllegalArgumentException(
           s"cannot roll back $name to v$version: no such snapshot", e)
       }
-    commit("rollback", parentOverride = Some(version))(_ =>
+    commit("rollback", parentOverride = Some(version),
+      deleteEntriesFn = _ => target.deleteEntries)(_ =>
       (target.schema, target.partitionCols, target.entries, target.properties,
         Map("rolled-back-to" -> version.toString)))
   }
@@ -675,8 +734,145 @@ class LakeTable(
   def deleteWhere(cond: Column): Snapshot = {
     val s = requireExists()
     val (_, entries) = writeData(prepared(read.filter(not(cond)), s), s.partitionCols)
-    commit("delete")(_ =>
+    commit("delete", deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
+  }
+
+  // -------------------------------------------------------------------
+  // merge-on-read (Iceberg v2 write.merge.mode=merge-on-read analog;
+  // the reference's commented MoR table props, iceberg.py:78-84)
+  // -------------------------------------------------------------------
+
+  /** Key columns of this table's equality-delete files. */
+  private def morKeys(s: Snapshot): Seq[String] =
+    s.properties.get(MorKeysProp)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def requireMorKeys(s: Snapshot, keys: Seq[String]): Unit = {
+    val stored = morKeys(s)
+    require(stored.isEmpty || stored == keys,
+      s"table $name merge-on-read keys are ${stored.mkString(",")}; got ${keys.mkString(",")}")
+    require(keys.forall(s.schema.fieldNames.contains),
+      s"merge keys ${keys.mkString(",")} not all present in $name's schema")
+  }
+
+  /** Write `src`'s distinct key tuples as one equality-delete parquet
+    * dir (O(batch), never O(table)) and return its manifest entry with
+    * footer key-range stats — what lets the compactor skip data entries
+    * a delete provably cannot touch. */
+  private def writeDeleteFile(src: DataFrame, keys: Seq[String], s: Snapshot): ManifestEntry = {
+    val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
+    val keyDf = src.select(keys.map(k => col(k).cast(types(k)).as(k)): _*).distinct()
+    val dir = "del-" + UUID.randomUUID().toString.take(14)
+    val abs = s"$location/data/$dir"
+    keyDf.write.mode("errorifexists").parquet(abs)
+    ManifestEntry(dir, None,
+      footerStats(new Path(abs), StructType(s.schema.fields.filter(f => keys.contains(f.name)))),
+      StampAtCommit)
+  }
+
+  /** MERGE INTO ... merge-on-read: commit the source batch as a NEW
+    * data dir plus an equality-delete file of the source keys — no data
+    * file is rewritten. The delete's sequence number (this commit's
+    * version) masks matching rows in every OLDER entry; the batch's own
+    * rows share the version and survive. This is the heavy-update CDC
+    * shape at 100 TB: each micro-batch writes O(batch) where COW
+    * rewrites O(touched partitions); reads pay one anti-join until
+    * [[rewritePositionDeleteFiles]] folds the delete files away. */
+  def mergeIntoMoR(source: DataFrame, keys: Seq[String]): Snapshot = {
+    val s = requireExists()
+    requireMorKeys(s, keys)
+    val (_, dataEntries) = writeData(prepared(source, s), s.partitionCols)
+    val delEntry = writeDeleteFile(source, keys, s)
+    commit("merge-mor",
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
+      (s.schema, s.partitionCols, s.entries ++ dataEntries,
+        s.properties + (MorKeysProp -> keys.mkString(",")),
+        Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1")))
+  }
+
+  /** DELETE ... merge-on-read: just the equality-delete file — a pure
+    * metadata + O(batch) commit, nothing rewritten. */
+  def deleteWhereExistsMoR(deletes: DataFrame, keys: Seq[String]): Snapshot = {
+    val s = requireExists()
+    requireMorKeys(s, keys)
+    val delEntry = writeDeleteFile(deletes, keys, s)
+    commit("delete-mor",
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
+      (s.schema, s.partitionCols, s.entries,
+        s.properties + (MorKeysProp -> keys.mkString(",")),
+        Map("delete-files" -> "1")))
+  }
+
+  /** Read `entries` with the snapshot's outstanding equality-delete
+    * files applied: a data row is dropped when a delete entry with a
+    * strictly higher sequence number carries its key tuple. Entries at
+    * least as new as the newest delete are read plain — only older
+    * entries pay the anti-join, and the join's build side is the
+    * (micro-batch-sized) union of delete files, so AQE broadcasts it in
+    * the common case. */
+  private def morRead(s: Snapshot, entries: Seq[ManifestEntry]): DataFrame = {
+    if (s.deleteEntries.isEmpty || entries.isEmpty) return readEntries(s, entries)
+    val keys = morKeys(s)
+    require(keys.nonEmpty,
+      s"table $name has delete files but no $MorKeysProp property")
+    val maxDel = s.deleteEntries.map(_.seq).max
+    val (maskable, fresh) = entries.partition(_.seq < maxDel)
+    if (maskable.isEmpty) return readEntries(s, entries)
+    val data = maskable.groupBy(_.dir).toSeq.map { case (dir, es) =>
+      val base = s"$location/data/$dir"
+      val reader = spark.read.schema(s.schema)
+      val df =
+        if (s.partitionCols.isEmpty) reader.parquet(base)
+        else reader.option("basePath", base).parquet(es.map(_.dataPath(location)): _*)
+      df.withColumn("__dseq", lit(es.head.seq))
+    }.reduce(_ unionByName _)
+    val dels = s.deleteEntries.map { e =>
+      spark.read.parquet(s"$location/data/${e.dir}")
+        .select(keys.map(k => col(k).as(s"__dk_$k")) :+ lit(e.seq).as("__xseq"): _*)
+    }.reduce(_ unionByName _)
+    val cond = keys.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _) &&
+      col("__dseq") < col("__xseq")
+    val applied = data.join(dels, cond, "left_anti")
+      .select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (fresh.isEmpty) applied else applied.unionByName(readEntries(s, fresh))
+  }
+
+  /** `rewrite_position_delete_files` analog
+    * (`maintenance.py:189-246`), taken to its physical conclusion:
+    * FOLD the outstanding equality-delete files into the data they
+    * mask, then clear them. Only data entries a delete could actually
+    * touch are rewritten — an entry is skipped when its sequence is not
+    * below every applicable delete's, or when the manifest key-range
+    * stats prove disjointness — so the cost tracks the masked slice of
+    * the table, not the table. Returns
+    * (deleteFilesRemoved, dataEntriesRewritten). */
+  def rewritePositionDeleteFiles(): (Int, Int) = {
+    val s = requireExists()
+    if (s.deleteEntries.isEmpty) return (0, 0)
+    val keys = morKeys(s)
+    val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
+    def mayApply(e: ManifestEntry, d: ManifestEntry): Boolean =
+      e.seq < d.seq && keys.forall { k =>
+        (e.stats.get(k), d.stats.get(k)) match {
+          // ALL keys must match for an equality delete to hit a row, so
+          // proven disjointness on ANY key clears the entry
+          case (Some((emn, emx)), Some((dmn, dmx))) =>
+            !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
+          case _ => true // missing stats: conservative
+        }
+      }
+    val (affected, untouched) =
+      s.entries.partition(e => s.deleteEntries.exists(d => mayApply(e, d)))
+    val newEntries =
+      if (affected.isEmpty) Nil
+      else writeData(prepared(morRead(s, affected), s), s.partitionCols)._2
+    commit("rewrite-position-deletes", deleteEntriesFn = _ => Nil)(_ =>
+      (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
+        Map(
+          "removed-delete-files" -> s.deleteEntries.size.toString,
+          "rewritten-entries" -> affected.size.toString)))
+    (s.deleteEntries.size, affected.size)
   }
 
   private def rewriteMatching(source: DataFrame, keys: Seq[String], op: String)(
@@ -724,7 +920,9 @@ class LakeTable(
             StatsPruning.rangesDisjoint(keyTypes(k), mnS, mxS, lo, hi)
           }
         })
-      val out = rewrite(readEntries(s, affected), source)
+      // MoR deletes (if any) fold into the rewritten slice here — its
+      // new sequence number lifts it above every outstanding delete
+      val out = rewrite(morRead(s, affected), source)
       val (_, entries) = writeData(prepared(out, s), s.partitionCols)
       commit(op)(_ =>
         (s.schema, s.partitionCols, untouched ++ entries, s.properties,
@@ -749,7 +947,7 @@ class LakeTable(
         }
         .toSet
       val (affected, untouched) = s.entries.partition(e => e.partition.exists(touched))
-      val out = rewrite(readEntries(s, affected), source)
+      val out = rewrite(morRead(s, affected), source)
       val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
       commit(op)(_ =>
         (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
@@ -862,19 +1060,48 @@ class LakeTable(
   // refs: tags + branches (Iceberg named references / write-audit-publish)
   // -------------------------------------------------------------------
 
-  private def tagsPath = new Path(metaDir, "tags.json")
+  private def legacyTagsPath = new Path(metaDir, "tags.json")
+
+  private def tagsVersions: Seq[Long] =
+    if (!fs.exists(metaDir)) Nil
+    else fs.listStatus(metaDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case TagsFileRe(v) => v.toLong }
+      .sorted
+
+  private def tagsFile(v: Long) = new Path(metaDir, f"tags-v$v%05d.json")
 
   /** Named tags: immutable pointers to committed versions (Iceberg
     * `ALTER TABLE ... CREATE TAG`). Tagged versions survive
-    * `expireSnapshots` until the tag is dropped. */
-  def tags: Map[String, Long] =
-    if (!fs.exists(tagsPath)) Map.empty
-    else {
-      val in = fs.open(tagsPath)
+    * `expireSnapshots` until the tag is dropped.
+    *
+    * The tags map lives in a VERSIONED file (`tags-v<n>.json`) claimed
+    * with the same atomic no-overwrite protocol as snapshot commits:
+    * readers always observe a complete file (no delete-then-rename
+    * window in which tag pins vanish and a racing expire could collect
+    * tagged snapshots), and concurrent writers on separate instances
+    * retry their read-modify-write instead of silently losing tags. */
+  def tags: Map[String, Long] = {
+    def readAt(p: Path): Map[String, Long] = {
+      val in = fs.open(p)
       val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
       val n = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
       n.properties().iterator().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }
+    def attempt(triesLeft: Int): Map[String, Long] =
+      tagsVersions.lastOption match {
+        case Some(v) =>
+          // the newest file may be cleaned up between list and open by a
+          // racing writer's post-claim sweep — re-list and retry
+          try readAt(tagsFile(v))
+          catch { case e: java.io.FileNotFoundException =>
+            if (triesLeft > 0) attempt(triesLeft - 1) else throw e
+          }
+        case None =>
+          if (fs.exists(legacyTagsPath)) readAt(legacyTagsPath) else Map.empty
+      }
+    attempt(3)
+  }
 
   def createTag(tag: String, version: Option[Long] = None): Unit = synchronized {
     val v = version.getOrElse(requireExists().version)
@@ -882,27 +1109,47 @@ class LakeTable(
     catch { case e: java.io.FileNotFoundException =>
       throw new IllegalArgumentException(s"cannot tag $name v$v: no such snapshot", e)
     }
-    writeTags(tags + (tag -> v))
+    mutateTags(_ + (tag -> v))
   }
 
-  def dropTag(tag: String): Unit = synchronized { writeTags(tags - tag) }
+  def dropTag(tag: String): Unit = synchronized { mutateTags(_ - tag) }
 
   /** Read the table AS OF the tagged snapshot (`VERSION AS OF 'tag'`). */
   def readTag(tag: String): DataFrame =
     readVersion(tags.getOrElse(tag,
       throw new IllegalArgumentException(s"no tag '$tag' on $name")))
 
-  private def writeTags(m: Map[String, Long]): Unit = {
-    val n = Mapper.createObjectNode()
-    m.foreach { case (k, v) => n.put(k, v) }
-    fs.mkdirs(metaDir)
-    val tmp = new Path(metaDir, s".tmp-tags-${UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
-    finally out.close()
-    fs.delete(tagsPath, false)
-    if (!fs.rename(tmp, tagsPath))
-      throw new IllegalStateException(s"could not write tags for $name")
+  /** Read-modify-write of the tags map via an atomic claim of the next
+    * `tags-v<n>.json`. A lost claim means another writer advanced the
+    * map — re-read and re-apply `f` (bounded retries). Superseded files
+    * two or more generations old are swept best-effort; the immediately
+    * preceding generation stays so an in-flight reader that listed
+    * before this claim still finds its file. */
+  private def mutateTags(f: Map[String, Long] => Map[String, Long]): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val next = tagsVersions.lastOption.getOrElse(0L) + 1
+      val n = Mapper.createObjectNode()
+      f(tags).foreach { case (k, v) => n.put(k, v) }
+      fs.mkdirs(metaDir)
+      val tmp = new Path(metaDir, s".tmp-tags-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+      finally out.close()
+      val claimed = claimFile(tmp, tagsFile(next))
+      fs.delete(tmp, false)
+      if (claimed) {
+        tagsVersions.filter(_ < next - 1)
+          .foreach(v => try fs.delete(tagsFile(v), false) catch { case _: java.io.IOException => () })
+        try fs.delete(legacyTagsPath, false) catch { case _: java.io.IOException => () }
+        done = true
+      } else {
+        attempt += 1
+        if (attempt > 20)
+          throw new CommitConflictException(s"concurrent tag writes on $name", null)
+      }
+    }
   }
 
   /** View of branch `b`: its own snapshot lineage under
@@ -928,8 +1175,35 @@ class LakeTable(
     bt.writeSnapshot(head.copy(
       operation = "fork",
       summary = Map("forked-from" -> name, "fork-version" -> head.version.toString)))
+    // Persist the fork point OUTSIDE the snapshot lineage: branch-side
+    // expireSnapshots may legitimately drop the fork snapshot itself,
+    // and fastForward's publish gate must not depend on which snapshots
+    // the branch happened to retain.
+    bt.writeForkVersion(head.version)
     bt
   }
+
+  private def forkPath = new Path(metaDir, "fork.json")
+
+  private def writeForkVersion(v: Long): Unit = {
+    val out = fs.create(forkPath, true)
+    try out.write(s"""{"fork-version":$v}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fork point of this BRANCH handle, durable against branch-side
+    * snapshot expiry. Branches created before fork.json existed fall
+    * back to the oldest retained snapshot's fork-version summary. */
+  private def forkVersion: Long =
+    if (fs.exists(forkPath)) {
+      val in = fs.open(forkPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Mapper.readTree(new String(bytes, StandardCharsets.UTF_8)).get("fork-version").asLong()
+    } else {
+      val oldest = allSnapshots.headOption.getOrElse(
+        throw new IllegalStateException(s"branch $name does not exist"))
+      oldest.summary.get("fork-version").map(_.toLong).getOrElse(oldest.version)
+    }
 
   def listBranches: Seq[String] =
     if (!fs.exists(metaDir)) Nil
@@ -946,13 +1220,18 @@ class LakeTable(
   def fastForward(b: String): Snapshot = synchronized {
     val bt = branch(b)
     val bHead = bt.requireExists()
-    val fork = bt.allSnapshots.head
+    // the DURABLE fork point, not bt.allSnapshots.head: after a
+    // branch-side expireSnapshots the oldest retained snapshot is an
+    // arbitrary branch version, and comparing main against it would
+    // spuriously block (or, on a version-number coincidence, silently
+    // overwrite main commits made after the real fork)
+    val forkV = bt.forkVersion
     val main = requireExists()
-    require(main.version == fork.version,
+    require(main.version == forkV,
       s"cannot fast-forward $name to branch $b: main advanced to " +
-        s"v${main.version} past the fork point v${fork.version}")
-    if (bHead.version == fork.version) main
-    else commit("publish")(_ =>
+        s"v${main.version} past the fork point v$forkV")
+    if (bHead.version == forkV) main
+    else commit("publish", deleteEntriesFn = _ => bHead.deleteEntries)(_ =>
       (bHead.schema, bHead.partitionCols, bHead.entries, bHead.properties,
         Map("branch" -> b, "branch-version" -> bHead.version.toString)))
   }
@@ -963,11 +1242,35 @@ class LakeTable(
     fs.delete(new Path(metaDir, s"branch-$b"), true); ()
   }
 
-  /** Data dirs referenced by any snapshot of any branch — pinned against
-    * expiry/orphan-collection while the branch exists. */
-  private def branchReferencedDirs: Set[String] =
-    listBranches.flatMap(b =>
-      branch(b).allSnapshots.flatMap(_.entries.map(_.dir))).toSet
+  /** Root-table handle of this ref tree (this, unless this handle was
+    * created via [[branch]]). Branch names cannot contain '/', so the
+    * first "/branch-" segment always marks where the branch chain
+    * starts under the root's meta subpath. */
+  private def rootTable: LakeTable = {
+    val i = metaSubpath.indexOf("/branch-")
+    if (i < 0) this
+    else new LakeTable(spark, location, name.takeWhile(_ != '@'),
+      metaSubpath.substring(0, i))
+  }
+
+  /** Every lineage in the ref tree: the root table plus all branches,
+    * recursively (branches of branches included). All of them share the
+    * same immutable `<location>/data` dirs. */
+  private def lineages: Seq[LakeTable] = {
+    def walk(t: LakeTable): Seq[LakeTable] =
+      t +: t.listBranches.map(t.branch).flatMap(walk)
+    walk(rootTable)
+  }
+
+  /** Data dirs referenced by any snapshot of any OTHER lineage in the
+    * ref tree — pinned against expiry/orphan-collection by this handle.
+    * Computed from the ROOT, not this handle: a branch handle deleting
+    * from the shared data root must never collect dirs that main (or a
+    * sibling branch) still references. */
+  private def otherLineageDirs: Set[String] =
+    lineages.filter(_.metaSubpath != metaSubpath)
+      .flatMap(_.allSnapshots.flatMap(s =>
+        (s.entries ++ s.deleteEntries).map(_.dir))).toSet
 
   // -------------------------------------------------------------------
   // maintenance (CALL-procedure analogs, maintenance.py semantics)
@@ -986,7 +1289,8 @@ class LakeTable(
     if (expire.isEmpty) 0
     else {
       val referenced =
-        keep.flatMap(_.entries.map(_.dir)).toSet ++ branchReferencedDirs
+        keep.flatMap(s => (s.entries ++ s.deleteEntries).map(_.dir)).toSet ++
+          otherLineageDirs
       expire.foreach(s => fs.delete(new Path(metaDir, f"v${s.version}%05d.json"), false))
       val dataRoot = new Path(s"$location/data")
       if (fs.exists(dataRoot))
@@ -1007,7 +1311,7 @@ class LakeTable(
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = prepared(read.repartition(n), s)
     val (_, entries) = writeData(compacted, s.partitionCols)
-    commit("rewrite-data-files")(_ =>
+    commit("rewrite-data-files", deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties,
         Map("rewritten-files" -> before.toString)))
     (before, dataFileCount(currentSnapshot.get))
@@ -1117,7 +1421,7 @@ class LakeTable(
               s.partitionCols)._2))),
           Duration.Inf).flatten
       }
-      commit(operation)(_ =>
+      commit(operation, deleteEntriesFn = _ => Nil)(_ =>
         (s.schema, s.partitionCols, entries, s.properties,
           Map("rewritten-files" -> before.toString) ++ summaryExtra))
       (before, dataFileCount(currentSnapshot.get))
@@ -1128,7 +1432,8 @@ class LakeTable(
     * (`remove_orphan_files` analog). Returns #dirs removed. */
   def removeOrphanFiles(olderThanMs: Long): Int = synchronized {
     val referenced =
-      allSnapshots.flatMap(_.entries.map(_.dir)).toSet ++ branchReferencedDirs
+      allSnapshots.flatMap(s =>
+        (s.entries ++ s.deleteEntries).map(_.dir)).toSet ++ otherLineageDirs
     val dataRoot = new Path(s"$location/data")
     if (!fs.exists(dataRoot)) 0
     else {
@@ -1161,6 +1466,15 @@ class CommitConflictException(msg: String, cause: Throwable)
 
 object LakeTable {
   private val VersionFileRe = "v(\\d+)\\.json".r
+  private val TagsFileRe = "tags-v(\\d+)\\.json".r
+
+  /** Sentinel sequence number on freshly-written manifest entries;
+    * [[LakeTable.commit]] replaces it with the committing version. */
+  private val StampAtCommit = -1L
+
+  /** Table property naming the equality-delete key columns of a
+    * merge-on-read table (comma-joined, fixed at the first MoR write). */
+  val MorKeysProp = "mor.delete-keys"
 
   /** Bounded pool for concurrent per-slice rewrite jobs (daemon threads
     * so an abandoned session still exits). */

@@ -217,6 +217,20 @@ object StatsPruning {
   /** true when the entry range [mnS, mxS] (manifest strings of type
     * `dt`) and the batch range [lo, hi] PROVABLY don't overlap —
     * conservative: any parse/compare failure reports overlap. */
+  /** Disjointness of two STORED stat ranges (both string-encoded, as in
+    * manifest entries) — used to prove a delete file cannot touch a data
+    * entry. False (may overlap) when either side fails to parse. */
+  def rangesDisjointStr(
+      dt: DataType, aMnS: String, aMxS: String, bMnS: String, bMxS: String): Boolean =
+    (for {
+      amn <- parseStat(aMnS, dt)
+      amx <- parseStat(aMxS, dt)
+      bmn <- parseStat(bMnS, dt)
+      bmx <- parseStat(bMxS, dt)
+      cHiLo <- cmp(amx, bmn)
+      cLoHi <- cmp(amn, bmx)
+    } yield cHiLo < 0 || cLoHi > 0).getOrElse(false)
+
   def rangesDisjoint(dt: DataType, mnS: String, mxS: String, lo: Any, hi: Any): Boolean =
     (for {
       emn <- parseStat(mnS, dt)

@@ -54,7 +54,61 @@ object EventLogAnalyzer {
       p95Ms: Long,
       maxMs: Long)
 
-  case class StreamingBatch(queryName: String, batchId: Long, numInputRows: Long)
+  case class StreamingBatch(
+      queryName: String,
+      batchId: Long,
+      numInputRows: Long,
+      inputRowsPerSec: Double = 0.0,
+      processedRowsPerSec: Double = 0.0)
+
+  /** One streaming query's lifecycle (started/terminated events). */
+  case class StreamingQueryInfo(
+      runId: String,
+      name: String,
+      exception: Option[String]) {
+    def succeeded: Boolean = exception.isEmpty
+  }
+
+  /** One topic's slice of the run: job-group start→end envelope
+    * (`analyze_topic_timeline`, analyze_spark_eventlog.py:144-250). */
+  case class TopicTimeline(
+      topic: String,
+      startMs: Long,
+      endMs: Long,
+      jobCount: Int) {
+    def durationMs: Long = endMs - startMs
+  }
+
+  /** Per-executor memory decomposition (`analyze_memory`, :605-774). */
+  case class ExecutorMemory(
+      executorId: String,
+      heapBytes: Long,
+      peakExecBytes: Long,
+      diskSpill: Long,
+      memSpill: Long) {
+    def usagePct: Double = peakExecBytes.toDouble / math.max(1L, heapBytes) * 100
+  }
+
+  case class MemoryReport(
+      executors: Seq[ExecutorMemory],
+      totalDiskSpill: Long,
+      totalMemSpill: Long,
+      totalInputBytes: Long,
+      totalShuffleRead: Long,
+      totalShuffleWrite: Long) {
+    def avgUsagePct: Double =
+      if (executors.isEmpty) 0.0
+      else executors.map(_.usagePct).sum / executors.size
+
+    /** The reference's memory-sizing bands: disk spill is a confirmed
+      * shortage; >80% peak/heap is one data bump from spilling; <30%
+      * is over-provisioned cluster budget. */
+    def memoryHealth: String =
+      if (totalDiskSpill > 0) "spilling"
+      else if (avgUsagePct > 80) "at-risk"
+      else if (avgUsagePct >= 30) "adequate"
+      else "over-provisioned"
+  }
 
   case class Report(
       pools: Map[String, Seq[Long]], // pool -> job ids
@@ -64,7 +118,10 @@ object EventLogAnalyzer {
       executors: Seq[ExecutorStats],
       sql: Seq[SqlStats],
       streaming: Seq[StreamingBatch],
-      config: Map[String, String]) {
+      config: Map[String, String],
+      timeline: Seq[TopicTimeline] = Nil,
+      memory: MemoryReport = MemoryReport(Nil, 0, 0, 0, 0, 0),
+      streamingQueries: Seq[StreamingQueryInfo] = Nil) {
 
     def skewedStages: Seq[StageSkew] = stageSkew.filter(_.skewed)
 
@@ -75,6 +132,29 @@ object EventLogAnalyzer {
       if (cpuEfficiencyPct > 80) "cpu-bound"
       else if (cpuEfficiencyPct >= 50) "balanced"
       else "io-or-shuffle-bound"
+
+    /** Max topics in flight at once, sampled at every envelope edge —
+      * the semaphore sanity check (equals `concurrency` when healthy). */
+    def maxConcurrentTopics: Int =
+      if (timeline.isEmpty) 0
+      else timeline.flatMap(t => Seq(t.startMs, t.endMs))
+        .distinct
+        .map(ts => timeline.count(t => t.startMs <= ts && ts <= t.endMs))
+        .max
+
+    /** Text Gantt chart of the topic timeline (reference's bar render):
+      * one line per topic, `width` cells across the app's span. */
+    def ganttLines(width: Int = 60): Seq[String] = {
+      if (timeline.isEmpty) return Nil
+      val t0 = timeline.map(_.startMs).min
+      val t1 = math.max(t0 + 1, timeline.map(_.endMs).max)
+      timeline.sortBy(_.startMs).map { t =>
+        val from = ((t.startMs - t0).toDouble / (t1 - t0) * width).toInt
+        val to = math.max(from + 1, ((t.endMs - t0).toDouble / (t1 - t0) * width).toInt)
+        val bar = " " * from + "#" * (to - from) + " " * (width - to)
+        f"${t.topic.split('.').last.take(38)}%-40s|$bar|"
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -176,13 +256,94 @@ object EventLogAnalyzer {
         SqlStats(stmt, ds.length, pct(0.5), pct(0.95), ds.last)
       }.sortBy(-_.maxMs)
 
+    // topic timeline (analyze_topic_timeline :144-250): job-group id →
+    // first description line, envelope = min(submission)..max(completion)
+    val jobEnds = ofType("SparkListenerJobEnd")
+      .map(e => e.path("Job ID").asLong() -> e.path("Completion Time").asLong())
+      .toMap
+    case class JobRow(id: Long, group: String, topic: String, submitted: Long)
+    val jobRows = ofType("SparkListenerJobStart").map { e =>
+      val props = e.path("Properties")
+      JobRow(
+        e.path("Job ID").asLong(),
+        props.path("spark.jobGroup.id").asText(""),
+        props.path("spark.job.description").asText("").split("\n").head.trim,
+        e.path("Submission Time").asLong())
+    }
+    val timeline = jobRows
+      .filter(j => j.group.nonEmpty && j.topic.nonEmpty)
+      .groupBy(j => (j.group, j.topic)).toSeq
+      .flatMap { case ((_, topic), js) =>
+        val starts = js.map(_.submitted).filter(_ > 0)
+        val ends = js.flatMap(j => jobEnds.get(j.id)).filter(_ > 0)
+        if (starts.isEmpty || ends.isEmpty) None
+        else Some(TopicTimeline(topic, starts.min, ends.max, js.size))
+      }
+      .sortBy(_.startMs)
+
+    // memory decomposition (analyze_memory :605-774): heap from
+    // BlockManagerAdded, peak/spill/IO from successful TaskEnds
+    val executorHeap = ofType("SparkListenerBlockManagerAdded")
+      .flatMap { e =>
+        val eid = e.path("Block Manager ID").path("Executor ID").asText("")
+        if (eid == "driver" || eid.isEmpty) None
+        else Some(eid -> e.path("Maximum Memory").asLong())
+      }.toMap
+    case class MemTask(eid: String, peak: Long, diskSpill: Long, memSpill: Long,
+        input: Long, shufRead: Long, shufWrite: Long)
+    val memTasks = ofType("SparkListenerTaskEnd").flatMap { e =>
+      val info = e.path("Task Info")
+      if (info.path("Failed").asBoolean(false)) None
+      else {
+        val m = e.path("Task Metrics")
+        val sr = m.path("Shuffle Read Metrics")
+        Some(MemTask(
+          info.path("Executor ID").asText(""),
+          m.path("Peak Execution Memory").asLong(),
+          m.path("Disk Bytes Spilled").asLong(),
+          m.path("Memory Bytes Spilled").asLong(),
+          m.path("Input Metrics").path("Bytes Read").asLong(),
+          sr.path("Remote Bytes Read").asLong() + sr.path("Local Bytes Read").asLong(),
+          m.path("Shuffle Write Metrics").path("Shuffle Bytes Written").asLong()))
+      }
+    }
+    val memExecutors = memTasks.groupBy(_.eid).toSeq.map { case (eid, ts) =>
+      ExecutorMemory(eid, executorHeap.getOrElse(eid, 0L),
+        ts.map(_.peak).max, ts.map(_.diskSpill).sum, ts.map(_.memSpill).sum)
+    }.sortBy(_.executorId)
+    val memory = MemoryReport(
+      memExecutors,
+      memTasks.map(_.diskSpill).sum,
+      memTasks.map(_.memSpill).sum,
+      memTasks.map(_.input).sum,
+      memTasks.map(_.shufRead).sum,
+      memTasks.map(_.shufWrite).sum)
+
     // streaming progress (analyze_streaming :1002-1070)
     val streaming = ofType(
       "org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent")
       .map { e =>
         val p = e.path("progress")
         StreamingBatch(p.path("name").asText(""), p.path("batchId").asLong(),
-          p.path("numInputRows").asLong())
+          p.path("numInputRows").asLong(),
+          p.path("inputRowsPerSecond").asDouble(0.0),
+          p.path("processedRowsPerSecond").asDouble(0.0))
+      }
+
+    // streaming query lifecycle: started → (optional) terminated with
+    // the exception that killed it
+    val terminated = ofType(
+      "org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent")
+      .map(e => e.path("runId").asText("") ->
+        Option(e.path("exception")).filter(n => !n.isNull && !n.isMissingNode)
+          .map(_.asText("")).filter(_.nonEmpty))
+      .toMap
+    val streamingQueries = ofType(
+      "org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent")
+      .map { e =>
+        val rid = e.path("runId").asText("")
+        StreamingQueryInfo(rid, e.path("name").asText(""),
+          terminated.get(rid).flatten)
       }
 
     // config dump (analyze_config :1078-1130)
@@ -195,7 +356,7 @@ object EventLogAnalyzer {
       .getOrElse(Map.empty)
 
     Report(pools, stageSkew, gcSharePct, cpuEfficiencyPct, executors, sql,
-      streaming, config)
+      streaming, config, timeline, memory, streamingQueries)
   }
 
   def analyzeDir(dir: Path): Report = analyze(readEventLogDir(dir))

@@ -148,8 +148,8 @@ class CurationSpec extends SparkSpec {
       (4L, "s2", "the and is of to in a b c d")).toDF("doc_id", "source", "text")
     val out = Curation.perSourceCap(docs, cap = 2)
       .orderBy("source", "rnk").collect()
-    out.map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq shouldBe
-      Seq((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1))
+    out.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq shouldBe
+      Seq((1L, "s1", 1L), (2L, "s1", 2L), (4L, "s2", 1L))
     // stopword-free doc 3 ranks below the tied stopword-rich pair
     out.map(_.getLong(0)) should not contain 3L
   }
@@ -198,8 +198,8 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Curation.chunkWithOverlap(docs, chunkSize = 4, stride = 3)
       .orderBy("chunk_id").collect()
-    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 1, 2, 3)
-    out.map(_.getInt(2)).toSeq shouldBe Seq(4, 4, 4, 1)
+    out.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.map(_.getLong(2)).toSeq shouldBe Seq(4L, 4L, 4L, 1L)
     // overlapping token t3 appears in chunk 0 (tail) and chunk 1 (head):
     // chunk fingerprints differ but both contain t3's text — check via
     // reconstruction of the chunk contents
@@ -210,7 +210,7 @@ class CurationSpec extends SparkSpec {
     val one = Curation.chunkWithOverlap(
       Seq((2L, "a b c")).toDF("doc_id", "text"), 4, 3).collect()
     one.length shouldBe 1
-    one.head.getInt(2) shouldBe 3
+    one.head.getLong(2) shouldBe 3L
   }
 
   test("piiScrub counts and redacts emails and digit runs") {
@@ -219,8 +219,8 @@ class CurationSpec extends SparkSpec {
       (2L, "no pii here"),
       (3L, "a@b.c and x@y.zz plus 12 (too short) and 99999")).toDF("doc_id", "text")
     val out = Curation.piiScrub(docs).orderBy("doc_id").collect()
-    out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq shouldBe
-      Seq((1L, 1, 1), (2L, 0, 0), (3L, 2, 1))
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L))
     // redaction is total: the fingerprints of scrubbed text with
     // different PII but same payload agree
     val same = Curation.piiScrub(Seq(

@@ -114,8 +114,8 @@ class DedupSpec extends SparkSpec {
   test("simhashNearDuplicates: identical docs at distance 0, verified exactly") {
     val d = docs((1L, near1, "a"), (2L, near1, "a"), (3L, other, "a"))
     val out = Dedup.simhashNearDuplicates(d).collect()
-    out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq shouldBe
-      Seq((1L, 2L, 0))
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 2L, 0L))
   }
 
   test("minhashSignatures filters docs shorter than the shingle size") {

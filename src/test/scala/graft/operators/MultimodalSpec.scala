@@ -82,9 +82,9 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal
       .frameManifest(Multimodal.packPayload(docs, "text", "video/fake"), 8)
       .orderBy("frame_no").collect()
-    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 1, 2)
-    out.map(_.getInt(2)).toSeq shouldBe Seq(0, 8, 16)
-    out.map(_.getInt(3)).toSeq shouldBe Seq(8, 8, 6)
+    out.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L)
+    out.map(_.getLong(2)).toSeq shouldBe Seq(0L, 8L, 16L)
+    out.map(_.getLong(3)).toSeq shouldBe Seq(8L, 8L, 6L)
     // content hash matches the byte slice it indexes
     val expected = java.security.MessageDigest.getInstance("MD5")
       .digest("01234567".getBytes("UTF-8"))

@@ -180,7 +180,7 @@ class SimilaritySpec extends SparkSpec {
       }.sortBy { case (_, cid, d) => (-d, cid) }.take(4).zipWithIndex
         .map { case ((_, cid, _), r) => (qid, r + 1, cid) }
     }
-    pruned.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq shouldBe expect
+    pruned.map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2))).toSeq shouldBe expect
   }
 
   test("filteredKnn restricts neighbors to the query's label partition") {
@@ -216,13 +216,13 @@ class SimilaritySpec extends SparkSpec {
     // true neighbor, so the re-rank must reproduce exact kNN
     val full = Similarity.matryoshkaKnn(qs, cs, k = 4, prefixDims = 4, shortlist = 57)
       .orderBy("query_id", "rank").collect()
-    full.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq shouldBe
-      exact.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      exact.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // tight shortlist: still k results per query, ranks contiguous
     val tight = Similarity.matryoshkaKnn(qs, cs, k = 4, prefixDims = 4, shortlist = 8)
       .orderBy("query_id", "rank").collect()
     tight.length shouldBe 3 * 4
     tight.groupBy(_.getLong(0)).values.foreach(
-      _.map(_.getInt(1)).sorted.toSeq shouldBe Seq(1, 2, 3, 4))
+      _.map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L))
   }
 }

@@ -614,4 +614,95 @@ class LakeTableSpec extends SparkSpec {
     t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000) should be >= 1
     t.listBranches shouldBe empty
   }
+
+  test("manifest bound: COW rewrites do not grow the entry count; compaction resets it") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.t")
+    val base = (1L to 40L).map(i => (i, s"p${i % 4}", i.toDouble))
+      .toDF("id", "part", "amount")
+    t.createOrReplace(base, partitionBy = Seq("part"))
+    val created = t.currentSnapshot.get.entries.size // one per partition
+    created shouldBe 4
+    // repeated single-partition merges: each replaces p0's entry — the
+    // manifest stays O(partitions), it does not accrete per commit
+    (1 to 5).foreach { i =>
+      t.mergeInto(
+        Seq((4L, "p0", i * 100.0)).toDF("id", "part", "amount"), Seq("id"))
+      t.currentSnapshot.get.entries.size shouldBe created
+    }
+    // appends DO accrete (new dirs) ...
+    t.append(Seq((100L, "p0", 1.0)).toDF("id", "part", "amount"))
+    t.append(Seq((101L, "p1", 1.0)).toDF("id", "part", "amount"))
+    t.currentSnapshot.get.entries.size shouldBe created + 2
+    // ... and a full rewrite collapses the manifest back
+    t.rewriteDataFiles()
+    t.currentSnapshot.get.entries.size should be <= created
+    t.read.count() shouldBe 42
+  }
+
+  test("branch-side expire/orphan never deletes data referenced by main or siblings") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("b1")
+    val b1 = t.branch("b1")
+    // main and a SIBLING branch advance after the fork: their data dirs
+    // are invisible to b1's own lineage but share the same data root
+    t.append(df(Seq((2L, "post-fork-main", 2.0))))
+    t.createBranch("b2")
+    val b2 = t.branch("b2")
+    b2.append(df(Seq((3L, "sibling", 3.0))))
+    // churn b1 so it has something to expire, then run maintenance ON b1
+    b1.append(df(Seq((10L, "x", 10.0))))
+    b1.append(df(Seq((11L, "y", 11.0))))
+    b1.expireSnapshots(keepLast = 1) should be >= 1
+    b1.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    // the primary table and the sibling branch are intact
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    b2.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    b1.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 10L, 11L)
+  }
+
+  test("fastForward uses the durable fork point, surviving branch-side expiry") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    b.append(df(Seq((2L, "b", 2.0))))
+    b.append(df(Seq((3L, "c", 3.0))))
+    // drop the fork snapshot itself from the branch lineage: the oldest
+    // RETAINED branch snapshot is now an arbitrary version, which the
+    // pre-fix gate compared main against
+    b.expireSnapshots(keepLast = 1) should be >= 1
+    t.fastForward("wap")
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    // and once main has advanced past the fork, publish still rejects
+    val t2 = freshCatalog().table("db.u")
+    t2.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t2.createBranch("stale")
+    val bs = t2.branch("stale")
+    bs.append(df(Seq((2L, "b", 2.0))))
+    bs.expireSnapshots(keepLast = 1)
+    t2.append(df(Seq((9L, "z", 9.0)))) // main past the fork
+    an[IllegalArgumentException] should be thrownBy t2.fastForward("stale")
+  }
+
+  test("concurrent tag writes on separate handles both land (versioned tags file)") {
+    val cat = freshCatalog()
+    val t = cat.table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    // two INDEPENDENT LakeTable instances over the same location: the
+    // JVM `synchronized` on each instance does not serialize them, so
+    // only the claim protocol prevents a lost read-modify-write
+    val t2 = cat.table("db.t")
+    val threads = Seq("left", "right").map { tag =>
+      val h = if (tag == "left") t else t2
+      new Thread(() => h.createTag(tag))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    t.tags.keySet shouldBe Set("left", "right")
+    // readers never observe a missing-tags window: expire while tagged
+    t.append(df(Seq((2L, "b", 2.0))))
+    t.expireSnapshots(keepLast = 1)
+    t.readTag("left").count() shouldBe 1
+  }
 }

@@ -1,0 +1,146 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read (equality-delete) semantics: MoR commits write
+  * O(batch) and never rewrite data; reads mask deleted keys by
+  * sequence number; position-delete compaction physically folds the
+  * delete files away without changing what a read returns. */
+class MergeOnReadSpec extends SparkSpec {
+
+  private def freshCatalog(): LakeCatalog = {
+    val wh = Files.createTempDirectory("mor-test").toString
+    new LakeCatalog(spark, wh)
+  }
+
+  private def df(rows: Seq[(Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "status", "amount")
+  }
+
+  private def state(t: LakeTable): Seq[(Long, String, Double)] =
+    t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("mergeIntoMoR upserts without rewriting any data dir") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    val before = t.currentSnapshot.get
+    t.mergeIntoMoR(df(Seq((2L, "B", 20.0), (4L, "d", 4.0))), Seq("id"))
+    val after = t.currentSnapshot.get
+    // every pre-existing data dir is still referenced untouched
+    after.entries.map(_.dir) should contain allElementsOf before.entries.map(_.dir)
+    after.deleteEntries should have size 1
+    after.properties(LakeTable.MorKeysProp) shouldBe "id"
+    state(t) shouldBe Seq(
+      (1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0))
+  }
+
+  test("deleteWhereExistsMoR masks rows via the delete file alone") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    val dataDirs = t.currentSnapshot.get.entries.map(_.dir)
+    t.deleteWhereExistsMoR(df(Seq((2L, "-", 0.0))).select("id"), Seq("id"))
+    val s = t.currentSnapshot.get
+    s.entries.map(_.dir) shouldBe dataDirs // zero data churn
+    s.deleteEntries should have size 1
+    state(t).map(_._1) shouldBe Seq(1L, 3L)
+  }
+
+  test("sequence numbers: a delete never masks rows committed at or after it") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    // the MoR merge's own batch shares the delete's sequence → survives
+    t.mergeIntoMoR(df(Seq((1L, "A", 10.0))), Seq("id"))
+    state(t) shouldBe Seq((1L, "A", 10.0))
+    // a LATER append of a previously-deleted key is not masked either
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    state(t) shouldBe Seq.empty
+    t.append(df(Seq((1L, "back", 99.0))))
+    state(t) shouldBe Seq((1L, "back", 99.0))
+  }
+
+  test("rewritePositionDeleteFiles folds deletes; reads identical before and after") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df((1L to 20L).map(i => (i, s"s$i", i.toDouble))))
+    t.mergeIntoMoR(df(Seq((5L, "U", 50.0), (21L, "n", 21.0))), Seq("id"))
+    t.deleteWhereExistsMoR(df(Seq((7L, "-", 0.0), (8L, "-", 0.0))).select("id"), Seq("id"))
+    val expected = state(t)
+    t.currentSnapshot.get.deleteEntries should have size 2
+    val (removedDeletes, rewritten) = t.rewritePositionDeleteFiles()
+    removedDeletes shouldBe 2
+    rewritten should be >= 1
+    val s = t.currentSnapshot.get
+    s.deleteEntries shouldBe empty
+    state(t) shouldBe expected
+    // idempotent: nothing left to fold
+    t.rewritePositionDeleteFiles() shouldBe ((0, 0))
+  }
+
+  test("position-delete compaction skips entries the deletes provably cannot touch") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.append(df(Seq((100L, "z", 100.0), (101L, "y", 101.0)))) // disjoint id range
+    val highDir = t.currentSnapshot.get.entries.map(_.dir).last
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    val (_, rewritten) = t.rewritePositionDeleteFiles()
+    rewritten shouldBe 1 // only the low-range entry; stats prune the other
+    t.currentSnapshot.get.entries.map(_.dir) should contain(highDir)
+    state(t).map(_._1) shouldBe Seq(2L, 100L, 101L)
+  }
+
+  test("COW merge on a MoR table folds deletes into the rewritten slice only") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    t.deleteWhereExistsMoR(df(Seq((2L, "-", 0.0))).select("id"), Seq("id"))
+    // a COW merge must not resurrect id=2 from the raw files it rewrites
+    t.mergeInto(df(Seq((3L, "C", 30.0))), Seq("id"))
+    state(t) shouldBe Seq((1L, "a", 1.0), (3L, "C", 30.0))
+  }
+
+  test("full rewrites clear dangling deletes; rollback restores them") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    val vDel = t.deleteWhereExistsMoR(
+      df(Seq((1L, "-", 0.0))).select("id"), Seq("id")).version
+    t.rewriteDataFiles()
+    t.currentSnapshot.get.deleteEntries shouldBe empty
+    state(t).map(_._1) shouldBe Seq(2L)
+    t.rollbackTo(vDel)
+    t.currentSnapshot.get.deleteEntries should have size 1
+    state(t).map(_._1) shouldBe Seq(2L)
+  }
+
+  test("time travel and readWhere respect delete files") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
+    val v2 = t.deleteWhereExistsMoR(
+      df(Seq((1L, "-", 0.0))).select("id"), Seq("id")).version
+    t.readVersion(v1).count() shouldBe 2 // before the delete existed
+    t.readVersion(v2).count() shouldBe 1
+    t.readWhere(col("id") <= 2).collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
+  test("MoR key columns are fixed at the first MoR write") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.mergeIntoMoR(df(Seq((1L, "A", 10.0))), Seq("id"))
+    an[IllegalArgumentException] should be thrownBy
+      t.mergeIntoMoR(df(Seq((1L, "A", 10.0))), Seq("status"))
+  }
+
+  test("expire/orphan collection never drops a referenced delete file") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    t.append(df(Seq((3L, "c", 3.0))))
+    t.expireSnapshots(keepLast = 1)
+    t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    state(t).map(_._1) shouldBe Seq(2L, 3L)
+  }
+}

@@ -77,6 +77,98 @@ class EventLogAnalyzerSpec extends AnyFunSuite with Matchers {
     r.cpuHealth shouldBe "balanced"
   }
 
+  private def jobStart(id: Long, group: String, topic: String, submitted: Long): String =
+    s"""{"Event":"SparkListenerJobStart","Job ID":$id,"Submission Time":$submitted,
+       "Properties":{"spark.jobGroup.id":"$group","spark.job.description":"$topic\\nstage detail"}}"""
+      .replaceAll("\n", "")
+
+  private def jobEnd(id: Long, completed: Long): String =
+    s"""{"Event":"SparkListenerJobEnd","Job ID":$id,"Completion Time":$completed}"""
+
+  test("topic timeline: job-group envelopes, concurrency, gantt bars") {
+    val log = Seq(
+      jobStart(1, "g-a", "pfx.db.topic_a", 1000), jobEnd(1, 3000),
+      jobStart(2, "g-a", "pfx.db.topic_a", 3500), jobEnd(2, 5000),
+      jobStart(3, "g-b", "pfx.db.topic_b", 2000), jobEnd(3, 4000),
+      jobStart(4, "g-c", "pfx.db.topic_c", 6000), jobEnd(4, 7000))
+    val r = EventLogAnalyzer.analyze(log)
+    r.timeline.map(t => (t.topic, t.startMs, t.endMs, t.jobCount)) shouldBe Seq(
+      ("pfx.db.topic_a", 1000L, 5000L, 2),
+      ("pfx.db.topic_b", 2000L, 4000L, 1),
+      ("pfx.db.topic_c", 6000L, 7000L, 1))
+    r.timeline.head.durationMs shouldBe 4000L
+    // a and b overlap in [2000,4000]; c runs alone
+    r.maxConcurrentTopics shouldBe 2
+    val gantt = r.ganttLines(width = 12)
+    gantt should have size 3
+    // topic_a spans the first 2/3 of the window, topic_c the last 1/6
+    gantt.head should include("topic_a")
+    gantt.head.count(_ == '#') shouldBe 8
+    gantt.last.count(_ == '#') shouldBe 2
+    gantt.last should endWith("#|")
+  }
+
+  test("memory report: heap, peak, spill, IO totals and health bands") {
+    def memTask(eid: String, peak: Long, disk: Long, mem: Long,
+        input: Long, sr: Long, sw: Long, failed: Boolean = false): String =
+      s"""{"Event":"SparkListenerTaskEnd","Stage ID":1,
+         "Task Info":{"Executor ID":"$eid","Launch Time":0,"Finish Time":10,"Failed":$failed},
+         "Task Metrics":{"Executor Run Time":10,"Executor CPU Time":8000000,
+           "Peak Execution Memory":$peak,"Disk Bytes Spilled":$disk,
+           "Memory Bytes Spilled":$mem,
+           "Input Metrics":{"Bytes Read":$input},
+           "Shuffle Read Metrics":{"Remote Bytes Read":${sr / 2},"Local Bytes Read":${sr - sr / 2}},
+           "Shuffle Write Metrics":{"Shuffle Bytes Written":$sw}}}""".replaceAll("\n", "")
+    def bmAdded(eid: String, maxMem: Long): String =
+      s"""{"Event":"SparkListenerBlockManagerAdded",
+         "Block Manager ID":{"Executor ID":"$eid"},"Maximum Memory":$maxMem}"""
+        .replaceAll("\n", "")
+    val log = Seq(
+      bmAdded("driver", 999999), // excluded
+      bmAdded("1", 1000), bmAdded("2", 1000),
+      memTask("1", peak = 600, disk = 0, mem = 0, input = 100, sr = 40, sw = 50),
+      memTask("1", peak = 900, disk = 0, mem = 0, input = 100, sr = 0, sw = 0),
+      memTask("2", peak = 300, disk = 0, mem = 128, input = 50, sr = 10, sw = 10),
+      memTask("2", peak = 999999, disk = 1, mem = 1, input = 1, sr = 1, sw = 1,
+        failed = true)) // failed tasks excluded, like the reference
+    val r = EventLogAnalyzer.analyze(log)
+    val m = r.memory
+    m.executors.map(_.executorId) shouldBe Seq("1", "2")
+    val e1 = m.executors.head
+    e1.heapBytes shouldBe 1000L
+    e1.peakExecBytes shouldBe 900L // max across tasks, not sum
+    e1.usagePct shouldBe 90.0 +- 0.01
+    m.totalMemSpill shouldBe 128L
+    m.totalDiskSpill shouldBe 0L
+    m.totalInputBytes shouldBe 250L
+    m.totalShuffleRead shouldBe 50L
+    m.totalShuffleWrite shouldBe 60L
+    m.avgUsagePct shouldBe 60.0 +- 0.01
+    m.memoryHealth shouldBe "adequate"
+    // band edges: any disk spill wins; low usage = over-provisioned
+    EventLogAnalyzer.MemoryReport(m.executors, 1, 0, 0, 0, 0)
+      .memoryHealth shouldBe "spilling"
+    EventLogAnalyzer.MemoryReport(
+      Seq(EventLogAnalyzer.ExecutorMemory("1", 1000, 100, 0, 0)), 0, 0, 0, 0, 0)
+      .memoryHealth shouldBe "over-provisioned"
+  }
+
+  test("streaming queries: lifecycle, rates, failure surface") {
+    val log = Seq(
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent","runId":"r1","name":"q_ok"}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent","runId":"r2","name":"q_bad"}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent","progress":{"name":"q_ok","batchId":0,"numInputRows":500,"inputRowsPerSecond":250.0,"processedRowsPerSecond":125.5}}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent","runId":"r1"}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent","runId":"r2","exception":"boom at stage 3"}""")
+    val r = EventLogAnalyzer.analyze(log)
+    r.streamingQueries.map(q => (q.name, q.succeeded)) shouldBe
+      Seq(("q_ok", true), ("q_bad", false))
+    r.streamingQueries.last.exception.get should include("boom")
+    val b = r.streaming.head
+    b.inputRowsPerSec shouldBe 250.0
+    b.processedRowsPerSec shouldBe 125.5
+  }
+
   test("zstd-compressed event logs decompress transparently") {
     val dir = Files.createTempDirectory("evlog")
     val raw = lines.mkString("\n").getBytes("UTF-8")
