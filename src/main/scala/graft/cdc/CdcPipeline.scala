@@ -147,7 +147,9 @@ object CdcPipeline {
         val viewName = s"upsert_view_$viewSuffix"
         up.createOrReplaceGlobalTempView(viewName)
         logger.info(s"Executing Merge Into for ${table.name}")
-        table.mergeInto(spark.table(s"global_temp.$viewName"), Seq("id_iceberg"))
+        // honors write.merge.mode: COW (default) or merge-on-read — the
+        // reference's commented per-table switch (iceberg.py:78-84)
+        table.upsert(spark.table(s"global_temp.$viewName"), Seq("id_iceberg"))
       }
     } finally up.unpersist(false)
 
@@ -157,7 +159,7 @@ object CdcPipeline {
         val viewName = s"delete_view_$viewSuffix"
         del.createOrReplaceGlobalTempView(viewName)
         logger.info(s"Executing Delete for ${table.name}")
-        table.deleteWhereExists(
+        table.deleteMatching(
           spark.table(s"global_temp.$viewName").select("id_iceberg"), Seq("id_iceberg"))
       }
     } finally del.unpersist(false)

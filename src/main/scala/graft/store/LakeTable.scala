@@ -743,6 +743,21 @@ class LakeTable(
   // the reference's commented MoR table props, iceberg.py:78-84)
   // -------------------------------------------------------------------
 
+  /** MERGE dispatch on the table's `write.merge.mode` property — the
+    * reference's per-table MoR switch (`iceberg.py:78-84` sets
+    * write.delete/update/merge.mode=merge-on-read as TBLPROPERTIES).
+    * Copy-on-write is the default, exactly like Iceberg. */
+  def upsert(source: DataFrame, keys: Seq[String]): Snapshot =
+    if (properties.get("write.merge.mode").contains("merge-on-read"))
+      mergeIntoMoR(source, keys)
+    else mergeInto(source, keys)
+
+  /** DELETE dispatch on `write.delete.mode` (same contract as [[upsert]]). */
+  def deleteMatching(deletes: DataFrame, keys: Seq[String]): Snapshot =
+    if (properties.get("write.delete.mode").contains("merge-on-read"))
+      deleteWhereExistsMoR(deletes, keys)
+    else deleteWhereExists(deletes, keys)
+
   /** Key columns of this table's equality-delete files. */
   private def morKeys(s: Snapshot): Seq[String] =
     s.properties.get(MorKeysProp)

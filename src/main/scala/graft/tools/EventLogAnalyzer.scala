@@ -174,11 +174,35 @@ object EventLogAnalyzer {
     finally reader.close()
   }
 
-  def readEventLogDir(dir: Path): Seq[String] =
-    Files.list(dir).iterator().asScala.toSeq
-      .filter(p => Files.isRegularFile(p))
-      .sortBy(_.getFileName.toString)
-      .flatMap(readLines)
+  /** All event-log JSON lines under `dir`. Handles both layouts:
+    * single-file logs (Spark ≤3 default: one `app-…[.codec]` per app)
+    * and the rolling v2 layout Spark 4 writes by default
+    * (`eventlog_v2_<appId>/events_<seq>_<appId>[.codec]` plus an
+    * `appstatus_…` marker), segments ordered by sequence number. */
+  def readEventLogDir(dir: Path): Seq[String] = {
+    val entries = Files.list(dir).iterator().asScala.toSeq
+    val flat = entries
+      .filter(Files.isRegularFile(_))
+      .map(p => (0L, p))
+    val rolled = entries
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("eventlog_v2_"))
+      .flatMap(d => Files.list(d).iterator().asScala.toSeq)
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("events_"))
+      .map { p =>
+        val seq = p.getFileName.toString.split("_").lift(1)
+          .flatMap(_.toLongOption).getOrElse(0L)
+        (seq, p)
+      }
+    (flat ++ rolled)
+      .filterNot { case (_, p) =>
+        val n = p.getFileName.toString
+        n.startsWith(".") || n.startsWith("appstatus")
+      }
+      .sortBy { case (seq, p) => (seq, p.getFileName.toString) }
+      .flatMap { case (_, p) => readLines(p) }
+  }
 
   def parseEvents(lines: Seq[String]): Seq[JsonNode] =
     lines.filter(_.trim.nonEmpty).flatMap { l =>
@@ -283,10 +307,14 @@ object EventLogAnalyzer {
 
     // memory decomposition (analyze_memory :605-774): heap from
     // BlockManagerAdded, peak/spill/IO from successful TaskEnds
+    // heap per block manager, the driver's included: in cluster logs no
+    // task reports executor id "driver" so the reference's exclusion is
+    // preserved implicitly, while local-mode logs (all tasks on the
+    // driver) still get a real heap denominator
     val executorHeap = ofType("SparkListenerBlockManagerAdded")
       .flatMap { e =>
         val eid = e.path("Block Manager ID").path("Executor ID").asText("")
-        if (eid == "driver" || eid.isEmpty) None
+        if (eid.isEmpty) None
         else Some(eid -> e.path("Maximum Memory").asLong())
       }.toMap
     case class MemTask(eid: String, peak: Long, diskSpill: Long, memSpill: Long,

@@ -134,6 +134,30 @@ class MergeOnReadSpec extends SparkSpec {
       t.mergeIntoMoR(df(Seq((1L, "A", 10.0))), Seq("status"))
   }
 
+  test("write.merge.mode / write.delete.mode dispatch upsert and delete") {
+    val cat = freshCatalog()
+    // MoR-mode table: upsert/deleteMatching must not rewrite data dirs
+    val mor = cat.table("db.mor")
+    mor.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))),
+      tableProperties = Map(
+        "write.merge.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"))
+    val dirs = mor.currentSnapshot.get.entries.map(_.dir)
+    mor.upsert(df(Seq((2L, "B", 20.0))), Seq("id"))
+    mor.deleteMatching(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    val s = mor.currentSnapshot.get
+    s.entries.map(_.dir) should contain allElementsOf dirs
+    s.deleteEntries should have size 2
+    state(mor) shouldBe Seq((2L, "B", 20.0))
+    // default table: same calls stay copy-on-write (no delete files)
+    val cow = cat.table("db.cow")
+    cow.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    cow.upsert(df(Seq((2L, "B", 20.0))), Seq("id"))
+    cow.deleteMatching(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    cow.currentSnapshot.get.deleteEntries shouldBe empty
+    state(cow) shouldBe Seq((2L, "B", 20.0))
+  }
+
   test("expire/orphan collection never drops a referenced delete file") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))

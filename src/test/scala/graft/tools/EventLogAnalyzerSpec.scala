@@ -178,4 +178,18 @@ class EventLogAnalyzerSpec extends AnyFunSuite with Matchers {
     r.pools("topic-a") shouldBe Seq(1L, 2L)
     r.skewedStages.map(_.stageId) shouldBe Seq(20L)
   }
+
+  test("rolling v2 layout: eventlog_v2_ dirs, segment order, markers skipped") {
+    val dir = Files.createTempDirectory("evlog2")
+    val app = Files.createDirectory(dir.resolve("eventlog_v2_local-42"))
+    // events_10 sorts numerically AFTER events_2 (lexicographic would not)
+    Files.write(app.resolve("events_2_local-42"),
+      jobStart(1, "g", "db.t", 100).getBytes("UTF-8"))
+    Files.write(app.resolve("events_10_local-42"),
+      jobEnd(1, 500).getBytes("UTF-8"))
+    Files.write(app.resolve("appstatus_local-42"), Array.emptyByteArray)
+    Files.write(app.resolve(".appstatus_local-42.crc"), Array[Byte](1, 2))
+    val r = EventLogAnalyzer.analyzeDir(dir)
+    r.timeline.map(t => (t.topic, t.endMs)) shouldBe Seq(("db.t", 500L))
+  }
 }
