@@ -1035,25 +1035,28 @@ class LakeTable(
     (cols ++ meta).toDF("col_name", "data_type", "comment")
   }
 
-  /** `.files`/`.manifests` analog: every data file the CURRENT snapshot
-    * references, with its partition and size. */
+  /** `.files`/`.manifests` analog: every file the CURRENT snapshot
+    * references, with its partition, size, and Iceberg-style `content`
+    * id (0 = data, 2 = merge-on-read equality deletes). */
   def filesDF: DataFrame = {
     import spark.implicits._
     val s = requireExists()
-    s.entries.flatMap { e =>
+    def list(es: Seq[ManifestEntry], content: Int) = es.flatMap { e =>
       val p = new Path(e.dataPath(location))
       if (!fs.exists(p)) Nil
       else {
         val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long, Int)]()
         while (it.hasNext) {
           val f = it.next()
           if (f.getPath.getName.endsWith(".parquet"))
-            buf += ((f.getPath.toString, e.partition.getOrElse(""), f.getLen))
+            buf += ((f.getPath.toString, e.partition.getOrElse(""), f.getLen, content))
         }
         buf.toSeq
       }
-    }.toDF("file_path", "partition", "file_size_bytes")
+    }
+    (list(s.entries, 0) ++ list(s.deleteEntries, 2))
+      .toDF("file_path", "partition", "file_size_bytes", "content")
   }
 
   /** SHOW PARTITIONS analog: distinct partition paths of the current

@@ -142,6 +142,32 @@ class CdcPipelineSpec extends SparkSpec {
     wm.getLong(wm.fieldIndex("batch_id")) shouldBe 1L
   }
 
+  test("processBatch on a merge-on-read target: same net state, zero data rewrites") {
+    val (cat, ctx) = bootstrap()
+    val t = cat.table("svc_store.tb_item")
+    t.setProperties(Map(
+      "write.merge.mode" -> "merge-on-read",
+      "write.delete.mode" -> "merge-on-read"))
+    val baseDirs = t.currentSnapshot.get.entries.map(_.dir).toSet
+    val batch = batchDf(Seq(
+      (1, 2, keyBytes(2), valueBytes("u", 2, "b2", 21.0, 1600000000000L, 1700000001000L), 10L),
+      (1, 2, keyBytes(3), valueBytes("d", 3, null, 0.0, 0L, 1700000003000L), 11L),
+      (1, 2, keyBytes(4), valueBytes("c", 4, "d", 40.0, 1600000000000L, 1700000004000L), 13L)))
+
+    CdcPipeline.processBatch(batch, batchId = 1L, ctx)
+
+    // identical net semantics to the COW run...
+    state(cat) shouldBe Seq((1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0))
+    // ...but the bootstrap data dirs were never rewritten: the upsert
+    // and the delete each committed only O(batch) files
+    val s = t.currentSnapshot.get
+    baseDirs.subsetOf(s.entries.map(_.dir).toSet) shouldBe true
+    s.deleteEntries should have size 2
+    // maintenance folds the read-side debt without changing the state
+    t.rewritePositionDeleteFiles()._1 shouldBe 2
+    state(cat) shouldBe Seq((1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0))
+  }
+
   test("Debezium zero-guard flows through: DT=0 lands as NULL") {
     val (cat, ctx) = bootstrap()
     val batch = batchDf(Seq(

@@ -158,6 +158,17 @@ class MergeOnReadSpec extends SparkSpec {
     state(cow) shouldBe Seq((2L, "B", 20.0))
   }
 
+  test("filesDF surfaces delete files with Iceberg content id 2") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    val byContent = t.filesDF.collect().groupBy(_.getInt(3))
+    byContent(0).length should be >= 1 // data
+    byContent(2).length should be >= 1 // equality deletes
+    t.rewritePositionDeleteFiles()
+    t.filesDF.collect().map(_.getInt(3)).toSet shouldBe Set(0)
+  }
+
   test("expire/orphan collection never drops a referenced delete file") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
