@@ -86,6 +86,33 @@ object ScaleProbe {
     }
     time("ivf_query_after_append")(
       IvfIndex.query(cat, "probe", "ann", queries, k = 5, nprobe = 3))
+
+    // Store probe: copy-on-write vs merge-on-read MERGE on a `mult`×
+    // table, same 1%-of-base micro-batch. The claim under test is the
+    // MoR write contract: COW merge cost tracks the table slice it
+    // rewrites, MoR commit cost tracks only the batch — the gap is what
+    // a heavy-update CDC table buys at 100 TB. Compaction then pays the
+    // folded cost once, off the ingest path.
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a = body
+      println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      a
+    }
+    val storeCat = new LakeCatalog(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_probe_store_$mult")
+    storeCat.createDatabase("probe")
+    val docTable = big.select(col("doc_id"), col("source"), col("n_chars"))
+    val batch = docTable.filter(col("doc_id") % 100 === 7)
+      .withColumn("n_chars", col("n_chars") + 1)
+    val cow = storeCat.table("probe.docs_cow")
+    cow.createOrReplace(docTable)
+    timed("cow_merge")(cow.mergeInto(batch, Seq("doc_id")))
+    val mor = storeCat.table("probe.docs_mor")
+    mor.createOrReplace(docTable)
+    timed("mor_merge")(mor.mergeIntoMoR(batch, Seq("doc_id")))
+    timed("mor_masked_read")(mor.read.write.format("noop").mode("overwrite").save())
+    timed("mor_compaction")(mor.rewritePositionDeleteFiles())
     spark.stop()
   }
 }

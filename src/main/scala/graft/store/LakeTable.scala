@@ -476,7 +476,14 @@ class LakeTable(
     // manifest diff yields the branch-added dirs. (Publishing a branch
     // that REWROTE shared dirs surfaces the rewritten entries as adds —
     // same contract as Iceberg's skip-overwrite incremental options.)
-    val appendOps = Set("append", "append-evolve", "publish")
+    // "merge-mor" is append-family too: a merge-on-read MERGE adds the
+    // source batch as NEW data entries (matched rows are masked by a
+    // delete file, never rewritten), so its manifest diff is exactly
+    // the upserted row versions — an incremental consumer of a MoR CDC
+    // table sees each batch's inserts and update post-images, the
+    // upsert-stream reading Iceberg CDC consumers rely on. "delete-mor"
+    // adds no data entries, so it falls out of the diff by itself.
+    val appendOps = Set("append", "append-evolve", "publish", "merge-mor")
     // only ANCESTORS of the `to` snapshot count: a rollback points its
     // parent at the restored version, so appends that were rolled back
     // drop out of the chain and are never re-emitted (Iceberg's

@@ -158,6 +158,18 @@ class MergeOnReadSpec extends SparkSpec {
     state(cow) shouldBe Seq((2L, "B", 20.0))
   }
 
+  test("incremental scan emits MoR merge batches as an upsert stream") {
+    val t = freshCatalog().table("db.t")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
+    t.mergeIntoMoR(df(Seq((2L, "B", 20.0), (3L, "c", 3.0))), Seq("id"))
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    val inc = t.changes(v1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the merge batch surfaces (update post-image + insert); the
+    // delete-mor commit adds no data entries and emits nothing
+    inc shouldBe Seq((2L, "B"), (3L, "c"))
+  }
+
   test("filesDF surfaces delete files with Iceberg content id 2") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
