@@ -826,20 +826,39 @@ class LakeTable(
         Map("delete-files" -> "1")))
   }
 
+  /** Can delete entry `d` mask any row of data entry `e`? False when
+    * the sequence ordering rules it out, or when the manifest key-range
+    * stats prove disjointness on ANY key (an equality delete must match
+    * ALL keys); conservative true on missing stats. Shared by the read
+    * path and the compactor. */
+  private def deleteMayApply(
+      s: Snapshot, e: ManifestEntry, d: ManifestEntry): Boolean = {
+    val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
+    e.seq < d.seq && morKeys(s).forall { k =>
+      (e.stats.get(k), d.stats.get(k)) match {
+        case (Some((emn, emx)), Some((dmn, dmx))) =>
+          !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
+        case _ => true
+      }
+    }
+  }
+
   /** Read `entries` with the snapshot's outstanding equality-delete
     * files applied: a data row is dropped when a delete entry with a
-    * strictly higher sequence number carries its key tuple. Entries at
-    * least as new as the newest delete are read plain — only older
-    * entries pay the anti-join, and the join's build side is the
-    * (micro-batch-sized) union of delete files, so AQE broadcasts it in
-    * the common case. */
+    * strictly higher sequence number carries its key tuple. Entries no
+    * delete can reach — newer than every delete, or key-range-disjoint
+    * from all of them by manifest stats — are read PLAIN; only the
+    * maskable slice pays the anti-join, so on a 100 TB table a delete
+    * file confined to recent keys taxes the recent entries, not the
+    * table. The join's build side is the (micro-batch-sized) union of
+    * delete files, broadcastable in the common case. */
   private def morRead(s: Snapshot, entries: Seq[ManifestEntry]): DataFrame = {
     if (s.deleteEntries.isEmpty || entries.isEmpty) return readEntries(s, entries)
     val keys = morKeys(s)
     require(keys.nonEmpty,
       s"table $name has delete files but no $MorKeysProp property")
-    val maxDel = s.deleteEntries.map(_.seq).max
-    val (maskable, fresh) = entries.partition(_.seq < maxDel)
+    val (maskable, fresh) =
+      entries.partition(e => s.deleteEntries.exists(d => deleteMayApply(s, e, d)))
     if (maskable.isEmpty) return readEntries(s, entries)
     val data = maskable.groupBy(_.dir).toSeq.map { case (dir, es) =>
       val base = s"$location/data/$dir"
@@ -872,20 +891,8 @@ class LakeTable(
   def rewritePositionDeleteFiles(): (Int, Int) = {
     val s = requireExists()
     if (s.deleteEntries.isEmpty) return (0, 0)
-    val keys = morKeys(s)
-    val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
-    def mayApply(e: ManifestEntry, d: ManifestEntry): Boolean =
-      e.seq < d.seq && keys.forall { k =>
-        (e.stats.get(k), d.stats.get(k)) match {
-          // ALL keys must match for an equality delete to hit a row, so
-          // proven disjointness on ANY key clears the entry
-          case (Some((emn, emx)), Some((dmn, dmx))) =>
-            !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
-          case _ => true // missing stats: conservative
-        }
-      }
     val (affected, untouched) =
-      s.entries.partition(e => s.deleteEntries.exists(d => mayApply(e, d)))
+      s.entries.partition(e => s.deleteEntries.exists(d => deleteMayApply(s, e, d)))
     val newEntries =
       if (affected.isEmpty) Nil
       else writeData(prepared(morRead(s, affected), s), s.partitionCols)._2

@@ -158,6 +158,30 @@ class MergeOnReadSpec extends SparkSpec {
     state(cow) shouldBe Seq((2L, "B", 20.0))
   }
 
+  test("morRead stats-prunes the anti-join to entries a delete can reach") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.append(df(Seq((100L, "z", 100.0))))
+    // delete confined to the low id range: the high-range entry must
+    // read PLAIN (provably disjoint by manifest stats)
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L, 100L)
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.size +
+        p.collect { case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          joins(a.executedPlan) }.sum
+    }
+    // one anti-join (over the maskable low-range entry only)
+    joins(t.read.queryExecution.executedPlan) should be >= 1
+    // a table whose only delete is key-disjoint from EVERY entry reads
+    // with no join at all — the masked path is skipped entirely
+    val u = freshCatalog().table("db.u")
+    u.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    u.deleteWhereExistsMoR(df(Seq((999L, "-", 0.0))).select("id"), Seq("id"))
+    u.read.count() shouldBe 2
+    joins(u.read.queryExecution.executedPlan) shouldBe 0
+  }
+
   test("incremental scan emits MoR merge batches as an upsert stream") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
