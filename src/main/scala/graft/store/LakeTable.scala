@@ -226,19 +226,27 @@ class LakeTable(
     } else fs.rename(tmp, target)
 
   /** Optimistic commit. `retries > 0` is only safe for ADDITIVE builds
-    * (append, ledger insert): `buildEntries` re-runs against the fresh
-    * parent after a lost race, so the new manifest is rebuilt on top of
-    * the winner. Rewriting commits (merge/delete) must not retry blindly
-    * — a racer may have changed rows the rewrite already read — so they
-    * surface `CommitConflictException` to the caller, like Iceberg's
-    * validation failure. Retry bounds mirror the reference's contended
-    * ledger tableProperties (`watermark.py:58-60`):
-    * commit.retry.num-retries=20, commit.retry.min-wait-ms=200. */
+    * (append, ledger insert, MoR merge/delete): `buildEntries` re-runs
+    * against the fresh parent after a lost race, so the new manifest is
+    * rebuilt on top of the winner. Rewriting commits (COW merge/delete,
+    * compaction) instead pass `requireParentVersion` — the snapshot
+    * version their rewrite READ — and the commit throws
+    * `CommitConflictException` when the table has moved past it, like
+    * Iceberg's base-snapshot validation: without the check a racer's
+    * commit landing between the read and the claim would be silently
+    * overwritten by the stale rewrite (lost update), because the claim
+    * targets the FRESH head's successor version and succeeds. Replace-
+    * semantics ops (create-or-replace, overwrite, rollback) skip the
+    * check by design — clobbering the head is what they mean. Retry
+    * bounds mirror the reference's contended ledger tableProperties
+    * (`watermark.py:58-60`): commit.retry.num-retries=20,
+    * commit.retry.min-wait-ms=200. */
   private def commit(
       operation: String,
       retries: Int = 0,
       retryWaitMs: Long = 200,
       parentOverride: Option[Long] = None,
+      requireParentVersion: Option[Long] = None,
       // merge-on-read delete files: default carries the parent's
       // outstanding deletes forward (COW commits never touch them);
       // MoR writers append, position-delete compaction clears
@@ -250,6 +258,13 @@ class LakeTable(
       var result: Snapshot = null
       while (result == null) {
         val parent = currentSnapshot
+        requireParentVersion.foreach { v =>
+          if (!parent.exists(_.version == v))
+            throw new CommitConflictException(
+              s"$operation on $name read v$v but the table is at " +
+                s"v${parent.map(_.version).getOrElse(0L)} — a concurrent " +
+                "commit may have changed rows this rewrite read", null)
+        }
         val (sch, pcols, entries, props, summary) = buildEntries(parent)
         val version = parent.map(_.version + 1).getOrElse(1L)
         // freshly-written entries carry the StampAtCommit sentinel —
@@ -651,7 +666,8 @@ class LakeTable(
     val out = graft.operators.Merge.upsert(conformTo(read), conformTo(source), keys)
     val withBucket = bucketSpec(s).map(withDerivedBucket(out, _)).getOrElse(out)
     val (_, entries) = writeData(withBucket, s.partitionCols)
-    commit("merge-evolve", deleteEntriesFn = _ => Nil)(_ =>
+    commit("merge-evolve", requireParentVersion = Some(s.version),
+      deleteEntriesFn = _ => Nil)(_ =>
       (widened, s.partitionCols, entries, s.properties,
         Map("added-columns" ->
           (widened.fieldNames.length - s.schema.fieldNames.length).toString)))
@@ -732,8 +748,12 @@ class LakeTable(
     * (`schema_validate.py:111,202` stores comments as properties). */
   def setProperties(updates: Map[String, String]): Snapshot = {
     val s = requireExists()
-    commit("set-properties")(p =>
-      (s.schema, s.partitionCols, p.get.entries, s.properties ++ updates,
+    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
+    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    // additive over the FRESH properties map, so two racing setProperties
+    // on different keys both land
+    commit("set-properties", retries, waitMs)(p =>
+      (s.schema, s.partitionCols, p.get.entries, p.get.properties ++ updates,
         Map("updated-keys" -> updates.keys.mkString(","))))
   }
 
@@ -741,7 +761,8 @@ class LakeTable(
   def deleteWhere(cond: Column): Snapshot = {
     val s = requireExists()
     val (_, entries) = writeData(prepared(read.filter(not(cond)), s), s.partitionCols)
-    commit("delete", deleteEntriesFn = _ => Nil)(_ =>
+    commit("delete", requireParentVersion = Some(s.version),
+      deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
   }
 
@@ -806,10 +827,16 @@ class LakeTable(
     requireMorKeys(s, keys)
     val (_, dataEntries) = writeData(prepared(source, s), s.partitionCols)
     val delEntry = writeDeleteFile(source, keys, s)
-    commit("merge-mor",
-      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
-      (s.schema, s.partitionCols, s.entries ++ dataEntries,
-        s.properties + (MorKeysProp -> keys.mkString(",")),
+    // ADDITIVE (new data dirs + one delete file, nothing rewritten):
+    // lost races rebuild on the fresh parent and retry like append —
+    // the commit-version sequence numbers keep the merge serialized
+    // after the racer, whatever the racer wrote
+    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
+    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    commit("merge-mor", retries, waitMs,
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(p =>
+      (s.schema, s.partitionCols, p.get.entries ++ dataEntries,
+        p.get.properties + (MorKeysProp -> keys.mkString(",")),
         Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1")))
   }
 
@@ -819,10 +846,14 @@ class LakeTable(
     val s = requireExists()
     requireMorKeys(s, keys)
     val delEntry = writeDeleteFile(deletes, keys, s)
-    commit("delete-mor",
-      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
-      (s.schema, s.partitionCols, s.entries,
-        s.properties + (MorKeysProp -> keys.mkString(",")),
+    // additive like mergeIntoMoR: only a delete file lands, so lost
+    // races rebuild on the fresh parent and retry
+    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
+    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    commit("delete-mor", retries, waitMs,
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(p =>
+      (s.schema, s.partitionCols, p.get.entries,
+        p.get.properties + (MorKeysProp -> keys.mkString(",")),
         Map("delete-files" -> "1")))
   }
 
@@ -896,7 +927,8 @@ class LakeTable(
     val newEntries =
       if (affected.isEmpty) Nil
       else writeData(prepared(morRead(s, affected), s), s.partitionCols)._2
-    commit("rewrite-position-deletes", deleteEntriesFn = _ => Nil)(_ =>
+    commit("rewrite-position-deletes", requireParentVersion = Some(s.version),
+      deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
         Map(
           "removed-delete-files" -> s.deleteEntries.size.toString,
@@ -953,7 +985,7 @@ class LakeTable(
       // new sequence number lifts it above every outstanding delete
       val out = rewrite(morRead(s, affected), source)
       val (_, entries) = writeData(prepared(out, s), s.partitionCols)
-      commit(op)(_ =>
+      commit(op, requireParentVersion = Some(s.version))(_ =>
         (s.schema, s.partitionCols, untouched ++ entries, s.properties,
           Map(
             "rewritten-entries" -> affected.size.toString,
@@ -978,7 +1010,7 @@ class LakeTable(
       val (affected, untouched) = s.entries.partition(e => e.partition.exists(touched))
       val out = rewrite(morRead(s, affected), source)
       val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
-      commit(op)(_ =>
+      commit(op, requireParentVersion = Some(s.version))(_ =>
         (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
           Map(
             "rewritten-entries" -> affected.size.toString,
@@ -1263,7 +1295,11 @@ class LakeTable(
       s"cannot fast-forward $name to branch $b: main advanced to " +
         s"v${main.version} past the fork point v$forkV")
     if (bHead.version == forkV) main
-    else commit("publish", deleteEntriesFn = _ => bHead.deleteEntries)(_ =>
+    // the fork-point gate above and the claim are not atomic — pin the
+    // commit to the checked version so a racer landing in the window
+    // surfaces as a conflict instead of being silently overwritten
+    else commit("publish", requireParentVersion = Some(forkV),
+      deleteEntriesFn = _ => bHead.deleteEntries)(_ =>
       (bHead.schema, bHead.partitionCols, bHead.entries, bHead.properties,
         Map("branch" -> b, "branch-version" -> bHead.version.toString)))
   }
@@ -1343,7 +1379,8 @@ class LakeTable(
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = prepared(read.repartition(n), s)
     val (_, entries) = writeData(compacted, s.partitionCols)
-    commit("rewrite-data-files", deleteEntriesFn = _ => Nil)(_ =>
+    commit("rewrite-data-files", requireParentVersion = Some(s.version),
+      deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties,
         Map("rewritten-files" -> before.toString)))
     (before, dataFileCount(currentSnapshot.get))
@@ -1453,7 +1490,8 @@ class LakeTable(
               s.partitionCols)._2))),
           Duration.Inf).flatten
       }
-      commit(operation, deleteEntriesFn = _ => Nil)(_ =>
+      commit(operation, requireParentVersion = Some(s.version),
+        deleteEntriesFn = _ => Nil)(_ =>
         (s.schema, s.partitionCols, entries, s.properties,
           Map("rewritten-files" -> before.toString) ++ summaryExtra))
       (before, dataFileCount(currentSnapshot.get))

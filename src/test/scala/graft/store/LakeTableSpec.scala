@@ -273,6 +273,40 @@ class LakeTableSpec extends SparkSpec {
     t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe (0L to 4L)
   }
 
+  test("contended rewrites: losers surface CommitConflictException, no winner is lost") {
+    // mergeInto is a rewriting commit, so a lost race must NOT retry
+    // blindly (a racer may have changed rows the rewrite already read) —
+    // the loser surfaces CommitConflictException and the caller decides.
+    // Invariants under contention: every thread either lands or throws
+    // the documented conflict (never corruption), history stays a linear
+    // chain with one version per winner, and every WINNER's update is
+    // visible in the final state — no lost updates, no phantom losers.
+    val cat = freshCatalog()
+    cat.table("db.race").createOrReplace(df((1L to 8L).map(i => (i, "base", 0.0))))
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val losses = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          cat.table("db.race")
+            .mergeInto(df(Seq((i.toLong, s"w$i", i.toDouble))), Seq("id"))
+          wins.add(i.toLong)
+        } catch { case e: Throwable => losses.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    losses.asScala.foreach(_ shouldBe a[CommitConflictException])
+    val won = wins.asScala.toSet
+    won should not be empty // somebody always lands
+    val t = cat.table("db.race")
+    t.currentSnapshot.get.version shouldBe 1L + won.size
+    val state = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    state shouldBe (1L to 8L).map(i =>
+      if (won(i)) (i, s"w$i", i.toDouble) else (i, "base", 0.0))
+  }
+
   test("empty dataframe table round-trips schema") {
     val t = freshCatalog().table("db.empty")
     t.createOrReplace(df(Seq((1L, "a", 1.0))).filter(lit(false)))
