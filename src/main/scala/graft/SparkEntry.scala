@@ -741,6 +741,23 @@ object SparkEntry {
         col("value"))
       .orderBy("user_id", "event_id")
 
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    // exactly-once from at-least-once: the feed replays every event
+    // twice (union), and the bounded-state streaming dedup must restore
+    // the original stream. Batch-executed it is DISTINCT over the
+    // replayed input; under a StreamingQuery the same plan holds one
+    // state row per event_id inside the watermark horizon and evicts
+    // older ones (EventStreamsSpec drives that path)
+    val ev = table(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    streaming.EventStreams
+      .dedupWithinWatermark(ev.union(ev), Seq("event_id"))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   private def s02(s: SparkSession, dir: String): DataFrame = {
     // gap-based sessionization (flatMapGroupsWithState), batch-executed:
     // closed sessions only — the per-user open tail session stays in
@@ -839,7 +856,8 @@ object SparkEntry {
     "s04_sliding_windows" -> (s04 _),
     "s05_interval_join" -> (s05 _),
     "s06_outer_interval_join" -> (s06 _),
-    "s07_stream_asof" -> (s07 _)
+    "s07_stream_asof" -> (s07 _),
+    "s13_stream_dedup" -> (s13 _)
   )
 
   def oracleSql: Map[String, String] = relationalOracleSql ++ LlmQueries.oracleSql ++
@@ -1039,6 +1057,15 @@ object SparkEntry {
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
          FROM x WHERE kind = 'hi' AND (pk IS NULL OR pk = 'lo')
          ORDER BY user_id, event_id""",
+    "s13_stream_dedup" ->
+      // at-least-once replay collapsed back to exactly-once: DISTINCT
+      // over the doubled feed — duplicate rows are full-row identical,
+      // so any-row-per-key and DISTINCT agree
+      """WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+         SELECT DISTINCT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           user_id, event_type, value
+         FROM u ORDER BY event_id""",
     "s11_session_window" ->
       // native session_window semantics: a gap of exactly 2h still
       // MERGES (split only when the gap strictly exceeds it — same rule

@@ -122,9 +122,15 @@ object EventStreams {
       events: DataFrame,
       keys: Seq[String],
       watermarkDelay: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark(keys)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keys)
+    else
+      // batch seam: Spark rejects dropDuplicatesWithinWatermark on
+      // batch frames, and with the whole input inside one "horizon"
+      // the operator degenerates to plain per-key dedup anyway
+      events.dropDuplicates(keys)
 
   /** Stream-stream event-time interval join: attribute each purchase to
     * every click by the SAME user in the preceding `horizonSec` seconds
