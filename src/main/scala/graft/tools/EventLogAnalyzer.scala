@@ -142,6 +142,17 @@ object EventLogAnalyzer {
         .map(ts => timeline.count(t => t.startMs <= ts && ts <= t.endMs))
         .max
 
+    /** The reference's config table (analyze_spark_config :1086-1100):
+      * its fixed keys-of-interest in order, `N/A` where the log carries
+      * no value. */
+    def configOfInterest: Seq[(String, String)] =
+      Report.ConfigKeysOfInterest.map(k => k -> config.getOrElse(k, "N/A"))
+
+    /** Kafka-related properties, the reference's supplementary dump
+      * (analyze_spark_config :1108-1112). */
+    def kafkaConfig: Seq[(String, String)] =
+      config.filter(_._1.toLowerCase.contains("kafka")).toSeq.sortBy(_._1)
+
     /** Text Gantt chart of the topic timeline (reference's bar render):
       * one line per topic, `width` cells across the app's span. */
     def ganttLines(width: Int = 60): Seq[String] = {
@@ -155,6 +166,78 @@ object EventLogAnalyzer {
         f"${t.topic.split('.').last.take(38)}%-40s|$bar|"
       }
     }
+
+    /** The full human-readable report — the reference tool's stdout
+      * form (its numbered sections in order), rendered from the
+      * structured fields so the two views can never disagree. */
+    def render: String = {
+      val b = new StringBuilder
+      def section(title: String): Unit =
+        b.append("\n== ").append(title).append(" ==\n")
+      section("1. Scheduler pools")
+      pools.toSeq.sortBy(_._1).foreach { case (p, jobs) =>
+        b.append(f"  $p%-30s jobs ${jobs.mkString(",")}\n")
+      }
+      section("2. Topic timeline")
+      ganttLines().foreach(l => b.append("  ").append(l).append('\n'))
+      if (timeline.nonEmpty)
+        b.append(s"  max concurrent topics: $maxConcurrentTopics\n")
+      section("3. Task skew")
+      stageSkew.take(10).foreach { s =>
+        b.append(f"  stage ${s.stageId}%-6d tasks ${s.tasks}%-5d median ${s.medianMs}%6d ms  max ${s.maxMs}%6d ms  x${s.skewRatio}%.1f")
+        if (s.serious) b.append("  SERIOUS") else if (s.skewed) b.append("  skewed")
+        b.append('\n')
+      }
+      section("4. GC / CPU")
+      b.append(f"  gc share ${gcSharePct}%.1f%% ($gcHealth)   cpu efficiency ${cpuEfficiencyPct}%.1f%% ($cpuHealth)\n")
+      section("5. Executors")
+      executors.foreach { e =>
+        b.append(f"  exec ${e.executorId}%-4s tasks ${e.tasks}%-5d run ${e.runTimeMs}%8d ms  gc ${e.gcTimeMs}%6d ms  fetch-wait ${e.shuffleReadWaitMs}%6d ms  spilled ${e.bytesSpilled}%d B\n")
+      }
+      section("6. Memory")
+      memory.executors.foreach { m =>
+        b.append(f"  exec ${m.executorId}%-4s peak/heap ${m.usagePct}%.0f%%  disk-spill ${m.diskSpill}%d B\n")
+      }
+      b.append(f"  health: ${memory.memoryHealth} (avg ${memory.avgUsagePct}%.0f%% of heap)\n")
+      section("7. SQL statements")
+      sql.foreach { s =>
+        b.append(f"  ${s.statementType}%-20s n ${s.count}%-4d p50 ${s.p50Ms}%6d ms  p95 ${s.p95Ms}%6d ms  max ${s.maxMs}%6d ms\n")
+      }
+      section("8. Streaming")
+      streamingQueries.foreach { q =>
+        b.append(s"  query ${q.name} [${q.runId.take(8)}] " +
+          (if (q.succeeded) "ok" else s"FAILED: ${q.exception.get.linesIterator.next()}") + "\n")
+      }
+      streaming.groupBy(_.queryName).toSeq.sortBy(_._1).foreach { case (n, bs) =>
+        b.append(f"  $n%-40s batches ${bs.size}%-5d rows ${bs.map(_.numInputRows).sum}%d\n")
+      }
+      section("9. Spark config")
+      configOfInterest.foreach { case (k, v) => b.append(f"  $k%-50s $v\n") }
+      if (kafkaConfig.nonEmpty) {
+        b.append("  kafka:\n")
+        kafkaConfig.foreach { case (k, v) => b.append(s"    $k: $v\n") }
+      }
+      b.result()
+    }
+  }
+
+  object Report {
+    /** analyze_spark_eventlog.py:1086-1100 — the settings an operator
+      * reads first when sizing the app. */
+    val ConfigKeysOfInterest: Seq[String] = Seq(
+      "spark.app.name",
+      "spark.scheduler.mode",
+      "spark.driver.memory",
+      "spark.driver.cores",
+      "spark.executor.memory",
+      "spark.executor.cores",
+      "spark.executor.instances",
+      "spark.dynamicAllocation.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.caseSensitive",
+      "spark.sql.session.timeZone",
+      "spark.sql.defaultCatalog",
+      "spark.yarn.maxAppAttempts")
   }
 
   // ------------------------------------------------------------------

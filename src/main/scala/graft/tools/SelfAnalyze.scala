@@ -70,5 +70,6 @@ object SelfAnalyze {
     println(s"SELFCHECK config_shuffle=${report.config.getOrElse("spark.sql.shuffle.partitions", "?")}")
     println(s"SELFCHECK gc=${report.gcHealth} cpu=${report.cpuHealth} mem=${report.memory.memoryHealth}")
     report.ganttLines(40).foreach(l => println(s"SELFCHECK gantt $l"))
+    println(report.render)
   }
 }

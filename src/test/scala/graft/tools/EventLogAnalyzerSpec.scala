@@ -67,6 +67,37 @@ class EventLogAnalyzerSpec extends AnyFunSuite with Matchers {
     r.config("spark.scheduler.mode") shouldBe "FAIR"
   }
 
+  test("config table: keys-of-interest order, N/A fill, kafka props") {
+    val r = EventLogAnalyzer.analyze(lines :+
+      """{"Event":"SparkListenerEnvironmentUpdate","Spark Properties":{
+         "spark.sql.shuffle.partitions":"32","spark.scheduler.mode":"FAIR",
+         "spark.kafka.bootstrap.servers":"b1:9092","spark.executor.memory":"4g"}}"""
+        .replaceAll("\n", ""))
+
+    // the reference's fixed table: every key present, in its order,
+    // N/A where the log has no value
+    val table = r.configOfInterest
+    table.map(_._1) shouldBe EventLogAnalyzer.Report.ConfigKeysOfInterest
+    table.toMap.apply("spark.executor.memory") shouldBe "4g"
+    table.toMap.apply("spark.sql.shuffle.partitions") shouldBe "32"
+    table.toMap.apply("spark.executor.instances") shouldBe "N/A"
+    table.toMap.apply("spark.yarn.maxAppAttempts") shouldBe "N/A"
+
+    r.kafkaConfig shouldBe Seq("spark.kafka.bootstrap.servers" -> "b1:9092")
+  }
+
+  test("render emits every section from the structured fields") {
+    val r = EventLogAnalyzer.analyze(lines)
+    val out = r.render
+    (1 to 9).foreach(i => out should include(s"== $i."))
+    out should include("topic-a")
+    out should include("SERIOUS") // stage 20's 120x skew
+    out should include("(critical)") // gc health
+    out should include("MERGE")
+    out should include("spark.sql.shuffle.partitions")
+    out should include("N/A") // keys-of-interest absent from the log
+  }
+
   test("healthy log: no skew, normal gc, balanced cpu") {
     val healthy = Seq(
       taskEnd(1, "1", 0, 100, 100, 70, 1),
