@@ -113,6 +113,26 @@ object ScaleProbe {
     timed("mor_merge")(mor.mergeIntoMoR(batch, Seq("doc_id")))
     timed("mor_masked_read")(mor.read.write.format("noop").mode("overwrite").save())
     timed("mor_compaction")(mor.rewritePositionDeleteFiles())
+
+    // Stats-pruned MoR read: ingest as `mult` ranged appends (one entry
+    // per append, disjoint doc_id ranges), then delete keys confined to
+    // the NEWEST range. morRead's manifest-stats pruning must confine
+    // the anti-join to that one entry — every older entry reads plain —
+    // so the masked read costs ~a plain scan regardless of how many
+    // delete-free entries the table holds (the 100 TB shape: deletes
+    // land in recent partitions, history stays untaxed).
+    def docReplica(i: Int) = replica(i)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranged = storeCat.table("probe.docs_ranged")
+    ranged.createOrReplace(docReplica(0))
+    (1 until mult).foreach(i => ranged.append(docReplica(i)))
+    timed("ranged_plain_read")(
+      ranged.read.write.format("noop").mode("overwrite").save())
+    timed("mor_ranged_delete")(ranged.deleteWhereExistsMoR(
+      docReplica(mult - 1).filter(col("doc_id") % 100 === 7).select("doc_id"),
+      Seq("doc_id")))
+    timed("mor_pruned_read")(
+      ranged.read.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
