@@ -31,7 +31,7 @@ object Maintenance {
 
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
-  private def recorded(
+  private[maintenance] def recorded(
       cat: LakeCatalog,
       dagId: String,
       fqn: String,
@@ -48,6 +48,18 @@ object Maintenance {
         rewrittenFilesCount = rewritten, addedFilesCount = added, batchId = batchId)
       true
     } catch {
+      case e: graft.store.CommitConflictException =>
+        // a concurrent writer landed mid-rewrite and the compaction's
+        // base-snapshot validation refused to clobber it — benign: the
+        // table is healthy, the work just goes to the next interval.
+        // Recorded as "skipped" (like an interval gate), not "failed",
+        // so the daemon's failure accounting stays clean; follow-on
+        // procedures are NOT gated (nothing is broken).
+        Watermark.appendMaintenanceWatermark(cat, dagId, schema, table, procedureType,
+          wallStart, Some(now()), (System.nanoTime() - monoStart) / 1e9, "skipped",
+          errorMessage = Some(Option(e.getMessage).getOrElse(e.toString)),
+          batchId = batchId)
+        true
       case e: Throwable =>
         Watermark.appendMaintenanceWatermark(cat, dagId, schema, table, procedureType,
           wallStart, Some(now()), (System.nanoTime() - monoStart) / 1e9, "failed",
