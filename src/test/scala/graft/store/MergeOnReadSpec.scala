@@ -182,6 +182,28 @@ class MergeOnReadSpec extends SparkSpec {
     joins(u.read.queryExecution.executedPlan) shouldBe 0
   }
 
+  test("MoR deletes survive schema evolution; compaction folds under the widened schema") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    t.deleteWhereExistsMoR(df(Seq((2L, "-", 0.0))).select("id"), Seq("id"))
+    // widen the schema UNDER the outstanding delete file: old data reads
+    // through with nulls, the delete keeps masking id=2, and the newly
+    // appended row (higher seq than the delete) reads plain
+    t.appendEvolve(Seq((4L, "d", 4.0, "x")).toDF("id", "status", "amount", "tag"))
+    def rows(tt: LakeTable) = tt.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getAs[String]("tag")))).toSeq
+    val expected = Seq((1L, "a", None), (3L, "c", None), (4L, "d", Some("x")))
+    rows(t) shouldBe expected
+    // folding the delete files must not change what a read returns,
+    // and the fold happens under the WIDENED schema
+    val (removed, _) = t.rewritePositionDeleteFiles()
+    removed shouldBe 1
+    t.currentSnapshot.get.deleteEntries shouldBe empty
+    rows(t) shouldBe expected
+    t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount", "tag")
+  }
+
   test("incremental scan emits MoR merge batches as an upsert stream") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
