@@ -68,9 +68,18 @@ object StoreQueries {
     require(removedDeletes == 2, s"expected to fold 2 delete files, got $removedDeletes")
     val folded = t.read
     // the masked (pre-compaction) and folded (post-compaction) reads
-    // must agree row-for-row — cheap to assert here, and it turns this
-    // oracle row into a check of BOTH read paths
-    require(masked.exceptAll(folded).isEmpty && folded.exceptAll(masked).isEmpty,
+    // must agree row-for-row — asserted via an order-independent
+    // (count, sum-of-row-hashes) checksum: one agg job per side instead
+    // of the two shuffle joins a symmetric exceptAll would plan
+    def chk(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        // decimal sum: 15k 64-bit hashes overflow a long under ANSI
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    require(chk(masked) == chk(folded),
       "MoR masked read and post-compaction read diverge")
     folded.orderBy("o_orderkey")
   }
