@@ -1,0 +1,103 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Model-based testing of the table store: random (seeded, reproducible)
+  * sequences of append / COW merge / MoR merge / COW delete / MoR
+  * delete / bin-pack compaction / position-delete fold / rollback run
+  * against both a LakeTable and a trivial in-memory map, and the table
+  * read must equal the model after EVERY step. One sequence exercises
+  * interleavings no hand-written spec enumerates — MoR delete files
+  * surviving a COW rewrite, rollback restoring outstanding deletes,
+  * compaction folding under later appends, and so on. */
+class StoreModelSpec extends SparkSpec {
+
+  private type Row3 = (Long, (String, Double))
+
+  private def df(rows: Seq[Row3]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, (st, amt)) => (id, st, amt) }.toDF("id", "status", "amount")
+  }
+
+  private def pick(rnd: scala.util.Random, from: Seq[Long], n: Int): Seq[Long] =
+    rnd.shuffle(from).take(n)
+
+  test("random op sequences agree with the in-memory model") {
+    Seq(11L, 42L, 20260813L).foreach(runSequence)
+  }
+
+  private def runSequence(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val cat = new LakeCatalog(spark,
+      Files.createTempDirectory(s"store-model-$seed").toString)
+    val t = cat.table(s"db.m$seed")
+
+    var model: Map[Long, (String, Double)] =
+      (1L to 40L).map(i => i -> (s"v$i", i * 1.0)).toMap
+    t.createOrReplace(df(model.toSeq))
+    var history = Map(t.currentSnapshot.get.version -> model)
+    var nextId = 1000L
+    var lastOp = "create"
+
+    def freshRows(n: Int, tag: String): Seq[Row3] = {
+      val rows = (0 until n).map { k =>
+        val id = nextId + k; id -> ((s"$tag$id", id * 0.5))
+      }
+      nextId += n
+      rows
+    }
+
+    for (step <- 1 to 12) {
+      rnd.nextInt(8) match {
+        case 0 =>
+          lastOp = "append"
+          val rows = freshRows(4, "a")
+          t.append(df(rows)); model ++= rows
+        case 1 =>
+          lastOp = "cow-merge"
+          val upd = pick(rnd, model.keys.toSeq.sorted, 6)
+            .map(id => id -> ((s"m$step", step * 2.0)))
+          val rows = upd ++ freshRows(2, "n")
+          t.mergeInto(df(rows), Seq("id")); model ++= rows
+        case 2 =>
+          lastOp = "mor-merge"
+          val upd = pick(rnd, model.keys.toSeq.sorted, 6)
+            .map(id => id -> ((s"r$step", step * 3.0)))
+          val rows = upd ++ freshRows(2, "q")
+          t.mergeIntoMoR(df(rows), Seq("id")); model ++= rows
+        case 3 =>
+          lastOp = "cow-delete"
+          val ids = pick(rnd, model.keys.toSeq.sorted, 4)
+          t.deleteWhereExists(df(ids.map(i => i -> (("", 0.0)))).select("id"), Seq("id"))
+          model --= ids
+        case 4 =>
+          lastOp = "mor-delete"
+          val ids = pick(rnd, model.keys.toSeq.sorted, 4)
+          t.deleteWhereExistsMoR(df(ids.map(i => i -> (("", 0.0)))).select("id"), Seq("id"))
+          model --= ids
+        case 5 =>
+          lastOp = "rewrite-data-files"
+          t.rewriteDataFiles(targetFileBytes = 64 * 1024)
+        case 6 =>
+          lastOp = "fold-deletes"
+          t.rewritePositionDeleteFiles()
+        case 7 =>
+          lastOp = "rollback"
+          val target = history.keys.toSeq.sorted
+            .apply(rnd.nextInt(history.size))
+          t.rollbackTo(target)
+          model = history(target)
+      }
+      history += t.currentSnapshot.get.version -> model
+      val got = t.read.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      withClue(s"seed=$seed step=$step op=$lastOp: ") {
+        got shouldBe model
+      }
+    }
+  }
+}
