@@ -806,7 +806,11 @@ class LakeTable(
   private def writeDeleteFile(src: DataFrame, keys: Seq[String], s: Snapshot): ManifestEntry = {
     val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
     val keyDf = src.select(keys.map(k => col(k).cast(types(k)).as(k)): _*).distinct()
-    val dir = "del-" + UUID.randomUUID().toString.take(14)
+    // underscore prefix = Hadoop/Spark hidden-path convention: generic
+    // listings (readStream's recursive file stream, an ad-hoc
+    // spark.read.parquet over the data root) skip delete files
+    // automatically, while morRead's explicit-path reads still see them
+    val dir = "_del-" + UUID.randomUUID().toString.take(14)
     val abs = s"$location/data/$dir"
     keyDf.write.mode("errorifexists").parquet(abs)
     ManifestEntry(dir, None,

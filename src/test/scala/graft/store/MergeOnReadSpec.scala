@@ -204,6 +204,27 @@ class MergeOnReadSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount", "tag")
   }
 
+  test("readStream never surfaces delete files as phantom rows") {
+    // delete files live under the data root but carry only key columns;
+    // the underscore prefix keeps them out of the raw file stream (and
+    // any ad-hoc read over the root) — without it every MoR delete
+    // would appear as a null-filled phantom row downstream
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    t.deleteWhereExistsMoR(df(Seq((2L, "-", 0.0))).select("id"), Seq("id"))
+    val out = Files.createTempDirectory("mor-stream").toString
+    t.readStream.writeStream
+      .format("parquet").option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val rows = spark.read.parquet(s"$out/sink").collect()
+    // the raw stream is append-only (masked rows still flow — the
+    // documented COW-style caveat) but NO null-filled delete-key rows
+    rows should have size 3
+    rows.count(_.isNullAt(1)) shouldBe 0
+  }
+
   test("incremental scan emits MoR merge batches as an upsert stream") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
