@@ -49,17 +49,22 @@ object Bench {
     // keeps only a ~2 KB tail of stdout and parses the LAST line as JSON,
     // so the final line must be a compact summary (r04's 4.8 KB full line
     // overflowed the tail window and parsed as null).
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_detail.json"),
-        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    val detailPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "bench_detail.json").toAbsolutePath
+    val detailWritten =
+      try {
+        java.nio.file.Files.write(detailPath,
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case _: Throwable => false }
     println(fullJson)
     // stop() BEFORE the final print: the compact JSON must be the last
     // stdout line for the driver's parser (session shutdown logs at INFO
     // are suppressed, but ordering makes it robust regardless of level).
     spark.stop()
+    // advertise the detail file only when it actually landed
+    val detail = if (detailWritten) s""","detail":${js(detailPath.toString)}""" else ""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir","detail":"bench_detail.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"$detail}""")
   }
 }

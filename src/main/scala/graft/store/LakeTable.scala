@@ -247,6 +247,12 @@ class LakeTable(
       retryWaitMs: Long = 200,
       parentOverride: Option[Long] = None,
       requireParentVersion: Option[Long] = None,
+      // floor on the committed version number: a publish that imports
+      // entries stamped by ANOTHER ref tree (branch seqs can exceed
+      // main's next version) must keep the invariant that every future
+      // commit's version — hence every future delete file's sequence
+      // number — exceeds every seq already in the manifest
+      versionFloor: Option[Long] = None,
       // merge-on-read delete files: default carries the parent's
       // outstanding deletes forward (COW commits never touch them);
       // MoR writers append, position-delete compaction clears
@@ -266,7 +272,8 @@ class LakeTable(
                 "commit may have changed rows this rewrite read", null)
         }
         val (sch, pcols, entries, props, summary) = buildEntries(parent)
-        val version = parent.map(_.version + 1).getOrElse(1L)
+        val version = math.max(
+          parent.map(_.version + 1).getOrElse(1L), versionFloor.getOrElse(1L))
         // freshly-written entries carry the StampAtCommit sentinel —
         // their data sequence number is this commit's version
         def stamp(es: Seq[ManifestEntry]) =
@@ -575,21 +582,30 @@ class LakeTable(
       case None => (df, partitionBy, Map.empty[String, String])
     }
     val (_, entries) = writeData(data, pcols)
-    commit("create-or-replace")(_ =>
+    // replace semantics: the parent's outstanding MoR delete files are
+    // meaningless for the replacement data (and the fresh properties
+    // map may not carry mor.delete-keys) — drop them
+    commit("create-or-replace", deleteEntriesFn = _ => Nil)(_ =>
       (df.schema, pcols, entries,
         DefaultProperties ++ bucketProps ++ tableProperties, Map.empty))
   }
 
+  /** Retry bounds for additive commits, from the table properties. */
+  private def retryConfig(s: Snapshot): (Int, Long) = (
+    s.properties.getOrElse("commit.retry.num-retries", "20").toInt,
+    s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong)
+
   /** Append-only commit: existing data dirs are untouched. Additive, so
-    * lost commit races retry against the fresh parent manifest. */
+    * lost commit races retry against the fresh parent manifest —
+    * schema/partitioning/properties come from the FRESH parent so a
+    * racer's evolution or property update survives the retry. */
   def append(df: DataFrame): Snapshot = {
     val s = requireExists()
     val (_, entries) = writeData(prepared(df, s), s.partitionCols)
-    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
-    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    val (retries, waitMs) = retryConfig(s)
     commit("append", retries, waitMs)(p =>
-      (s.schema, s.partitionCols, p.get.entries ++ entries, s.properties,
-        Map("added-entries" -> entries.size.toString)))
+      (p.get.schema, p.get.partitionCols, p.get.entries ++ entries,
+        p.get.properties, Map("added-entries" -> entries.size.toString)))
   }
 
   /** Union-by-name of the stored schema with a batch's schema: existing
@@ -619,12 +635,11 @@ class LakeTable(
        else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     val withBucket = bucketSpec(s).map(withDerivedBucket(conformed, _)).getOrElse(conformed)
     val (_, entries) = writeData(withBucket, s.partitionCols)
-    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
-    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    val (retries, waitMs) = retryConfig(s)
     commit("append-evolve", retries, waitMs)(p =>
       // re-merge against the FRESH parent so a racer's evolution survives
-      (mergedSchema(p.get.schema, df.schema), s.partitionCols,
-        p.get.entries ++ entries, s.properties,
+      (mergedSchema(p.get.schema, df.schema), p.get.partitionCols,
+        p.get.entries ++ entries, p.get.properties,
         Map("added-entries" -> entries.size.toString,
           "added-columns" -> (merged.fieldNames.length - s.schema.fieldNames.length).toString)))
   }
@@ -748,12 +763,12 @@ class LakeTable(
     * (`schema_validate.py:111,202` stores comments as properties). */
   def setProperties(updates: Map[String, String]): Snapshot = {
     val s = requireExists()
-    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
-    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
-    // additive over the FRESH properties map, so two racing setProperties
-    // on different keys both land
+    val (retries, waitMs) = retryConfig(s)
+    // additive over the FRESH snapshot, so two racing setProperties on
+    // different keys both land and a racer's schema evolution survives
     commit("set-properties", retries, waitMs)(p =>
-      (s.schema, s.partitionCols, p.get.entries, p.get.properties ++ updates,
+      (p.get.schema, p.get.partitionCols, p.get.entries,
+        p.get.properties ++ updates,
         Map("updated-keys" -> updates.keys.mkString(","))))
   }
 
@@ -834,14 +849,17 @@ class LakeTable(
     // ADDITIVE (new data dirs + one delete file, nothing rewritten):
     // lost races rebuild on the fresh parent and retry like append —
     // the commit-version sequence numbers keep the merge serialized
-    // after the racer, whatever the racer wrote
-    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
-    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    // after the racer, whatever the racer wrote. MoR keys re-validated
+    // against the FRESH parent: a racing first MoR write may have fixed
+    // different keys, and our delete file would not carry them
+    val (retries, waitMs) = retryConfig(s)
     commit("merge-mor", retries, waitMs,
-      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(p =>
-      (s.schema, s.partitionCols, p.get.entries ++ dataEntries,
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(p => {
+      requireMorKeys(p.get, keys)
+      (p.get.schema, p.get.partitionCols, p.get.entries ++ dataEntries,
         p.get.properties + (MorKeysProp -> keys.mkString(",")),
-        Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1")))
+        Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1"))
+    })
   }
 
   /** DELETE ... merge-on-read: just the equality-delete file — a pure
@@ -851,31 +869,38 @@ class LakeTable(
     requireMorKeys(s, keys)
     val delEntry = writeDeleteFile(deletes, keys, s)
     // additive like mergeIntoMoR: only a delete file lands, so lost
-    // races rebuild on the fresh parent and retry
-    val retries = s.properties.getOrElse("commit.retry.num-retries", "20").toInt
-    val waitMs = s.properties.getOrElse("commit.retry.min-wait-ms", "200").toLong
+    // races rebuild on the fresh parent (keys re-validated) and retry
+    val (retries, waitMs) = retryConfig(s)
     commit("delete-mor", retries, waitMs,
-      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(p =>
-      (s.schema, s.partitionCols, p.get.entries,
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(p => {
+      requireMorKeys(p.get, keys)
+      (p.get.schema, p.get.partitionCols, p.get.entries,
         p.get.properties + (MorKeysProp -> keys.mkString(",")),
-        Map("delete-files" -> "1")))
+        Map("delete-files" -> "1"))
+    })
   }
 
-  /** Can delete entry `d` mask any row of data entry `e`? False when
-    * the sequence ordering rules it out, or when the manifest key-range
-    * stats prove disjointness on ANY key (an equality delete must match
-    * ALL keys); conservative true on missing stats. Shared by the read
+  /** Partition `entries` into (reachable, unreachable) w.r.t. the
+    * snapshot's outstanding delete files: a delete can mask a row of an
+    * entry only when the sequence ordering allows it AND no manifest
+    * key-range proves disjointness on any key (an equality delete must
+    * match ALL keys); conservative reachable on missing stats. The
+    * schema type map and key list are hoisted once — the predicate runs
+    * O(entries × deletes) times per planning pass. Shared by the read
     * path and the compactor. */
-  private def deleteMayApply(
-      s: Snapshot, e: ManifestEntry, d: ManifestEntry): Boolean = {
+  private def splitByDeleteReach(
+      s: Snapshot, entries: Seq[ManifestEntry]): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
-    e.seq < d.seq && morKeys(s).forall { k =>
-      (e.stats.get(k), d.stats.get(k)) match {
-        case (Some((emn, emx)), Some((dmn, dmx))) =>
-          !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
-        case _ => true
+    val keys = morKeys(s)
+    def mayApply(e: ManifestEntry, d: ManifestEntry): Boolean =
+      e.seq < d.seq && keys.forall { k =>
+        (e.stats.get(k), d.stats.get(k)) match {
+          case (Some((emn, emx)), Some((dmn, dmx))) =>
+            !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
+          case _ => true
+        }
       }
-    }
+    entries.partition(e => s.deleteEntries.exists(d => mayApply(e, d)))
   }
 
   /** Read `entries` with the snapshot's outstanding equality-delete
@@ -892,8 +917,7 @@ class LakeTable(
     val keys = morKeys(s)
     require(keys.nonEmpty,
       s"table $name has delete files but no $MorKeysProp property")
-    val (maskable, fresh) =
-      entries.partition(e => s.deleteEntries.exists(d => deleteMayApply(s, e, d)))
+    val (maskable, fresh) = splitByDeleteReach(s, entries)
     if (maskable.isEmpty) return readEntries(s, entries)
     val data = maskable.groupBy(_.dir).toSeq.map { case (dir, es) =>
       val base = s"$location/data/$dir"
@@ -926,8 +950,7 @@ class LakeTable(
   def rewritePositionDeleteFiles(): (Int, Int) = {
     val s = requireExists()
     if (s.deleteEntries.isEmpty) return (0, 0)
-    val (affected, untouched) =
-      s.entries.partition(e => s.deleteEntries.exists(d => deleteMayApply(s, e, d)))
+    val (affected, untouched) = splitByDeleteReach(s, s.entries)
     val newEntries =
       if (affected.isEmpty) Nil
       else writeData(prepared(morRead(s, affected), s), s.partitionCols)._2
@@ -1303,6 +1326,11 @@ class LakeTable(
     // commit to the checked version so a racer landing in the window
     // surfaces as a conflict instead of being silently overwritten
     else commit("publish", requireParentVersion = Some(forkV),
+      // branch seqs can exceed forkV+1; committing below them would let
+      // a later main-side delete (seq = its version) fail to mask the
+      // published rows — or a published delete mask future appends
+      versionFloor = Some((bHead.entries ++ bHead.deleteEntries)
+        .map(_.seq).maxOption.getOrElse(forkV)),
       deleteEntriesFn = _ => bHead.deleteEntries)(_ =>
       (bHead.schema, bHead.partitionCols, bHead.entries, bHead.properties,
         Map("branch" -> b, "branch-version" -> bHead.version.toString)))

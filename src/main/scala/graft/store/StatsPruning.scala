@@ -214,9 +214,6 @@ object StatsPruning {
     case _ => None
   }
 
-  /** true when the entry range [mnS, mxS] (manifest strings of type
-    * `dt`) and the batch range [lo, hi] PROVABLY don't overlap —
-    * conservative: any parse/compare failure reports overlap. */
   /** Disjointness of two STORED stat ranges (both string-encoded, as in
     * manifest entries) — used to prove a delete file cannot touch a data
     * entry. False (may overlap) when either side fails to parse. */
@@ -231,6 +228,9 @@ object StatsPruning {
       cLoHi <- cmp(amn, bmx)
     } yield cHiLo < 0 || cLoHi > 0).getOrElse(false)
 
+  /** true when the entry range [mnS, mxS] (manifest strings of type
+    * `dt`) and the batch range [lo, hi] PROVABLY don't overlap —
+    * conservative: any parse/compare failure reports overlap. */
   def rangesDisjoint(dt: DataType, mnS: String, mxS: String, lo: Any, hi: Any): Boolean =
     (for {
       emn <- parseStat(mnS, dt)

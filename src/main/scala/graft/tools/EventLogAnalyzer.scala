@@ -134,12 +134,16 @@ object EventLogAnalyzer {
       else "io-or-shuffle-bound"
 
     /** Max topics in flight at once, sampled at every envelope edge —
-      * the semaphore sanity check (equals `concurrency` when healthy). */
+      * the semaphore sanity check (equals `concurrency` when healthy).
+      * Envelopes are half-open [start, end): back-to-back topics whose
+      * edges touch (A ends exactly when B starts) are sequential, not
+      * concurrent; zero-duration envelopes count at their start. */
     def maxConcurrentTopics: Int =
       if (timeline.isEmpty) 0
       else timeline.flatMap(t => Seq(t.startMs, t.endMs))
         .distinct
-        .map(ts => timeline.count(t => t.startMs <= ts && ts <= t.endMs))
+        .map(ts => timeline.count(t =>
+          t.startMs <= ts && ts < math.max(t.endMs, t.startMs + 1)))
         .max
 
     /** The reference's config table (analyze_spark_config :1086-1100):

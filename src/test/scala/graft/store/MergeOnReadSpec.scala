@@ -204,6 +204,38 @@ class MergeOnReadSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount", "tag")
   }
 
+  test("createOrReplace over a MoR table drops outstanding deletes (replace semantics)") {
+    // RTAS replaces the data, so the parent's delete files are
+    // meaningless — carrying them forward (with a fresh properties map
+    // lacking mor.delete-keys) used to make every subsequent read throw
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    t.deleteWhereExistsMoR(df(Seq((1L, "-", 0.0))).select("id"), Seq("id"))
+    t.createOrReplace(df(Seq((9L, "z", 9.0))))
+    t.currentSnapshot.get.deleteEntries shouldBe empty
+    state(t) shouldBe Seq((9L, "z", 9.0))
+  }
+
+  test("publish keeps the seq-below-version invariant: main-side MoR deletes mask published rows") {
+    // branch seqs can exceed main's next version; without the publish
+    // version floor a later main-side delete (seq = its commit version)
+    // would fail the strictly-lower-seq test against published entries
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    b.append(df(Seq((2L, "b", 2.0)))) // branch v2: entries seq 2
+    b.append(df(Seq((3L, "c", 3.0)))) // branch v3: entries seq 3
+    val pub = t.fastForward("wap")
+    pub.version should be >= 3L // floored past the max published seq
+    // a MoR delete on main AFTER publish must mask the published row
+    t.deleteWhereExistsMoR(df(Seq((3L, "-", 0.0))).select("id"), Seq("id"))
+    state(t) shouldBe Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    // and a post-publish append must NOT be masked by that delete
+    t.append(df(Seq((3L, "C", 30.0))))
+    state(t) shouldBe Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "C", 30.0))
+  }
+
   test("readStream never surfaces delete files as phantom rows") {
     // delete files live under the data root but carry only key columns;
     // the underscore prefix keeps them out of the raw file stream (and
