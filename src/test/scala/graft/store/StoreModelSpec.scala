@@ -52,7 +52,7 @@ class StoreModelSpec extends SparkSpec {
     }
 
     for (step <- 1 to 12) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 =>
           lastOp = "append"
           val rows = freshRows(4, "a")
@@ -91,6 +91,12 @@ class StoreModelSpec extends SparkSpec {
             .apply(rnd.nextInt(history.size))
           t.rollbackTo(target)
           model = history(target)
+        case 8 =>
+          // RTAS mid-sequence — replace semantics must drop outstanding
+          // MoR deletes (the round-5 regression) and reset the state
+          lastOp = "create-or-replace"
+          val rows = freshRows(5, "rt")
+          t.createOrReplace(df(rows)); model = rows.toMap
       }
       history += t.currentSnapshot.get.version -> model
       val got = t.read.collect()
