@@ -26,6 +26,12 @@ for name, sql in sorted(oracle.items()):
         continue
     got = con.execute(
         f"SELECT * FROM read_parquet({got_files!r}) LIMIT 0").fetchdf()
+    # a column present on only one side is itself a divergence (rename /
+    # drop drift) — the intersection alone would silently ignore it
+    for c in sorted(set(exp.columns) ^ set(got.columns)):
+        side = "oracle" if c in exp.columns else "spark"
+        print(f"COLUMN {name}.{c}: only on {side} side")
+        n_div += 1
     for c in sorted(set(exp.columns) & set(got.columns)):
         a, b = str(exp[c].dtype), str(got[c].dtype)
         # object==object (strings/arrays) fine; identical fine

@@ -40,11 +40,16 @@ object ScaleProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"PROBE corpus: ${big.count()} docs (${n} x $mult)")
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    // one timing helper for the whole probe: generic body, row-count
+    // suffix when the timed work returns one
+    def timed[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
-      val rows = df.count()
-      println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      val a = body
+      val suffix = a match { case n: Long => s"  ($n rows)"; case _ => "" }
+      println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s$suffix")
+      a
     }
+    def time(name: String)(df: => DataFrame): Unit = { timed(name)(df.count()); () }
     time("exact_groups")(Dedup.exactGroups(big))
     time("lsh_near_dup")(Dedup.lshNearDuplicates(big, maxBucket = 1000))
     time("dup_ngram_coverage")(Dedup.dupNgramCoverage(big))
@@ -93,12 +98,6 @@ object ScaleProbe {
     // rewrites, MoR commit cost tracks only the batch — the gap is what
     // a heavy-update CDC table buys at 100 TB. Compaction then pays the
     // folded cost once, off the ingest path.
-    def timed[A](name: String)(body: => A): A = {
-      val t0 = System.nanoTime()
-      val a = body
-      println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      a
-    }
     val storeCat = new LakeCatalog(spark,
       s"${sys.props("java.io.tmpdir")}/graft_probe_store_$mult")
     storeCat.createDatabase("probe")

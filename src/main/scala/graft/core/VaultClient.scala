@@ -30,11 +30,17 @@ class VaultClient(url: String, roleId: String, secretId: String)
   extends Settings.SecretProvider {
 
   private val mapper = new ObjectMapper()
-  private val http = HttpClient.newHttpClient()
+  // bounded timeouts: a blackholed Vault endpoint must fail loudly at
+  // startup (this class's contract), never hang credential hydration
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+  private val requestTimeout = java.time.Duration.ofSeconds(30)
   private def base = url.stripSuffix("/")
 
   private def post(uri: String, body: String): String = {
     val req = HttpRequest.newBuilder(URI.create(uri))
+      .timeout(requestTimeout)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
@@ -47,6 +53,7 @@ class VaultClient(url: String, roleId: String, secretId: String)
 
   private def get(uri: String, token: String): String = {
     val req = HttpRequest.newBuilder(URI.create(uri))
+      .timeout(requestTimeout)
       .header("X-Vault-Token", token)
       .GET().build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())

@@ -128,8 +128,14 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(keys)
     else
       // batch seam: Spark rejects dropDuplicatesWithinWatermark on
-      // batch frames, and with the whole input inside one "horizon"
-      // the operator degenerates to plain per-key dedup anyway
+      // batch frames. A batch frame has no watermark, so the whole
+      // input is one "horizon" and the operator degenerates to plain
+      // per-key dedup. NOTE the deliberate semantic edge: duplicates
+      // separated by MORE than `watermarkDelay` of event time re-emit
+      // under streaming execution (key state was evicted) but collapse
+      // here — the oracle replays duplicates within one horizon, and a
+      // cross-horizon replay is exactly the residue the downstream
+      // idempotent-MERGE sink absorbs
       events.dropDuplicates(keys)
 
   /** Stream-stream event-time interval join: attribute each purchase to

@@ -61,12 +61,20 @@ object EventLogAnalyzer {
       inputRowsPerSec: Double = 0.0,
       processedRowsPerSec: Double = 0.0)
 
-  /** One streaming query's lifecycle (started/terminated events). */
+  /** One streaming query's lifecycle (started/terminated events).
+    * `terminated = false` means the log carries no QueryTerminatedEvent
+    * — the query was still running, or the driver died without one —
+    * which must NOT render as success. */
   case class StreamingQueryInfo(
       runId: String,
       name: String,
-      exception: Option[String]) {
-    def succeeded: Boolean = exception.isEmpty
+      exception: Option[String],
+      terminated: Boolean = true) {
+    def succeeded: Boolean = terminated && exception.isEmpty
+    def lifecycle: String =
+      if (!terminated) "no-terminated-event (running or driver died)"
+      else if (exception.isEmpty) "ok"
+      else s"FAILED: ${exception.get.linesIterator.next()}"
   }
 
   /** One topic's slice of the run: job-group start→end envelope
@@ -86,7 +94,12 @@ object EventLogAnalyzer {
       peakExecBytes: Long,
       diskSpill: Long,
       memSpill: Long) {
-    def usagePct: Double = peakExecBytes.toDouble / math.max(1L, heapBytes) * 100
+    /** 0 when the heap is unknown (BlockManagerAdded rolled out of the
+      * analyzed slice) — a 1-byte fallback denominator would report
+      * astronomical usage and corrupt the health band. */
+    def usagePct: Double =
+      if (heapBytes <= 0) 0.0
+      else peakExecBytes.toDouble / heapBytes * 100
   }
 
   case class MemoryReport(
@@ -96,9 +109,11 @@ object EventLogAnalyzer {
       totalInputBytes: Long,
       totalShuffleRead: Long,
       totalShuffleWrite: Long) {
-    def avgUsagePct: Double =
-      if (executors.isEmpty) 0.0
-      else executors.map(_.usagePct).sum / executors.size
+    def avgUsagePct: Double = {
+      // only executors whose heap is known contribute to the average
+      val known = executors.filter(_.heapBytes > 0)
+      if (known.isEmpty) 0.0 else known.map(_.usagePct).sum / known.size
+    }
 
     /** The reference's memory-sizing bands: disk spill is a confirmed
       * shortage; >80% peak/heap is one data bump from spilling; <30%
@@ -209,8 +224,7 @@ object EventLogAnalyzer {
       }
       section("8. Streaming")
       streamingQueries.foreach { q =>
-        b.append(s"  query ${q.name} [${q.runId.take(8)}] " +
-          (if (q.succeeded) "ok" else s"FAILED: ${q.exception.get.linesIterator.next()}") + "\n")
+        b.append(s"  query ${q.name} [${q.runId.take(8)}] ${q.lifecycle}\n")
       }
       streaming.groupBy(_.queryName).toSeq.sortBy(_._1).foreach { case (n, bs) =>
         b.append(f"  $n%-40s batches ${bs.size}%-5d rows ${bs.map(_.numInputRows).sum}%d\n")
@@ -267,14 +281,20 @@ object EventLogAnalyzer {
     * (`eventlog_v2_<appId>/events_<seq>_<appId>[.codec]` plus an
     * `appstatus_…` marker), segments ordered by sequence number. */
   def readEventLogDir(dir: Path): Seq[String] = {
-    val entries = Files.list(dir).iterator().asScala.toSeq
+    // Files.list streams hold an open directory fd until closed — a
+    // monitoring loop calling this repeatedly would leak descriptors
+    def listAll(d: Path): Seq[Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val entries = listAll(dir)
     val flat = entries
       .filter(Files.isRegularFile(_))
       .map(p => (0L, p))
     val rolled = entries
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("eventlog_v2_"))
-      .flatMap(d => Files.list(d).iterator().asScala.toSeq)
+      .flatMap(listAll)
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.startsWith("events_"))
       .map { p =>
@@ -458,7 +478,7 @@ object EventLogAnalyzer {
       .map { e =>
         val rid = e.path("runId").asText("")
         StreamingQueryInfo(rid, e.path("name").asText(""),
-          terminated.get(rid).flatten)
+          terminated.get(rid).flatten, terminated.contains(rid))
       }
 
     // config dump (analyze_config :1078-1130)

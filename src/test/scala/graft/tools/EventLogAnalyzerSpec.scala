@@ -195,6 +195,19 @@ class EventLogAnalyzerSpec extends AnyFunSuite with Matchers {
     r.streamingQueries.map(q => (q.name, q.succeeded)) shouldBe
       Seq(("q_ok", true), ("q_bad", false))
     r.streamingQueries.last.exception.get should include("boom")
+    // a query with NO terminated event (still running, or the driver
+    // died without one) must not read as success
+    val r2 = EventLogAnalyzer.analyze(log.take(2))
+    r2.streamingQueries.map(_.succeeded) shouldBe Seq(false, false)
+    r2.streamingQueries.head.lifecycle should include("no-terminated-event")
+    // unknown heap (BlockManagerAdded rolled away) reports 0 usage, not
+    // an astronomical 1-byte-denominator percentage
+    EventLogAnalyzer.ExecutorMemory("9", 0, 4L << 30, 0, 0).usagePct shouldBe 0.0
+    EventLogAnalyzer.MemoryReport(
+      Seq(
+        EventLogAnalyzer.ExecutorMemory("1", 1000, 600, 0, 0),
+        EventLogAnalyzer.ExecutorMemory("9", 0, 4L << 30, 0, 0)),
+      0, 0, 0, 0, 0).avgUsagePct shouldBe 60.0 +- 0.01
     val b = r.streaming.head
     b.inputRowsPerSec shouldBe 250.0
     b.processedRowsPerSec shouldBe 125.5
