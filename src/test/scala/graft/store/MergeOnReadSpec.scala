@@ -204,6 +204,35 @@ class MergeOnReadSpec extends SparkSpec {
     t.schema.fieldNames.toSeq shouldBe Seq("id", "status", "amount", "tag")
   }
 
+  test("contended MoR merges are additive: every writer lands, no update lost") {
+    // unlike COW merges (which conflict), MoR merges are additive —
+    // data dirs + a delete file — so racing writers rebuild on the
+    // fresh parent and retry; ALL must land, with one commit each
+    val cat = freshCatalog()
+    cat.table("db.race").createOrReplace(
+      df((1L to 8L).map(i => (i, "base", 0.0))))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try cat.table("db.race")
+          .mergeIntoMoR(df(Seq((i.toLong, s"w$i", i.toDouble))), Seq("id"))
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    failures.forEach(_.printStackTrace())
+    failures.isEmpty shouldBe true
+    val t = cat.table("db.race")
+    t.currentSnapshot.get.version shouldBe 5L // base + 4 winners, linear
+    t.currentSnapshot.get.deleteEntries should have size 4
+    state(t) shouldBe (1L to 8L).map(i =>
+      if (i <= 4) (i, s"w$i", i.toDouble) else (i, "base", 0.0))
+    // and the fold converges to the same state
+    t.rewritePositionDeleteFiles()
+    state(t) shouldBe (1L to 8L).map(i =>
+      if (i <= 4) (i, s"w$i", i.toDouble) else (i, "base", 0.0))
+  }
+
   test("createOrReplace over a MoR table drops outstanding deletes (replace semantics)") {
     // RTAS replaces the data, so the parent's delete files are
     // meaningless — carrying them forward (with a fresh properties map
