@@ -307,6 +307,19 @@ class LakeTableSpec extends SparkSpec {
       if (won(i)) (i, s"w$i", i.toDouble) else (i, "base", 0.0))
   }
 
+  test("snapshot isolation: a read planned before a commit returns the old state after it") {
+    // the DataFrame pins the snapshot's entry list at planning time, so
+    // a concurrent COW merge (which writes NEW dirs and never mutates
+    // old ones) cannot change what an in-flight reader sees — readers
+    // only need to finish within snapshot retention, Iceberg's contract
+    val t = freshCatalog().table("db.iso")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    val before = t.read
+    t.mergeInto(df(Seq((1L, "A", 10.0))), Seq("id"))
+    before.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe Seq("a", "b")
+    t.read.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe Seq("A", "b")
+  }
+
   test("empty dataframe table round-trips schema") {
     val t = freshCatalog().table("db.empty")
     t.createOrReplace(df(Seq((1L, "a", 1.0))).filter(lit(false)))
