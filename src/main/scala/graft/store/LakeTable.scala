@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * written by EARLIER snapshots — that is what makes appends and
   * partition-pruned rewrites O(changed data), not O(table).
   *
-  * `seq` is the entry's DATA SEQUENCE NUMBER (the version whose commit
-  * wrote the directory; 0 for entries from before sequence tracking).
-  * It orders data against merge-on-read delete files: a delete entry
-  * applies only to data entries with a strictly LOWER sequence — the
-  * Iceberg v2 sequencing rule.
+  * `seq` is the entry's DATA SEQUENCE NUMBER, stamped from the table's
+  * monotonic `lastSequenceNumber` counter (0 for entries from before
+  * sequence tracking). It orders data against merge-on-read delete
+  * files: a delete entry applies only to data entries with a strictly
+  * LOWER sequence — the Iceberg v2 sequencing rule. Sequence numbers
+  * are DELIBERATELY decoupled from snapshot versions: versions are
+  * strictly contiguous (parent+1, the claim-file serialization
+  * invariant), while sequences can jump when a publish imports branch
+  * entries stamped by the branch's own counter.
   */
 case class ManifestEntry(
     dir: String,
@@ -39,9 +43,18 @@ case class ManifestEntry(
 }
 
 /** `deleteEntries` are outstanding merge-on-read EQUALITY-DELETE files
-  * (parquet of key tuples, `seq` = the deleting commit's version); a
-  * read drops any data row whose key appears in a delete entry with a
-  * higher sequence. Empty for copy-on-write tables. */
+  * (parquet of key tuples, `seq` = the deleting commit's sequence
+  * number); a read drops any data row whose key appears in a delete
+  * entry with a higher sequence. Empty for copy-on-write tables.
+  *
+  * `lastSequenceNumber` is the table's monotonic data-sequence counter
+  * (Iceberg's field of the same name): every commit stamps its fresh
+  * entries with `parent.lastSequenceNumber + 1` and records the max
+  * sequence reachable from this snapshot, so any FUTURE delete file is
+  * guaranteed a strictly higher sequence than every entry already in
+  * the manifest — including entries a publish imported from a branch
+  * whose counter ran ahead of main's. Decoupling this counter from the
+  * version number is what keeps versions strictly contiguous. */
 case class Snapshot(
     version: Long,
     parentVersion: Option[Long],
@@ -52,7 +65,8 @@ case class Snapshot(
     entries: Seq[ManifestEntry],
     properties: Map[String, String],
     summary: Map[String, String],
-    deleteEntries: Seq[ManifestEntry] = Nil)
+    deleteEntries: Seq[ManifestEntry] = Nil,
+    lastSequenceNumber: Long = 0L)
 
 /** Parquet-backed versioned table with an Iceberg-style optimistic
   * snapshot-commit protocol — the local stand-in for the reference's
@@ -163,7 +177,18 @@ class LakeTable(
       entries = entriesOf("entries"),
       properties = objToMap(n.get("properties").asInstanceOf[ObjectNode]),
       summary = objToMap(n.get("summary").asInstanceOf[ObjectNode]),
-      deleteEntries = entriesOf("deleteEntries"))
+      deleteEntries = entriesOf("deleteEntries"),
+      lastSequenceNumber = {
+        // back-compat: snapshots from before the counter stamped seqs
+        // with the commit VERSION (and publish could floor the version
+        // past imported seqs), so max(version, manifest seqs) is the
+        // exact value the counter would have recorded
+        val fromFile = Option(n.get("lastSequenceNumber")).filter(!_.isNull).map(_.asLong())
+        fromFile.getOrElse {
+          val es = entriesOf("entries") ++ entriesOf("deleteEntries")
+          (n.get("version").asLong() +: es.map(_.seq)).max
+        }
+      })
   }
 
   private def writeSnapshot(s: Snapshot): Unit = {
@@ -172,6 +197,7 @@ class LakeTable(
     s.parentVersion.fold[Unit](n.putNull("parent"))(v => { n.put("parent", v); () })
     n.put("operation", s.operation)
     n.put("timestampMs", s.timestampMs)
+    n.put("lastSequenceNumber", s.lastSequenceNumber)
     n.put("schema", s.schema.json)
     val pc = n.putArray("partitionCols"); s.partitionCols.foreach(pc.add)
     def putEntries(field: String, es: Seq[ManifestEntry]): Unit = {
@@ -247,12 +273,6 @@ class LakeTable(
       retryWaitMs: Long = 200,
       parentOverride: Option[Long] = None,
       requireParentVersion: Option[Long] = None,
-      // floor on the committed version number: a publish that imports
-      // entries stamped by ANOTHER ref tree (branch seqs can exceed
-      // main's next version) must keep the invariant that every future
-      // commit's version — hence every future delete file's sequence
-      // number — exceeds every seq already in the manifest
-      versionFloor: Option[Long] = None,
       // merge-on-read delete files: default carries the parent's
       // outstanding deletes forward (COW commits never touch them);
       // MoR writers append, position-delete compaction clears
@@ -272,12 +292,21 @@ class LakeTable(
                 "commit may have changed rows this rewrite read", null)
         }
         val (sch, pcols, entries, props, summary) = buildEntries(parent)
-        val version = math.max(
-          parent.map(_.version + 1).getOrElse(1L), versionFloor.getOrElse(1L))
+        // versions are STRICTLY CONTIGUOUS (parent+1, never floored):
+        // the claim-file protocol serializes writers only when every
+        // commit targets the head's immediate successor — a version gap
+        // would let a concurrent additive writer claim the gap file
+        // "successfully" while currentVersion (max) ignores it, silently
+        // orphaning an acknowledged commit
+        val version = parent.map(_.version + 1).getOrElse(1L)
         // freshly-written entries carry the StampAtCommit sentinel —
-        // their data sequence number is this commit's version
+        // their data sequence number comes from the monotonic counter,
+        // NOT the version (a publish may import higher branch seqs)
+        val commitSeq = parent.map(_.lastSequenceNumber).getOrElse(0L) + 1
         def stamp(es: Seq[ManifestEntry]) =
-          es.map(e => if (e.seq == StampAtCommit) e.copy(seq = version) else e)
+          es.map(e => if (e.seq == StampAtCommit) e.copy(seq = commitSeq) else e)
+        val stampedEntries = stamp(entries)
+        val stampedDeletes = stamp(deleteEntriesFn(parent))
         val snap = Snapshot(
           version = version,
           // a rollback re-parents onto the RESTORED version so the
@@ -287,10 +316,16 @@ class LakeTable(
           timestampMs = System.currentTimeMillis(),
           schema = sch,
           partitionCols = pcols,
-          entries = stamp(entries),
+          entries = stampedEntries,
           properties = props,
           summary = summary,
-          deleteEntries = stamp(deleteEntriesFn(parent)))
+          deleteEntries = stampedDeletes,
+          // counter covers every seq reachable from this snapshot, so a
+          // future delete file always sequences strictly above imported
+          // branch entries too (the old versionFloor invariant, kept
+          // without breaking version contiguity)
+          lastSequenceNumber =
+            (commitSeq +: (stampedEntries ++ stampedDeletes).map(_.seq)).max)
         try {
           writeSnapshot(snap)
           result = snap
@@ -836,8 +871,8 @@ class LakeTable(
   /** MERGE INTO ... merge-on-read: commit the source batch as a NEW
     * data dir plus an equality-delete file of the source keys — no data
     * file is rewritten. The delete's sequence number (this commit's
-    * version) masks matching rows in every OLDER entry; the batch's own
-    * rows share the version and survive. This is the heavy-update CDC
+    * stamp from the monotonic counter) masks matching rows in every
+    * OLDER entry; the batch's own rows share the sequence and survive. This is the heavy-update CDC
     * shape at 100 TB: each micro-batch writes O(batch) where COW
     * rewrites O(touched partitions); reads pay one anti-join until
     * [[rewritePositionDeleteFiles]] folds the delete files away. */
@@ -848,7 +883,7 @@ class LakeTable(
     val delEntry = writeDeleteFile(source, keys, s)
     // ADDITIVE (new data dirs + one delete file, nothing rewritten):
     // lost races rebuild on the fresh parent and retry like append —
-    // the commit-version sequence numbers keep the merge serialized
+    // the per-commit sequence numbers keep the merge serialized
     // after the racer, whatever the racer wrote. MoR keys re-validated
     // against the FRESH parent: a racing first MoR write may have fixed
     // different keys, and our delete file would not carry them
@@ -1191,7 +1226,10 @@ class LakeTable(
         case None =>
           if (fs.exists(legacyTagsPath)) readAt(legacyTagsPath) else Map.empty
       }
-    attempt(3)
+    // retries sized with the writer-side retention window: each retry
+    // re-lists, so only > TagGenerationsRetained consecutive claims
+    // landing inside ONE open attempt could outrun a reader
+    attempt(6)
   }
 
   def createTag(tag: String, version: Option[Long] = None): Unit = synchronized {
@@ -1213,9 +1251,13 @@ class LakeTable(
   /** Read-modify-write of the tags map via an atomic claim of the next
     * `tags-v<n>.json`. A lost claim means another writer advanced the
     * map — re-read and re-apply `f` (bounded retries). Superseded files
-    * two or more generations old are swept best-effort; the immediately
-    * preceding generation stays so an in-flight reader that listed
-    * before this claim still finds its file. */
+    * more than [[LakeTable.TagGenerationsRetained]] generations old are
+    * swept best-effort; the retained window stays so an in-flight
+    * reader that listed before this claim still finds its file even
+    * when several writers land back-to-back while it opens — the
+    * reader's bounded re-list retries can only be outrun if MORE than
+    * retained-window consecutive claims fit inside one open attempt,
+    * and each retry re-lists the newest generation. */
   private def mutateTags(f: Map[String, Long] => Map[String, Long]): Unit = {
     var attempt = 0
     var done = false
@@ -1231,7 +1273,7 @@ class LakeTable(
       val claimed = claimFile(tmp, tagsFile(next))
       fs.delete(tmp, false)
       if (claimed) {
-        tagsVersions.filter(_ < next - 1)
+        tagsVersions.filter(_ <= next - TagGenerationsRetained)
           .foreach(v => try fs.delete(tagsFile(v), false) catch { case _: java.io.IOException => () })
         try fs.delete(legacyTagsPath, false) catch { case _: java.io.IOException => () }
         done = true
@@ -1325,12 +1367,12 @@ class LakeTable(
     // the fork-point gate above and the claim are not atomic — pin the
     // commit to the checked version so a racer landing in the window
     // surfaces as a conflict instead of being silently overwritten
+    // branch seqs can exceed main's counter; the commit's
+    // lastSequenceNumber takes the max over imported entries, so a
+    // later main-side delete still sequences strictly above every
+    // published row — and the published version stays exactly forkV+1
+    // (contiguous), keeping the claim-file serialization intact
     else commit("publish", requireParentVersion = Some(forkV),
-      // branch seqs can exceed forkV+1; committing below them would let
-      // a later main-side delete (seq = its version) fail to mask the
-      // published rows — or a published delete mask future appends
-      versionFloor = Some((bHead.entries ++ bHead.deleteEntries)
-        .map(_.seq).maxOption.getOrElse(forkV)),
       deleteEntriesFn = _ => bHead.deleteEntries)(_ =>
       (bHead.schema, bHead.partitionCols, bHead.entries, bHead.properties,
         Map("branch" -> b, "branch-version" -> bHead.version.toString)))
@@ -1571,8 +1613,14 @@ object LakeTable {
   private val TagsFileRe = "tags-v(\\d+)\\.json".r
 
   /** Sentinel sequence number on freshly-written manifest entries;
-    * [[LakeTable.commit]] replaces it with the committing version. */
+    * [[LakeTable.commit]] replaces it with the commit's stamp from the
+    * monotonic `lastSequenceNumber` counter. */
   private val StampAtCommit = -1L
+
+  /** Superseded `tags-v<n>.json` generations kept on each successful
+    * claim. Sized so a reader's bounded re-list retries cannot be
+    * outrun by back-to-back tag writers sweeping files under it. */
+  private val TagGenerationsRetained = 4L
 
   /** Table property naming the equality-delete key columns of a
     * merge-on-read table (comma-joined, fixed at the first MoR write). */

@@ -752,4 +752,32 @@ class LakeTableSpec extends SparkSpec {
     t.expireSnapshots(keepLast = 1)
     t.readTag("left").count() shouldBe 1
   }
+
+  test("tag readers survive back-to-back tag writers (generation retention window)") {
+    // a reader that listed the newest tags file can have it swept by
+    // racing writers before it opens; the retained-generation window
+    // plus re-list retries must absorb rapid consecutive claims — with
+    // only one retained generation, 3+ back-to-back writes could
+    // exhaust a reader's retries and throw FileNotFound from tags
+    val cat = freshCatalog()
+    val t = cat.table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 4).map(_ => new Thread(() => {
+      try while (!stop.get()) { t.tags; () }
+      catch { case e: Throwable => failures.add(e) }
+    }))
+    readers.foreach(_.start())
+    // hammer rapid consecutive tag writes from two independent handles
+    val t2 = cat.table("db.t")
+    (1 to 40).foreach { i =>
+      (if (i % 2 == 0) t else t2).createTag(s"tag$i", Some(1L))
+    }
+    stop.set(true)
+    readers.foreach(_.join())
+    failures.forEach(_.printStackTrace())
+    failures.isEmpty shouldBe true
+    t.tags.size shouldBe 40
+  }
 }

@@ -245,24 +245,97 @@ class MergeOnReadSpec extends SparkSpec {
     state(t) shouldBe Seq((9L, "z", 9.0))
   }
 
-  test("publish keeps the seq-below-version invariant: main-side MoR deletes mask published rows") {
-    // branch seqs can exceed main's next version; without the publish
-    // version floor a later main-side delete (seq = its commit version)
-    // would fail the strictly-lower-seq test against published entries
+  test("publish: sequence counter covers imported branch seqs, versions stay contiguous") {
+    // branch seqs can exceed main's counter; the publish commit's
+    // lastSequenceNumber takes the max over imported entries so a later
+    // main-side delete still sequences strictly above every published
+    // row — WITHOUT flooring the version (a version gap would break
+    // claim-file serialization: a concurrent additive writer could
+    // claim the gap file and be silently orphaned)
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))
     t.createBranch("wap")
     val b = t.branch("wap")
-    b.append(df(Seq((2L, "b", 2.0)))) // branch v2: entries seq 2
-    b.append(df(Seq((3L, "c", 3.0)))) // branch v3: entries seq 3
+    b.append(df(Seq((2L, "b", 2.0)))) // branch seq 2
+    b.append(df(Seq((3L, "c", 3.0)))) // branch seq 3
     val pub = t.fastForward("wap")
-    pub.version should be >= 3L // floored past the max published seq
+    pub.version shouldBe 2L // exactly forkV+1: no gap
+    pub.lastSequenceNumber should be >= 3L // covers the imported seqs
     // a MoR delete on main AFTER publish must mask the published row
     t.deleteWhereExistsMoR(df(Seq((3L, "-", 0.0))).select("id"), Seq("id"))
     state(t) shouldBe Seq((1L, "a", 1.0), (2L, "b", 2.0))
     // and a post-publish append must NOT be masked by that delete
     t.append(df(Seq((3L, "C", 30.0))))
     state(t) shouldBe Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "C", 30.0))
+  }
+
+  test("no commit is ever silently orphaned: versions stay gap-free under publish + appends") {
+    // the round-5 bug shape: publish flooring its version past forkV+1
+    // left a version gap; an additive writer that read the pre-publish
+    // head then claimed the gap version "successfully" and its
+    // acknowledged commit vanished (currentVersion takes max). With
+    // contiguous versions the gap cannot exist — every acknowledged
+    // commit is the head the next reader sees.
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("wap")
+    val b = t.branch("wap")
+    (2L to 6L).foreach(i => b.append(df(Seq((i, s"b$i", i.toDouble))))) // seqs 2..6
+    t.fastForward("wap")
+    // acknowledged appends after the publish must all be readable
+    t.append(df(Seq((10L, "x", 10.0))))
+    t.append(df(Seq((11L, "y", 11.0))))
+    val versions = (1L to t.currentSnapshot.get.version).toSeq
+    versions.foreach(v => noException should be thrownBy t.snapshot(v)) // gap-free
+    t.currentSnapshot.get.version shouldBe 4L // base, publish, 2 appends
+    state(t).map(_._1) should contain allOf (10L, 11L)
+  }
+
+  test("publish racing an additive writer: both effects land or the loser surfaces, never silent loss") {
+    // drive the exact ADVICE race window: a publish and an append start
+    // from the same observed head; with contiguous versions both target
+    // v2, the atomic claim picks one winner, and the loser either
+    // retries onto the fresh head (append) or throws (publish pinned to
+    // the fork point) — in no interleaving does an acknowledged commit
+    // disappear
+    for (seed <- 1 to 5) {
+      val cat = freshCatalog()
+      val t = cat.table("db.race")
+      t.createOrReplace(df(Seq((1L, "a", 1.0))))
+      t.createBranch("wap")
+      t.branch("wap").append(df(Seq((2L, "b", 2.0))))
+      t.branch("wap").append(df(Seq((3L, "c", 3.0))))
+      val published = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pubThread = new Thread(() => {
+        try { cat.table("db.race").fastForward("wap"); published.set(true) }
+        catch {
+          // legal losses: append landed first (main moved past the fork)
+          case _: IllegalArgumentException | _: CommitConflictException => ()
+          case e: Throwable => unexpected.add(e)
+        }
+      })
+      val appThread = new Thread(() => {
+        try { cat.table("db.race").append(df(Seq((9L, "z", 9.0)))); appended.set(true) }
+        catch { case e: Throwable => unexpected.add(e) }
+      })
+      if (seed % 2 == 0) { pubThread.start(); appThread.start() }
+      else { appThread.start(); pubThread.start() }
+      pubThread.join(); appThread.join()
+      unexpected.forEach(_.printStackTrace())
+      unexpected.isEmpty shouldBe true
+      val ids = state(cat.table("db.race")).map(_._1)
+      // every ACKNOWLEDGED effect must be visible — the invariant the
+      // version gap used to break
+      if (appended.get()) ids should contain(9L)
+      if (published.get()) ids should contain allOf (2L, 3L)
+      appended.get() shouldBe true // append retries past any conflict
+      // and history is gap-free whatever the interleaving
+      val head = cat.table("db.race").currentSnapshot.get.version
+      (1L to head).foreach(v =>
+        noException should be thrownBy cat.table("db.race").snapshot(v))
+    }
   }
 
   test("readStream never surfaces delete files as phantom rows") {
