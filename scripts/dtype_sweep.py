@@ -14,15 +14,18 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 n_div = 0
+n_err = 0  # missing outputs / broken oracle SQL redden the sweep too
 for name, sql in sorted(oracle.items()):
     got_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not got_files:
         print(f"MISSING OUTPUT  {name}")
+        n_err += 1
         continue
     try:
         exp = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").fetchdf()
     except Exception as e:
         print(f"ORACLE ERROR    {name}: {e}")
+        n_err += 1
         continue
     got = con.execute(
         f"SELECT * FROM read_parquet({got_files!r}) LIMIT 0").fetchdf()
@@ -38,5 +41,5 @@ for name, sql in sorted(oracle.items()):
         if a != b:
             print(f"DTYPE  {name}.{c}: oracle={a} spark={b}")
             n_div += 1
-print(f"\n{n_div} divergences")
-sys.exit(1 if n_div else 0)
+print(f"\n{n_div} divergences, {n_err} errors")
+sys.exit(1 if (n_div or n_err) else 0)

@@ -295,12 +295,15 @@ object LlmQueries {
     // (regr_slope/regr_r2) over (ln rank, ln freq) — the one-row corpus
     // health summary (natural text ≈ -1; this synthetic corpus's flat
     // 30-word head shows up as a shallow slope). Rank ties break by term
-    // so both engines regress over identical points.
-    val freq = documents(s, dir)
-      .select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(desc("n"), col("term"))))
+    // so both engines regress over identical points. The rank itself is
+    // the SHARDED two-phase scheme (Curation.globalFreqRank) — at 100 TB
+    // the junk-token long tail makes this table ~10^8-10^9 rows, and an
+    // unpartitioned row_number window would funnel all of it through one
+    // sort partition.
+    val freq = Curation.globalFreqRank(
+      documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n")))
     freq.agg(
       round(expr("regr_slope(ln(n), ln(rnk))"), 4).as("zipf_slope"),
       round(expr("regr_r2(ln(n), ln(rnk))"), 4).as("r2"),
@@ -1184,48 +1187,6 @@ object LlmQueries {
            round(coalesce(n_boiler, 0)::DOUBLE / n_tokens::DOUBLE, 4)
              AS boiler_ratio
          FROM per LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
-    "d39_zipf_fit" ->
-      s"""WITH t AS ($ToksCte),
-         x AS (SELECT unnest(tk) AS term FROM t),
-         f AS (SELECT term, count(*) AS n FROM x GROUP BY term),
-         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM f)
-         SELECT round(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
-           round(regr_r2(ln(n), ln(rnk)), 4) AS r2,
-           count(*) AS n_terms
-         FROM r""",
-    "d36_bpe_merge" ->
-      s"""WITH t AS ($ToksCte),
-         tok AS (SELECT unnest(tk) AS tt FROM t),
-         pairs AS (SELECT unnest(list_transform(range(1, length(tt)),
-                     i -> substr(tt, i::INT, 2))) AS pair
-                   FROM tok WHERE length(tt) >= 2)
-         SELECT pair, count(*) AS n FROM pairs
-         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
-    "d37_drift_cdf" ->
-      """WITH b AS (SELECT doc_id % 2 = 0 AS is_a,
-           CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket FROM documents),
-         c AS (SELECT bucket,
-                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
-                 sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
-               FROM b GROUP BY bucket),
-         k AS (SELECT bucket, na, nb,
-                 sum(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
-                 sum(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb,
-                 sum(na) OVER () AS ta, sum(nb) OVER () AS tb
-               FROM c)
-         SELECT bucket, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-           round(abs(ca::DOUBLE / ta::DOUBLE - cb::DOUBLE / tb::DOUBLE), 6)
-             AS cdf_gap
-         FROM k ORDER BY bucket""",
-    "d38_token_entropy" ->
-      s"""WITH t AS ($ToksCte),
-         x AS (SELECT doc_id, unnest(tk) AS term FROM t),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY doc_id, term),
-         wt AS (SELECT doc_id, tf,
-                  sum(tf) OVER (PARTITION BY doc_id) AS tot FROM tf)
-         SELECT doc_id, round(-sum((tf::DOUBLE / tot::DOUBLE)
-           * ln(tf::DOUBLE / tot::DOUBLE)), 4) AS entropy
-         FROM wt GROUP BY doc_id ORDER BY doc_id""",
     "d39_zipf_fit" ->
       s"""WITH t AS ($ToksCte),
          x AS (SELECT unnest(tk) AS term FROM t),

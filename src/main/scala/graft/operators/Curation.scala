@@ -260,6 +260,42 @@ object Curation {
         (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
   }
 
+  /** Global rank of `freq` rows by (`countCol` DESC, `termCol` ASC) —
+    * the vocabulary ranking a Zipf fit needs — WITHOUT funnelling the
+    * whole table through one unpartitioned window sort.
+    *
+    * Scale shape (the [[packSequences]] two-phase pattern, applied to a
+    * rank): rows are sharded on (count, term-prefix) — a prefix is
+    * order-preserving for the term tie-break, so shards are contiguous
+    * ranges of the global sort order. Phase 1 ranks WITHIN each shard
+    * (partitioned window — parallel, and the pathological tie group,
+    * e.g. the hapax-legomena count=1 band of a 10^9-term vocabulary,
+    * splits across prefix shards instead of one sort partition). Phase
+    * 2 computes per-shard sizes (one key agg), takes their exclusive
+    * cumsum with a window over that shard-count-sized frame, and
+    * broadcasts the base offsets back. The only unpartitioned window
+    * runs over distinct (count, prefix) pairs — collapsed cardinality,
+    * never the vocabulary. */
+  def globalFreqRank(
+      freq: DataFrame,
+      countCol: String = "n",
+      termCol: String = "term",
+      prefixLen: Int = 2): DataFrame = {
+    val sharded = freq.withColumn("__pfx", substring(col(termCol), 1, prefixLen))
+    val inShard = Window.partitionBy(col(countCol), col("__pfx")).orderBy(termCol)
+    val withLocal = sharded
+      .withColumn("__local", row_number().over(inShard).cast("long"))
+    val shardBase = sharded
+      .groupBy(col(countCol), col("__pfx")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base", coalesce(
+        sum("__cnt").over(Window.orderBy(desc(countCol), col("__pfx"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(countCol), col("__pfx"), col("__base"))
+    withLocal.join(broadcast(shardBase), Seq(countCol, "__pfx"))
+      .withColumn("rnk", col("__base") + col("__local"))
+      .drop("__pfx", "__local")
+  }
+
   /** Per-source document cap: rank documents within each source by
     * quality (desc, doc_id tie-break) and keep the best `cap` — the
     * per-domain cap a web-corpus pipeline applies so no single domain

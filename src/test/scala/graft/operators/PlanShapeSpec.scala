@@ -69,4 +69,34 @@ class PlanShapeSpec extends SparkSpec {
     ops(df.queryExecution.executedPlan)
       .collect { case w: WholeStageCodegenExec => w } should not be empty
   }
+
+  test("no query funnels an unbounded frame through an unpartitioned window") {
+    // An unpartitioned WindowExec sorts its ENTIRE input through one
+    // partition — the single worst scale hazard a declarative plan can
+    // hide (d39's full-vocabulary row_number was exactly this). The
+    // invariant: every unpartitioned window in the 151-query surface
+    // must run over a provably collapsed frame, and each such case is
+    // allowlisted here WITH its bound so the next edit that widens a
+    // frame has to argue its case in this map.
+    val allowed: Map[String, String] = Map(
+      "d23_quality_filter" -> "4dp-score value histogram (≤ ~10^4 rows)",
+      "d29_seq_pack" -> "shard base offsets: one row per doc_id shard",
+      "d31_vocab_growth" -> "3 growth buckets",
+      "d35_training_manifest" -> "shard base offsets (packSequences phase 2)",
+      "d37_drift_cdf" -> "doc-length buckets (corpus/50-char bands)",
+      "d39_zipf_fit" -> "(count, term-prefix) shard base offsets",
+      "q33_funnel" -> "3-row step funnel frame",
+      "e18_hybrid_rrf" -> "two k-limited ranked lists (k=10)")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val unpartitioned = planOps(name).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      if (unpartitioned.nonEmpty && !allowed.contains(name)) Some(name) else None
+    }
+    offenders shouldBe empty
+    // and the allowlist carries no stale entries
+    val stale = allowed.keySet -- SparkEntry.queries.keySet
+    stale shouldBe empty
+  }
 }
