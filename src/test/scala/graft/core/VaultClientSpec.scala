@@ -65,6 +65,85 @@ class VaultClientSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("expired token: client re-logins once and the read succeeds (AppRole renewal)") {
+    // stub Vault whose tokens die after ONE secret read — every fetch
+    // after the first forces the renewal path
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    var logins = 0
+    var readsOnToken = Map.empty[String, Int]
+    server.createContext("/v1/auth/approle/login", (x: HttpExchange) => {
+      logins += 1
+      respond(x, 200, s"""{"auth":{"client_token":"tok-$logins"}}""")
+    })
+    server.createContext("/v1/secret/data/db", (x: HttpExchange) => {
+      val tok = x.getRequestHeaders.getFirst("X-Vault-Token")
+      val used = readsOnToken.getOrElse(tok, 0)
+      if (tok == null || !tok.startsWith("tok-") || used >= 1)
+        respond(x, 403, """{"errors":["permission denied"]}""") // TTL expired
+      else {
+        readsOnToken += tok -> (used + 1)
+        respond(x, 200, """{"data":{"data":{"user":"svc","password":"pw9"}}}""")
+      }
+    })
+    server.start()
+    try {
+      val c = new VaultClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "role-1", "sec-1")
+      c.fetch("secret/data/db")("user") shouldBe "svc" // login 1, read 1
+      c.fetch("secret/data/db")("user") shouldBe "svc" // 403 -> re-login -> read
+      logins shouldBe 2
+    } finally server.stop(0)
+  }
+
+  test("5xx and unreachable endpoints raise the transient failure type") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/auth/approle/login", (x: HttpExchange) =>
+      respond(x, 503, """{"errors":["sealed"]}"""))
+    server.start()
+    try {
+      val sealed_ = new VaultClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "role-1", "sec-1")
+      val e = intercept[VaultUnavailableException](sealed_.fetch("secret/data/db"))
+      e.getMessage should include("503")
+    } finally server.stop(0)
+    // nothing listens here: connection refusal is transient too
+    val dead = new VaultClient("http://127.0.0.1:1", "role-1", "sec-1")
+    a[VaultUnavailableException] should be thrownBy dead.fetch("secret/data/db")
+  }
+
+  test("Settings falls back to env credentials when vault is unavailable — and only then") {
+    val env = Map(
+      "STORAGE__CATALOG" -> "cat",
+      "VAULT__URL" -> "http://127.0.0.1:1",
+      "VAULT__USERNAME" -> "role-1",
+      "VAULT__PASSWORD" -> "sec-1",
+      "VAULT__SECRET_PATH" -> "secret/data/db",
+      "DATABASE__TYPE" -> "mysql",
+      "DATABASE__HOST" -> "fallback.host",
+      "DATABASE__PORT" -> "3306",
+      "DATABASE__USER" -> "env-user",
+      "DATABASE__PASSWORD" -> "env-pw")
+    // transient failure (refused connection): env credentials win
+    val transient = new Settings.SecretProvider {
+      def fetch(p: String): Map[String, String] =
+        throw new VaultUnavailableException("vault unreachable: test", null)
+    }
+    val s = Settings.fromEnv(env, Some(transient))
+    s.database.get.host shouldBe "fallback.host"
+    s.database.get.user shouldBe "env-user"
+    // misconfiguration still fails loudly — no silent fallback
+    val misconfigured = new Settings.SecretProvider {
+      def fetch(p: String): Map[String, String] =
+        throw new IllegalStateException("vault GET failed: HTTP 403")
+    }
+    an[IllegalStateException] should be thrownBy
+      Settings.fromEnv(env, Some(misconfigured))
+    // and a live client against a dead endpoint takes the same path
+    val vs = Settings.fromEnv(env).vault.get
+    Settings.fromEnv(env, Some(VaultClient.fromSettings(vs)))
+      .database.get.host shouldBe "fallback.host"
+  }
+
   test("Settings.fromEnv hydrates database credentials through the vault client") {
     withStubVault { (url, _) =>
       val env = Map(

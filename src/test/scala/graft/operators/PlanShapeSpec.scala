@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, when}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -68,6 +69,46 @@ class PlanShapeSpec extends SparkSpec {
     df.collect()
     ops(df.queryExecution.executedPlan)
       .collect { case w: WholeStageCodegenExec => w } should not be empty
+  }
+
+  test("AQE splits a skewed join partition without hand-salting (q18's alternative)") {
+    // q18 hand-salts its hot supplier key; at 100x scale AQE's runtime
+    // skew-join split handles the same shape with NO plan rewrite. This
+    // pins the evidence: a deliberately skewed key, thresholds scaled to
+    // test-data size, and the final adaptive plan must mark the
+    // sort-merge join as skew-handled. Salting remains necessary only
+    // where AQE can't act: skewed AGGREGATIONS, or joins AQE plans as
+    // broadcast where one task still reads the hot partition upstream.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 95% of rows land on one key — the q18 hot-supplier shape
+      val left = spark.range(300000).select(
+        when(col("id") % 100 < 95, 7L)
+          .otherwise(col("id") % 1000).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS dataset's own QueryExecution (a sink write would
+      // plan a separate one and leave this plan non-final)
+      joined.queryExecution.toRdd.count()
+      val smj = ops(joined.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      smj should not be empty
+      smj.exists(_.isSkewJoin) shouldBe true
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   test("no query funnels an unbounded frame through an unpartitioned window") {
