@@ -99,9 +99,6 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // listener bus drains asynchronously; give the tail of the last
-    // query's task events a moment to land before snapshotting
-    Thread.sleep(1000)
     def js(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -111,6 +108,20 @@ object Bench {
     val qs = results.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val summaryJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    // Per-query timings go to a file and an EARLY stdout line; the driver
+    // keeps only a ~2 KB tail of stdout and parses the LAST line as JSON,
+    // so the final line must be a compact summary (r04's 4.8 KB full line
+    // overflowed the tail window and parsed as null).
+    println(summaryJson)
+    // stop() BEFORE the final print: the compact JSON must be the last
+    // stdout line for the driver's parser (session shutdown logs at INFO
+    // are suppressed, but ordering makes it robust regardless of level).
+    spark.stop()
+    // per-query metrics are snapshotted only now: stop() drains the
+    // async listener bus, so the tail queries' late task-end events are
+    // all accounted — no sleep-and-hope race
     val qm = results.map { case (name, wall) =>
       val a = Option(metrics.byGroup.get(name))
       def g(f: BenchMetrics#Acc => Long): Long = a.map(f).getOrElse(0L)
@@ -123,17 +134,6 @@ object Bench {
         s""""max_task_sec":${r3(g(_.maxTaskMs.get) / 1e3)}""",
         s""""spill_bytes":${g(_.spillBytes.get)}""").mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val summaryJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
-    // Per-query timings go to a file and an EARLY stdout line; the driver
-    // keeps only a ~2 KB tail of stdout and parses the LAST line as JSON,
-    // so the final line must be a compact summary (r04's 4.8 KB full line
-    // overflowed the tail window and parsed as null).
-    println(summaryJson)
-    // stop() BEFORE the final print: the compact JSON must be the last
-    // stdout line for the driver's parser (session shutdown logs at INFO
-    // are suppressed, but ordering makes it robust regardless of level).
-    spark.stop()
     // whole-run health bands from the event log this run just wrote —
     // best-effort: an analyzer hiccup must not cost the bench artifact
     val analyzerJson =

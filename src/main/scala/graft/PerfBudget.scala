@@ -41,6 +41,7 @@ object PerfBudget {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(DefaultSf)
     val iters = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    require(iters >= 2, s"need >=2 iterations (first run is plan compile), got $iters")
     // EXACTLY the spec session's shape — budgets are only comparable
     // when recorded and enforced under the same parallelism
     val spark = GraftSession
@@ -50,7 +51,8 @@ object PerfBudget {
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
       .count().write.format("noop").mode("overwrite").save()
     val rows = TopQueries.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"'$name' is not in SparkEntry.queries — update PerfBudget.TopQueries"))
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -281,7 +281,12 @@ object Curation {
       countCol: String = "n",
       termCol: String = "term",
       prefixLen: Int = 2): DataFrame = {
-    val sharded = freq.withColumn("__pfx", substring(col(termCol), 1, prefixLen))
+    // null terms shard into "" (the minimal string) and sort first within
+    // it (asc = nulls first) — same global order the unpartitioned
+    // row_number gave them, and the null-unsafe equi-join below cannot
+    // silently drop them
+    val sharded = freq.withColumn(
+      "__pfx", coalesce(substring(col(termCol), 1, prefixLen), lit("")))
     val inShard = Window.partitionBy(col(countCol), col("__pfx")).orderBy(termCol)
     val withLocal = sharded
       .withColumn("__local", row_number().over(inShard).cast("long"))

@@ -174,6 +174,8 @@ class LakeTable(
           stats,
           Option(e.get("seq")).filter(!_.isNull).map(_.asLong()).getOrElse(0L))
       }.toSeq).getOrElse(Nil)
+    val entries = entriesOf("entries")
+    val deleteEntries = entriesOf("deleteEntries")
     Snapshot(
       version = n.get("version").asLong(),
       parentVersion = Option(n.get("parent")).filter(!_.isNull).map(_.asLong()),
@@ -181,20 +183,18 @@ class LakeTable(
       timestampMs = n.get("timestampMs").asLong(),
       schema = DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
       partitionCols = n.get("partitionCols").elements().asScala.map(_.asText()).toSeq,
-      entries = entriesOf("entries"),
+      entries = entries,
       properties = objToMap(n.get("properties").asInstanceOf[ObjectNode]),
       summary = objToMap(n.get("summary").asInstanceOf[ObjectNode]),
-      deleteEntries = entriesOf("deleteEntries"),
+      deleteEntries = deleteEntries,
       lastSequenceNumber = {
         // back-compat: snapshots from before the counter stamped seqs
         // with the commit VERSION (and publish could floor the version
         // past imported seqs), so max(version, manifest seqs) is the
         // exact value the counter would have recorded
         val fromFile = Option(n.get("lastSequenceNumber")).filter(!_.isNull).map(_.asLong())
-        fromFile.getOrElse {
-          val es = entriesOf("entries") ++ entriesOf("deleteEntries")
-          (n.get("version").asLong() +: es.map(_.seq)).max
-        }
+        fromFile.getOrElse(
+          (n.get("version").asLong() +: (entries ++ deleteEntries).map(_.seq)).max)
       })
   }
 
@@ -1280,7 +1280,7 @@ class LakeTable(
       val claimed = claimFile(tmp, tagsFile(next))
       fs.delete(tmp, false)
       if (claimed) {
-        tagsVersions.filter(_ <= next - TagGenerationsRetained)
+        tagsVersions.filter(_ < next - TagGenerationsRetained)
           .foreach(v => try fs.delete(tagsFile(v), false) catch { case _: java.io.IOException => () })
         try fs.delete(legacyTagsPath, false) catch { case _: java.io.IOException => () }
         done = true

@@ -17,6 +17,8 @@ class PerfBudgetSpec extends SparkSpec {
     assume(Files.exists(path), "PERF_BUDGET.json not recorded yet")
     val root = new ObjectMapper().readTree(Files.readAllBytes(path))
     val sfDir = root.get("sf").asText()
+    assume(Files.exists(Paths.get(sfDir)),
+      s"budget test data '$sfDir' not present on this machine — re-baseline here")
     val budgets = {
       val it = root.get("queries").properties().iterator()
       val b = Seq.newBuilder[(String, Double)]
@@ -32,7 +34,8 @@ class PerfBudgetSpec extends SparkSpec {
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
       .count().write.format("noop").mode("overwrite").save()
     val over = budgets.flatMap { case (name, budget) =>
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name, fail(
+        s"stale budget entry '$name' (no such query) — re-run graft.PerfBudget"))
       val best = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

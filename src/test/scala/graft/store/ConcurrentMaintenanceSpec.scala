@@ -65,8 +65,11 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
           Thread.sleep(rnd.nextInt(60))
           try { cat.table("db.t").rewritePositionDeleteFiles(); () }
           catch { case _: CommitConflictException => maintenanceSkipped.incrementAndGet() }
-          try { cat.table("db.t").expireSnapshots(keepLast = 12); () }
-          catch { case _: CommitConflictException => maintenanceSkipped.incrementAndGet() }
+          // expiry performs no commit (it only deletes files already
+          // unreferenced by retained snapshots), so it cannot
+          // conflict-skip — any throw here is a REAL failure and must
+          // redden the seed via the outer catch
+          cat.table("db.t").expireSnapshots(keepLast = 12)
         }
       } catch { case e: Throwable => failures.add(e) })
       // readers hammer the head: every key exactly once, generation in
