@@ -462,7 +462,36 @@ object StoreQueries {
       .orderBy("_change_type", "o_orderkey")
   }
 
+  /** c26: the `migrate_v2_naming.sql` runbook end-to-end — a table
+    * built under the V1 schema name moves to its V2 database
+    * (renameTable, metadata-only), its status column is renamed
+    * (renameColumn, one validated COW rewrite), and the V1 status
+    * values migrate to V2 via UPDATE (stats-pruned COW), with a second
+    * key-ranged UPDATE exercising the pruned-rewrite path. The oracle
+    * is the equivalent CASE projection over the raw table. */
+  private def c26(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_mig"))
+    cat.createDatabase("ops_bronze")
+    // a rename's target must not exist: clear any prior run's state
+    cat.dropTable("ops_bronze.wm_orders")
+    cat.dropTable("di_ops.wm_orders")
+    val t0 = cat.table("ops_bronze.wm_orders")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t0.createOrReplace(base.filter(col("o_orderkey") % 3 === 0))
+    t0.append(base.filter(col("o_orderkey") % 3 =!= 0))
+    cat.renameTable("ops_bronze.wm_orders", "di_ops.wm_orders")
+    val t = cat.table("di_ops.wm_orders")
+    t.renameColumn("o_orderstatus", "order_state")
+    t.update(col("order_state") === lit("O"),
+      Map("order_state" -> lit("OPEN_V2")))
+    t.update(col("o_orderkey") <= lit(500L),
+      Map("o_totalprice" -> round(col("o_totalprice") + lit(10.0), 2)))
+    t.read.orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
     "c19_wap_publish" -> (c19 _),
@@ -485,6 +514,14 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c26_migration" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN 'OPEN_V2'
+              ELSE o_orderstatus END AS order_state,
+         CASE WHEN o_orderkey <= 500 THEN round(o_totalprice + 10.0, 2)
+              ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         ORDER BY o_orderkey""",
     "c24_changelog" ->
       // net endpoint diff: deletes report ORIGINAL images (even when the
       // row was updated mid-range, i.e. %12=0), inserts are the odd

@@ -737,6 +737,72 @@ class LakeTable(
       graft.operators.Merge.deleteMatching(targetSlice, src, keys)
     }
 
+  /** UPDATE ... SET ... WHERE — copy-on-write row update
+    * (`scripts/migrate_v2_naming.sql:55-66`, the watermark V1→V2 value
+    * migration; Iceberg's `UPDATE` with `write.update.mode=copy-on-write`).
+    * Stats-pruned like [[readWhere]]: entries whose manifest column
+    * ranges cannot satisfy `cond` carry over untouched — on an
+    * append-ordered 100 TB table a key-range UPDATE rewrites the
+    * overlapping entries, not the table. SQL UPDATE semantics: every
+    * assignment's right-hand side evaluates against the OLD row (one
+    * projection, so `SET a = b, b = a` swaps), and non-matching rows in
+    * rewritten entries pass through unchanged. */
+  def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {
+    val s = requireExists()
+    set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
+      s"UPDATE on $name: no column '$k'"))
+    val affected = prunedEntries(s, cond)
+    val untouched = s.entries.diff(affected)
+    val updated = morRead(s, affected).select(s.schema.fields.map { f =>
+      set.get(f.name)
+        .map(e => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    val (_, entries) = writeData(prepared(updated, s), s.partitionCols)
+    commit("update", requireParentVersion = Some(s.version))(_ =>
+      (s.schema, s.partitionCols, untouched ++ entries, s.properties,
+        Map(
+          "rewritten-entries" -> affected.size.toString,
+          "untouched-entries" -> untouched.size.toString)))
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN (`scripts/migrate_v2_naming.sql:49-53`,
+    * the bronze_schema → iceberg_schema migration). DESIGN DIVERGENCE,
+    * deliberate: real Iceberg renames are metadata-only — readers map
+    * old files through immutable field IDs. This store reads parquet BY
+    * NAME (no field IDs), so a metadata-only rename would silently null
+    * the column in every pre-rename file; instead the rename is one full
+    * copy-on-write rewrite (base-validated commit, compaction-scale
+    * cost, outstanding MoR deletes folded in). That cost profile fits
+    * the operation: the reference runs it once, in a migration runbook,
+    * with all pipelines stopped. Partition columns, the bucket layout
+    * column and MoR delete keys follow the rename. */
+  def renameColumn(from: String, to: String): Snapshot = {
+    val s = requireExists()
+    require(s.schema.fieldNames.contains(from), s"no column '$from' in $name")
+    require(!s.schema.fieldNames.contains(to), s"column '$to' already exists in $name")
+    val ren = (c: String) => if (c == from) to else c
+    val newSchema = StructType(s.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newPcols = s.partitionCols.map(ren)
+    val newProps = s.properties.map {
+      case ("bucket.column", v) => "bucket.column" -> ren(v)
+      case (MorKeysProp, v) =>
+        MorKeysProp -> v.split(",").toSeq.map(ren).mkString(",")
+      case kv => kv
+    }
+    val conformed = read.withColumnRenamed(from, to).select(
+      newSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val withBucket =
+      (for (c <- newProps.get("bucket.column"); n <- newProps.get("bucket.count"))
+        yield withDerivedBucket(conformed, (c, n.toInt))).getOrElse(conformed)
+    val (_, entries) = writeData(withBucket, newPcols)
+    commit("rename-column", requireParentVersion = Some(s.version),
+      deleteEntriesFn = _ => Nil)(_ =>
+      (newSchema, newPcols, entries, newProps,
+        Map("renamed-column" -> s"$from -> $to")))
+  }
+
   /** Row-level CHANGELOG between two snapshots (the
     * `create_changelog_view` analog): one full-outer join of the two
     * versions on the row keys classifies every key as insert / delete /
@@ -842,6 +908,35 @@ class LakeTable(
     if (properties.get("write.delete.mode").contains("merge-on-read"))
       deleteWhereExistsMoR(deletes, keys)
     else deleteWhereExists(deletes, keys)
+
+  /** UPDATE dispatch on `write.update.mode` — the third of the
+    * reference's three per-table mode switches (`iceberg.py:78-84`). */
+  def update(cond: Column, set: Map[String, Column]): Snapshot =
+    if (properties.get("write.update.mode").contains("merge-on-read"))
+      updateWhereMoR(cond, set)
+    else updateWhere(cond, set)
+
+  /** UPDATE ... merge-on-read: the matching rows' updated images commit
+    * as one new data dir plus an equality-delete file of their keys —
+    * O(matched rows), nothing rewritten (exactly [[mergeIntoMoR]] with a
+    * computed source). Requires the table's MoR keys (fixed at the first
+    * MoR write) since the delete file identifies the old images by key;
+    * key columns themselves cannot be assigned. */
+  def updateWhereMoR(cond: Column, set: Map[String, Column]): Snapshot = {
+    val s = requireExists()
+    val keys = morKeys(s)
+    require(keys.nonEmpty,
+      s"merge-on-read UPDATE on $name needs '$MorKeysProp' — no MoR write has fixed keys yet")
+    require(keys.forall(k => !set.contains(k)),
+      s"cannot assign merge-on-read key columns (${keys.mkString(",")})")
+    set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
+      s"UPDATE on $name: no column '$k'"))
+    val matched = morRead(s, prunedEntries(s, cond)).filter(cond)
+    val updated = matched.select(s.schema.fields.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    mergeIntoMoR(updated, keys)
+  }
 
   /** Key columns of this table's equality-delete files. */
   private def morKeys(s: Snapshot): Seq[String] =
@@ -1690,5 +1785,36 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   def dropTable(fqn: String): Unit = {
     val parts = fqn.split('.')
     fs.delete(new Path(s"$warehouse/${parts(0)}/${parts(1)}"), true); ()
+  }
+
+  /** ALTER TABLE ... RENAME TO (`scripts/migrate_v2_naming.sql:32-47`,
+    * the ops_bronze → di_ops schema migration — cross-database renames
+    * included): a metadata move of the table directory (data + `_meta` +
+    * every branch/tag ref) under the target schema. No data is copied —
+    * the closest a path-addressed store comes to Glue's
+    * rename-keeps-the-S3-files behavior. The target must not exist;
+    * handles previously obtained for the old name go stale (reads
+    * through them fail), matching a catalog rename's semantics. */
+  def renameTable(from: String, to: String): Unit = {
+    val f = from.split('.'); val t = to.split('.')
+    require(f.length == 2 && t.length == 2, s"table names must be schema.table: $from, $to")
+    require(table(from).exists, s"no such table $from")
+    val dst = new Path(s"$warehouse/${t(0)}/${t(1)}")
+    require(!fs.exists(dst), s"table $to already exists")
+    createDatabase(t(0))
+    require(fs.rename(new Path(s"$warehouse/${f(0)}/${f(1)}"), dst),
+      s"rename $from -> $to failed")
+  }
+
+  /** DROP DATABASE (`scripts/migrate_v2_naming.sql:68-70`, the final
+    * step of the migration runbook — dropping the emptied V1 schemas).
+    * RESTRICT semantics, matching the runbook's no-CASCADE statements:
+    * refuses while any table survives, so a mis-ordered migration
+    * cannot silently delete data. */
+  def dropDatabase(schema: String): Unit = {
+    val remaining = listTables(schema)
+    require(remaining.isEmpty,
+      s"database $schema is not empty (tables: ${remaining.mkString(", ")})")
+    fs.delete(new Path(s"$warehouse/$schema"), true); ()
   }
 }
