@@ -42,6 +42,17 @@ case class ManifestEntry(
   }
 }
 
+/** Reference to one immutable manifest-segment file
+  * (`<root-meta>/manifests/<file>`, a JSON array of [[ManifestEntry]]).
+  * Snapshot metadata stores segment references instead of inline
+  * entries — Iceberg's manifest-list → manifest-file indirection — so
+  * a commit re-serializes only the entries it CHANGED and reuses the
+  * parent's segment files for the rest: commit metadata cost is
+  * O(changed entries + refs), not O(table entries). Segment files are
+  * content-immutable and shared across the whole ref tree (branches,
+  * publishes, rollbacks reuse them byte-for-byte). */
+case class SegmentRef(file: String, count: Int)
+
 /** `deleteEntries` are outstanding merge-on-read EQUALITY-DELETE files
   * (parquet of key tuples, `seq` = the deleting commit's sequence
   * number); a read drops any data row whose key appears in a delete
@@ -98,26 +109,29 @@ case class Snapshot(
   *  - readers get plain parquet scans (vectorized, filter-pushdown,
   *    partition-pruned by Catalyst via the Hive dir layout).
   *
-  * Manifest ceiling (design bound, deliberate — MEASURED by
-  * `graft.ManifestProbe`, which grows a partitioned table to 10^5
-  * entries through this public API): `entries` lives in ONE JSON
-  * document per version, processed on the driver — there is no
-  * manifest-file tree like real Iceberg, so commit and planning cost is
-  * O(entries), ~250 bytes of JSON each. Entries are per write-directory
-  * × partition (NOT per data file), so the count grows by the
-  * partitions touched per commit and is RESET by any full rewrite
-  * ([[rewriteDataFiles]] and the clustering rewrites collapse the
-  * manifest to O(current partitions); COW merge/delete replace the
-  * touched partitions' entries instead of adding). Measured at 10^5
-  * entries (24 MB snapshot JSON): snapshot load 164 ms, stats-pruning
-  * ~20 ms, per-commit manifest overhead < 200 ms on top of the data
-  * write — the driver walk stays usable; and post-compaction (10^5 →
-  * 10^3.3 entries) load returns to 7 ms. Run compaction on the same
-  * cadence Iceberg needs `rewrite_manifests` at: the FOLD cost grows
-  * with neglect (at 10^5 pathological tiny files it is a half-hour
-  * job — the small-file problem, not the manifest walk). A CDC table
-  * maintained on the reference's own compaction interval never
-  * approaches the ceiling.
+  * Manifest tree (MEASURED by `graft.ManifestProbe`, which grows a
+  * partitioned table to 10^5 entries through this public API):
+  * snapshot metadata is two-level, like Iceberg's manifest list →
+  * manifest files. The per-version JSON stores [[SegmentRef]]s into
+  * immutable segment files (`manifests/seg-*.json`, ~[[LakeTable.SegmentTargetEntries]]
+  * entries each); a commit reuses every parent segment whose entries
+  * all survive and serializes only the changed tail, so COMMIT
+  * METADATA COST IS O(changed entries), not O(table) — an append to a
+  * 10^5-entry table writes one small segment plus a KB-sized snapshot,
+  * where the pre-segment format re-wrote 24 MB of JSON every commit.
+  * Segment fanout is capped ([[LakeTable.MaxSegments]]) by folding
+  * small segments, Iceberg's min-count-to-merge; branches, publishes
+  * and rollbacks share segment files byte-for-byte (metadata-only even
+  * at 10^5 entries); expired/orphaned segments are swept behind a
+  * commit-window grace. Loads go through an immutable-segment LRU
+  * cache, so re-reads parse only fresh segments. Entries are per
+  * write-directory × partition (NOT per data file); any full rewrite
+  * ([[rewriteDataFiles]], clustering) collapses the manifest to
+  * O(current partitions). Remaining driver-side bound: PLANNING walks
+  * the materialized entry list in memory (~20 ms at 10^5, measured) —
+  * at 10^7+ entries real Iceberg additionally plans scans as a
+  * distributed job over manifest files; the segment files are the
+  * natural input for that job if it is ever needed.
   */
 class LakeTable(
     val spark: SparkSession,
@@ -156,25 +170,83 @@ class LakeTable(
   def properties: Map[String, String] =
     currentSnapshot.map(_.properties).getOrElse(Map.empty)
 
+  private def parseEntry(e: com.fasterxml.jackson.databind.JsonNode): ManifestEntry = {
+    val stats = Option(e.get("stats")).filter(!_.isNull).map { sn =>
+      sn.fields().asScala.map { kv =>
+        kv.getKey -> (kv.getValue.get("min").asText(), kv.getValue.get("max").asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
+    ManifestEntry(
+      e.get("dir").asText(),
+      Option(e.get("partition")).filter(!_.isNull).map(_.asText()),
+      stats,
+      Option(e.get("seq")).filter(!_.isNull).map(_.asLong()).getOrElse(0L))
+  }
+
+  private def parseSegmentRefs(n: com.fasterxml.jackson.databind.JsonNode): Option[Seq[SegmentRef]] =
+    Option(n.get("segments")).filter(!_.isNull).map(_.elements().asScala.map(e =>
+      SegmentRef(e.get("file").asText(), e.get("count").asInt())).toSeq)
+
+  /** Meta subpath of the ROOT lineage — segment files live there so
+    * branches/publishes can share them. */
+  private def rootMetaSubpath: String = {
+    val i = metaSubpath.indexOf("/branch-")
+    if (i < 0) metaSubpath else metaSubpath.substring(0, i)
+  }
+
+  private def manifestsDir = new Path(s"$location/$rootMetaSubpath/manifests")
+
+  /** Cache-through read of one immutable segment file. */
+  private def loadSegment(ref: SegmentRef): Seq[ManifestEntry] = {
+    val p = new Path(manifestsDir, ref.file)
+    segmentCacheGet(p.toString).getOrElse {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val es = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+        .elements().asScala.map(parseEntry).toSeq
+      segmentCachePut(p.toString, es)
+      es
+    }
+  }
+
+  /** Write one immutable segment file (UUID-named — never contended;
+    * a lost commit's segments become unreferenced and are swept by
+    * maintenance). */
+  private def writeSegment(entries: Seq[ManifestEntry]): SegmentRef = {
+    val file = s"seg-${UUID.randomUUID()}.json"
+    val arr = Mapper.createArrayNode()
+    entries.foreach(putEntry(arr, _))
+    fs.mkdirs(manifestsDir)
+    val p = new Path(manifestsDir, file)
+    val out = fs.create(p, false)
+    try out.write(Mapper.writeValueAsBytes(arr)) finally out.close()
+    segmentCachePut(p.toString, entries)
+    SegmentRef(file, entries.size)
+  }
+
+  /** Segment references of a committed version (empty for pre-segment
+    * inline-entry snapshots) — a tiny JSON read, no entry parsing. */
+  private def readSegmentRefs(version: Long): Seq[SegmentRef] = {
+    val p = new Path(metaDir, f"v$version%05d.json")
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    parseSegmentRefs(Mapper.readTree(new String(bytes, StandardCharsets.UTF_8)))
+      .getOrElse(Nil)
+  }
+
   private def readSnapshot(version: Long): Snapshot = {
     val p = new Path(metaDir, f"v$version%05d.json")
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val n = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
     def entriesOf(field: String): Seq[ManifestEntry] =
-      Option(n.get(field)).filter(!_.isNull).map(_.elements().asScala.map { e =>
-        val stats = Option(e.get("stats")).filter(!_.isNull).map { sn =>
-          sn.fields().asScala.map { kv =>
-            kv.getKey -> (kv.getValue.get("min").asText(), kv.getValue.get("max").asText())
-          }.toMap
-        }.getOrElse(Map.empty[String, (String, String)])
-        ManifestEntry(
-          e.get("dir").asText(),
-          Option(e.get("partition")).filter(!_.isNull).map(_.asText()),
-          stats,
-          Option(e.get("seq")).filter(!_.isNull).map(_.asLong()).getOrElse(0L))
-      }.toSeq).getOrElse(Nil)
-    val entries = entriesOf("entries")
+      Option(n.get(field)).filter(!_.isNull).map(
+        _.elements().asScala.map(parseEntry).toSeq).getOrElse(Nil)
+    val entries = parseSegmentRefs(n) match {
+      case Some(refs) => refs.flatMap(loadSegment)
+      case None => entriesOf("entries") // pre-segment inline format
+    }
     val deleteEntries = entriesOf("deleteEntries")
     Snapshot(
       version = n.get("version").asLong(),
@@ -198,7 +270,57 @@ class LakeTable(
       })
   }
 
-  private def writeSnapshot(s: Snapshot): Unit = {
+  private def putEntry(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      e: ManifestEntry): Unit = {
+    val en = arr.addObject()
+    en.put("dir", e.dir)
+    e.partition.fold[Unit](en.putNull("partition"))(p => { en.put("partition", p); () })
+    if (e.stats.nonEmpty) {
+      val sn = en.putObject("stats")
+      e.stats.foreach { case (c, (mn, mx)) =>
+        val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+      }
+    }
+    if (e.seq != 0L) en.put("seq", e.seq)
+  }
+
+  /** Segment layout for snapshot `s`: reuse every donor segment whose
+    * entries ALL survive into `s` (appends reuse the whole parent
+    * layout; a pruned COW rewrite reuses the untouched segments), write
+    * the rest into fresh target-sized segment files. When the layout
+    * would exceed the fanout cap, small segments fold together —
+    * Iceberg's `commit.manifest.min-count-to-merge` behavior — so
+    * segment-file count grows O(entries / target), never O(commits). */
+  private def segmentLayout(s: Snapshot, reuseRefs: Seq[SegmentRef]): Seq[SegmentRef] = {
+    val target = s.properties.get("manifest.target-segment-entries")
+      .map(_.toInt).getOrElse(SegmentTargetEntries)
+    val maxSegs = s.properties.get("manifest.max-segments")
+      .map(_.toInt).getOrElse(MaxSegments)
+    val remaining = scala.collection.mutable.HashSet.empty[ManifestEntry]
+    remaining ++= s.entries
+    // duplicate entries would double-claim through the set — fall back
+    // to a plain chunked write (never expected; correctness guard)
+    val reused: Seq[(SegmentRef, Seq[ManifestEntry])] =
+      if (remaining.size != s.entries.size) Nil
+      else reuseRefs.distinctBy(_.file).flatMap { r =>
+        val es = try loadSegment(r) catch { case _: java.io.IOException => Nil }
+        if (es.nonEmpty && es.forall(remaining.contains)) {
+          es.foreach(remaining -= _)
+          Some(r -> es)
+        } else None
+      }
+    val leftover = s.entries.filter(remaining.contains)
+    val projected = reused.size + (leftover.size + target - 1) / target
+    if (projected <= maxSegs)
+      reused.map(_._1) ++ leftover.grouped(target).map(writeSegment)
+    else {
+      val (big, small) = reused.partition(_._2.size >= target / 2)
+      big.map(_._1) ++
+        (small.flatMap(_._2) ++ leftover).grouped(target).map(writeSegment)
+    }
+  }
+
+  private def writeSnapshot(s: Snapshot, reuseRefs: Seq[SegmentRef] = Nil): Unit = {
     val n = Mapper.createObjectNode()
     n.put("version", s.version)
     s.parentVersion.fold[Unit](n.putNull("parent"))(v => { n.put("parent", v); () })
@@ -207,23 +329,18 @@ class LakeTable(
     n.put("lastSequenceNumber", s.lastSequenceNumber)
     n.put("schema", s.schema.json)
     val pc = n.putArray("partitionCols"); s.partitionCols.foreach(pc.add)
-    def putEntries(field: String, es: Seq[ManifestEntry]): Unit = {
-      val arr = n.putArray(field)
-      es.foreach { e =>
-        val en = arr.addObject()
-        en.put("dir", e.dir)
-        e.partition.fold[Unit](en.putNull("partition"))(p => { en.put("partition", p); () })
-        if (e.stats.nonEmpty) {
-          val sn = en.putObject("stats")
-          e.stats.foreach { case (c, (mn, mx)) =>
-            val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
-          }
-        }
-        if (e.seq != 0L) en.put("seq", e.seq)
-      }
+    // entries live in immutable segment files; the snapshot stores refs
+    val segArr = n.putArray("segments")
+    segmentLayout(s, reuseRefs).foreach { r =>
+      val o = segArr.addObject(); o.put("file", r.file); o.put("count", r.count); ()
     }
-    putEntries("entries", s.entries)
-    if (s.deleteEntries.nonEmpty) putEntries("deleteEntries", s.deleteEntries)
+    // outstanding MoR delete files stay inline: their count is bounded
+    // by position-delete compaction, and their seq numbers change
+    // relative to readers too often to be worth segment reuse
+    if (s.deleteEntries.nonEmpty) {
+      val arr = n.putArray("deleteEntries")
+      s.deleteEntries.foreach(putEntry(arr, _))
+    }
     val props = n.putObject("properties"); s.properties.foreach { case (k, v) => props.put(k, v) }
     val sum = n.putObject("summary"); s.summary.foreach { case (k, v) => sum.put(k, v) }
 
@@ -284,7 +401,11 @@ class LakeTable(
       // outstanding deletes forward (COW commits never touch them);
       // MoR writers append, position-delete compaction clears
       deleteEntriesFn: Option[Snapshot] => Seq[ManifestEntry] =
-        p => p.map(_.deleteEntries).getOrElse(Nil))(
+        p => p.map(_.deleteEntries).getOrElse(Nil),
+      // segment files beyond the parent's that this commit's entries may
+      // be reusable from (a publish donates the branch head's segments,
+      // a rollback the restored version's)
+      extraReuseRefs: Seq[SegmentRef] = Nil)(
       buildEntries: Option[Snapshot] => (StructType, Seq[String], Seq[ManifestEntry], Map[String, String], Map[String, String])): Snapshot =
     synchronized {
       var attempt = 0
@@ -334,7 +455,8 @@ class LakeTable(
           lastSequenceNumber =
             (commitSeq +: (stampedEntries ++ stampedDeletes).map(_.seq)).max)
         try {
-          writeSnapshot(snap)
+          writeSnapshot(snap,
+            parent.map(p => readSegmentRefs(p.version)).getOrElse(Nil) ++ extraReuseRefs)
           result = snap
         } catch {
           case e: CommitConflictException =>
@@ -861,7 +983,8 @@ class LakeTable(
           s"cannot roll back $name to v$version: no such snapshot", e)
       }
     commit("rollback", parentOverride = Some(version),
-      deleteEntriesFn = _ => target.deleteEntries)(_ =>
+      deleteEntriesFn = _ => target.deleteEntries,
+      extraReuseRefs = readSegmentRefs(version))(_ =>
       (target.schema, target.partitionCols, target.entries, target.properties,
         Map("rolled-back-to" -> version.toString)))
   }
@@ -1225,6 +1348,24 @@ class LakeTable(
       .toDF("version", "committed_at", "operation", "entry_count", "summary")
   }
 
+  /** `.manifests` metadata table analog: one row per segment file the
+    * current snapshot references — (path, entry count, file length,
+    * min/max data sequence across the segment's entries). Shows the
+    * manifest-tree shape the same way Iceberg's table does: how many
+    * segments a scan plans over, and how the fold policy is keeping
+    * fanout bounded. Empty for pre-segment inline snapshots. */
+  def manifestsDF: DataFrame = {
+    import spark.implicits._
+    val s = requireExists()
+    readSegmentRefs(s.version).map { r =>
+      val es = loadSegment(r)
+      val p = new Path(manifestsDir, r.file)
+      (p.toString, r.count.toLong, fs.getFileStatus(p).getLen,
+        if (es.isEmpty) 0L else es.map(_.seq).min,
+        if (es.isEmpty) 0L else es.map(_.seq).max)
+    }.toDF("path", "entry_count", "length", "min_sequence", "max_sequence")
+  }
+
   /** DESCRIBE TABLE EXTENDED analog: column rows (name, type, comment
     * from the synced properties) followed by table metadata rows. */
   def describeExtended: DataFrame = {
@@ -1276,13 +1417,29 @@ class LakeTable(
     s.entries.flatMap(_.partition).distinct.sorted
   }
 
-  private def allSnapshots: Seq[Snapshot] =
+  private def versionsOnDisk: Seq[Long] =
     if (!fs.exists(metaDir)) Nil
     else fs.listStatus(metaDir).toSeq
       .map(_.getPath.getName)
       .collect { case VersionFileRe(v) => v.toLong }
       .sorted
-      .map(readSnapshot)
+
+  private def allSnapshots: Seq[Snapshot] = versionsOnDisk.map(readSnapshot)
+
+  /** Delete segment files that no retained snapshot of ANY lineage in
+    * the ref tree references and that are older than `olderThanMs`. The
+    * age guard covers the commit window: a concurrent writer's
+    * freshly-written segments are not referenced until its snapshot
+    * claim lands, exactly like Iceberg's orphan-file grace. */
+  private def sweepSegments(olderThanMs: Long): Int = {
+    if (!fs.exists(manifestsDir)) return 0
+    val referenced = lineages.flatMap(t =>
+      t.versionsOnDisk.flatMap(t.readSegmentRefs)).map(_.file).toSet
+    val victims = fs.listStatus(manifestsDir).toSeq.filter(st =>
+      !referenced(st.getPath.getName) && st.getModificationTime < olderThanMs)
+    victims.foreach(st => fs.delete(st.getPath, false))
+    victims.size
+  }
 
   // -------------------------------------------------------------------
   // refs: tags + branches (Iceberg named references / write-audit-publish)
@@ -1407,9 +1564,12 @@ class LakeTable(
     val head = requireExists()
     val bt = branch(b)
     require(!bt.exists, s"branch $b already exists on $name")
+    // the fork reuses main's segment files verbatim (shared root
+    // manifests dir) — branching is metadata-only even at 10^5 entries
     bt.writeSnapshot(head.copy(
       operation = "fork",
-      summary = Map("forked-from" -> name, "fork-version" -> head.version.toString)))
+      summary = Map("forked-from" -> name, "fork-version" -> head.version.toString)),
+      readSegmentRefs(head.version))
     // Persist the fork point OUTSIDE the snapshot lineage: branch-side
     // expireSnapshots may legitimately drop the fork snapshot itself,
     // and fastForward's publish gate must not depend on which snapshots
@@ -1475,7 +1635,8 @@ class LakeTable(
     // published row — and the published version stays exactly forkV+1
     // (contiguous), keeping the claim-file serialization intact
     else commit("publish", requireParentVersion = Some(forkV),
-      deleteEntriesFn = _ => bHead.deleteEntries)(_ =>
+      deleteEntriesFn = _ => bHead.deleteEntries,
+      extraReuseRefs = bt.readSegmentRefs(bHead.version))(_ =>
       (bHead.schema, bHead.partitionCols, bHead.entries, bHead.properties,
         Map("branch" -> b, "branch-version" -> bHead.version.toString)))
   }
@@ -1541,6 +1702,11 @@ class LakeTable(
         fs.listStatus(dataRoot).toSeq
           .filter(st => !referenced(st.getPath.getName))
           .foreach(st => fs.delete(st.getPath, true))
+      // segment files only the expired snapshots referenced are now
+      // unreachable — sweep them behind the commit-window grace
+      val grace = keep.lastOption.flatMap(_.properties.get("manifest.gc-grace-ms"))
+        .map(_.toLong).getOrElse(SegmentGcGraceMs)
+      sweepSegments(System.currentTimeMillis() - grace)
       expire.size
     }
   }
@@ -1675,11 +1841,14 @@ class LakeTable(
   }
 
   /** Delete unreferenced data dirs older than `olderThanMs` wall-clock
-    * (`remove_orphan_files` analog). Returns #dirs removed. */
+    * (`remove_orphan_files` analog). Unreferenced manifest segments
+    * older than the same cutoff are swept too (lost commits leave
+    * them); the returned count is data dirs only. */
   def removeOrphanFiles(olderThanMs: Long): Int = synchronized {
     val referenced =
       allSnapshots.flatMap(s =>
         (s.entries ++ s.deleteEntries).map(_.dir)).toSet ++ otherLineageDirs
+    sweepSegments(olderThanMs)
     val dataRoot = new Path(s"$location/data")
     if (!fs.exists(dataRoot)) 0
     else {
@@ -1727,6 +1896,44 @@ object LakeTable {
   /** Table property naming the equality-delete key columns of a
     * merge-on-read table (comma-joined, fixed at the first MoR write). */
   val MorKeysProp = "mor.delete-keys"
+
+  /** Target entries per manifest segment file (override per table with
+    * `manifest.target-segment-entries`). ~250 B of JSON per entry →
+    * ~1 MB segments at the default. */
+  private val SegmentTargetEntries = 4096
+
+  /** Segment-count cap per snapshot before small segments fold together
+    * (override with `manifest.max-segments`). Bounds both the snapshot
+    * JSON and the per-commit reuse check. */
+  private val MaxSegments = 64
+
+  /** Age below which an unreferenced segment file is NOT swept —
+    * covers the window between a writer materializing its segments and
+    * claiming the snapshot that references them (override with
+    * `manifest.gc-grace-ms`). */
+  private val SegmentGcGraceMs = 10 * 60 * 1000L
+
+  // Immutable-segment content cache (the manifest cache every Iceberg
+  // runtime keeps): keyed by absolute file path — safe because segment
+  // files are write-once — bounded by total cached entries, LRU.
+  private val SegmentCacheMaxEntries = 500000
+  private val segmentCacheMap =
+    new java.util.LinkedHashMap[String, Seq[ManifestEntry]](64, 0.75f, true)
+  private var segmentCacheCount = 0L
+  private def segmentCacheGet(k: String): Option[Seq[ManifestEntry]] =
+    segmentCacheMap.synchronized(Option(segmentCacheMap.get(k)))
+  private def segmentCachePut(k: String, v: Seq[ManifestEntry]): Unit =
+    segmentCacheMap.synchronized {
+      if (!segmentCacheMap.containsKey(k)) {
+        segmentCacheMap.put(k, v)
+        segmentCacheCount += v.size
+        val it = segmentCacheMap.entrySet().iterator()
+        while (segmentCacheCount > SegmentCacheMaxEntries && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { segmentCacheCount -= e.getValue.size; it.remove() }
+        }
+      }
+    }
 
   /** Bounded pool for concurrent per-slice rewrite jobs (daemon threads
     * so an abandoned session still exits). */
