@@ -303,7 +303,14 @@ class LakeTable(
     val reused: Seq[(SegmentRef, Seq[ManifestEntry])] =
       if (remaining.size != s.entries.size) Nil
       else reuseRefs.distinctBy(_.file).flatMap { r =>
-        val es = try loadSegment(r) catch { case _: java.io.IOException => Nil }
+        // verify the donor ON DISK even when its content is cached: a
+        // racing expire's segment sweep may have collected it, and
+        // publishing a reference to a deleted file would corrupt the
+        // table for every fresh reader — a miss just rewrites fresh
+        val es = try {
+          if (!fs.exists(new Path(manifestsDir, r.file))) Nil
+          else loadSegment(r)
+        } catch { case _: java.io.IOException => Nil }
         if (es.nonEmpty && es.forall(remaining.contains)) {
           es.foreach(remaining -= _)
           Some(r -> es)
@@ -874,6 +881,8 @@ class LakeTable(
     set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
       s"UPDATE on $name: no column '$k'"))
     val affected = prunedEntries(s, cond)
+    // no entry can match: a true no-op — don't commit an empty data dir
+    if (affected.isEmpty) return s
     val untouched = s.entries.diff(affected)
     val updated = morRead(s, affected).select(s.schema.fields.map { f =>
       set.get(f.name)
@@ -911,6 +920,7 @@ class LakeTable(
       case ("bucket.column", v) => "bucket.column" -> ren(v)
       case (MorKeysProp, v) =>
         MorKeysProp -> v.split(",").toSeq.map(ren).mkString(",")
+      case (k, v) if k == s"comment.col.$from" => s"comment.col.$to" -> v
       case kv => kv
     }
     val conformed = read.withColumnRenamed(from, to).select(
@@ -1041,10 +1051,17 @@ class LakeTable(
 
   /** UPDATE ... merge-on-read: the matching rows' updated images commit
     * as one new data dir plus an equality-delete file of their keys —
-    * O(matched rows), nothing rewritten (exactly [[mergeIntoMoR]] with a
-    * computed source). Requires the table's MoR keys (fixed at the first
-    * MoR write) since the delete file identifies the old images by key;
-    * key columns themselves cannot be assigned. */
+    * O(matched rows), nothing rewritten. Requires the table's MoR keys
+    * (fixed at the first MoR write) since the delete file identifies
+    * the old images by key; key columns themselves cannot be assigned.
+    *
+    * NOT [[mergeIntoMoR]]: a merge's source is external data and wins
+    * over racers by design (additive retry), but an UPDATE's images are
+    * COMPUTED FROM THE TABLE — retrying them against a moved head would
+    * silently revert whatever the racer wrote to the matched rows. So
+    * the commit pins the snapshot the images were read from
+    * (`requireParentVersion`, Iceberg's conflict validation for MoR
+    * row-level ops) and a racer surfaces as `CommitConflictException`. */
   def updateWhereMoR(cond: Column, set: Map[String, Column]): Snapshot = {
     val s = requireExists()
     val keys = morKeys(s)
@@ -1054,11 +1071,21 @@ class LakeTable(
       s"cannot assign merge-on-read key columns (${keys.mkString(",")})")
     set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
       s"UPDATE on $name: no column '$k'"))
-    val matched = morRead(s, prunedEntries(s, cond)).filter(cond)
+    val affected = prunedEntries(s, cond)
+    if (affected.isEmpty) return s
+    val matched = morRead(s, affected).filter(cond)
     val updated = matched.select(s.schema.fields.map { f =>
       set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
     }.toIndexedSeq: _*)
-    mergeIntoMoR(updated, keys)
+    // an empty equality-delete file has no key stats, which would mark
+    // EVERY data entry maskable and tax all future reads — skip no-ops
+    if (updated.isEmpty) return s
+    val (_, dataEntries) = writeData(prepared(updated, s), s.partitionCols)
+    val delEntry = writeDeleteFile(updated, keys, s)
+    commit("update-mor", requireParentVersion = Some(s.version),
+      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
+      (s.schema, s.partitionCols, s.entries ++ dataEntries, s.properties,
+        Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1")))
   }
 
   /** Key columns of this table's equality-delete files. */
@@ -2015,13 +2042,18 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** DROP DATABASE (`scripts/migrate_v2_naming.sql:68-70`, the final
     * step of the migration runbook — dropping the emptied V1 schemas).
-    * RESTRICT semantics, matching the runbook's no-CASCADE statements:
-    * refuses while any table survives, so a mis-ordered migration
-    * cannot silently delete data. */
+    * RESTRICT semantics, matching the runbook's no-CASCADE statements —
+    * and stricter than "no live tables": ANY child directory blocks the
+    * drop, because a directory without a claimed snapshot may be a
+    * table whose first commit is still in flight (data written, version
+    * file not yet claimed); a recursive delete would eat its data
+    * silently. */
   def dropDatabase(schema: String): Unit = {
-    val remaining = listTables(schema)
+    val p = new Path(s"$warehouse/$schema")
+    if (!fs.exists(p)) return
+    val remaining = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
     require(remaining.isEmpty,
       s"database $schema is not empty (tables: ${remaining.mkString(", ")})")
-    fs.delete(new Path(s"$warehouse/$schema"), true); ()
+    fs.delete(p, true); ()
   }
 }

@@ -241,6 +241,46 @@ class MigrationSpec extends SparkSpec {
       t.update(col("id") === 1L, Map("id" -> lit(99L)))
   }
 
+  test("a no-op UPDATE commits nothing in either mode") {
+    val cow = freshCatalog().table("db.cow")
+    cow.createOrReplace(df(Seq((1L, "a", 1.0))))
+    val vCow = cow.currentSnapshot.get.version
+    cow.updateWhere(col("id") === lit(-1L), Map("status" -> lit("x")))
+    cow.currentSnapshot.get.version shouldBe vCow // no empty-dir commit
+
+    val mor = freshCatalog().table("db.mor")
+    mor.createOrReplace(df(Seq((1L, "a", 1.0))),
+      tableProperties = Map(
+        "write.merge.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read"))
+    mor.mergeIntoMoR(df(Seq((1L, "a", 1.0))), Seq("id"))
+    val vMor = mor.currentSnapshot.get.version
+    mor.update(col("id") === lit(-1L), Map("status" -> lit("x")))
+    // no stats-less empty delete file that would mask every entry
+    mor.currentSnapshot.get.version shouldBe vMor
+  }
+
+  test("renameColumn carries the synced column comment to the new name") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.setProperties(Map("comment.col.status" -> "CDC op flag"))
+    t.renameColumn("status", "op_flag")
+    val props = t.currentSnapshot.get.properties
+    props.get("comment.col.op_flag") shouldBe Some("CDC op flag")
+    props.contains("comment.col.status") shouldBe false
+  }
+
+  test("dropDatabase refuses a directory without a claimed snapshot (in-flight table)") {
+    val cat = freshCatalog()
+    cat.createDatabase("db")
+    // simulate a table mid-first-commit: data dir exists, no version file
+    Files.createDirectories(
+      java.nio.file.Paths.get(cat.warehouse, "db", "landing", "data", "d0"))
+    an[IllegalArgumentException] should be thrownBy cat.dropDatabase("db")
+    Files.exists(java.nio.file.Paths.get(
+      cat.warehouse, "db", "landing", "data", "d0")) shouldBe true
+  }
+
   test("updateWhere validates column names and leaves a conflict-free history") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0))))
