@@ -58,6 +58,7 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
           }
         } catch { case e: Throwable => failures.add(e) })
       }
+
       // maintenance loop: compaction conflicts with racing writers are
       // the EXPECTED skip path (requireParentVersion), never an error
       val maintenance = new Thread(() => try {
@@ -107,6 +108,50 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       cat.table("db.t").rewritePositionDeleteFiles()
       assert(state() == fin, s"seed $seed: compaction changed visible state")
       assert(cat.table("db.t").currentSnapshot.get.deleteEntries.isEmpty)
+    }
+  }
+
+  /** Contended read-modify-write UPDATEs on the SAME row must
+    * serialize: each writer's images are computed from the snapshot it
+    * read, so a stale image landing after a racer would silently revert
+    * the racer's change. The engine surfaces that as
+    * `CommitConflictException` (base-snapshot validation); callers
+    * retry by RECOMPUTING from the fresh head. Lost updates would show
+    * up here as a final counter below the increment total. */
+  test("contended UPDATE increments on one row never lose an update (both modes)") {
+    import spark.implicits._
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val wh = Files.createTempDirectory(s"upd-race-$mode").toString
+      val cat = new LakeCatalog(spark, wh)
+      cat.createDatabase("db")
+      val init = cat.table("db.t")
+      init.createOrReplace(Seq((1L, 0L)).toDF("id", "n"),
+        tableProperties = Map(
+          "write.merge.mode" -> "merge-on-read",
+          "write.update.mode" -> mode))
+      if (mode == "merge-on-read") // fix the MoR keys for update-mor
+        init.mergeIntoMoR(Seq((1L, 0L)).toDF("id", "n"), Seq("id"))
+      val failures = new ConcurrentLinkedQueue[Throwable]()
+      val perWriter = 4
+      val threads = (0 until 3).map { _ =>
+        new Thread(() => try {
+          (1 to perWriter).foreach { _ =>
+            var done = false
+            while (!done) {
+              try {
+                cat.table("db.t").update(col("id") === lit(1L),
+                  Map("n" -> (col("n") + lit(1L))))
+                done = true
+              } catch { case _: CommitConflictException => Thread.sleep(10) }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      failures.forEach(f => fail(s"[$mode] writer failed: $f", f))
+      val finalN = cat.table("db.t").read
+        .filter(col("id") === 1L).select("n").collect().head.getLong(0)
+      withClue(s"[$mode] lost updates: ") { finalN shouldBe 3L * perWriter }
     }
   }
 }
