@@ -241,6 +241,26 @@ class MigrationSpec extends SparkSpec {
       t.update(col("id") === 1L, Map("id" -> lit(99L)))
   }
 
+  test("the runbook's optional CTAS relocation: rewrite under the new path, drop the old") {
+    // migrate_v2_naming.sql 참고 1: when the S3 path itself must match
+    // the V2 naming, CTAS to the new location + DROP old (history is
+    // deliberately lost — the documented trade-off vs RENAME)
+    val cat = freshCatalog()
+    val old = cat.table("store_bronze.tb_lower")
+    old.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    old.append(df(Seq((3L, "c", 3.0))))
+
+    cat.createDatabase("local_store")
+    val moved = cat.table("local_store.tb_lower")
+    moved.createOrReplace(old.read, tableProperties = old.properties)
+    cat.dropTable("store_bronze.tb_lower")
+    cat.dropDatabase("store_bronze")
+
+    state(moved) shouldBe Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    moved.currentSnapshot.get.version shouldBe 1L // fresh history
+    cat.tableExists("store_bronze.tb_lower") shouldBe false
+  }
+
   test("a no-op UPDATE commits nothing in either mode") {
     val cow = freshCatalog().table("db.cow")
     cow.createOrReplace(df(Seq((1L, "a", 1.0))))
