@@ -303,13 +303,23 @@ class LakeTable(
     val reused: Seq[(SegmentRef, Seq[ManifestEntry])] =
       if (remaining.size != s.entries.size) Nil
       else reuseRefs.distinctBy(_.file).flatMap { r =>
-        // verify the donor ON DISK even when its content is cached: a
-        // racing expire's segment sweep may have collected it, and
-        // publishing a reference to a deleted file would corrupt the
-        // table for every fresh reader — a miss just rewrites fresh
+        // Donor liveness vs a racing segment sweep: (1) TOUCH the donor
+        // so the sweep's age guard re-protects it for a full grace
+        // window, then (2) verify it on disk even when its content is
+        // cached — a miss just rewrites fresh. With the sweep re-
+        // checking mtime immediately before each delete, a dangling
+        // reference needs the sweep's stat→delete gap to straddle this
+        // touch→claim span — in practice: keep the gc grace above the
+        // longest-running commit, the same operational contract as
+        // Iceberg's remove_orphan_files retention.
         val es = try {
-          if (!fs.exists(new Path(manifestsDir, r.file))) Nil
-          else loadSegment(r)
+          val p = new Path(manifestsDir, r.file)
+          if (!fs.exists(p)) Nil
+          else {
+            try fs.setTimes(p, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+            loadSegment(r)
+          }
         } catch { case _: java.io.IOException => Nil }
         if (es.nonEmpty && es.forall(remaining.contains)) {
           es.foreach(remaining -= _)
@@ -881,8 +891,12 @@ class LakeTable(
     set.keys.foreach(k => require(s.schema.fieldNames.contains(k),
       s"UPDATE on $name: no column '$k'"))
     val affected = prunedEntries(s, cond)
-    // no entry can match: a true no-op — don't commit an empty data dir
+    // no-op guards: entries all stats-pruned away, or (stats were too
+    // coarse to disprove) no row actually matches — either way don't
+    // commit a byte-identical rewrite; the limit(1) probe is far
+    // cheaper than rewriting the overlapping entries
     if (affected.isEmpty) return s
+    if (morRead(s, affected).filter(cond).isEmpty) return s
     val untouched = s.entries.diff(affected)
     val updated = morRead(s, affected).select(s.schema.fields.map { f =>
       set.get(f.name)
@@ -1077,15 +1091,21 @@ class LakeTable(
     val updated = matched.select(s.schema.fields.map { f =>
       set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
     }.toIndexedSeq: _*)
-    // an empty equality-delete file has no key stats, which would mark
-    // EVERY data entry maskable and tax all future reads — skip no-ops
-    if (updated.isEmpty) return s
-    val (_, dataEntries) = writeData(prepared(updated, s), s.partitionCols)
-    val delEntry = writeDeleteFile(updated, keys, s)
-    commit("update-mor", requireParentVersion = Some(s.version),
-      deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
-      (s.schema, s.partitionCols, s.entries ++ dataEntries, s.properties,
-        Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1")))
+    // persist: the images feed three consumers (the empty-check, the
+    // data write, the delete-file keys) and recomputing each would
+    // re-run the masked table read per pass
+    updated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an empty equality-delete file has no key stats, which would mark
+      // EVERY data entry maskable and tax all future reads — skip no-ops
+      if (updated.isEmpty) return s
+      val (_, dataEntries) = writeData(prepared(updated, s), s.partitionCols)
+      val delEntry = writeDeleteFile(updated, keys, s)
+      commit("update-mor", requireParentVersion = Some(s.version),
+        deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
+        (s.schema, s.partitionCols, s.entries ++ dataEntries, s.properties,
+          Map("added-entries" -> dataEntries.size.toString, "delete-files" -> "1")))
+    } finally updated.unpersist(false)
   }
 
   /** Key columns of this table's equality-delete files. */
@@ -1464,8 +1484,14 @@ class LakeTable(
       t.versionsOnDisk.flatMap(t.readSegmentRefs)).map(_.file).toSet
     val victims = fs.listStatus(manifestsDir).toSeq.filter(st =>
       !referenced(st.getPath.getName) && st.getModificationTime < olderThanMs)
-    victims.foreach(st => fs.delete(st.getPath, false))
-    victims.size
+    // re-stat immediately before each delete: a committing writer
+    // re-touches donor segments it is about to reference, so a fresh
+    // mtime here means the file came back into (imminent) use
+    victims.count { st =>
+      val live = try fs.getFileStatus(st.getPath).getModificationTime >= olderThanMs
+        catch { case _: java.io.IOException => true } // vanished/unreadable: skip
+      if (!live) fs.delete(st.getPath, false) else false
+    }
   }
 
   // -------------------------------------------------------------------
@@ -2053,7 +2079,8 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
     if (!fs.exists(p)) return
     val remaining = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
     require(remaining.isEmpty,
-      s"database $schema is not empty (tables: ${remaining.mkString(", ")})")
+      s"database $schema is not empty (child dirs, possibly in-flight " +
+        s"tables: ${remaining.mkString(", ")})")
     fs.delete(p, true); ()
   }
 }

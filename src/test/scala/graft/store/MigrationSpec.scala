@@ -263,10 +263,15 @@ class MigrationSpec extends SparkSpec {
 
   test("a no-op UPDATE commits nothing in either mode") {
     val cow = freshCatalog().table("db.cow")
-    cow.createOrReplace(df(Seq((1L, "a", 1.0))))
+    cow.createOrReplace(df(Seq((1L, "a", 1.0), (10L, "b", 10.0))))
     val vCow = cow.currentSnapshot.get.version
+    // stats-prunable miss (outside [1,10]) — no scan, no commit
     cow.updateWhere(col("id") === lit(-1L), Map("status" -> lit("x")))
-    cow.currentSnapshot.get.version shouldBe vCow // no empty-dir commit
+    cow.currentSnapshot.get.version shouldBe vCow
+    // stats-coarse miss (inside [1,10] but matching no row): the probe
+    // must catch it — no byte-identical rewrite commit
+    cow.updateWhere(col("id") === lit(5L), Map("status" -> lit("x")))
+    cow.currentSnapshot.get.version shouldBe vCow
 
     val mor = freshCatalog().table("db.mor")
     mor.createOrReplace(df(Seq((1L, "a", 1.0))),
