@@ -3,12 +3,14 @@ package graft.store
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
 /** Model-based testing of the table store: random (seeded, reproducible)
   * sequences of append / COW merge / MoR merge / COW delete / MoR
-  * delete / bin-pack compaction / position-delete fold / rollback run
+  * delete / key-range UPDATE (both modes) / bin-pack compaction /
+  * position-delete fold / rollback run
   * against both a LakeTable and a trivial in-memory map, and the table
   * read must equal the model after EVERY step. One sequence exercises
   * interleavings no hand-written spec enumerates — MoR delete files
@@ -52,7 +54,7 @@ class StoreModelSpec extends SparkSpec {
     }
 
     for (step <- 1 to 12) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 =>
           lastOp = "append"
           val rows = freshRows(4, "a")
@@ -97,6 +99,24 @@ class StoreModelSpec extends SparkSpec {
           lastOp = "create-or-replace"
           val rows = freshRows(5, "rt")
           t.createOrReplace(df(rows)); model = rows.toMap
+        case 9 =>
+          // key-range UPDATE: MoR mode when delete keys are fixed (a
+          // prior MoR op ran), COW otherwise — assignments read the OLD
+          // row, updates compose with outstanding deletes/rollbacks
+          val keys = model.keys.toSeq.sorted
+          val cutoff = if (keys.isEmpty) 0L else keys(rnd.nextInt(keys.size))
+          val set = Map(
+            "status" -> lit(s"u$step").cast("string"),
+            "amount" -> (col("amount") + lit(1.0)))
+          val useMor =
+            t.properties.contains(LakeTable.MorKeysProp) && rnd.nextBoolean()
+          lastOp = if (useMor) "update-mor" else "update-cow"
+          if (useMor) t.updateWhereMoR(col("id") <= lit(cutoff), set)
+          else t.updateWhere(col("id") <= lit(cutoff), set)
+          model = model.map { case (id, (st, amt)) =>
+            if (id <= cutoff) id -> ((s"u$step", amt + 1.0))
+            else id -> ((st, amt))
+          }
       }
       history += t.currentSnapshot.get.version -> model
       val got = t.read.collect()
