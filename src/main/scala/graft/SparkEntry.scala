@@ -226,7 +226,8 @@ object SparkEntry {
     Merge.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
         Seq("click_id", "click_ts"))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
-        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        (Transforms.microsOf(col("ts")) -
+          Transforms.microsOf(col("click_ts"))).as("gap_us"))
       .orderBy("user_id", "purchase_id")
   }
 

@@ -121,16 +121,26 @@ object Settings {
     // DB credentials: env values, overlaid by the secret provider when a
     // vault section names a secret path (settings.py:66-82). A TRANSIENT
     // vault failure (unreachable / timeout / 5xx) falls back to the env
-    // credentials with a warning — an outage degrades startup instead of
-    // killing it; misconfiguration (4xx, bad path) still fails loudly.
+    // credentials ONLY when they are complete (host, user and password
+    // all present) — an outage then degrades startup instead of killing
+    // it, but a partial env map can no longer boot a half-configured
+    // daemon that fails later with a confusing auth error; with
+    // incomplete env credentials the outage is rethrown at startup.
+    // Misconfiguration (4xx, bad path) always fails loudly.
     val database = {
       val d = section(env, "database")
+      val envCredsComplete =
+        Seq("host", "user", "password").forall(k => d.get(k).exists(_.nonEmpty))
       val secret = for {
         vs <- vault
         sp <- secretProvider
       } yield
         try sp.fetch(vs.secretPath)
         catch { case e: VaultUnavailableException =>
+          if (!envCredsComplete) throw new VaultUnavailableException(
+            s"vault unavailable (${e.getMessage}) and env credentials are " +
+              "incomplete (need DATABASE__HOST, DATABASE__USER, " +
+              "DATABASE__PASSWORD to ride out a vault outage)", e)
           System.err.println(
             s"WARN vault unavailable (${e.getMessage}); using env credentials")
           Map.empty[String, String]

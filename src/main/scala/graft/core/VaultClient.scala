@@ -10,8 +10,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * infrastructure failure, distinct from misconfiguration (bad role id,
   * missing secret path), which stays a loud [[IllegalStateException]].
   * [[Settings.fromEnv]] catches this type and falls back to
-  * env-provided credentials so a Vault outage degrades a daemon's
-  * startup instead of killing it. */
+  * env-provided credentials — but ONLY when the env map carries a
+  * complete credential set (host/user/password); otherwise the outage
+  * is rethrown so startup fails loudly instead of booting a
+  * half-configured daemon. */
 class VaultUnavailableException(msg: String, cause: Throwable)
   extends RuntimeException(msg, cause)
 

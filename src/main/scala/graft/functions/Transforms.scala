@@ -44,6 +44,16 @@ object Transforms {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** NTZ-tolerant epoch micros. `unix_micros` accepts only the zoned
+    * TimestampType, but parquet written with untagged `timestamp[us]`
+    * (the driver testdata's `ts` columns) reads back as TIMESTAMP_NTZ
+    * under Spark 4 — so cast first. The session zone is pinned UTC
+    * (GraftSession/build.sbt), making the NTZ→TZ cast an identity; and
+    * every caller takes a DIFFERENCE of two micros, so any zone offset
+    * would cancel regardless. Zoned inputs pass through the cast
+    * untouched, so the helper is safe for both layouts. */
+  def microsOf(c: Column): Column = unix_micros(c.cast(TimestampType))
+
   /** Synthetic identity: MD5 hex of the PK columns joined by '|'.
     * PK column ORDER matters (composite keys). */
   def pkHashColumn(pkCols: Seq[String]): Column =

@@ -306,21 +306,25 @@ class LakeTable(
         // Donor liveness vs a racing segment sweep: (1) TOUCH the donor
         // so the sweep's age guard re-protects it for a full grace
         // window, then (2) verify it on disk even when its content is
-        // cached — a miss just rewrites fresh. With the sweep re-
-        // checking mtime immediately before each delete, a dangling
-        // reference needs the sweep's stat→delete gap to straddle this
-        // touch→claim span — in practice: keep the gc grace above the
-        // longest-running commit, the same operational contract as
-        // Iceberg's remove_orphan_files retention.
+        // cached — a miss just rewrites fresh. The touch is the ONLY
+        // protection standing between the donor and a sweep whose stat
+        // predates this commit, so a FAILED touch (IOException, or an
+        // FS that doesn't support setTimes) must also skip reuse — the
+        // entries are rewritten into fresh segments rather than
+        // committing a reference the sweep may still delete. With the
+        // sweep re-checking mtime immediately before each delete, a
+        // dangling reference needs the sweep's stat→delete gap to
+        // straddle this touch→claim span — in practice: keep the gc
+        // grace above the longest-running commit, the same operational
+        // contract as Iceberg's remove_orphan_files retention.
         val es = try {
           val p = new Path(manifestsDir, r.file)
           if (!fs.exists(p)) Nil
           else {
-            try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+            fs.setTimes(p, System.currentTimeMillis(), -1)
             loadSegment(r)
           }
-        } catch { case _: java.io.IOException => Nil }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
         if (es.nonEmpty && es.forall(remaining.contains)) {
           es.foreach(remaining -= _)
           Some(r -> es)
@@ -1879,10 +1883,22 @@ class LakeTable(
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec = RewriteEc
+        // job-group/description/pool are THREAD-LOCAL SparkContext
+        // properties: the pool threads submitting the per-slice jobs
+        // don't inherit the caller's, so without re-applying them inside
+        // the closure every rewrite stage is attributed to NO group (it
+        // bled into Bench's "_warmup" bucket and the FAIR-pool
+        // assignment of a hosting stream thread was dropped). null is a
+        // valid value — setLocalProperty(k, null) clears.
+        val sc = spark.sparkContext
+        val callerProps = Seq("spark.jobGroup.id", "spark.job.description",
+          "spark.scheduler.pool").map(k => k -> sc.getLocalProperty(k))
         Await.result(
-          Future.sequence(shards.toSeq.map(sh => Future(
+          Future.sequence(shards.toSeq.map(sh => Future {
+            callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
             writeData(staged.filter(col("__shard") === sh).drop("__shard"),
-              s.partitionCols)._2))),
+              s.partitionCols)._2
+          })),
           Duration.Inf).flatten
       }
       commit(operation, requireParentVersion = Some(s.version),
@@ -2069,18 +2085,20 @@ class LakeCatalog(val spark: SparkSession, val warehouse: String) {
   /** DROP DATABASE (`scripts/migrate_v2_naming.sql:68-70`, the final
     * step of the migration runbook — dropping the emptied V1 schemas).
     * RESTRICT semantics, matching the runbook's no-CASCADE statements —
-    * and stricter than "no live tables": ANY child directory blocks the
-    * drop, because a directory without a claimed snapshot may be a
-    * table whose first commit is still in flight (data written, version
-    * file not yet claimed); a recursive delete would eat its data
-    * silently. */
+    * and stricter than "no live tables": ANY child blocks the drop. A
+    * child DIRECTORY without a claimed snapshot may be a table whose
+    * first commit is still in flight (data written, version file not
+    * yet claimed); a stray plain FILE is content someone placed in the
+    * schema dir that a recursive delete would eat silently — RESTRICT
+    * means the operator moves it first. */
   def dropDatabase(schema: String): Unit = {
     val p = new Path(s"$warehouse/$schema")
     if (!fs.exists(p)) return
-    val remaining = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val remaining = fs.listStatus(p).toSeq
+      .map(st => st.getPath.getName + (if (st.isDirectory) "/" else ""))
     require(remaining.isEmpty,
-      s"database $schema is not empty (child dirs, possibly in-flight " +
-        s"tables: ${remaining.mkString(", ")})")
+      s"database $schema is not empty (children, possibly in-flight " +
+        s"tables or stray files: ${remaining.mkString(", ")})")
     fs.delete(p, true); ()
   }
 }

@@ -179,7 +179,8 @@ object EventStreams {
       joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+        (graft.functions.Transforms.microsOf(col("purchase_ts")) -
+          graft.functions.Transforms.microsOf(col("click_ts")))
           .as("gap_us"))
   }
 

@@ -65,6 +65,47 @@ class SettingsSpec extends AnyFunSuite with Matchers {
     s.database.get.user shouldBe "vu"
   }
 
+  private val vaultEnv = Map(
+    "VAULT__URL" -> "http://vault:8200",
+    "VAULT__USERNAME" -> "role",
+    "VAULT__PASSWORD" -> "secret",
+    "VAULT__SECRET_PATH" -> "kv/data/db/shop")
+
+  private val outageProvider = new Settings.SecretProvider {
+    def fetch(secretPath: String): Map[String, String] =
+      throw new VaultUnavailableException("503 from vault", null)
+  }
+
+  test("vault outage + COMPLETE env credentials degrades to env values") {
+    val s = Settings.fromEnv(env ++ vaultEnv, Some(outageProvider))
+    s.database.get.host shouldBe "h1"
+    s.database.get.user shouldBe "u"
+    s.database.get.password shouldBe "p"
+  }
+
+  test("vault outage + INCOMPLETE env credentials fails startup loudly") {
+    // no DATABASE__PASSWORD: a fallback would boot a daemon that can
+    // never authenticate — the outage must surface at startup instead
+    val partial = (env - "DATABASE__PASSWORD") ++ vaultEnv
+    val e = intercept[VaultUnavailableException] {
+      Settings.fromEnv(partial, Some(outageProvider))
+    }
+    e.getMessage should include("incomplete")
+    // empty-string credentials are incomplete too, not merely absent keys
+    intercept[VaultUnavailableException] {
+      Settings.fromEnv(env ++ vaultEnv ++ Map("DATABASE__PASSWORD" -> ""),
+        Some(outageProvider))
+    }
+  }
+
+  test("vault MISCONFIGURATION fails loudly even with complete env creds") {
+    // a bad secret path is not an outage: no fallback, regardless of env
+    val provider = new Settings.StaticSecretProvider(Map.empty)
+    intercept[NoSuchElementException] {
+      Settings.fromEnv(env ++ vaultEnv, Some(provider))
+    }
+  }
+
   test("catalog session configs per catalog type") {
     val glue = SessionConfig.catalogConfigs(Settings.fromEnv(env))
     glue("spark.sql.defaultCatalog") shouldBe "lake"

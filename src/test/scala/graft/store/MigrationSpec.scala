@@ -50,7 +50,7 @@ class MigrationSpec extends SparkSpec {
     cat.listTables("di_ops") shouldBe Seq("watermark")
   }
 
-  test("the full runbook rolls back to the original state (migrate_v2_naming.sql 참고 3)") {
+  test("the full runbook rolls back to the original state (migrate_v2_naming.sql note 3)") {
     // forward: rename table across schemas, rename column, migrate values
     val cat = freshCatalog()
     cat.createDatabase("ops_bronze")
@@ -242,7 +242,7 @@ class MigrationSpec extends SparkSpec {
   }
 
   test("the runbook's optional CTAS relocation: rewrite under the new path, drop the old") {
-    // migrate_v2_naming.sql 참고 1: when the S3 path itself must match
+    // migrate_v2_naming.sql note 1: when the S3 path itself must match
     // the V2 naming, CTAS to the new location + DROP old (history is
     // deliberately lost — the documented trade-off vs RENAME)
     val cat = freshCatalog()
@@ -304,6 +304,19 @@ class MigrationSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy cat.dropDatabase("db")
     Files.exists(java.nio.file.Paths.get(
       cat.warehouse, "db", "landing", "data", "d0")) shouldBe true
+  }
+
+  test("dropDatabase refuses a stray plain file, not just child dirs") {
+    val cat = freshCatalog()
+    cat.createDatabase("db")
+    val stray = java.nio.file.Paths.get(cat.warehouse, "db", "export.csv")
+    Files.write(stray, "id,v\n1,2\n".getBytes)
+    val e = intercept[IllegalArgumentException](cat.dropDatabase("db"))
+    e.getMessage should include("export.csv")
+    Files.exists(stray) shouldBe true // RESTRICT left it in place
+    Files.delete(stray)
+    cat.dropDatabase("db") // emptied ⇒ drop proceeds
+    cat.listTables("db") shouldBe empty
   }
 
   test("updateWhere validates column names and leaves a conflict-free history") {
