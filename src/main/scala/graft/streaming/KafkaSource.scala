@@ -39,8 +39,14 @@ object KafkaSource {
         s"""{"${c.topic}": $inner}"""
     }
 
-  def load(spark: SparkSession, c: Config): DataFrame =
+  /** The configured reader BEFORE `.load()` — the seam the contract
+    * spec inspects: `.load()` needs the spark-sql-kafka jar (absent in
+    * this image), but the option surface the reference builds
+    * (`cdc_pipeline.py:384-395`) is fully constructed here. */
+  def reader(spark: SparkSession, c: Config): org.apache.spark.sql.streaming.DataStreamReader =
     options(c)
       .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+
+  def load(spark: SparkSession, c: Config): DataFrame =
+    reader(spark, c).load()
 }

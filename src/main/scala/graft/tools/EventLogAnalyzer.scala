@@ -172,6 +172,30 @@ object EventLogAnalyzer {
     def kafkaConfig: Seq[(String, String)] =
       config.filter(_._1.toLowerCase.contains("kafka")).toSeq.sortBy(_._1)
 
+    /** The reference's per-batch streaming progress table
+      * (`analyze_streaming`, analyze_spark_eventlog.py:1038-1046): one
+      * line per QueryProgressEvent — query name (truncated at 53),
+      * micro-batch id, input rows, input and processed rows/sec at one
+      * decimal — under the reference's header and 95-char rule. Empty
+      * when the log carries no progress events. */
+    def streamingBatchTable: Seq[String] =
+      if (streaming.isEmpty) Nil
+      else {
+        val header =
+          f"${"Query Name"}%-55s ${"Batch"}%6s ${"Rows"}%10s ${"In/s"}%10s ${"Out/s"}%10s"
+        val rows = streaming.map { s =>
+          f"${s.queryName.take(53)}%-55s ${s.batchId}%6d ${s.numInputRows}%10d ${s.inputRowsPerSec}%9.1f ${s.processedRowsPerSec}%9.1f"
+        }
+        header +: ("-" * 95) +: rows
+      }
+
+    /** Progress events per started query — the reference's availableNow
+      * heuristic input (:1049-1051): a low average with every query
+      * terminated reads as an availableNow run (whose final batch may
+      * be the empty flush, Rows=0 by design). */
+    def avgBatchesPerQuery: Double =
+      streaming.size.toDouble / math.max(1, streamingQueries.size)
+
     /** Text Gantt chart of the topic timeline (reference's bar render):
       * one line per topic, `width` cells across the app's span. */
     def ganttLines(width: Int = 60): Seq[String] = {
@@ -223,9 +247,23 @@ object EventLogAnalyzer {
         b.append(f"  ${s.statementType}%-20s n ${s.count}%-4d p50 ${s.p50Ms}%6d ms  p95 ${s.p95Ms}%6d ms  max ${s.maxMs}%6d ms\n")
       }
       section("8. Streaming")
+      // the reference's summary line + failed-query list (:1027-1035)
+      if (streamingQueries.isEmpty && streaming.isEmpty)
+        b.append("  no streaming queries\n")
+      if (streamingQueries.nonEmpty) {
+        val ok = streamingQueries.count(_.succeeded)
+        val bad = streamingQueries.count(_.exception.nonEmpty)
+        b.append(s"  ${streamingQueries.size} streaming queries (ok: $ok, failed: $bad)\n")
+        streamingQueries.filter(_.exception.nonEmpty).foreach { q =>
+          b.append(s"    FAILED ${q.name}: ${q.exception.get.linesIterator.next().take(100)}\n")
+        }
+      }
       streamingQueries.foreach { q =>
         b.append(s"  query ${q.name} [${q.runId.take(8)}] ${q.lifecycle}\n")
       }
+      streamingBatchTable.foreach(l => b.append("  ").append(l).append('\n'))
+      if (streaming.nonEmpty)
+        b.append(f"  avg batches per query: $avgBatchesPerQuery%.1f\n")
       streaming.groupBy(_.queryName).toSeq.sortBy(_._1).foreach { case (n, bs) =>
         b.append(f"  $n%-40s batches ${bs.size}%-5d rows ${bs.map(_.numInputRows).sum}%d\n")
       }

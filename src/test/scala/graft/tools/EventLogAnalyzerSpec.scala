@@ -213,6 +213,44 @@ class EventLogAnalyzerSpec extends AnyFunSuite with Matchers {
     b.processedRowsPerSec shouldBe 125.5
   }
 
+  test("rendered streaming section: reference's per-batch rate table + summary") {
+    val log = Seq(
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent","runId":"r1","name":"pfx.shop.orders"}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryStartedEvent","runId":"r2","name":"pfx.shop.events"}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent","progress":{"name":"pfx.shop.orders","batchId":0,"numInputRows":500,"inputRowsPerSecond":250.0,"processedRowsPerSecond":125.5}}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent","progress":{"name":"pfx.shop.orders","batchId":1,"numInputRows":0,"inputRowsPerSecond":0.0,"processedRowsPerSecond":0.0}}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent","progress":{"name":"pfx.shop.events","batchId":0,"numInputRows":12345,"inputRowsPerSecond":6172.5,"processedRowsPerSecond":4321.9}}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent","runId":"r1"}""",
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryTerminatedEvent","runId":"r2","exception":"boom at stage 3\n  at Foo.bar"}""")
+    val r = EventLogAnalyzer.analyze(log)
+
+    // table shape = the reference's columns (:1038-1046): header, rule,
+    // one row per progress event in log order
+    val table = r.streamingBatchTable
+    table.head shouldBe
+      f"${"Query Name"}%-55s ${"Batch"}%6s ${"Rows"}%10s ${"In/s"}%10s ${"Out/s"}%10s"
+    table(1) shouldBe "-" * 95
+    table(2) shouldBe
+      f"${"pfx.shop.orders"}%-55s ${0L}%6d ${500L}%10d ${250.0}%9.1f ${125.5}%9.1f"
+    table(3) should include(f"${0L}%10d") // availableNow's empty flush row
+    table(4) should (include("pfx.shop.events") and include("6172.5") and
+      include("4321.9"))
+    table should have length 5
+    r.avgBatchesPerQuery shouldBe 1.5
+
+    // the rendered report carries summary, failed list, table, average
+    val render = r.render
+    render should include("2 streaming queries (ok: 1, failed: 1)")
+    render should include("FAILED pfx.shop.events: boom at stage 3")
+    render should include(table(2))
+    render should include("avg batches per query: 1.5")
+    // a long query name truncates at 53 like the reference's name[:53]
+    val long = EventLogAnalyzer.analyze(Seq(
+      """{"Event":"org.apache.spark.sql.streaming.StreamingQueryListener$QueryProgressEvent","progress":{"name":"""" +
+        "x" * 80 + """","batchId":0,"numInputRows":1}}"""))
+    long.streamingBatchTable(2).take(55).trim shouldBe "x" * 53
+  }
+
   test("zstd-compressed event logs decompress transparently") {
     val dir = Files.createTempDirectory("evlog")
     val raw = lines.mkString("\n").getBytes("UTF-8")
