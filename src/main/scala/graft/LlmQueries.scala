@@ -704,6 +704,23 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def d48(s: SparkSession, dir: String): DataFrame =
+    // Count-Min-sketch heavy hitters under the d34 gate pattern: exact
+    // top-20 terms + a flag that the CMS guarantee held (never under,
+    // over by at most eps*N) — a drifting sketch fails the oracle
+    Curation.cmsHeavyHitters(documents(s, dir), "text", k = 20)
+      .orderBy(desc("n_exact"), col("term"))
+
+  private def d49(s: SparkSession, dir: String): DataFrame =
+    // deterministic weighted sample (A-ES keys): 100 docs proportional
+    // to token count — the mixture-construction primitive, reproducible
+    // across engines because u comes from md5, not rand()
+    Curation.weightedSample(
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("w")),
+      "doc_id", "w", k = 100)
+
   private def e18(s: SparkSession, dir: String): DataFrame = {
     // hybrid RAG retrieval: BM25 lexical list + cosine list vs query
     // vector 0, fused by reciprocal rank (corpus = docs 5+, matching the
@@ -829,6 +846,8 @@ object LlmQueries {
     "d45_cluster_reps" -> (d45 _),
     "d46_dup_ngram_spans" -> (d46 _),
     "d47_incr_near_dup" -> (d47 _),
+    "d48_cms_heavy_hitters" -> (d48 _),
+    "d49_weighted_sample" -> (d49 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1649,6 +1668,28 @@ object LlmQueries {
          WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "d48_cms_heavy_hitters" ->
+      // the estimate is engine-specific, so the oracle checks the exact
+      // top-k plus TRUE for the guarantee flag (the d34 pattern)
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                    FROM documents)
+         SELECT term, count(*) AS n_exact, TRUE AS cms_ok
+         FROM t GROUP BY term
+         ORDER BY n_exact DESC, term LIMIT 20""",
+    "d49_weighted_sample" ->
+      // identical A-ES key formula on both sides: u from md5 60-bit
+      // prefix, key = u^(1/max(w,1)) rounded 6dp, doc_id tie-break
+      """WITH t AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS w
+           FROM documents),
+         s AS (SELECT doc_id, w,
+             round(pow(
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5)
+                 / 1152921504606846976.0,
+               1.0 / greatest(w, 1)::DOUBLE), 6) AS skey
+           FROM t)
+         SELECT doc_id, w, skey FROM s
+         ORDER BY skey DESC, doc_id LIMIT 100""",
     "e20_metric_battery" ->
       // three rankings over one scored cross join; negl2 mirrors the
       // zip-fold (qv[i]-cv[i])^2 ordered sum exactly

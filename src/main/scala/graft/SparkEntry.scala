@@ -375,6 +375,34 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("n_regionkey")
 
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    // bloom-pruned semi join: the build side's keys collapse to a
+    // KB-sized sketch (distributed bloom aggregate) probed MAP-SIDE on
+    // the fact scan — the join then sees only rows that can match, and
+    // the exact semi join settles the sketch's false positives, so the
+    // result is identical to the plain IN-subquery the oracle runs. At
+    // 100 TB this is explicit runtime row filtering: when the build
+    // side is too big to broadcast as DATA but tiny as a sketch, the
+    // bloom prunes the fact table BEFORE its shuffle — the difference
+    // between shuffling everything and shuffling the matching fraction.
+    // (Here the dim fits a broadcast, so the join itself stays
+    // broadcast-semi; the bloom still cuts its probe input.)
+    import graft.expressions.BloomMightContain
+    val keys = table(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"))
+    // build-side cardinality sizes the sketch — a dim-sized agg job
+    val bloomBytes =
+      BloomMightContain.buildFilterBytes(keys, "o_orderkey", keys.count())
+    table(s, dir, "lineitem")
+      .filter(BloomMightContain.mightContain(col("l_orderkey"), bloomBytes))
+      .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame =
     // scalar string-function battery — split_part, edit distance,
     // pad/reverse/translate/regexp, every one engine-portable (the
@@ -657,6 +685,15 @@ object SparkEntry {
       .orderBy(col("user_id"), col("click_id"),
         col("purchase_id").asc_nulls_first)
 
+  private def s14(s: SparkSession, dir: String): DataFrame =
+    // left SEMI interval join — the converted-clicks feed: clicks-sized
+    // output (never pairs-sized), emitted on first match in streaming;
+    // batch-run for the oracle it is the correlated EXISTS
+    streaming.EventStreams.intervalSemiJoin(table(s, dir, "events"))
+      .select(col("user_id"), col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+      .orderBy("user_id", "click_id")
+
   private def s07(s: SparkSession, dir: String): DataFrame = {
     // the STREAMING form of q29's as-of join: O(1)-per-key custom state
     // (latest click) via flatMapGroupsWithState; batch-executed it is
@@ -844,6 +881,7 @@ object SparkEntry {
     "q37_string_battery" -> (q37 _),
     "q38_date_battery" -> (q38 _),
     "q39_listagg" -> (q39 _),
+    "q40_bloom_semi_join" -> (q40 _),
     "s08_stream_funnel" -> (s08 _),
     "s09_windowed_topk" -> (s09 _),
     "s10_static_enrich" -> (s10 _),
@@ -857,6 +895,7 @@ object SparkEntry {
     "s04_sliding_windows" -> (s04 _),
     "s05_interval_join" -> (s05 _),
     "s06_outer_interval_join" -> (s06 _),
+    "s14_semi_attribution" -> (s14 _),
     "s07_stream_asof" -> (s07 _),
     "s13_stream_dedup" -> (s13 _)
   )
@@ -1089,6 +1128,15 @@ object SparkEntry {
          string_agg(n_name, ',' ORDER BY n_name) AS nations,
          count(*) AS n
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q40_bloom_semi_join" ->
+      // the bloom is a pruning detail, invisible to the result: the
+      // oracle is the plain IN-subquery semi join
+      """SELECT l_returnflag, count(*) AS n_rows,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q37_string_battery" ->
       """SELECT p_partkey,
          split_part(p_type, ' ', 1) AS type_head,
@@ -1295,6 +1343,14 @@ object SparkEntry {
          JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            USING (user_id)
          WHERE p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
-         ORDER BY user_id, click_id, purchase_id"""
+         ORDER BY user_id, click_id, purchase_id""",
+    "s14_semi_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         WHERE EXISTS (SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR)
+         ORDER BY c.user_id, click_id"""
   )
 }

@@ -546,4 +546,80 @@ object Curation {
         round(col("total_tokens").cast("double")
           / col("__corpus_tokens").cast("double"), 4).as("token_share"))
   }
+
+  /** Deterministic uniform in (0, 1) from an id — the md5-based stand-in
+    * for `rand()` (reproducible across runs, engines, topologies).
+    * 15 hex chars = 60 bits; the +0.5 keeps the value strictly inside
+    * (0, 1) so `pow(u, 1/w)` never sees an exact 0 or 1. */
+  def hashUniform(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("double")
+      + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+
+  /** Weighted sample WITHOUT replacement, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme — each row gets key `u^(1/w)` for a
+    * deterministic uniform `u` and weight `w`, and the k largest keys
+    * ARE a weight-proportional sample without replacement. The mixture-
+    * construction primitive ("sample 100k docs proportional to length /
+    * quality") with none of `rand()`'s irreproducibility.
+    *
+    * Scale shape: the key is one map-side projection; the k largest
+    * rows plan as TakeOrderedAndProject (per-partition top-k, then a
+    * k-sized merge on the driver) — no global sort, no shuffle of the
+    * corpus. Keys are rounded to 6dp (cross-engine pow parity, the d23
+    * rounding rule) with the id as tie-break, so the selected set is
+    * identical in the oracle. Zero weights are floored to 1 rather than
+    * feeding `pow(u, inf)`. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    df.withColumn("skey",
+        round(pow(hashUniform(col(idCol)), lit(1.0) / w), 6))
+      .orderBy(desc("skey"), col(idCol))
+      .limit(k)
+  }
+
+  /** Count–Min-sketch heavy hitters with an oracle-enforced error gate
+    * (the d34 pattern: the estimate itself is engine-specific, so the
+    * checked output is the exact count plus a guarantee flag the oracle
+    * expects TRUE). For each of the k most frequent tokens: `n_exact`,
+    * and `cms_ok` = the CMS guarantee held — the estimate never
+    * undercounts, and overcounts by at most eps·N (N = total tokens).
+    *
+    * Scale shape: the sketch is ONE pass with fixed-size state
+    * (eps/confidence-bounded width×depth counters, map-side
+    * combinable) — at 100 TB it is the only affordable frequency
+    * estimate; the exact top-k side exists to power the gate (and is
+    * itself a hash-agg + TakeOrdered, no sort of the corpus). The
+    * driver materializes exactly one sketch row and k term rows —
+    * metadata-sized, like the IVF probe list. */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("term"))
+    val skRow = toks.agg(
+      count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed))
+        .as("sketch"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+    val total = skRow.getLong(1)
+    val topK = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("term"))
+      .limit(k)
+      .collect()
+    topK.toSeq.map { r =>
+      val (term, exact) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(term)
+      (term, exact, est >= exact && est <= exact + (eps * total).toLong)
+    }.toDF("term", "n_exact", "cms_ok")
+  }
 }

@@ -184,6 +184,40 @@ object EventStreams {
           .as("gap_us"))
   }
 
+  /** Stream-stream event-time LEFT SEMI interval join: each click that
+    * CONVERTS (≥1 same-user purchase within the following `horizonSec`)
+    * emits exactly once, with no purchase columns — the converted-click
+    * feed. Same bounded two-sided state as [[intervalJoin]] (the time
+    * bound lives inside the join condition so both sides' state
+    * eviction derives from the watermark), but the semi form never
+    * multiplies output by the purchase count: at 100 TB the output is
+    * clicks-sized, not pairs-sized, and a click's state can retire as
+    * soon as its first match emits.
+    *
+    * Streaming semantics: the click emits when its FIRST match arrives
+    * (no watermark wait — unlike the outer join's null rows, presence
+    * needs no proof of absence). Batch-run it IS the EXISTS subquery,
+    * which is the oracle seam. */
+  def intervalSemiJoin(
+      events: DataFrame,
+      leftType: String = "click",
+      rightType: String = "purchase",
+      horizonSec: Long = 3600L,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $horizonSec SECOND"),
+      "left_semi")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long)
 
   case class Session(

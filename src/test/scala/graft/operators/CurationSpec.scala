@@ -18,6 +18,45 @@ class CurationSpec extends SparkSpec {
     once.distinct.length should be > 50
   }
 
+  test("weightedSample: weight-proportional, deterministic, without replacement") {
+    // two weight classes: heavy docs (w=50) vs light (w=1); A-ES keys
+    // must overselect the heavy class relative to its population share
+    val df = (1L to 1000L).map(i => (i, if (i <= 200) 50L else 1L))
+      .toDF("doc_id", "w")
+    val picked = Curation.weightedSample(df, "doc_id", "w", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    picked.length shouldBe 100
+    picked.map(_._1).distinct.length shouldBe 100 // without replacement
+    // heavy docs are 20% of rows but ~91% of total weight: expect a
+    // strong majority of the sample (binomial-safe loose bound)
+    picked.count(_._2 == 50L) should be > 60
+    // deterministic: a second run selects the identical set in order
+    val again = Curation.weightedSample(df, "doc_id", "w", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    again.toSeq shouldBe picked.toSeq
+    // zero/negative weights are floored, not pow(u, inf)
+    val degenerate = (1L to 10L).map(i => (i, 0L)).toDF("doc_id", "w")
+    Curation.weightedSample(degenerate, "doc_id", "w", k = 5)
+      .count() shouldBe 5
+  }
+
+  test("cmsHeavyHitters: exact top-k with the CMS guarantee holding") {
+    // skewed corpus: 'alpha' dominates, then 'beta', then a long tail
+    val docs = (1 to 300).map { i =>
+      val tail = s"t${i % 37}"
+      (i.toLong, s"alpha alpha beta $tail")
+    }.toDF("doc_id", "text")
+    val out = Curation.cmsHeavyHitters(docs, "text", k = 3)
+      .orderBy(org.apache.spark.sql.functions.desc("n_exact"),
+        org.apache.spark.sql.functions.col("term"))
+      .collect()
+    out.map(r => (r.getString(0), r.getLong(1))).take(2).toSeq shouldBe
+      Seq(("alpha", 600L), ("beta", 300L))
+    // the CMS never undercounts and eps*N bounds the overcount — the
+    // flag the oracle gate asserts must hold here too
+    all(out.map(_.getBoolean(2))) shouldBe true
+  }
+
   test("stratifiedSample applies per-stratum rates and the default rate") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

@@ -198,6 +198,44 @@ class EventStreamsSpec extends SparkSpec {
     rows shouldBe Set((2L, 3L), (1L, -1L))
   }
 
+  test("batch semi interval join: converted clicks emit once, no pair blow-up") {
+    val ev = eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),
+      (2L, "2026-01-01 10:10:00", 1L, "purchase"), // match 1
+      (3L, "2026-01-01 10:40:00", 1L, "purchase"), // match 2 — same click
+      (4L, "2026-01-01 12:00:00", 2L, "click"),    // no purchase in horizon
+      (5L, "2026-01-01 14:00:00", 2L, "purchase"))
+    val out = EventStreams.intervalSemiJoin(ev, horizonSec = 3600L).collect()
+    // click 1 exactly ONCE despite two matches; click 4 dropped
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 1L))
+  }
+
+  test("streaming semi interval join: first match emits the click, later matches don't") {
+    val src = Files.createTempDirectory("es-sj-src").toString
+    val ckpt = Files.createTempDirectory("es-sj-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+    writeBatch(eventsDf(
+      (2L, "2026-01-01 10:30:00", 1L, "purchase")), src, 2) // first match
+    writeBatch(eventsDf(
+      (3L, "2026-01-01 10:45:00", 1L, "purchase"), // second match — no re-emit
+      (4L, "2026-01-01 23:00:00", 8L, "click"),
+      (5L, "2026-01-01 23:00:00", 9L, "purchase")), src, 3)
+
+    val q = EventStreams
+      .intervalSemiJoin(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        horizonSec = 3600L, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // the converted click exactly once, from the cross-batch first match
+    spark.table("sj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 1L))
+  }
+
   test("streaming asofAttach: latest-click state enriches purchases across batches") {
     val src = Files.createTempDirectory("es-aa-src").toString
     val ckpt = Files.createTempDirectory("es-aa-ckpt").toString
