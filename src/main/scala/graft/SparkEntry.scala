@@ -388,10 +388,15 @@ object SparkEntry {
     // (Here the dim fits a broadcast, so the join itself stays
     // broadcast-semi; the bloom still cuts its probe input.)
     import graft.expressions.BloomMightContain
+    // localCheckpoint: the filtered key set is consumed THREE times
+    // (count for sketch sizing, bloom build, broadcast build) — one scan
+    // of orders, then block reads; its one persisted RDD is dim-sized,
+    // the same budget CacheReleaseSpec allows for result checkpoints
     val keys = table(s, dir, "orders")
       .filter(col("o_totalprice") > 150000.0)
       .select(col("o_orderkey"))
-    // build-side cardinality sizes the sketch — a dim-sized agg job
+      .localCheckpoint()
+    // build-side cardinality sizes the sketch — reads the checkpoint
     val bloomBytes =
       BloomMightContain.buildFilterBytes(keys, "o_orderkey", keys.count())
     table(s, dir, "lineitem")

@@ -490,7 +490,32 @@ object StoreQueries {
     t.read.orderBy("o_orderkey")
   }
 
+  /** c27: partition-spec EVOLUTION lifecycle — create unpartitioned,
+    * evolve the spec to partition by status (metadata-only), append
+    * under the new layout, MERGE across the layout mix (the
+    * partition-pruned path must treat legacy-layout entries as
+    * affected or it silently loses these updates), then compact, which
+    * migrates every legacy entry to the current spec. The oracle sees
+    * none of the layout mechanics — only the final rows. */
+  private def c27(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_evo"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_evolve")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0))
+    t.updatePartitionSpec(Seq("o_orderstatus"))
+    t.append(base.filter(col("o_orderkey") % 2 =!= 0))
+    t.mergeInto(
+      base.filter(col("o_orderkey") <= 1000L)
+        .withColumn("o_totalprice", round(col("o_totalprice") + lit(25.0), 2)),
+      Seq("o_orderkey"))
+    t.rewriteDataFiles()
+    t.read.orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c27_partition_evolution" -> (c27 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -514,6 +539,14 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c27_partition_evolution" ->
+      // half created pre-evolution (unpartitioned layout), half appended
+      // post-evolution, keys <= 1000 merged with +25 — layouts invisible
+      """SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey <= 1000 THEN round(o_totalprice + 25.0, 2)
+              ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         ORDER BY o_orderkey""",
     "c26_migration" ->
       """SELECT o_orderkey,
          CASE WHEN o_orderstatus = 'O' THEN 'OPEN_V2'

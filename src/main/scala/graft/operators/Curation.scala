@@ -14,13 +14,18 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
+  /** The shared 60-bit md5-prefix core both [[hashBucket]] and
+    * [[hashUniform]] derive from (15 hex chars fit a long exactly; one
+    * definition so the cross-engine-parity formula cannot split). */
+  private def md5Prefix60(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Deterministic hash bucket of an id in [0, buckets): the md5-based
     * stand-in for `rand()` that makes a sample reproducible across runs,
     * engines, and cluster topologies (a `rand()` sample is none of
-    * those). 15 hex chars = 60 bits, so the bucket is uniform and the
-    * value fits a long exactly. */
+    * those). */
   def hashBucket(id: Column, buckets: Int): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+    md5Prefix60(id) % buckets
 
   /** Stratified deterministic sample: per-stratum keep-rates in permille,
     * applied map-side — no shuffle, no count pass, no rand(). The usual
@@ -552,8 +557,8 @@ object Curation {
     * 15 hex chars = 60 bits; the +0.5 keeps the value strictly inside
     * (0, 1) so `pow(u, 1/w)` never sees an exact 0 or 1. */
   def hashUniform(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("double")
-      + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+    (md5Prefix60(id).cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60
 
   /** Weighted sample WITHOUT replacement, deterministic: the
     * Efraimidis–Spirakis A-ES scheme — each row gets key `u^(1/w)` for a
@@ -604,22 +609,29 @@ object Curation {
       seed: Int = 42): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // both the sketch pass and the exact gate consume the exploded
+    // terms — cache between the two actions, release before returning
+    // (at 100 TB you would keep ONLY the sketch pass; the exact side,
+    // and thus this cache, exists to power the oracle gate)
     val toks = docs.select(explode(tokens(col(textCol))).as("term"))
-    val skRow = toks.agg(
-      count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed))
-        .as("sketch"),
-      count(lit(1)).as("total")).head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
-    val total = skRow.getLong(1)
-    val topK = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
-      .orderBy(desc("n_exact"), col("term"))
-      .limit(k)
-      .collect()
-    topK.toSeq.map { r =>
-      val (term, exact) = (r.getString(0), r.getLong(1))
-      val est = cms.estimateCount(term)
-      (term, exact, est >= exact && est <= exact + (eps * total).toLong)
-    }.toDF("term", "n_exact", "cms_ok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val skRow = toks.agg(
+        count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed))
+          .as("sketch"),
+        count(lit(1)).as("total")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+      val total = skRow.getLong(1)
+      val topK = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("term"))
+        .limit(k)
+        .collect()
+      topK.toSeq.map { r =>
+        val (term, exact) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(term)
+        (term, exact, est >= exact && est <= exact + (eps * total).toLong)
+      }.toDF("term", "n_exact", "cms_ok")
+    } finally toks.unpersist(false)
   }
 }

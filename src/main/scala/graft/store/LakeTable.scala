@@ -324,7 +324,15 @@ class LakeTable(
             fs.setTimes(p, System.currentTimeMillis(), -1)
             loadSegment(r)
           }
-        } catch { case scala.util.control.NonFatal(_) => Nil }
+        } catch { case scala.util.control.NonFatal(e) =>
+          // correctness-safe but costly if persistent (every commit then
+          // rewrites O(entries) segments instead of reusing) — say so,
+          // the same degraded-mode visibility Settings' vault fallback has
+          System.err.println(
+            s"WARN segment donor ${r.file} not reused (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); rewriting entries fresh")
+          Nil
+        }
         if (es.nonEmpty && es.forall(remaining.contains)) {
           es.foreach(remaining -= _)
           Some(r -> es)
@@ -577,11 +585,24 @@ class LakeTable(
     val parts = entries.groupBy(_.dir).toSeq.map { case (dir, es) =>
       val base = s"$location/data/$dir"
       val reader = spark.read.schema(s.schema)
-      if (s.partitionCols.isEmpty) reader.parquet(base)
+      // layout is a property of the ENTRY (the spec it was written
+      // under), not of the snapshot: after partition-spec evolution a
+      // table mixes layouts, and a pruned subset of a partitioned dir
+      // must read only ITS leaf dirs regardless of the current spec
+      // (one writeData = one dir = one uniform layout, so the head
+      // entry speaks for the dir)
+      if (es.head.partition.isEmpty) reader.parquet(base)
       else reader.option("basePath", base).parquet(es.map(_.dataPath(location)): _*)
     }
     parts.reduce(_ unionByName _).select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** Column names of the layout `e` was written under (empty = the
+    * unpartitioned layout). Partition dir names escape per
+    * ExternalCatalogUtils, but bare column names round-trip unescaped
+    * for any name Spark itself accepts in partitionBy. */
+  private def entrySpecCols(e: ManifestEntry): Seq[String] =
+    e.partition.map(_.split('/').toSeq.map(_.takeWhile(_ != '='))).getOrElse(Seq.empty)
 
   /** Incremental stream scan (the Iceberg streaming-read analog,
     * `tests/99.test_iceberg_cdc.ipynb`): a file-based stream over the
@@ -1031,6 +1052,29 @@ class LakeTable(
         Map("updated-keys" -> updates.keys.mkString(","))))
   }
 
+  /** Partition-spec evolution (Iceberg's `ALTER TABLE ... ADD/DROP
+    * PARTITION FIELD` semantics, collapsed to replace-the-spec): a
+    * METADATA-ONLY commit — existing entries keep the layout they were
+    * written under (reads dispatch per entry; partition-pruned rewrites
+    * treat legacy-layout entries as always-affected, so no prune
+    * decision is ever made against the wrong spec), and every future
+    * write lays out under the new spec. `rewriteDataFiles` after an
+    * evolution migrates the whole table to the current spec — Iceberg's
+    * documented recipe. Bucket-laid-out tables refuse: the hidden
+    * bucket column IS their layout and bucket pruning depends on it. */
+  def updatePartitionSpec(newPartitionCols: Seq[String]): Snapshot = {
+    val s = requireExists()
+    require(bucketSpec(s).isEmpty,
+      s"$name is bucket-laid-out; evolving the spec would break bucket pruning")
+    newPartitionCols.foreach(c =>
+      require(s.schema.fieldNames.contains(c), s"no such column: $c"))
+    commit("update-partition-spec", requireParentVersion = Some(s.version))(_ =>
+      (s.schema, newPartitionCols, s.entries, s.properties,
+        Map("partition-spec" ->
+          (if (newPartitionCols.isEmpty) "(unpartitioned)"
+           else newPartitionCols.mkString(",")))))
+  }
+
   /** DELETE FROM this table WHERE cond — full copy-on-write. */
   def deleteWhere(cond: Column): Snapshot = {
     val s = requireExists()
@@ -1345,7 +1389,18 @@ class LakeTable(
           }.mkString("/")
         }
         .toSet
-      val (affected, untouched) = s.entries.partition(e => e.partition.exists(touched))
+      // partition pruning only speaks for entries written under the
+      // CURRENT spec; after a partition-spec evolution, legacy-layout
+      // entries carry other (or no) partition values and a prune
+      // decision over them would silently skip matching rows — they are
+      // always rewritten, which also migrates them to the current spec
+      // (Iceberg's evolution semantics: old files keep their spec until
+      // a rewrite touches them)
+      val (specEntries, legacy) = s.entries.partition(e =>
+        entrySpecCols(e) == s.partitionCols)
+      val (prunedAffected, untouched) =
+        specEntries.partition(e => e.partition.exists(touched))
+      val affected = prunedAffected ++ legacy
       val out = rewrite(morRead(s, affected), source)
       val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
       commit(op, requireParentVersion = Some(s.version))(_ =>

@@ -176,7 +176,11 @@ object EventLogAnalyzer {
       * (`analyze_streaming`, analyze_spark_eventlog.py:1038-1046): one
       * line per QueryProgressEvent — query name (truncated at 53),
       * micro-batch id, input rows, input and processed rows/sec at one
-      * decimal — under the reference's header and 95-char rule. Empty
+      * decimal. Widths reproduce the reference's OWN format strings
+      * bug-for-bug: headers pad the rate columns to 10, data rows to 9
+      * (`{in_rate:>9.1f}` under `{'In/s':>10}`), and the rule is 95
+      * chars while data rows are 93 — parity over prettiness, so a
+      * diff against the reference tool's output stays clean. Empty
       * when the log carries no progress events. */
     def streamingBatchTable: Seq[String] =
       if (streaming.isEmpty) Nil

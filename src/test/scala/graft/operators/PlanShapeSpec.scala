@@ -43,6 +43,33 @@ class PlanShapeSpec extends SparkSpec {
     all(scans.map(_.schema.fieldNames.length)) should be <= 6
   }
 
+  test("q40: the bloom probe filters the fact scan BELOW a broadcast semi join") {
+    val p = planOps("q40_bloom_semi_join")
+    // the semi join is broadcast (dim-sized build side, no fact shuffle)
+    val semis = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+    }
+    semis should have length 1
+    // the bloom probe sits under the join (prunes the probe input),
+    // never above it
+    val joinSubtree = ops(semis.head)
+    joinSubtree.exists(_.toString.contains("graft_bloom_might_contain")) shouldBe true
+    // and the lineitem scan reads only the projected columns
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    all(scans.map(_.schema.fieldNames.length)) should be <= 4
+  }
+
+  test("d49: weighted sample plans as TakeOrdered, never a global sort") {
+    val p = planOps("d49_weighted_sample")
+    p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    } should not be empty
+    p.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    } shouldBe empty
+  }
+
   test("LSH near-dup candidate generation never plans a cartesian product") {
     val p = planOps("d07_lsh_near_dup")
     p.collect { case c: CartesianProductExec => c } shouldBe empty

@@ -10,12 +10,13 @@ import graft.SparkSpec
 /** Model-based testing of the table store: random (seeded, reproducible)
   * sequences of append / COW merge / MoR merge / COW delete / MoR
   * delete / key-range UPDATE (both modes) / bin-pack compaction /
-  * position-delete fold / rollback run
+  * position-delete fold / rollback / partition-spec EVOLUTION run
   * against both a LakeTable and a trivial in-memory map, and the table
   * read must equal the model after EVERY step. One sequence exercises
   * interleavings no hand-written spec enumerates — MoR delete files
   * surviving a COW rewrite, rollback restoring outstanding deletes,
-  * compaction folding under later appends, and so on. */
+  * compaction folding under later appends, merges and deletes reaching
+  * across mixed partition layouts mid-evolution, and so on. */
 class StoreModelSpec extends SparkSpec {
 
   private type Row3 = (Long, (String, Double))
@@ -54,7 +55,7 @@ class StoreModelSpec extends SparkSpec {
     }
 
     for (step <- 1 to 12) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 =>
           lastOp = "append"
           val rows = freshRows(4, "a")
@@ -117,6 +118,16 @@ class StoreModelSpec extends SparkSpec {
             if (id <= cutoff) id -> ((s"u$step", amt + 1.0))
             else id -> ((st, amt))
           }
+        case 10 =>
+          // partition-spec evolution mid-sequence: metadata-only, reads
+          // and every later rewrite must stay correct across the mixed
+          // layouts it leaves behind (model sees NO change)
+          lastOp = "evolve-spec"
+          val next = t.currentSnapshot.get.partitionCols match {
+            case Seq("status") => Seq.empty[String]
+            case _ => Seq("status")
+          }
+          t.updatePartitionSpec(next)
       }
       history += t.currentSnapshot.get.version -> model
       val got = t.read.collect()
