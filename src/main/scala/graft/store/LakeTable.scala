@@ -141,6 +141,8 @@ class LakeTable(
 
   import LakeTable._
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val metaDir = new Path(s"$location/$metaSubpath")
   private def fs: FileSystem = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -328,9 +330,10 @@ class LakeTable(
           // correctness-safe but costly if persistent (every commit then
           // rewrites O(entries) segments instead of reusing) — say so,
           // the same degraded-mode visibility Settings' vault fallback has
-          System.err.println(
-            s"WARN segment donor ${r.file} not reused (${e.getClass.getSimpleName}: " +
-              s"${e.getMessage}); rewriting entries fresh")
+          logger.warn(
+            s"segment donor ${r.file} not reused " +
+              s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}); " +
+              "rewriting entries fresh")
           Nil
         }
         if (es.nonEmpty && es.forall(remaining.contains)) {
@@ -583,18 +586,25 @@ class LakeTable(
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     val parts = entries.groupBy(_.dir).toSeq.map { case (dir, es) =>
-      val base = s"$location/data/$dir"
-      val reader = spark.read.schema(s.schema)
-      // layout is a property of the ENTRY (the spec it was written
-      // under), not of the snapshot: after partition-spec evolution a
-      // table mixes layouts, and a pruned subset of a partitioned dir
-      // must read only ITS leaf dirs regardless of the current spec
-      // (one writeData = one dir = one uniform layout, so the head
-      // entry speaks for the dir)
-      if (es.head.partition.isEmpty) reader.parquet(base)
-      else reader.option("basePath", base).parquet(es.map(_.dataPath(location)): _*)
+      readDir(s, dir, es)
     }
     parts.reduce(_ unionByName _).select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** One dir's frame, read under the layout ITS entries were written
+    * with. Layout is a property of the ENTRY (the spec at write time),
+    * not of the snapshot: after partition-spec evolution a table mixes
+    * layouts, and a pruned subset of a partitioned dir must read only
+    * ITS leaf dirs regardless of the current spec (one writeData = one
+    * dir = one uniform layout, so the head entry speaks for the dir).
+    * The SINGLE reader used by every read path — readEntries and
+    * morRead's maskable-slice reader alike — so the dispatch cannot
+    * fork. */
+  private def readDir(s: Snapshot, dir: String, es: Seq[ManifestEntry]): DataFrame = {
+    val base = s"$location/data/$dir"
+    val reader = spark.read.schema(s.schema)
+    if (es.head.partition.isEmpty) reader.parquet(base)
+    else reader.option("basePath", base).parquet(es.map(_.dataPath(location)): _*)
   }
 
   /** Column names of the layout `e` was written under (empty = the
@@ -1066,6 +1076,8 @@ class LakeTable(
     val s = requireExists()
     require(bucketSpec(s).isEmpty,
       s"$name is bucket-laid-out; evolving the spec would break bucket pruning")
+    require(newPartitionCols.distinct == newPartitionCols,
+      s"duplicate partition columns: ${newPartitionCols.mkString(",")}")
     newPartitionCols.foreach(c =>
       require(s.schema.fieldNames.contains(c), s"no such column: $c"))
     commit("update-partition-spec", requireParentVersion = Some(s.version))(_ =>
@@ -1275,12 +1287,9 @@ class LakeTable(
     val (maskable, fresh) = splitByDeleteReach(s, entries)
     if (maskable.isEmpty) return readEntries(s, entries)
     val data = maskable.groupBy(_.dir).toSeq.map { case (dir, es) =>
-      val base = s"$location/data/$dir"
-      val reader = spark.read.schema(s.schema)
-      val df =
-        if (s.partitionCols.isEmpty) reader.parquet(base)
-        else reader.option("basePath", base).parquet(es.map(_.dataPath(location)): _*)
-      df.withColumn("__dseq", lit(es.head.seq))
+      // one dir = one commit = one sequence number, so head.seq speaks
+      // for the group; the layout dispatch is readDir's (per entry)
+      readDir(s, dir, es).withColumn("__dseq", lit(es.head.seq))
     }.reduce(_ unionByName _)
     val dels = s.deleteEntries.map { e =>
       spark.read.parquet(s"$location/data/${e.dir}")
@@ -1318,97 +1327,123 @@ class LakeTable(
     (s.deleteEntries.size, affected.size)
   }
 
+  /** COW rewrite of exactly the entries holding rows the source can
+    * MATCH (MERGE updates / DELETE keys), via two pruning tiers:
+    *
+    *  1. LAYOUT fast path (zero extra passes) — only when provably
+    *     sound: every layout column (partition cols, or the bucket
+    *     column) is a merge key present in the source. Then a matched
+    *     row's layout value necessarily equals its source row's, so
+    *     matches cannot hide outside the touched leaves. When layout
+    *     cols are NOT all keys, a source may MOVE a row across
+    *     partitions (update the partition column of a matched key) and
+    *     a layout prune would leave the stale copy behind — that shape
+    *     routes to tier 2.
+    *  2. MATCHES SCAN (Iceberg's COW approach): candidate entries by
+    *     manifest key-range stats, then ONE key-projected scan of the
+    *     candidates semi-joined against the distinct source keys; the
+    *     files holding matches name the exact entries to rewrite.
+    *     Sound under partition-moving sources, partition-spec
+    *     evolution (legacy-layout entries are just candidates like any
+    *     other), and missing stats (unprunable ⇒ scanned). Costs one
+    *     column-pruned scan of the candidate slice — on an
+    *     append-ordered table with key-clustered batches, the
+    *     candidates ARE the recent entries.
+    *
+    * Both tiers rewrite with the CURRENT spec, so touching a
+    * legacy-layout entry migrates it. */
   private def rewriteMatching(source: DataFrame, keys: Seq[String], op: String)(
       rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot = {
     val s = requireExists()
-    // a bucketed table prunes by DERIVED bucket ids of the source keys;
-    // a partitioned table prunes when the source carries the partition
-    // columns. Either way only touched data dirs are rewritten.
-    val pruneSource: Option[DataFrame] = bucketSpec(s) match {
-      case Some(spec) if source.columns.contains(spec._1) =>
-        Some(withDerivedBucket(source, spec))
-      case None if s.partitionCols.nonEmpty &&
-        s.partitionCols.forall(source.columns.contains) => Some(source)
-      case _ => None
+    val soundLayoutPrune = bucketSpec(s) match {
+      case Some(spec) =>
+        keys.contains(spec._1) && source.columns.contains(spec._1)
+      case None => s.partitionCols.nonEmpty &&
+        s.partitionCols.forall(c => keys.contains(c) && source.columns.contains(c))
     }
-    val prunable = pruneSource.isDefined
-    if (!prunable) {
-      // unpartitioned (or partition cols absent from source): COW with
-      // MANIFEST KEY-RANGE pruning — an entry whose recorded range for
-      // any merge key is disjoint from the source batch's key range
-      // cannot contain a matching row, so it stays untouched (correct
-      // for MERGE and DELETE alike: inserts see the full source, and
-      // untouched entries hold no updatable/deletable keys). On an
-      // append-ordered table with key-clustered batches this keeps the
-      // unpartitioned merge O(recent entries). Costs one small agg over
-      // the (micro-batch-sized) source.
-      val keyTypes = keys.flatMap(k =>
-        s.schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
-      val rangedKeys = keys.filter(k =>
-        keyTypes.get(k).exists(StatsPruning.supported) && source.columns.contains(k))
-      val sourceRanges: Map[String, (Any, Any)] =
-        if (rangedKeys.isEmpty) Map.empty
-        else {
-          val aggs = rangedKeys.flatMap(k =>
-            Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
-          val row = source.agg(aggs.head, aggs.tail: _*).head()
-          rangedKeys.flatMap { k =>
-            val (lo, hi) = (row.getAs[Any](s"__mn_$k"), row.getAs[Any](s"__mx_$k"))
-            if (lo == null || hi == null) None else Some(k -> (lo, hi))
-          }.toMap
+    val (affected, untouched, mode) =
+      if (soundLayoutPrune) {
+        // tier 1: prune by the source's layout values
+        val pruneSource = bucketSpec(s) match {
+          case Some(spec) => withDerivedBucket(source, spec)
+          case None => source
         }
-      val (untouched, affected) = s.entries.partition(e =>
-        sourceRanges.exists { case (k, (lo, hi)) =>
-          e.stats.get(k).exists { case (mnS, mxS) =>
-            StatsPruning.rangesDisjoint(keyTypes(k), mnS, mxS, lo, hi)
+        val schemaByName = s.schema.fields.map(f => f.name -> f.dataType).toMap
+        val touched: Set[String] = pruneSource
+          .select(s.partitionCols.map(c =>
+            if (c == BucketCol) col(c) else col(c).cast(schemaByName(c))): _*)
+          .distinct()
+          .collect()
+          .map { r =>
+            s.partitionCols.zipWithIndex.map { case (c, i) =>
+              val v = r.get(i)
+              ExternalCatalogUtils.getPartitionPathString(c, if (v == null) null else v.toString)
+            }.mkString("/")
           }
-        })
-      // MoR deletes (if any) fold into the rewritten slice here — its
-      // new sequence number lifts it above every outstanding delete
-      val out = rewrite(morRead(s, affected), source)
-      val (_, entries) = writeData(prepared(out, s), s.partitionCols)
-      commit(op, requireParentVersion = Some(s.version))(_ =>
-        (s.schema, s.partitionCols, untouched ++ entries, s.properties,
-          Map(
-            "rewritten-entries" -> affected.size.toString,
-            "untouched-entries" -> untouched.size.toString)))
-    } else {
-      // partition-pruned COW: rewrite only partitions the source touches.
-      // The distinct partition set of a micro-batch is small by
-      // construction (CDC batches cluster in recent partitions).
-      val schemaByName = s.schema.fields.map(f => f.name -> f.dataType).toMap
-      val touched: Set[String] = pruneSource.get
-        .select(s.partitionCols.map(c =>
-          if (c == BucketCol) col(c) else col(c).cast(schemaByName(c))): _*)
-        .distinct()
-        .collect()
-        .map { r =>
-          s.partitionCols.zipWithIndex.map { case (c, i) =>
-            val v = r.get(i)
-            ExternalCatalogUtils.getPartitionPathString(c, if (v == null) null else v.toString)
-          }.mkString("/")
-        }
-        .toSet
-      // partition pruning only speaks for entries written under the
-      // CURRENT spec; after a partition-spec evolution, legacy-layout
-      // entries carry other (or no) partition values and a prune
-      // decision over them would silently skip matching rows — they are
-      // always rewritten, which also migrates them to the current spec
-      // (Iceberg's evolution semantics: old files keep their spec until
-      // a rewrite touches them)
-      val (specEntries, legacy) = s.entries.partition(e =>
-        entrySpecCols(e) == s.partitionCols)
-      val (prunedAffected, untouched) =
-        specEntries.partition(e => e.partition.exists(touched))
-      val affected = prunedAffected ++ legacy
-      val out = rewrite(morRead(s, affected), source)
-      val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
-      commit(op, requireParentVersion = Some(s.version))(_ =>
-        (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
-          Map(
-            "rewritten-entries" -> affected.size.toString,
-            "untouched-entries" -> untouched.size.toString)))
-    }
+          .toSet
+        // the layout prune only speaks for entries written under the
+        // CURRENT spec; legacy-layout entries (pre-evolution) are
+        // always rewritten — which also migrates them
+        val (specEntries, legacy) = s.entries.partition(e =>
+          entrySpecCols(e) == s.partitionCols)
+        val (hit, miss) = specEntries.partition(e => e.partition.exists(touched))
+        (hit ++ legacy, miss, "layout")
+      } else {
+        // tier 2, stage 1: candidates = entries NOT provably key-range
+        // disjoint from the source batch (one small agg over the source)
+        val keyTypes = keys.flatMap(k =>
+          s.schema.fields.find(_.name == k).map(f => k -> f.dataType)).toMap
+        val rangedKeys = keys.filter(k =>
+          keyTypes.get(k).exists(StatsPruning.supported) && source.columns.contains(k))
+        val sourceRanges: Map[String, (Any, Any)] =
+          if (rangedKeys.isEmpty) Map.empty
+          else {
+            val aggs = rangedKeys.flatMap(k =>
+              Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+            val row = source.agg(aggs.head, aggs.tail: _*).head()
+            rangedKeys.flatMap { k =>
+              val (lo, hi) = (row.getAs[Any](s"__mn_$k"), row.getAs[Any](s"__mx_$k"))
+              if (lo == null || hi == null) None else Some(k -> (lo, hi))
+            }.toMap
+          }
+        val (rangeDisjoint, candidates) = s.entries.partition(e =>
+          sourceRanges.exists { case (k, (lo, hi)) =>
+            e.stats.get(k).exists { case (mnS, mxS) =>
+              StatsPruning.rangesDisjoint(keyTypes(k), mnS, mxS, lo, hi)
+            }
+          })
+        // stage 2: the matches scan — key-projected, broadcast
+        // semi-join against the distinct source keys; matched leaf rel
+        // paths (dir[/partition], entry-count bounded) name the exact
+        // affected entries. Masked (MoR-deleted) rows may over-match —
+        // an extra rewrite, never a wrong result.
+        val matchedRels: Set[String] =
+          if (candidates.isEmpty) Set.empty
+          else {
+            val srcKeys = source
+              .select(keys.map(k => col(k).as(s"__sk_$k")): _*).distinct()
+            val cond = keys.map(k => col(k) <=> col(s"__sk_$k")).reduce(_ && _)
+            readEntries(s, candidates)
+              .withColumn("__rel",
+                regexp_extract(input_file_name(), "/data/(.+)/[^/]+$", 1))
+              .join(broadcast(srcKeys), cond, "left_semi")
+              .select("__rel").distinct()
+              .collect().map(_.getString(0)).toSet
+          }
+        val (hit, miss) = candidates.partition(e =>
+          matchedRels.contains(e.partition.fold(e.dir)(p => s"${e.dir}/$p")))
+        (hit, rangeDisjoint ++ miss, "matches-scan")
+      }
+    // MoR deletes (if any) fold into the rewritten slice here — its
+    // new sequence number lifts it above every outstanding delete
+    val out = rewrite(morRead(s, affected), source)
+    val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
+    commit(op, requireParentVersion = Some(s.version))(_ =>
+      (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
+        Map(
+          "prune-mode" -> mode,
+          "rewritten-entries" -> affected.size.toString,
+          "untouched-entries" -> untouched.size.toString)))
   }
 
   private def conform(df: DataFrame, s: Snapshot): DataFrame =

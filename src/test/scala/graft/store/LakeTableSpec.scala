@@ -115,6 +115,25 @@ class LakeTableSpec extends SparkSpec {
     out shouldBe Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 4.0))
   }
 
+  test("a MERGE that moves a row across partitions leaves no stale copy") {
+    import spark.implicits._
+    // partition col NOT among the merge keys ⇒ a source row may change
+    // a matched row's partition value. A layout-value prune would leave
+    // the old copy in its untouched partition (duplicate key) — the
+    // matches scan must find and rewrite it.
+    val t = freshCatalog().table("db.mv")
+    t.createOrReplace(Seq((1L, "eu", 1.0), (2L, "us", 2.0))
+      .toDF("id", "region", "v"), partitionBy = Seq("region"))
+    t.mergeInto(Seq((1L, "us", 9.0)).toDF("id", "region", "v"), Seq("id"))
+    val rows = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    rows shouldBe Seq((1L, "us", 9.0), (2L, "us", 2.0)) // id=1 ONCE, moved
+    t.currentSnapshot.get.summary("prune-mode") shouldBe "matches-scan"
+    // and a DELETE keyed on id reaches the row wherever it lives now
+    t.deleteWhereExists(Seq((1L, "zz", 0.0)).toDF("id", "region", "v"), Seq("id"))
+    t.read.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("partitioned delete prunes partitions too") {
     import spark.implicits._
     val t = freshCatalog().table("db.pd")

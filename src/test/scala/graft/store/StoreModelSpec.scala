@@ -130,10 +130,15 @@ class StoreModelSpec extends SparkSpec {
           t.updatePartitionSpec(next)
       }
       history += t.currentSnapshot.get.version -> model
+      // MULTISET comparison (sorted rows, not .toMap): duplicate-id
+      // rows — the failure mode of layout/prune bugs — must fail the
+      // step, not be masked by last-write-wins map collapse
       val got = t.read.collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq.sorted
+      val want = model.toSeq.map { case (id, (st, amt)) => (id, st, amt) }.sorted
       withClue(s"seed=$seed step=$step op=$lastOp: ") {
-        got shouldBe model
+        got shouldBe want
       }
     }
   }
