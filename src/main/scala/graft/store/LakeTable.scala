@@ -1339,18 +1339,22 @@ class LakeTable(
     *     partitions (update the partition column of a matched key) and
     *     a layout prune would leave the stale copy behind — that shape
     *     routes to tier 2.
-    *  2. MATCHES SCAN (Iceberg's COW approach): candidate entries by
-    *     manifest key-range stats, then ONE key-projected scan of the
-    *     candidates semi-joined against the distinct source keys; the
-    *     files holding matches name the exact entries to rewrite.
-    *     Sound under partition-moving sources, partition-spec
-    *     evolution (legacy-layout entries are just candidates like any
-    *     other), and missing stats (unprunable ⇒ scanned). Costs one
-    *     column-pruned scan of the candidate slice — on an
-    *     append-ordered table with key-clustered batches, the
+    *  2. KEY-RANGE prune (unpartitioned tables): entries provably
+    *     range-disjoint from the source's key span hold no matches;
+    *     with no layout to move across this alone is sound, and the
+    *     merge stays zero-extra-scan (one small agg over the source).
+    *  3. MATCHES SCAN (Iceberg's COW approach; laid-out tables whose
+    *     layout cols are not all keys): key-range candidates, then ONE
+    *     key-projected scan of them semi-joined against the distinct
+    *     source keys; the files holding matches name the exact entries
+    *     to rewrite. Sound under partition-moving sources,
+    *     partition-spec evolution (legacy-layout entries are just
+    *     candidates like any other), and missing stats (unprunable ⇒
+    *     scanned). Costs one column-pruned scan of the candidate slice
+    *     — on an append-ordered table with key-clustered batches, the
     *     candidates ARE the recent entries.
     *
-    * Both tiers rewrite with the CURRENT spec, so touching a
+    * Every tier rewrites with the CURRENT spec, so touching a
     * legacy-layout entry migrates it. */
   private def rewriteMatching(source: DataFrame, keys: Seq[String], op: String)(
       rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot = {
@@ -1412,27 +1416,36 @@ class LakeTable(
               StatsPruning.rangesDisjoint(keyTypes(k), mnS, mxS, lo, hi)
             }
           })
-        // stage 2: the matches scan — key-projected, broadcast
-        // semi-join against the distinct source keys; matched leaf rel
-        // paths (dir[/partition], entry-count bounded) name the exact
-        // affected entries. Masked (MoR-deleted) rows may over-match —
-        // an extra rewrite, never a wrong result.
-        val matchedRels: Set[String] =
-          if (candidates.isEmpty) Set.empty
-          else {
-            val srcKeys = source
-              .select(keys.map(k => col(k).as(s"__sk_$k")): _*).distinct()
-            val cond = keys.map(k => col(k) <=> col(s"__sk_$k")).reduce(_ && _)
-            readEntries(s, candidates)
-              .withColumn("__rel",
-                regexp_extract(input_file_name(), "/data/(.+)/[^/]+$", 1))
-              .join(broadcast(srcKeys), cond, "left_semi")
-              .select("__rel").distinct()
-              .collect().map(_.getString(0)).toSet
-          }
-        val (hit, miss) = candidates.partition(e =>
-          matchedRels.contains(e.partition.fold(e.dir)(p => s"${e.dir}/$p")))
-        (hit, rangeDisjoint ++ miss, "matches-scan")
+        if (s.partitionCols.isEmpty) {
+          // UNPARTITIONED: the range prune alone is already sound —
+          // there is no layout a matched row could "move" across, and
+          // range-disjoint entries provably hold no matching keys — so
+          // skip the matches scan (its refinement would cost a scan per
+          // merge to save at most some same-range dirs)
+          (candidates, rangeDisjoint, "key-range")
+        } else {
+          // stage 2: the matches scan — key-projected, broadcast
+          // semi-join against the distinct source keys; matched leaf rel
+          // paths (dir[/partition], entry-count bounded) name the exact
+          // affected entries. Masked (MoR-deleted) rows may over-match —
+          // an extra rewrite, never a wrong result.
+          val matchedRels: Set[String] =
+            if (candidates.isEmpty) Set.empty
+            else {
+              val srcKeys = source
+                .select(keys.map(k => col(k).as(s"__sk_$k")): _*).distinct()
+              val cond = keys.map(k => col(k) <=> col(s"__sk_$k")).reduce(_ && _)
+              readEntries(s, candidates)
+                .withColumn("__rel",
+                  regexp_extract(input_file_name(), "/data/(.+)/[^/]+$", 1))
+                .join(broadcast(srcKeys), cond, "left_semi")
+                .select("__rel").distinct()
+                .collect().map(_.getString(0)).toSet
+            }
+          val (hit, miss) = candidates.partition(e =>
+            matchedRels.contains(e.partition.fold(e.dir)(p => s"${e.dir}/$p")))
+          (hit, rangeDisjoint ++ miss, "matches-scan")
+        }
       }
     // MoR deletes (if any) fold into the rewritten slice here — its
     // new sequence number lifts it above every outstanding delete
