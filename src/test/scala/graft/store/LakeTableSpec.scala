@@ -76,6 +76,9 @@ class LakeTableSpec extends SparkSpec {
     t.mergeInto(df(Seq((2L, "B", 20.0), (4L, "d", 4.0))), Seq("id"))
     val out = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     out shouldBe Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+    // unpartitioned ⇒ the zero-extra-scan key-range tier (no layout a
+    // matched row could move across, so no matches scan is needed)
+    t.currentSnapshot.get.summary("prune-mode") shouldBe "key-range"
   }
 
   test("deleteWhereExists removes matching keys only") {
