@@ -735,6 +735,17 @@ object LlmQueries {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
+  private def e21(s: SparkSession, dir: String): DataFrame = {
+    // ADC shortlist (top-20 by PQ distance) then EXACT cosine rerank of
+    // just those candidates — the quantize-then-refine pattern; the
+    // returned scores/order are exact, PQ error only gates membership
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .adcRefineKnn(emb.filter(col("vec_id") < 5),
+        emb.filter(col("vec_id") >= 5), k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank")
+  }
+
   private def e20(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     Similarity
@@ -848,6 +859,7 @@ object LlmQueries {
     "d47_incr_near_dup" -> (d47 _),
     "d48_cms_heavy_hitters" -> (d48 _),
     "d49_weighted_sample" -> (d49 _),
+    "e21_adc_refine" -> (e21 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1521,6 +1533,50 @@ object LlmQueries {
                FROM adc)
          SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e21_adc_refine" ->
+      // e12's ADC pipeline widened to a top-20 shortlist, then exact
+      // cosine over the shortlist decides the final top-5
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id >= 5),
+         d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS dim FROM e),
+         cd AS (SELECT label AS cl, dim, round(avg(x), 6) AS c
+                FROM d GROUP BY label, dim),
+         dist AS (SELECT vec_id, floor(dim * 8 / nd)::INT AS sub, cl,
+                    sum((x - c) * (x - c)) AS dist
+                  FROM d JOIN cd USING (dim)
+                  GROUP BY vec_id, floor(dim * 8 / nd)::INT, cl),
+         codes AS (SELECT vec_id AS neighbor_id, sub, cl AS code FROM (
+                     SELECT vec_id, sub, cl, row_number() OVER
+                       (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+                     FROM dist) WHERE rn = 1),
+         qrows AS (SELECT vec_id AS query_id, len(embedding) AS nd,
+                 unnest(embedding::DOUBLE[]) AS qx,
+                 unnest(range(0, len(embedding))) AS dim
+               FROM embeddings WHERE vec_id < 5),
+         qt AS (SELECT query_id, floor(dim * 8 / nd)::INT AS sub, cl AS code,
+                  sum((qx - c) * (qx - c)) AS qd
+                FROM qrows JOIN cd USING (dim)
+                GROUP BY query_id, floor(dim * 8 / nd)::INT, cl),
+         adc AS (SELECT query_id, neighbor_id, sum(qd) AS adc
+                 FROM codes JOIN qt USING (sub, code)
+                 GROUP BY query_id, neighbor_id),
+         short AS (SELECT query_id, neighbor_id FROM (
+                     SELECT query_id, neighbor_id, row_number() OVER
+                       (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+                     FROM adc) WHERE rank <= 20),
+         qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+         cvs AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id >= 5),
+         rr AS (SELECT s2.query_id, s2.neighbor_id, $CosSql AS cos
+                FROM short s2 JOIN qv USING (query_id)
+                JOIN cvs USING (neighbor_id)),
+         fin AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM rr)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM fin WHERE rank <= 5 ORDER BY query_id, rank""",
     "e11_product_quantize" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          d AS (SELECT vec_id, label, len(v) AS nd, unnest(v) AS x,

@@ -413,6 +413,39 @@ object Similarity {
         round(col("adc"), 4).as("adc"))
   }
 
+  /** ADC-shortlist + EXACT rerank — the "refine" step production ANN
+    * engines run after a quantized scan: PQ asymmetric distances over
+    * codes produce a cheap per-query shortlist, full vectors are
+    * fetched for ONLY those candidates, and the final top-k order is
+    * exact cosine over the shortlist. The PQ approximation error is
+    * thereby confined to shortlist MEMBERSHIP — the returned ordering
+    * and scores are exact.
+    *
+    * Scale shape: the corpus-wide pass stays code-sized (the ADC scan);
+    * the full-vector fetch and rerank touch shortlistK rows per query —
+    * at 100 TB that is the difference between re-reading the vector
+    * column for everything and for k×(a small constant). */
+  def adcRefineKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      shortlistK: Int = 20,
+      m: Int = 8): DataFrame = {
+    val short = adcKnn(queries, corpus, k = shortlistK, m = m)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    short
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-PQ search — the composition every billion-vector ANN index
     * actually runs: the IVF coarse quantizer restricts the candidate set
     * to the query's `nprobe` nearest cells, and PQ asymmetric-distance

@@ -1571,6 +1571,18 @@ class LakeTable(
     s.entries.flatMap(_.partition).distinct.sorted
   }
 
+  /** `.refs` metadata table analog (Iceberg's refs table): one row per
+    * named reference — `main`, every branch, every tag — with its type
+    * and the snapshot version it points at. The operational "what is
+    * pinned where" view that expiry decisions read. */
+  def refsDF: DataFrame = {
+    import spark.implicits._
+    val main = ("main", "BRANCH", requireExists().version)
+    val branches = listBranches.map(b => (b, "BRANCH", branch(b).requireExists().version))
+    val tagRows = tags.toSeq.sortBy(_._1).map { case (t, v) => (t, "TAG", v) }
+    (main +: (branches ++ tagRows)).toDF("name", "type", "version")
+  }
+
   private def versionsOnDisk: Seq[Long] =
     if (!fs.exists(metaDir)) Nil
     else fs.listStatus(metaDir).toSeq

@@ -634,6 +634,22 @@ class LakeTableSpec extends SparkSpec {
     cl.unpersist()
   }
 
+  test(".refs metadata table lists main, branches, and tags with their versions") {
+    val t = freshCatalog().table("db.refs")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createTag("v1-audit")
+    t.append(df(Seq((2L, "b", 2.0))))
+    val b = t.createBranch("wap")
+    b.append(df(Seq((3L, "c", 3.0))))
+
+    val refs = t.refsDF.orderBy("type", "name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    refs shouldBe Seq(
+      ("main", "BRANCH", 2L),
+      ("wap", "BRANCH", 3L), // the branch's own head version
+      ("v1-audit", "TAG", 1L))
+  }
+
   test("rollbackTo rewinds state in a forward commit; history intact, table writable") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))).version
