@@ -717,8 +717,7 @@ object LlmQueries {
     // across engines because u comes from md5, not rand()
     Curation.weightedSample(
       table(s, dir, "documents")
-        .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("w")),
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("w")),
       "doc_id", "w", k = 100)
 
   private def e18(s: SparkSession, dir: String): DataFrame = {

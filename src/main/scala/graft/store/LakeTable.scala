@@ -1425,25 +1425,44 @@ class LakeTable(
           (candidates, rangeDisjoint, "key-range")
         } else {
           // stage 2: the matches scan — key-projected, broadcast
-          // semi-join against the distinct source keys; matched leaf rel
-          // paths (dir[/partition], entry-count bounded) name the exact
-          // affected entries. Masked (MoR-deleted) rows may over-match —
-          // an extra rewrite, never a wrong result.
-          val matchedRels: Set[String] =
+          // semi-join against the distinct source keys; matched leaf
+          // DIRECTORIES (entry-count bounded) name the exact affected
+          // entries. Masked (MoR-deleted) rows may over-match — an
+          // extra rewrite, never a wrong result.
+          //
+          // input_file_name() returns the URI RENDERING of the path
+          // (percent-encoded: a literal space is %20, the '%' of a
+          // Hive-escaped partition value is %25), while manifest
+          // dir/partition strings are the PHYSICAL names — so decode
+          // one URI layer on the driver before comparing, and keep the
+          // raw form too as a fallback for undecodable paths. Matching
+          // is suffix-anchored on "/data/<dir>[/partition]" — the
+          // 18-char random dir segment makes a false suffix match
+          // practically impossible and keeps a '/data/' segment inside
+          // the table LOCATION itself from confusing the extraction.
+          val matchedDirs: Set[String] =
             if (candidates.isEmpty) Set.empty
             else {
               val srcKeys = source
                 .select(keys.map(k => col(k).as(s"__sk_$k")): _*).distinct()
               val cond = keys.map(k => col(k) <=> col(s"__sk_$k")).reduce(_ && _)
               readEntries(s, candidates)
-                .withColumn("__rel",
-                  regexp_extract(input_file_name(), "/data/(.+)/[^/]+$", 1))
+                .withColumn("__fdir",
+                  regexp_extract(input_file_name(), "^(.*)/[^/]+$", 1))
                 .join(broadcast(srcKeys), cond, "left_semi")
-                .select("__rel").distinct()
-                .collect().map(_.getString(0)).toSet
+                .select("__fdir").distinct()
+                .collect().map(_.getString(0))
+                .flatMap { d =>
+                  val decoded =
+                    try Some(new java.net.URI(d).getPath)
+                    catch { case _: Exception => None }
+                  decoded.toSeq :+ d
+                }.toSet
             }
-          val (hit, miss) = candidates.partition(e =>
-            matchedRels.contains(e.partition.fold(e.dir)(p => s"${e.dir}/$p")))
+          val (hit, miss) = candidates.partition { e =>
+            val rel = s"/data/${e.partition.fold(e.dir)(p => s"${e.dir}/$p")}"
+            matchedDirs.exists(_.endsWith(rel))
+          }
           (hit, rangeDisjoint ++ miss, "matches-scan")
         }
       }
@@ -1574,11 +1593,15 @@ class LakeTable(
   /** `.refs` metadata table analog (Iceberg's refs table): one row per
     * named reference — `main`, every branch, every tag — with its type
     * and the snapshot version it points at. The operational "what is
-    * pinned where" view that expiry decisions read. */
+    * pinned where" view that expiry decisions read. A branch directory
+    * whose first snapshot is still unclaimed (a crashed createBranch,
+    * a manual cleanup) reports version -1 instead of failing the whole
+    * listing — the half-created ref is VISIBLE, not a landmine. */
   def refsDF: DataFrame = {
     import spark.implicits._
     val main = ("main", "BRANCH", requireExists().version)
-    val branches = listBranches.map(b => (b, "BRANCH", branch(b).requireExists().version))
+    val branches = listBranches.map(b =>
+      (b, "BRANCH", branch(b).currentSnapshot.map(_.version).getOrElse(-1L)))
     val tagRows = tags.toSeq.sortBy(_._1).map { case (t, v) => (t, "TAG", v) }
     (main +: (branches ++ tagRows)).toDF("name", "type", "version")
   }

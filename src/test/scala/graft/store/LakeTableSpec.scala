@@ -137,6 +137,43 @@ class LakeTableSpec extends SparkSpec {
     t.read.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
 
+  test("matches scan survives partition values that need URI encoding") {
+    import spark.implicits._
+    // input_file_name() percent-encodes paths ('ON HOLD' → ON%20HOLD,
+    // the '%' of a Hive-escaped value doubly so); the scan must still
+    // map matched files back to their manifest entries — a miss here
+    // silently turns a MERGE into insert-next-to-stale-duplicate
+    val t = freshCatalog().table("db.enc")
+    t.createOrReplace(
+      Seq((1L, "ON HOLD", 1.0), (2L, "50%", 2.0), (3L, "ok", 3.0))
+        .toDF("id", "state", "v"),
+      partitionBy = Seq("state"))
+    t.mergeInto(Seq((1L, "ON HOLD", 10.0), (2L, "50%", 20.0))
+      .toDF("id", "state", "v"), Seq("id"))
+    t.read.count() shouldBe 3 // no stale duplicates
+    t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, 10.0), (2L, 20.0), (3L, 3.0))
+    t.deleteWhereExists(Seq((2L, "x", 0.0)).toDF("id", "state", "v"), Seq("id"))
+    t.read.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 3L)
+  }
+
+  test("matches scan is immune to a /data/ segment inside the table location") {
+    import spark.implicits._
+    // the leaf-dir extraction must anchor on the TABLE's data root, not
+    // the first '/data/' occurrence in the absolute path
+    val root = Files.createTempDirectory("enc-loc").resolve("data").resolve("wh")
+    Files.createDirectories(root)
+    val t = new LakeCatalog(spark, root.toString).table("db.t")
+    t.createOrReplace(Seq((1L, "eu", 1.0), (2L, "us", 2.0))
+      .toDF("id", "region", "v"), partitionBy = Seq("region"))
+    t.mergeInto(Seq((1L, "eu", 9.0)).toDF("id", "region", "v"), Seq("id"))
+    t.read.count() shouldBe 2 // no stale duplicate of id=1
+    t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, 9.0), (2L, 2.0))
+  }
+
   test("partitioned delete prunes partitions too") {
     import spark.implicits._
     val t = freshCatalog().table("db.pd")

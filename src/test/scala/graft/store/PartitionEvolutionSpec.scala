@@ -69,9 +69,10 @@ class PartitionEvolutionSpec extends SparkSpec {
     t.createOrReplace(df(Seq((1L, "eu", 1.0), (2L, "us", 2.0))))
     t.updatePartitionSpec(Seq("region"))
     t.append(df(Seq((3L, "eu", 3.0))))
-    // ...then a merge whose source carries the partition column takes
-    // the partition-PRUNED path; the legacy entry has no region=... dir
-    // value, so a naive prune would skip it and lose this update
+    // ...then a merge keyed on id only routes to the MATCHES-SCAN tier
+    // (the partition column is not a merge key, so the layout prune is
+    // not provably sound); the legacy entry has no region=... dir
+    // value, and the scan must still find and rewrite its matched row
     t.mergeInto(df(Seq((1L, "eu", 100.0))), Seq("id"))
     t.read.filter(col("id") === 1L).select("amount")
       .collect().head.getDouble(0) shouldBe 100.0
