@@ -1733,7 +1733,8 @@ object LlmQueries {
          ORDER BY n_exact DESC, term LIMIT 20""",
     "d49_weighted_sample" ->
       // identical A-ES key formula on both sides: u from md5 60-bit
-      // prefix, key = u^(1/max(w,1)) rounded 6dp, doc_id tie-break
+      // prefix, key = u^(1/w) rounded 6dp (w <= 0 floored to 1,
+      // fractional weights pass through), doc_id tie-break
       """WITH t AS (SELECT doc_id,
              len(string_split_regex(trim(text), '\s+'))::BIGINT AS w
            FROM documents),
@@ -1741,7 +1742,7 @@ object LlmQueries {
              round(pow(
                (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5)
                  / 1152921504606846976.0,
-               1.0 / greatest(w, 1)::DOUBLE), 6) AS skey
+               1.0 / (CASE WHEN w <= 0 THEN 1 ELSE w END)::DOUBLE), 6) AS skey
            FROM t)
          SELECT doc_id, w, skey FROM s
          ORDER BY skey DESC, doc_id LIMIT 100""",

@@ -388,14 +388,19 @@ object SparkEntry {
     // (Here the dim fits a broadcast, so the join itself stays
     // broadcast-semi; the bloom still cuts its probe input.)
     import graft.expressions.BloomMightContain
-    // localCheckpoint: the filtered key set is consumed THREE times
-    // (count for sketch sizing, bloom build, broadcast build) — one scan
-    // of orders, then block reads; its one persisted RDD is dim-sized,
-    // the same budget CacheReleaseSpec allows for result checkpoints
+    // persist (NOT localCheckpoint): the filtered key set is consumed
+    // THREE times (count for sketch sizing, bloom build, broadcast
+    // build) — one scan of orders, then block reads. The cache manager
+    // keys the entry by logical plan, so the unpersist below releases
+    // the copy a PREVIOUS invocation left (bench loops q40; a
+    // localCheckpoint here would strand one lineage-less RDD per
+    // iteration), bounding the session to one dim-sized entry; and
+    // because lineage survives, a released cache can always recompute.
     val keys = table(s, dir, "orders")
       .filter(col("o_totalprice") > 150000.0)
       .select(col("o_orderkey"))
-      .localCheckpoint()
+    keys.unpersist(blocking = false)
+    keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // build-side cardinality sizes the sketch — reads the checkpoint
     val bloomBytes =
       BloomMightContain.buildFilterBytes(keys, "o_orderkey", keys.count())

@@ -572,14 +572,18 @@ object Curation {
     * k-sized merge on the driver) — no global sort, no shuffle of the
     * corpus. Keys are rounded to 6dp (cross-engine pow parity, the d23
     * rounding rule) with the id as tie-break, so the selected set is
-    * identical in the oracle. Zero weights are floored to 1 rather than
-    * feeding `pow(u, inf)`. */
+    * identical in the oracle. Non-positive weights are floored to 1
+    * rather than feeding `pow(u, inf)`; fractional weights in (0, 1)
+    * pass through untouched (they are valid A-ES weights — a normalized
+    * quality score samples proportionally, it must not collapse to
+    * uniform). */
   def weightedSample(
       df: DataFrame,
       idCol: String,
       weightCol: String,
       k: Int): DataFrame = {
-    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    val wd = col(weightCol).cast("double")
+    val w = when(wd <= 0, lit(1.0)).otherwise(wd)
     df.withColumn("skey",
         round(pow(hashUniform(col(idCol)), lit(1.0) / w), 6))
       .orderBy(desc("skey"), col(idCol))
@@ -592,6 +596,15 @@ object Curation {
     * expects TRUE). For each of the k most frequent tokens: `n_exact`,
     * and `cms_ok` = the CMS guarantee held — the estimate never
     * undercounts, and overcounts by at most eps·N (N = total tokens).
+    *
+    * The overcount bound is PROBABILISTIC: CMS guarantees it only with
+    * probability `confidence` (here 99%) — an adversarial corpus could
+    * legitimately trip it. The gate is still deterministic per
+    * (corpus, seed): the sketch's counters are sums, so partition
+    * order can't change them, and the fixed seed pins the hash rows —
+    * the fixture corpus was verified to sit inside the bound, so the
+    * oracle's TRUE expectation is stable. Re-derive the seed if the
+    * fixture corpus ever changes and the gate trips.
     *
     * Scale shape: the sketch is ONE pass with fixed-size state
     * (eps/confidence-bounded width×depth counters, map-side

@@ -74,7 +74,7 @@ object EventLogAnalyzer {
     def lifecycle: String =
       if (!terminated) "no-terminated-event (running or driver died)"
       else if (exception.isEmpty) "ok"
-      else s"FAILED: ${exception.get.linesIterator.next()}"
+      else s"FAILED: ${exception.get.linesIterator.nextOption().getOrElse("")}"
   }
 
   /** One topic's slice of the run: job-group start→end envelope
@@ -259,7 +259,7 @@ object EventLogAnalyzer {
         val bad = streamingQueries.count(_.exception.nonEmpty)
         b.append(s"  ${streamingQueries.size} streaming queries (ok: $ok, failed: $bad)\n")
         streamingQueries.filter(_.exception.nonEmpty).foreach { q =>
-          b.append(s"    FAILED ${q.name}: ${q.exception.get.linesIterator.next().take(100)}\n")
+          b.append(s"    FAILED ${q.name}: ${q.exception.get.linesIterator.nextOption().getOrElse("").take(100)}\n")
         }
       }
       streamingQueries.foreach { q =>
