@@ -547,12 +547,17 @@ object LlmQueries {
   // ------------------------------------------------------------------
 
   private def m05(s: SparkSession, dir: String): DataFrame =
-    // batch embedding extraction: payload → long-format features through
-    // the once-per-partition "model" (MultimodalSpec proves the init
-    // amortization with an accumulator)
+    // REAL batch embedding: encode a real 16x16 grayscale PNG per doc,
+    // decode it through javax.imageio, mean-pool 4x4 patches, project
+    // through the once-per-partition integer model (MultimodalSpec
+    // proves the init amortization with an accumulator); the oracle
+    // reproduces the pixel function + projection in closed form, so the
+    // whole encode→decode→patch→project path is hash-checked
     Multimodal
-      .embedStub(
-        Multimodal.packPayload(table(s, dir, "documents"), "text", "image/fake"),
+      .embedPatches(
+        Multimodal.encodePng(
+          table(s, dir, "documents").select(col("doc_id")),
+          "doc_id", _ => (16, 16)),
         idCol = "doc_id")
       .orderBy("doc_id", "dim")
 
@@ -567,26 +572,40 @@ object LlmQueries {
       .orderBy("doc_id")
 
   private def m02(s: SparkSession, dir: String): DataFrame =
+    // REAL decode: encode a real grayscale PNG per doc, decode it back
+    // through javax.imageio — width/height/mean_luma come from the
+    // decoded raster; the oracle derives the same pixels in closed form
+    // (byte_len is the PNG container size — zlib-dependent, so not
+    // oracle-expressible — and is deliberately not selected)
     Multimodal
-      .decodeStub(Multimodal.packPayload(table(s, dir, "documents"), "text", "image/fake"))
+      .decodeMeta(Multimodal.encodePng(
+        table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)))
       .select(
         col("doc_id"),
-        col("meta.byte_len").as("byte_len"),
         col("meta.width").cast("long").as("width"),
         col("meta.height").cast("long").as("height"),
         round(col("meta.mean_luma"), 4).as("mean_luma"))
       .orderBy("doc_id")
 
   private def m04(s: SparkSession, dir: String): DataFrame =
-    // resize plumbing: byte-decimation stub over the opaque payload
-    // (every 3rd byte), verified by length + content hash
+    // REAL resize: encode a real grayscale PNG per doc (dims vary by
+    // id), decode it back through javax.imageio (in_w/in_h come from
+    // the DECODED raster, not the formula), average-pool 2x2 blocks;
+    // r_hex is the full pooled content, so any codec defect diverges
     Multimodal
-      .resizeStub(Multimodal.packPayload(table(s, dir, "documents"), "text", "image/fake"),
-        stride = 3)
+      .resizePool(
+        Multimodal.encodePng(
+          table(s, dir, "documents").select(col("doc_id")),
+          "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)),
+        pool = 2)
       .select(
         col("doc_id"),
-        length(col("resized")).cast("long").as("r_len"),
-        md5(col("resized")).as("r_md5"))
+        col("in_w").cast("long").as("in_w"),
+        col("in_h").cast("long").as("in_h"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"),
+        hex(col("resized")).as("r_hex"))
       .orderBy("doc_id")
 
   private def m03(s: SparkSession, dir: String): DataFrame =
@@ -840,8 +859,8 @@ object LlmQueries {
     "m01_multimodal_pack" -> (m01 _),
     "m02_multimodal_decode" -> (m02 _),
     "m03_segment_sample" -> (m03 _),
-    "m04_resize_stub" -> (m04 _),
-    "m05_embed_stub" -> (m05 _),
+    "m04_resize_pool" -> (m04 _),
+    "m05_embed_patches" -> (m05 _),
     "d40_semantic_dedup" -> (d40 _),
     "d41_chunk_overlap" -> (d41 _),
     "d42_pii_scrub" -> (d42 _),
@@ -1939,14 +1958,31 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
-    "m04_resize_stub" ->
-      // ASCII corpus (verified): every-3rd-byte decimation == every-3rd-char
-      """WITH d AS (SELECT doc_id,
-           array_to_string(list_transform(range(1, length(text) + 1, 3),
-             i -> substr(text, i::INT, 1)), '') AS rs
-         FROM documents)
-         SELECT doc_id, length(rs) AS r_len, md5(rs) AS r_md5
-         FROM d ORDER BY doc_id""",
+    "m04_resize_pool" ->
+      // the engine round-trips REAL PNG bytes (imageio encode → decode →
+      // 2x2 average pool); the oracle derives the same pixels in closed
+      // form — pixel(x,y) = (doc_id*31 + x*7 + y*13) % 256, dims
+      // (8 + id%9, 8 + id*7%9) — and rebuilds the pooled bytes as hex
+      """WITH dims AS (SELECT doc_id, (8 + doc_id % 9)::INT AS w,
+               (8 + (doc_id*7) % 9)::INT AS h FROM documents),
+         grid AS (SELECT a.bx, b.by FROM (SELECT unnest(range(0,8)) AS bx) a,
+                  (SELECT unnest(range(0,8)) AS by) b),
+         sub AS (SELECT a.dx, b.dy FROM (SELECT unnest(range(0,2)) AS dx) a,
+                 (SELECT unnest(range(0,2)) AS dy) b),
+         blocks AS (
+           SELECT d.doc_id, d.w, d.h, g.bx, g.by,
+             sum((d.doc_id*31 + (g.bx*2+s.dx)*7 + (g.by*2+s.dy)*13) % 256) AS bs
+           FROM dims d JOIN grid g ON g.bx < d.w//2 AND g.by < d.h//2
+                CROSS JOIN sub s
+           GROUP BY 1,2,3,4,5),
+         px AS (
+           SELECT doc_id, w, h, w//2 AS ow, h//2 AS oh,
+             array_to_string(list(lpad(upper(hex(bs//4)), 2, '0')
+               ORDER BY by, bx), '') AS r_hex
+           FROM blocks GROUP BY 1,2,3,4,5)
+         SELECT doc_id, w::BIGINT AS in_w, h::BIGINT AS in_h,
+           ow::BIGINT AS out_w, oh::BIGINT AS out_h, r_hex
+         FROM px ORDER BY doc_id""",
     "e02_knn_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                      ${bucketSql("(embedding::DOUBLE[])", 6)} AS bucket
@@ -2000,11 +2036,26 @@ object LlmQueries {
          SELECT label, round(sqrt(sum(sx/n * (sx/n))), 4) AS centroid_norm,
                 max(n) AS n_vectors
          FROM d GROUP BY label ORDER BY label""",
-    "m05_embed_stub" ->
-      """SELECT doc_id, unnest(range(0, 4))::INT AS dim,
-         (length(text)::BIGINT * 2654435761 % 1000 + unnest(range(0, 4))) % 1000
-           AS feat
-         FROM documents ORDER BY doc_id, dim""",
+    "m05_embed_patches" ->
+      // 16x16 PNG → 4x4 patch means (multiples of 1/16, exact in
+      // doubles) → integer projection (j*5+k*3)%7-3 → one final /7.0;
+      // the only inexact step is that last division, so both engines
+      // agree bit-for-bit before the 4dp round
+      """WITH pk AS (SELECT unnest(range(0,16)) AS k),
+         sub AS (SELECT a.dx, b.dy FROM (SELECT unnest(range(0,4)) AS dx) a,
+                 (SELECT unnest(range(0,4)) AS dy) b),
+         pm AS (
+           SELECT d.doc_id, pk.k,
+             sum((d.doc_id*31 + ((pk.k%4)*4+s.dx)*7 + ((pk.k//4)*4+s.dy)*13) % 256)
+               AS psum
+           FROM documents d CROSS JOIN pk CROSS JOIN sub s
+           GROUP BY 1,2),
+         f AS (
+           SELECT doc_id, j.j AS dim,
+             round(sum(((j.j*5 + k*3) % 7 - 3) * (psum/16.0)) / 7.0, 4) AS feat
+           FROM pm, (SELECT unnest(range(0,4)) AS j) j
+           GROUP BY 1,2)
+         SELECT doc_id, dim::INT AS dim, feat FROM f ORDER BY doc_id, dim""",
     "m01_multimodal_pack" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
          substr(text, 1, 8) AS head,
@@ -2017,21 +2068,21 @@ object LlmQueries {
          md5(substr(text, 1, 16)) AS head_md5
          FROM documents ORDER BY doc_id""",
     "m02_multimodal_decode" ->
-      // the stub decoder is deterministic: square-ish dims + byte mean
-      // over the UTF-8 payload, reproduced here via hex byte extraction
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
-           list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
-             i -> ('0x' || substr(hex(encode(text)), i*2-1, 2))::INT)) AS byte_sum
-         FROM documents),
-         d AS (SELECT doc_id, byte_len,
-           greatest(1, CAST(floor(sqrt(byte_len::DOUBLE)) AS INT)) AS width
-         FROM b)
-         SELECT d.doc_id, d.byte_len, d.width,
-           greatest(1, CAST(d.byte_len // d.width AS INT)) AS height,
-           round(CASE WHEN d.byte_len = 0 THEN 0.0
-                 ELSE b.byte_sum::DOUBLE / d.byte_len END, 4) AS mean_luma
-         FROM d JOIN b ON b.doc_id = d.doc_id
-         ORDER BY d.doc_id""",
+      // the engine decodes REAL PNG bytes (imageio); the oracle derives
+      // the same raster in closed form — dims (8 + id%9, 8 + id*7%9),
+      // pixel(x,y) = (doc_id*31 + x*7 + y*13) % 256, luma = pixel mean
+      """WITH dims AS (SELECT doc_id, (8 + doc_id % 9)::INT AS w,
+               (8 + (doc_id*7) % 9)::INT AS h FROM documents),
+         px AS (
+           SELECT d.doc_id, d.w, d.h,
+             sum((d.doc_id*31 + x.x*7 + y.y*13) % 256) AS s, count(*) AS n
+           FROM dims d
+             JOIN (SELECT unnest(range(0,16)) AS x) x ON x.x < d.w
+             JOIN (SELECT unnest(range(0,16)) AS y) y ON y.y < d.h
+           GROUP BY 1,2,3)
+         SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+           round(s::DOUBLE / n, 4) AS mean_luma
+         FROM px ORDER BY doc_id""",
     "d40_semantic_dedup" ->
       """WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
              FROM (SELECT label, unnest(embedding)::DOUBLE AS x,

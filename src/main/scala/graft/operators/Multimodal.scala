@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media travels as opaque `binary` columns with typed metadata structs —
-  * the lakehouse-standard layout. Real decode libraries are not in this
-  * build, so `decodeStub` is a clearly-marked deterministic fake; the
-  * Spark-side plumbing (schema, partition-preserving batch iteration,
-  * metadata struct shape) is real and is what matters at 100 TB: media
-  * blobs stay columnar, are never collected to the driver, and
-  * per-partition decoding amortizes codec init exactly like an
-  * `mapInPandas` batch UDF would.
+  * the lakehouse-standard layout. The image kernels (decode, resize,
+  * patch-embed) are REAL: `javax.imageio` (in the JDK) decodes actual
+  * PNG bytes, dimensions come from the decoded raster, and pooled
+  * pixels/features are computed from it. The Spark-side shape is what
+  * matters at 100 TB and is shared by every kernel here: media blobs
+  * stay columnar, are never collected to the driver, and per-partition
+  * iterator-to-iterator decoding amortizes codec/model init exactly
+  * like a `mapInPandas` batch UDF would.
   */
 object Multimodal {
 
@@ -31,28 +32,31 @@ object Multimodal {
     df.withColumn("payload", col(payloadFrom).cast(BinaryType))
       .withColumn("modality", lit(modality))
 
-  /** STUB DECODER — deterministic fake standing in for image decode.
-    * Derives "dimensions" and "mean luma" from payload bytes so tests are
-    * reproducible. Replace the body with a real codec (e.g. javax.imageio
-    * / ffmpeg bindings) in production; the iteration shape stays.
-    *
-    * Runs per-partition over an iterator (one decoder instance per
-    * partition, no per-row setup cost), appending a `meta` struct. */
-  def decodeStub(df: DataFrame): DataFrame = {
+  /** REAL image decode: run the PNG payload through `javax.imageio` and
+    * append a `meta` struct — byte length, container format, width and
+    * height from the DECODED raster, and mean luma averaged over the
+    * actual pixels. Per-partition iteration (decoder scope amortized),
+    * appending a `meta` struct; blobs never leave the executor. */
+  def decodeMeta(df: DataFrame): DataFrame = {
     val outSchema = df.schema.add(StructField("meta", MetaSchema))
     val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
-      // per-partition "codec" init would go here
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        val payload = r.getAs[Array[Byte]](payloadIdx)
         val len = if (payload == null) 0L else payload.length.toLong
-        // ??? real decode goes here; fake: square-ish dims + byte mean
-        val width = math.max(1, math.sqrt(len.toDouble).toInt)
-        val height = math.max(1, (len / math.max(1, width)).toInt)
-        val luma =
-          if (len == 0) 0.0
-          else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / len
-        Row.fromSeq(r.toSeq :+ Row(len, "fake/raw", width, height, luma))
+        val img = decodeGray(payload)
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val luma = s.toDouble / (w * h)
+        Row.fromSeq(r.toSeq :+ Row(len, "image/png", w, h, luma))
       }
     }(enc)
   }
@@ -62,61 +66,186 @@ object Multimodal {
   def sampleSegment(payload: org.apache.spark.sql.Column, off: Int, len: Int) =
     substring(payload, off, len)
 
-  /** STUB RESIZE — deterministic fake standing in for image resize /
-    * audio downsample: keeps every `stride`-th payload byte. A real
-    * kernel (scaling filter, resampler) swaps in here; the contract that
-    * matters at scale stays — per-partition iteration, binary-in /
-    * binary-out, blobs never leave the executor. */
-  def resizeStub(df: DataFrame, stride: Int): DataFrame = {
-    require(stride >= 1, s"stride must be >= 1, got $stride")
-    val outSchema = df.schema.add(StructField("resized", BinaryType))
+  /** Deterministic gray value for synthetic fixture images — the pixel
+    * function the oracle reproduces in closed form, so a REAL decode of
+    * a REAL PNG is still hash-checkable end-to-end: the engine round-
+    * trips actual bytes through the codec while the oracle derives the
+    * same pixels arithmetically; any decode defect diverges the hash. */
+  private[operators] def gray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode a REAL grayscale PNG per row via `javax.imageio` (in the
+    * JDK — no new deps): pixel (x,y) = `gray(id, x, y)`, dims from
+    * `dims(id)`. The fixture-image producer for the real decode/resize/
+    * embed kernels below; per-partition iteration (one writer init per
+    * partition), payload lands as an opaque binary column exactly like
+    * media ingested from object storage. */
+  def encodePng(
+      df: DataFrame,
+      idCol: String,
+      dims: Long => (Int, Int)): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("modality", StringType))
     val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
-      // per-partition resample-kernel init would go here
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val out =
-          if (payload == null) Array.empty[Byte]
-          else Array.range(0, payload.length, stride).map(payload(_))
-        Row.fromSeq(r.toSeq :+ out)
+        val id = r.getLong(idIdx)
+        val (w, h) = dims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gray(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray :+ "image/png")
       }
     }(enc)
   }
 
-  /** STUB EMBEDDER — the batch-inference pass that turns media payloads
-    * into feature vectors, in the shape real model serving needs: the
-    * "model" is constructed ONCE per partition (the expensive step a
-    * per-row UDF would repeat millions of times) and rows stream
-    * through it iterator-to-iterator, batch-amortized — the Scala
-    * analog of a `mapInPandas` embedding UDF. `initCounter`, when
-    * supplied, counts model constructions so tests can PROVE the
-    * amortization (== number of partitions, not rows).
+  /** Decode a PNG payload to its gray raster. Kept allocation-lean: one
+    * codec entry per row, per-partition iteration amortizes everything
+    * else (stream/reader setup lives in ImageIO's per-call scope; a
+    * long-lived decoder pool would slot into the mapPartitions init). */
+  private def decodeGray(payload: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+  /** REAL image resize: decode the PNG payload (actual raster, actual
+    * width/height — no byte-stat faking) and average-pool non-overlapping
+    * `pool`×`pool` blocks (floor semantics: partial edge blocks drop, the
+    * standard strided-pool contract). Output per row: decoded `in_w`/
+    * `in_h`, pooled `out_w`/`out_h`, and `resized` — the pooled image as
+    * row-major bytes (block mean, integer floor).
     *
-    * Output is long-format (id, dim, feat) — joins/aggregates downstream
-    * without array-type friction. The fake feature is a deterministic
-    * byte-length hash; a real encoder swaps in without changing the
-    * plumbing. */
-  def embedStub(
+    * Scale shape unchanged from the stub it replaces: binary-in /
+    * binary-out, per-partition iteration, blobs never leave the
+    * executor, nothing shuffles. */
+  def resizePool(df: DataFrame, pool: Int): DataFrame = {
+    require(pool >= 1, s"pool must be >= 1, got $pool")
+    val outSchema = df.schema
+      .add(StructField("in_w", IntegerType))
+      .add(StructField("in_h", IntegerType))
+      .add(StructField("out_w", IntegerType))
+      .add(StructField("out_h", IntegerType))
+      .add(StructField("resized", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img = decodeGray(payload)
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (ow, oh) = (w / pool, h / pool)
+        val out = new Array[Byte](ow * oh)
+        var by = 0
+        while (by < oh) {
+          var bx = 0
+          while (bx < ow) {
+            var s = 0
+            var dy = 0
+            while (dy < pool) {
+              var dx = 0
+              while (dx < pool) {
+                s += raster.getSample(bx * pool + dx, by * pool + dy, 0)
+                dx += 1
+              }
+              dy += 1
+            }
+            out(by * ow + bx) = (s / (pool * pool)).toByte
+            bx += 1
+          }
+          by += 1
+        }
+        Row.fromSeq(r.toSeq :+ w :+ h :+ ow :+ oh :+ out)
+      }
+    }(enc)
+  }
+
+  /** REAL patch-feature embedder — the batch-inference pass that turns
+    * media payloads into feature vectors, in the shape real model
+    * serving needs: the "model" (an integer projection matrix
+    * `M(j)(k) = (j*5 + k*3) mod 7 - 3` over patch means) is constructed
+    * ONCE per partition — the expensive step a per-row UDF would repeat
+    * millions of times — and rows stream through it iterator-to-
+    * iterator, batch-amortized, the Scala analog of a `mapInPandas`
+    * embedding UDF. `initCounter`, when supplied, counts model
+    * constructions so tests can PROVE the amortization (== number of
+    * partitions, not rows).
+    *
+    * Per row: decode the PNG, mean-pool `patch`×`patch` patches (the
+    * tokenizer step of a ViT-style encoder), project the patch-mean
+    * vector through M, scale by 1/7. All arithmetic before the final
+    * division is exact in doubles (patch means are multiples of
+    * 1/patch², integer weights), so the feature is bit-reproducible in
+    * the oracle. Output stays long-format (id, dim, feat) — joins/
+    * aggregates downstream without array-type friction. */
+  def embedPatches(
       df: DataFrame,
       idCol: String,
+      patch: Int = 4,
       dim: Int = 4,
       initCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("dim", IntegerType),
-      StructField("feat", LongType)))
+      StructField("feat", DoubleType)))
     val enc = RowEncoder.encoderFor(outSchema)
     df.select(col(idCol), col("payload")).mapPartitions { rows =>
-      initCounter.foreach(_.add(1L)) // "model load" happens here, once
-      val model = new Object // ??? real encoder session goes here
-      require(model != null)
+      initCounter.foreach(_.add(1L)) // model load happens here, once
+      // the per-partition "model": patch-count is image-dependent, so
+      // weights are generated by (j, k) — materialized lazily per k and
+      // memoized across the partition's rows
+      val weights = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      def weightRow(k: Int): Array[Int] = {
+        while (weights.length <= k)
+          weights += Array.tabulate(dim) { j =>
+            (j * 5 + weights.length * 3) % 7 - 3
+          }
+        weights(k)
+      }
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val len = if (payload == null) 0L else payload.length.toLong
-        val base = len * 2654435761L % 1000L
-        (0 until dim).iterator.map(j =>
-          Row(id, j, (base + j) % 1000L))
+        val img = decodeGray(r.getAs[Array[Byte]](1))
+        val raster = img.getRaster
+        val (pw, ph) = (img.getWidth / patch, img.getHeight / patch)
+        val acc = new Array[Double](dim)
+        var k = 0
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var s = 0
+            var dy = 0
+            while (dy < patch) {
+              var dx = 0
+              while (dx < patch) {
+                s += raster.getSample(px * patch + dx, py * patch + dy, 0)
+                dx += 1
+              }
+              dy += 1
+            }
+            val mean = s.toDouble / (patch * patch)
+            val wr = weightRow(k)
+            var j = 0
+            while (j < dim) { acc(j) += wr(j) * mean; j += 1 }
+            k += 1
+            px += 1
+          }
+          py += 1
+        }
+        (0 until dim).iterator.map { j =>
+          // HALF_UP: the same convention as Spark's round() and the
+          // DuckDB oracle's round() — not rint's half-to-even
+          Row(id, j, BigDecimal(acc(j) / 7.0)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
       }
     }(enc)
   }
