@@ -388,10 +388,15 @@ object LlmQueries {
       .withColumn("lang_pred", langIdFromTokens(col("text"), col("__toks")))
       .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
     val clean = Dedup.decontaminate(surv, flagged)
-    val capped = clean
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("source").orderBy(desc("quality"), col("doc_id"))))
-      .filter(col("rnk") <= 15)
+    // per-source cap via the bounded top-k aggregate (map-side k-heaps,
+    // no source-partitioned window — a mega-source can't serialize one
+    // task); the winner set is sources×15 rows → broadcast semi join
+    val topIds = clean
+      .groupBy("source")
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(col("quality"), col("doc_id"), 15).as("__top"))
+      .select(explode(col("__top.id")).as("doc_id"))
+    val capped = clean.join(broadcast(topIds), Seq("doc_id"), "left_semi")
     Curation.packSequences(capped.select("doc_id", "text"),
         budget = 256, shardWidth = 16)
       .join(capped.select("doc_id", "source", "quality"), Seq("doc_id"))

@@ -312,19 +312,27 @@ object Curation {
     * dominates training (RefinedWeb-style). The rank runs over the
     * 4dp-ROUNDED quality score so the cut is engine-reproducible.
     *
-    * Scale shape: one window partitioned by source — parallel across
-    * sources; a skewed mega-source is still one partition's sort, which
-    * is exactly the semantics the cap needs (and the cap output is at
-    * most `cap × n_sources` rows). */
+    * Scale shape: the bounded `graft_top_k` aggregate, NOT a
+    * source-partitioned window — a window must sort every row of a
+    * source inside one partition, so one colossal source serializes on
+    * one task at 100×; the aggregate reduces each map partition to a
+    * k-heap per source before the shuffle, so the exchange carries
+    * partitions×sources×cap entries regardless of how big a source
+    * gets, and no full-source sort exists anywhere in the plan
+    * (PlanShapeSpec pins d30/d35 window-free). */
   def perSourceCap(docs: DataFrame, cap: Int, textCol: String = "text"): DataFrame = {
     val scored = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col("doc_id"), col("source"),
         qualityScoreFromTokens(col(textCol), col("__toks")).as("quality"))
-    val w = Window.partitionBy("source").orderBy(desc("quality"), col("doc_id"))
     scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= cap)
+      .groupBy("source")
+      .agg(graft.functions.VectorFunctions
+        .topKByScore(col("quality"), col("doc_id"), cap).as("__top"))
+      .select(col("source"), posexplode(col("__top")))
+      .select(
+        col("col.id").as("doc_id"), col("source"),
+        col("col.score").as("quality"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Corpus vocabulary-growth curve: bucket documents by doc_id range

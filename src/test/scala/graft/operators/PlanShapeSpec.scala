@@ -70,6 +70,28 @@ class PlanShapeSpec extends SparkSpec {
     } shouldBe empty
   }
 
+  test("per-source cap runs as a bounded top-k aggregate, not a source window") {
+    // a Window.partitionBy(source) sorts every row of a source inside
+    // ONE task — the shape that serializes on a mega-source at 100×.
+    // The cap must plan as the partial-aggregation-friendly graft_top_k
+    // ObjectHashAggregate (map-side k-heaps) with no window anywhere.
+    val d30 = planOps("d30_source_cap")
+    d30.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+    d30.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    } should not be empty
+    // d35 composes the same cap; its remaining windows are keyed by
+    // fingerprint (dedup latest-per-fp) or shard (packSequences
+    // offsets) — bounded keys. None may be keyed by source.
+    val d35 = planOps("d35_training_manifest")
+    d35.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "source")) => w
+    } shouldBe empty
+  }
+
   test("LSH near-dup candidate generation never plans a cartesian product") {
     val p = planOps("d07_lsh_near_dup")
     p.collect { case c: CartesianProductExec => c } shouldBe empty
