@@ -140,6 +140,42 @@ class DedupSpec extends SparkSpec {
     Dedup.nearDupClusters(empty).count() shouldBe 0L
   }
 
+  test("nearDupClusters: a 1000-node path converges in O(log n) star rounds") {
+    import spark.implicits._
+    // the adversarial chain shape for min-label propagation (diameter =
+    // 999 would need ~999 propagation rounds); large-star/small-star
+    // doubles the hang-depth per round, so ~log2(1000) + epsilon rounds
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.nearDupClustersWithRounds(path)
+    withClue(s"rounds = $rounds: ") { rounds should be <= 12 }
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe 1000
+    all(out.map(_._2)) shouldBe 0L
+  }
+
+  test("nearDupClusters matches union-find on a randomized pair soup") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 120 nodes, several
+    // components + isolated self-referencing shapes mixed in
+    val edges = (1 to 150).map { i =>
+      val a = (i * 7919L) % 120
+      val b = (a + (i * 104729L) % 7 + 1) % 120
+      (a, b)
+    }
+    // reference labels via driver-side union-find
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n.toInt).toLong).toMap
+    val out = Dedup.nearDupClusters(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    out shouldBe expected
+  }
+
   test("crossSplitContamination scores containment, not Jaccard") {
     // eval doc (5 tokens -> 3 shingles) fully embedded in a longer train
     // doc: containment 1.0 even though symmetric Jaccard would be 3/8
