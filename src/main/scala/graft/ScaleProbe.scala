@@ -91,6 +91,13 @@ object ScaleProbe {
     }
     time("ivf_query_after_append")(
       IvfIndex.query(cat, "probe", "ann", queries, k = 5, nprobe = 3))
+    time("ivf_rebalance (e22)") {
+      // re-train centroids from current assignments, move only the
+      // vectors whose cell changed — cost must track MOVED vectors
+      val moved = IvfIndex.rebalance(cat, "probe", "ann")
+      println(s"    [rebalance moved $moved vectors]")
+      cat.table("probe.ann_cells").read
+    }
 
     // Store probe: copy-on-write vs merge-on-read MERGE on a `mult`×
     // table, same 1%-of-base micro-batch. The claim under test is the

@@ -370,6 +370,28 @@ object StoreQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** e22: IVF centroid RE-BALANCE — the index is built on the initial
+    * corpus, later vectors are appended under the frozen quantizer
+    * (e19), then `rebalance` re-trains each centroid as the mean of its
+    * currently-assigned vectors and moves ONLY the vectors whose
+    * nearest cell changed. The query then runs against the re-balanced
+    * index. The oracle replays the same three stages: frozen-subset
+    * centroids → full-corpus assignment → per-cell re-trained centroids
+    * → re-assignment → probe + exact cosine. */
+  private def e22(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ivfr"))
+    cat.createDatabase("lake")
+    val emb = table(s, dir, "embeddings")
+    IvfIndex.build(cat, "lake", "annrb",
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 400))
+    IvfIndex.append(cat, "lake", "annrb", emb.filter(col("vec_id") >= 400))
+    IvfIndex.rebalance(cat, "lake", "annrb")
+    IvfIndex
+      .query(cat, "lake", "annrb", emb.filter(col("vec_id") < 5), k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** c21: MERGE with schema evolution — the upsert batch carries a
     * column the table has never seen; the merge widens the schema and
     * applies in one commit, untouched rows reading back with nulls for
@@ -535,7 +557,8 @@ object StoreQueries {
     "c09_watermark_ledger" -> (c09 _),
     "c10_maintenance_ledger" -> (c10 _),
     "e07_knn_ivf_index" -> (e07 _),
-    "e19_knn_ivf_append" -> (e19 _)
+    "e19_knn_ivf_append" -> (e19 _),
+    "e22_knn_ivf_rebalance" -> (e22 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -628,6 +651,58 @@ object StoreQueries {
          cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
          corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
                     FROM embeddings WHERE vec_id >= 5),
+         assign AS (SELECT cell, neighbor_id, cv FROM (
+             SELECT ct2.label AS cell, c.neighbor_id, c.cv,
+               row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                 list_inner_product(c.cv, ct2.ct)
+                   / (sqrt(list_inner_product(c.cv, c.cv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM corpus c CROSS JOIN cent ct2) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         probe AS (SELECT cell, query_id, qv FROM (
+             SELECT ct2.label AS cell, q.query_id, q.qv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_inner_product(q.qv, ct2.ct)
+                   / (sqrt(list_inner_product(q.qv, q.qv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM q CROSS JOIN cent ct2) WHERE rn <= 3),
+         s AS (SELECT query_id, neighbor_id, ${LlmQueries.CosSql} AS cos
+               FROM assign a JOIN probe p USING (cell)),
+         r AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e22_knn_ivf_rebalance" ->
+      // e19's frozen-centroid build+append, then ONE re-train step:
+      // centroids re-computed as the mean of currently-assigned vectors
+      // (cd1/cent), the corpus re-assigned under them (assign), probes
+      // and exact cosine against the re-balanced index
+      s"""WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
+               FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                       unnest(range(0, len(embedding))) AS dim
+                     FROM embeddings WHERE vec_id >= 5 AND vec_id < 400)
+               GROUP BY label, dim),
+         cent0 AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id >= 5),
+         assign0 AS (SELECT cell, neighbor_id, cv FROM (
+             SELECT ct2.label AS cell, c.neighbor_id, c.cv,
+               row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                 list_inner_product(c.cv, ct2.ct)
+                   / (sqrt(list_inner_product(c.cv, c.cv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM corpus c CROSS JOIN cent0 ct2) WHERE rn = 1),
+         cd1 AS (SELECT cell AS label, dim, round(avg(x), 6) AS c
+               FROM (SELECT cell, unnest(cv) AS x,
+                       unnest(range(0, len(cv))) AS dim
+                     FROM assign0)
+               GROUP BY cell, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd1 GROUP BY label),
          assign AS (SELECT cell, neighbor_id, cv FROM (
              SELECT ct2.label AS cell, c.neighbor_id, c.cv,
                row_number() OVER (PARTITION BY c.neighbor_id ORDER BY

@@ -65,6 +65,57 @@ object IvfIndex {
     ()
   }
 
+  /** Centroid re-balance after appends — the periodic maintenance step
+    * production IVF engines run when the data distribution has drifted
+    * from the quantizer (appends keep their frozen-centroid cell
+    * assignments forever; recall decays as the corpus moves).
+    *
+    *  1. re-train: each cell's centroid becomes the mean of the vectors
+    *     CURRENTLY assigned to it (one k-means step over the full cells
+    *     table — a scan + fixed-size agg, the cheapest sound re-train);
+    *  2. re-assign: every vector's nearest cell under the NEW centroids
+    *     is computed map-side (broadcast nlist×dim table, like build);
+    *  3. move ONLY the vectors whose cell changed: a key-pruned
+    *     copy-on-write delete out of their old cell partitions plus an
+    *     append into the new ones. Unmoved vectors' files are never
+    *     rewritten, so the commit cost tracks the number of MOVED
+    *     vectors (ScaleProbe pins this), not the index size.
+    *
+    * Returns the number of vectors moved. The moved set is persisted
+    * across its two consumers (the delete's key join and the append)
+    * so the reassignment argmax runs once.
+    */
+  def rebalance(cat: LakeCatalog, db: String, name: String): Long = {
+    val cells = cat.table(s"$db.${name}_cells")
+    val current = cells.read.select("cell", "vec_id", "embedding")
+    val newCents = current
+      .select(col("cell").as("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => round(s("c"), 6)).as("centroid"))
+    cat.table(s"$db.${name}_centroids").createOrReplace(newCents)
+    val reassigned = nearestCells(
+      current.select(col("vec_id"), col("embedding")),
+      cat.table(s"$db.${name}_centroids").read, n = 1,
+      idAs = "vec_id", vecAs = "embedding")
+    val moved = reassigned
+      .join(current.select(col("vec_id"), col("cell").as("old_cell")), Seq("vec_id"))
+      .filter(col("cell") =!= col("old_cell"))
+      .select("cell", "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = moved.count() // materialize before mutating the table
+      if (n > 0) {
+        cells.deleteWhereExists(moved.select("vec_id"), Seq("vec_id"))
+        cells.append(moved)
+      }
+      n
+    } finally { moved.unpersist(); () }
+  }
+
   /** ANN top-k against the persisted index. */
   def query(
       cat: LakeCatalog,

@@ -845,9 +845,9 @@ class LakeTable(
   def appendEvolve(df: DataFrame): Snapshot = {
     val s = requireExists()
     val merged = mergedSchema(s.schema, df.schema)
-    val batchCols = df.columns.toSet
+    val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val conformed = df.select(merged.fields.map(f =>
-      (if (batchCols.contains(f.name)) col(f.name).cast(f.dataType)
+      (if (batchTypes.contains(f.name)) castTo(col(f.name), batchTypes.get(f.name), f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     val withBucket = bucketSpec(s).map(withDerivedBucket(conformed, _)).getOrElse(conformed)
     val (_, entries) = writeData(withBucket, s.partitionCols)
@@ -889,9 +889,9 @@ class LakeTable(
     val s = requireExists()
     val widened = mergedSchema(s.schema, source.schema)
     def conformTo(df: DataFrame): DataFrame = {
-      val have = df.columns.toSet
+      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(widened.fields.map(f =>
-        (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+        (if (have.contains(f.name)) castTo(col(f.name), have.get(f.name), f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     }
     val out = graft.operators.Merge.upsert(conformTo(read), conformTo(source), keys)
@@ -1478,8 +1478,20 @@ class LakeTable(
           "untouched-entries" -> untouched.size.toString)))
   }
 
-  private def conform(df: DataFrame, s: Snapshot): DataFrame =
-    df.select(s.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  /** Cast `c` to `to` only when the batch's type differs beyond
+    * nullability — Spark refuses e.g. `array<float>` (nullable
+    * elements, the shape every parquet read-back has) →
+    * `array<float>` (non-null elements, the shape a Seq-built batch
+    * has), so an equal-up-to-nullability type must pass through
+    * uncast. `catalogString` is the nullability-blind rendering. */
+  private def castTo(c: Column, from: Option[DataType], to: DataType): Column =
+    if (from.exists(_.catalogString == to.catalogString)) c else c.cast(to)
+
+  private def conform(df: DataFrame, s: Snapshot): DataFrame = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(s.schema.fields.map(f =>
+      castTo(col(f.name), actual.get(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
 
   /** Hash-bucket layout spec, carried in table properties. */
   private def bucketSpec(s: Snapshot): Option[(String, Int)] =

@@ -81,6 +81,58 @@ class IvfIndexSpec extends SparkSpec {
     out.count() shouldBe 6 // 3 queries x k=2
   }
 
+  test("rebalance: re-trained centroids, only drifted vectors move, no stale assignments") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    // 2-d corpus: cluster A on the x-axis, cluster B on the y-axis, and
+    // X = (0.45, 0.9) — a B member that a drifted B centroid will lose
+    val corpus = (
+      (0L until 5L).map(i => (i, Array(1f, 0f), "0")) ++
+      (5L until 10L).map(i => (i, Array(0f, 1f), "1")) :+
+      ((10L, Array(0.45f, 0.9f), "1"))
+    ).toDF("vec_id", "embedding", "label")
+    IvfIndex.build(cat, "lake", "ann", corpus)
+    // 20 appended vectors at (-0.9, 0.45): nearest frozen centroid is B
+    // (cos ≈ 0.38 vs −0.89 against A), and their mass drags the
+    // re-trained B centroid to ≈ (−0.675, 0.573) — far enough that X's
+    // nearest cell flips to A while every other vector stays put
+    val drift = (100L until 120L).map(i => (i, Array(-0.9f, 0.45f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(cat, "lake", "ann", drift)
+    val cells = cat.table("lake.ann_cells")
+    cells.read.filter($"vec_id" === 10L).select("cell").head().getString(0) shouldBe "1"
+    val cellAEntries = cells.currentSnapshot.get.entries
+      .filter(_.partition.contains("cell=0")).map(_.dir).toSet
+
+    val moved = IvfIndex.rebalance(cat, "lake", "ann")
+
+    moved shouldBe 1L
+    val after = cells.read.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    after(10L) shouldBe "0" // X moved to A
+    (0L until 5L).foreach(i => after(i) shouldBe "0")
+    (5L until 10L).foreach(i => after(i) shouldBe "1")
+    (100L until 120L).foreach(i => after(i) shouldBe "1")
+    // the untouched cell=0 partition kept its original files: the move
+    // rewrote only entries holding the moved key (cost tracks MOVES)
+    val cellAAfter = cat.table("lake.ann_cells").currentSnapshot.get.entries
+      .filter(_.partition.contains("cell=0")).map(_.dir).toSet
+    cellAEntries.subsetOf(cellAAfter) shouldBe true
+    // no stale assignment survives: every cell equals the argmax over
+    // the re-trained centroids
+    import graft.functions.VectorFunctions.cosine
+    val cents = cat.table("lake.ann_centroids").read
+    val argmax = cells.read.select("vec_id", "cell", "embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine($"embedding", $"centroid"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(desc("cos_c"), $"label")))
+      .filter($"rn" === 1)
+      .filter($"label" =!= $"cell")
+    argmax.count() shouldBe 0L
+  }
+
   test("nprobe=1 restricts candidates to one cell per query") {
     val cat = freshCat
     cat.createDatabase("lake")
