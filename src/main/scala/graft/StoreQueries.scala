@@ -370,6 +370,39 @@ object StoreQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** c28: TYPE-PROMOTION schema evolution — the table starts with an
+    * int key and a decimal(12,2) price, is promoted (int→long,
+    * decimal(12,2)→decimal(18,2)) WITHOUT rewriting any data file, then
+    * an append lands keys beyond int range and a merge adjusts prices
+    * across BOTH file generations. Legacy int32/narrow-decimal pages
+    * and new long/wide pages are read under the one widened schema
+    * (SPARK-40876 reader widening + the metadata-only commit). */
+  private def c28(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_tp"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_promoted")
+    val base = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+    t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderkey", col("o_orderkey").cast("int")))
+    t.alterColumnType("o_orderkey", LongType)
+    t.alterColumnType("o_totalprice", DecimalType(18, 2))
+    // keys beyond int range: only possible AFTER the promotion
+    t.append(base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
+    // 10^10 % 5 = 0, so the %5 predicate hits the same base keys in
+    // both generations — exact decimal arithmetic keeps oracle parity
+    t.mergeInto(
+      t.read.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(new java.math.BigDecimal("7.50")))
+            .cast("decimal(18,2)")),
+      Seq("o_orderkey"))
+    t.read.orderBy("o_orderkey")
+  }
+
   /** e22: IVF centroid RE-BALANCE — the index is built on the initial
     * corpus, later vectors are appended under the frozen quantizer
     * (e19), then `rebalance` re-trains each centroid as the mean of its
@@ -538,6 +571,7 @@ object StoreQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c27_partition_evolution" -> (c27 _),
+    "c28_type_promotion" -> (c28 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -570,6 +604,21 @@ object StoreQueries {
               ELSE o_totalprice END AS o_totalprice
          FROM orders
          ORDER BY o_orderkey""",
+    "c28_type_promotion" ->
+      // evens keep original keys (legacy int32 files), odds are shifted
+      // past int range (post-promotion long files); %5 keys gain an
+      // exact-decimal 7.50 across both generations
+      """WITH u AS (
+           SELECT CASE WHEN o_orderkey % 2 = 1
+                       THEN o_orderkey + 10000000000
+                       ELSE o_orderkey END AS o_orderkey,
+                  o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS p
+           FROM orders)
+         SELECT o_orderkey, o_orderstatus,
+           CAST(CASE WHEN o_orderkey % 5 = 0 THEN p + 7.50 ELSE p END
+                AS DECIMAL(18,2)) AS o_totalprice
+         FROM u ORDER BY o_orderkey""",
     "c26_migration" ->
       """SELECT o_orderkey,
          CASE WHEN o_orderstatus = 'O' THEN 'OPEN_V2'

@@ -11,7 +11,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Snapshot metadata for one committed table version.
   *
@@ -982,6 +982,57 @@ class LakeTable(
       deleteEntriesFn = _ => Nil)(_ =>
       (newSchema, newPcols, entries, newProps,
         Map("renamed-column" -> s"$from -> $to")))
+  }
+
+  /** Iceberg TYPE-PROMOTION schema evolution (`ALTER COLUMN ... TYPE`
+    * widening): int→long, float→double, and decimal precision growth at
+    * fixed scale — the promotions real lake tables hit constantly as id
+    * spaces and money columns outgrow their first type.
+    *
+    * METADATA-ONLY: existing data files are never rewritten. Spark 4's
+    * parquet reader widens per FILE (SPARK-40876: int32 pages served as
+    * long, float as double, narrow decimal as wide), so legacy entries
+    * and post-promotion entries coexist under the one widened read
+    * schema — the same per-entry layout-dispatch philosophy as
+    * partition evolution, here performed by the reader itself. Entry
+    * stats survive untouched (min/max strings parse under the widened
+    * type), so manifest pruning keeps working across generations.
+    * Subsequent writers conform batches to the widened type via the
+    * normal [[conform]] path.
+    *
+    * The BUCKET column is refused: murmur3(int x) ≠ murmur3(long x),
+    * so promoting it would scatter each logical bucket across physical
+    * ones and silently break co-bucketed layout guarantees. */
+  def alterColumnType(colName: String, newType: DataType): Snapshot = {
+    val s = requireExists()
+    val f = s.schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    require(isTypePromotion(f.dataType, newType),
+      s"cannot promote ${f.dataType.catalogString} to ${newType.catalogString}: " +
+        "allowed are byte/short/int -> wider integer, float -> double, " +
+        "and decimal precision growth at fixed scale")
+    require(!bucketSpec(s).exists(_._1 == colName),
+      s"cannot promote bucket column '$colName' (bucket hashes are type-sensitive)")
+    val newSchema = StructType(s.schema.fields.map(x =>
+      if (x.name == colName) x.copy(dataType = newType) else x))
+    commit("alter-column-type", requireParentVersion = Some(s.version))(p =>
+      (newSchema, s.partitionCols, p.get.entries, s.properties,
+        Map("altered-column" -> colName,
+          "from-type" -> f.dataType.catalogString,
+          "to-type" -> newType.catalogString)))
+  }
+
+  /** The widening promotions Iceberg's schema evolution permits (plus
+    * the byte/short steps Spark's reader equally supports). */
+  private def isTypePromotion(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision >= f.precision
+    case _ => false
   }
 
   /** Row-level CHANGELOG between two snapshots (the

@@ -82,4 +82,67 @@ class SchemaEvolutionSpec extends SparkSpec {
     snap.summary("added-columns") shouldBe "1"
     snap.operation shouldBe "append-evolve"
   }
+
+  test("alterColumnType: metadata-only widening, mixed generations read under one schema") {
+    import org.apache.spark.sql.types._
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("promo-wh").toString)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.promoted")
+    t.createOrReplace(Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "v", "score"))
+    val entriesBefore = t.currentSnapshot.get.entries
+
+    t.alterColumnType("id", LongType)
+    t.alterColumnType("score", DoubleType)
+
+    // metadata-only: no data entry was rewritten by the promotions
+    t.currentSnapshot.get.entries shouldBe entriesBefore
+    t.currentSnapshot.get.operation shouldBe "alter-column-type"
+    t.schema("id").dataType shouldBe LongType
+    t.schema("score").dataType shouldBe DoubleType
+    // keys beyond int range are appendable post-promotion; the batch's
+    // long/double columns pass conform uncast
+    t.append(Seq((10000000001L, "c", 3.5)).toDF("id", "v", "score"))
+    val rows = t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    rows.toSeq shouldBe Seq((1L, "a", 1.5), (2L, "b", 2.5), (10000000001L, "c", 3.5))
+    // merges reach across both file generations
+    t.mergeInto(Seq((1L, "A", 9.0), (10000000001L, "C", 9.5)).toDF("id", "v", "score"),
+      Seq("id"))
+    t.read.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe Seq("A", "b", "C")
+  }
+
+  test("alterColumnType: decimal precision growth at fixed scale; stats pruning survives") {
+    import org.apache.spark.sql.types._
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("promo-dec-wh").toString)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.promoted_dec")
+    t.createOrReplace(
+      Seq((1L, "11.25"), (2L, "22.50")).toDF("id", "p")
+        .select($"id", $"p".cast("decimal(6,2)").as("p")))
+    t.alterColumnType("p", DecimalType(14, 2))
+    t.append(Seq((3L, "123456789012.75")).toDF("id", "p")
+      .select($"id", $"p".cast("decimal(14,2)").as("p")))
+    t.read.orderBy("id").collect().map(_.getDecimal(1).toPlainString).toSeq shouldBe
+      Seq("11.25", "22.50", "123456789012.75")
+    // legacy narrow-decimal stats strings still prune under the wide type
+    t.readWhere($"p" >= new java.math.BigDecimal("100.00"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+  }
+
+  test("alterColumnType refuses narrowing, scale changes, and the bucket column") {
+    import org.apache.spark.sql.types._
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("promo-ref-wh").toString)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.promoted_refuse")
+    t.createOrReplace(Seq((1L, 5, "x")).toDF("id", "n", "v"),
+      bucketBy = Some(("n", 4)))
+    an[IllegalArgumentException] should be thrownBy
+      t.alterColumnType("id", IntegerType) // narrowing
+    an[IllegalArgumentException] should be thrownBy
+      t.alterColumnType("v", IntegerType) // string -> int is not a promotion
+    an[IllegalArgumentException] should be thrownBy
+      t.alterColumnType("n", LongType) // bucket column: hash-sensitive
+    an[IllegalArgumentException] should be thrownBy
+      t.alterColumnType("missing", LongType)
+  }
 }

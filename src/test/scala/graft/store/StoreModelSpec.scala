@@ -21,9 +21,14 @@ class StoreModelSpec extends SparkSpec {
 
   private type Row3 = (Long, (String, Double))
 
+  // qty is ALWAYS built as int and derived from id — the narrow column
+  // the type-promotion op widens mid-sequence; the model never tracks
+  // it (its value is a function of id) but the read-back must serve it
+  // across int32/int64 file generations
   private def df(rows: Seq[Row3]): DataFrame = {
     import spark.implicits._
     rows.map { case (id, (st, amt)) => (id, st, amt) }.toDF("id", "status", "amount")
+      .withColumn("qty", (col("id") % 100).cast("int"))
   }
 
   private def pick(rnd: scala.util.Random, from: Seq[Long], n: Int): Seq[Long] =
@@ -55,7 +60,7 @@ class StoreModelSpec extends SparkSpec {
     }
 
     for (step <- 1 to 12) {
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 =>
           lastOp = "append"
           val rows = freshRows(4, "a")
@@ -128,15 +133,24 @@ class StoreModelSpec extends SparkSpec {
             case _ => Seq("status")
           }
           t.updatePartitionSpec(next)
+        case 11 =>
+          // TYPE promotion mid-sequence: metadata-only widening
+          // (qty int→long); legacy int32 files must read back as long
+          // and every later writer conforms to the widened schema
+          // (model sees NO change; RTAS resets the schema to int)
+          lastOp = "promote-type"
+          t.alterColumnType("qty", org.apache.spark.sql.types.LongType)
       }
       history += t.currentSnapshot.get.version -> model
       // MULTISET comparison (sorted rows, not .toMap): duplicate-id
       // rows — the failure mode of layout/prune bugs — must fail the
       // step, not be masked by last-write-wins map collapse
       val got = t.read.collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.get(3).toString.toLong))
         .toSeq.sorted
-      val want = model.toSeq.map { case (id, (st, amt)) => (id, st, amt) }.sorted
+      val want = model.toSeq
+        .map { case (id, (st, amt)) => (id, st, amt, id % 100) }.sorted
       withClue(s"seed=$seed step=$step op=$lastOp: ") {
         got shouldBe want
       }
