@@ -324,6 +324,36 @@ object StoreQueries {
         .withColumn("o_orderstatus", lit("W")),
       Seq("o_orderkey"))
     t.fastForward("audit")
+    // audit-cycle hygiene, runtime-asserted (the oracle hashes rows):
+    // the published branch shows in .refs, is dropped, and the refs
+    // table collapses back to main alone
+    require(t.refsDF.filter(col("name") === "audit").count() == 1L,
+      "published audit branch missing from .refs")
+    t.dropBranch("audit")
+    require(t.refsDF.filter(col("type") === "BRANCH").count() == 1L,
+      ".refs must show only main after audit cleanup")
+    t.read.orderBy("o_orderkey")
+  }
+
+  /** c29: WAP CHERRY-PICK — main ADVANCES while the audit branch stages
+    * its append (the shape fastForward's fork-point gate refuses);
+    * `cherryPick` imports just the branch-added entries onto the moved
+    * main head, metadata-only. Final state = all three key groups. */
+  private def c29(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_cp"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_cp")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base.filter(col("o_orderkey") % 3 === 0))
+    t.dropBranch("audit") // stale branch from a prior run of this query
+    t.createBranch("audit")
+    val b = t.branch("audit")
+    b.append(base.filter(col("o_orderkey") % 3 === 1))
+    // main moves on while the audit runs
+    t.append(base.filter(col("o_orderkey") % 3 === 2))
+    t.cherryPick("audit")
+    t.dropBranch("audit")
     t.read.orderBy("o_orderkey")
   }
 
@@ -576,6 +606,7 @@ object StoreQueries {
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
     "c19_wap_publish" -> (c19 _),
+    "c29_wap_cherry_pick" -> (c29 _),
     "c20_tag_expire" -> (c20 _),
     "c21_merge_evolve" -> (c21 _),
     "c22_zorder_scan" -> (c22 _),
@@ -662,6 +693,11 @@ object StoreQueries {
            AS o_orderstatus,
          o_totalprice
          FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         ORDER BY o_orderkey""",
+    "c29_wap_cherry_pick" ->
+      // %3=0 base + %3=2 landed on main + %3=1 cherry-picked from the
+      // audit branch: the final state is simply every order untouched
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          ORDER BY o_orderkey""",
     "c20_tag_expire" ->
       // the tag pins the PRE-rewrite state: plain base projection

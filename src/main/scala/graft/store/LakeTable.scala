@@ -1899,6 +1899,48 @@ class LakeTable(
         Map("branch" -> b, "branch-version" -> bHead.version.toString)))
   }
 
+  /** Cherry-pick branch `b`'s APPEND-ONLY work onto main even after
+    * main has ADVANCED past the fork — Iceberg's `cherrypick_snapshot`,
+    * the WAP escape hatch for the shape [[fastForward]]'s fork-point
+    * gate refuses. Appends commute with whatever landed on main in the
+    * meantime, so importing just the branch-added entries onto the
+    * current main head is sound; rewrites (merge / delete / compaction
+    * / spec changes) do NOT commute and are rejected — that shape needs
+    * a re-fork and re-audit.
+    *
+    * Metadata-only: the branch's data dirs are already under the shared
+    * `<location>/data`. Imported entries are RE-STAMPED with the
+    * publishing commit's fresh sequence number (Iceberg assigns the
+    * cherry-picked snapshot a new sequence too): the rows arrive "now",
+    * so no pre-existing main-side equality-delete file — whose
+    * sequence is necessarily lower — can mask them. */
+  def cherryPick(b: String): Snapshot = synchronized {
+    val bt = branch(b)
+    val bHead = bt.requireExists()
+    val forkV = bt.forkVersion
+    val lineage = bt.allSnapshots.filter(_.version >= forkV).sortBy(_.version)
+    require(lineage.headOption.exists(_.version == forkV),
+      s"cannot cherry-pick $b: snapshots back to the fork point v$forkV were expired")
+    val appendOps = Set("fork", "append", "append-evolve")
+    val bad = lineage.filterNot(s => appendOps(s.operation))
+    require(bad.isEmpty,
+      s"cannot cherry-pick $b: non-append commit(s) since fork (" +
+        bad.map(s => s"v${s.version}:${s.operation}").mkString(", ") +
+        ") — rewrites do not commute with main's commits; re-fork and re-audit")
+    val main = requireExists()
+    require(bHead.schema.catalogString == main.schema.catalogString,
+      s"cannot cherry-pick $b: branch schema diverged from main's")
+    val forkKeys = lineage.head.entries.map(e => (e.dir, e.partition)).toSet
+    val added = bHead.entries.filterNot(e => forkKeys((e.dir, e.partition)))
+      .map(_.copy(seq = StampAtCommit))
+    if (added.isEmpty) main
+    else commit("cherry-pick", requireParentVersion = Some(main.version),
+      extraReuseRefs = bt.readSegmentRefs(bHead.version))(p =>
+      (main.schema, main.partitionCols, p.get.entries ++ added, main.properties,
+        Map("branch" -> b, "branch-version" -> bHead.version.toString,
+          "imported-entries" -> added.size.toString)))
+  }
+
   /** Delete branch `b`'s metadata. Unpublished data dirs it alone
     * referenced become orphans, collected by [[removeOrphanFiles]]. */
   def dropBranch(b: String): Unit = synchronized {

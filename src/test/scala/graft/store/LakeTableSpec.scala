@@ -526,6 +526,56 @@ class LakeTableSpec extends SparkSpec {
     t2.fastForward("empty").version shouldBe t2.currentSnapshot.get.version
   }
 
+  test("branch: cherryPick imports append-only work onto an ADVANCED main") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("cp")
+    val b = t.branch("cp")
+    b.append(df(Seq((2L, "b", 2.0))))
+    t.append(df(Seq((3L, "c", 3.0)))) // main moves on — fastForward refuses
+    an[IllegalArgumentException] should be thrownBy t.fastForward("cp")
+    val snap = t.cherryPick("cp")
+    snap.operation shouldBe "cherry-pick"
+    snap.summary("imported-entries") shouldBe "1"
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    // idempotent guard: a branch whose work already landed imports nothing
+    // only when re-forked; the SAME branch head re-picked would re-import,
+    // so the WAP cycle drops the branch after publish
+    t.dropBranch("cp")
+    t.listBranches shouldBe empty
+  }
+
+  test("branch: cherryPick refuses rewrites and schema divergence") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("rw")
+    t.branch("rw").mergeInto(df(Seq((1L, "A", 10.0))), Seq("id"))
+    t.append(df(Seq((2L, "b", 2.0))))
+    an[IllegalArgumentException] should be thrownBy t.cherryPick("rw")
+    // schema divergence: an append-evolve'd branch cannot cherry-pick
+    // onto a main that did not evolve identically
+    t.createBranch("evo")
+    import spark.implicits._
+    t.branch("evo").appendEvolve(
+      Seq((4L, "d", 4.0, 99)).toDF("id", "status", "amount", "extra"))
+    an[IllegalArgumentException] should be thrownBy t.cherryPick("evo")
+  }
+
+  test("branch: cherry-picked rows are re-stamped above pre-existing MoR deletes") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (5L, "e", 5.0))))
+    t.createBranch("cp")
+    val b = t.branch("cp")
+    b.append(df(Seq((5L, "E2", 50.0)))) // fresh row re-using a key main will mask
+    t.deleteWhereExistsMoR(df(Seq((5L, "", 0.0))).select("id"), Seq("id"))
+    t.read.filter(col("id") === 5L).count() shouldBe 0
+    t.cherryPick("cp")
+    // the imported entry's sequence is the publish commit's (fresh),
+    // strictly above the older delete file — the row must survive
+    val row5 = t.read.filter(col("id") === 5L).collect()
+    row5.map(_.getString(1)).toSeq shouldBe Seq("E2")
+  }
+
   test("branch: publish surfaces in the incremental scan as added rows") {
     val t = freshCatalog().table("db.t")
     val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0)))).version
