@@ -108,6 +108,59 @@ class EventStreamsSpec extends SparkSpec {
     rows.map(_._1) should not contain ts("2026-01-01 23:00:00")
   }
 
+  test("watermark late-drop: an out-of-order event behind the watermark never lands") {
+    val src = Files.createTempDirectory("es-late-src").toString
+    val ckpt = Files.createTempDirectory("es-late-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 2L, "click")), src, 1)
+    writeBatch(eventsDf(
+      (3L, "2026-01-01 05:00:00", 1L, "view")), src, 2) // advances max event time
+    // the max seen in batch N becomes the OPERATIVE filter watermark in
+    // batch N+2 (it is committed after N and applied from N+1's end),
+    // so an on-time filler batch sits between the advancer and the late
+    // arrival to make 03:00 the active watermark when the late row lands
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 05:30:00", 2L, "view")), src, 3)
+    writeBatch(eventsDf(
+      (5L, "2026-01-01 00:30:00", 3L, "click")), src, 4) // LATE: behind wm 03:00
+    writeBatch(eventsDf(
+      (6L, "2026-01-01 23:30:00", 1L, "view")), src, 5) // flushes 05:00's window
+
+    val q = EventStreams
+      .windowedTypeCounts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        windowDur = "1 hour", watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("late")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val w0 = spark.table("late").collect()
+      .filter(_.getTimestamp(0) == ts("2026-01-01 00:00:00"))
+      .map(r => (r.getString(2), r.getLong(3))).toSeq
+    // the 00:00 window closed at watermark 03:00 and emitted EXACTLY
+    // once, with the on-time rows only — the late click in batch 3 was
+    // dropped at ingestion, never resurrecting the closed window
+    w0 shouldBe Seq(("click", 2L))
+
+    // the BATCH run of the same pipeline has no state to protect: the
+    // watermark is inert and the late event counts — the delta between
+    // the two results IS the late-drop contract this spec pins
+    val batchAll = eventsDf(
+      (1L, "2026-01-01 00:10:00", 1L, "click"),
+      (2L, "2026-01-01 00:20:00", 2L, "click"),
+      (3L, "2026-01-01 05:00:00", 1L, "view"),
+      (4L, "2026-01-01 05:30:00", 2L, "view"),
+      (5L, "2026-01-01 00:30:00", 3L, "click"),
+      (6L, "2026-01-01 23:30:00", 1L, "view"))
+    val batchW0 = EventStreams
+      .windowedTypeCounts(batchAll, windowDur = "1 hour", watermarkDelay = "2 hours")
+      .filter(col("w_start") === ts("2026-01-01 00:00:00"))
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSeq
+    batchW0 shouldBe Seq(("click", 3L))
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     val src = Files.createTempDirectory("es-dd-src").toString
     val ckpt = Files.createTempDirectory("es-dd-ckpt").toString
