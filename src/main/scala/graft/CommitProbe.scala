@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.store.LakeCatalog
+
+/** Phase-level profiler for the table-store commit path:
+  * `runMain graft.CommitProbe [sfDir] [iters]` replays the c07
+  * (partitioned COW) and c12 (bucketed COW) lifecycles with a timer
+  * around each store operation, so commit-machinery cost (write +
+  * footer stats + snapshot/segment serialization) is separable from
+  * the Spark job cost of the same stage. Companion to ScaleProbe /
+  * ManifestProbe: run before and after commit-path changes. */
+object CommitProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-commit-probe", master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  PHASE $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val base = SparkEntry.table(spark, sfDir, "orders")
+
+    (1 to iters).foreach { it =>
+      println(s"== c07 shape (partitioned COW), iter $it ==")
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_p$it"
+      val cat = new LakeCatalog(spark, wh)
+      cat.createDatabase("lake")
+      val t = cat.table("lake.orders_part")
+      val part = base.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      time("createOrReplace")(t.createOrReplace(part, partitionBy = Seq("o_year")))
+      val source = part
+        .filter(col("o_orderkey") % 50 === 1 && col("o_year") === "1995")
+        .withColumn("o_orderstatus", lit("M"))
+      time("mergeInto")(t.mergeInto(source, Seq("o_orderkey")))
+      time("deleteWhereExists")(t.deleteWhereExists(
+        part.filter(col("o_orderkey") % 50 === 2 && col("o_year") === "1995"),
+        Seq("o_orderkey")))
+      time("read+order")(t.read
+        .select("o_orderkey", "o_orderstatus", "o_year")
+        .orderBy("o_orderkey")
+        .write.format("noop").mode("overwrite").save())
+
+      println(s"== c12 shape (bucketed COW), iter $it ==")
+      val wh2 = s"${sys.props("java.io.tmpdir")}/graft_cprobe_b$it"
+      val cat2 = new LakeCatalog(spark, wh2)
+      cat2.createDatabase("lake")
+      val tb = cat2.table("lake.orders_bucketed")
+      val nb = base.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      time("createOrReplace")(
+        tb.createOrReplace(nb, bucketBy = Some(("o_orderkey", 16))))
+      time("mergeInto")(tb.mergeInto(
+        nb.filter(col("o_orderkey") % 11 === 0).withColumn("o_orderstatus", lit("B")),
+        Seq("o_orderkey")))
+      time("deleteWhereExists")(tb.deleteWhereExists(
+        nb.filter(col("o_orderkey") % 13 === 0), Seq("o_orderkey")))
+      time("read+order")(tb.read
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}

@@ -363,8 +363,22 @@ object Dedup {
 
   /** [[nearDupClusters]] plus the number of star rounds executed —
     * exposed so the convergence-bound spec can pin the O(log n)
-    * behavior. */
-  private[graft] def nearDupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    * behavior.
+    *
+    * TWO-TIER execution, gated on the EDGE count (not the corpus):
+    *  - at or below `driverEdgeThreshold`, union-find on the driver —
+    *    the LSH pair graph is orders of magnitude smaller than the
+    *    corpus (near-dups are rare by construction), so the common case
+    *    is a metadata-sized collect (2M edges ≈ 32 MB) solved in
+    *    milliseconds instead of paying multi-round shuffle latency;
+    *  - above it, distributed alternating large-star/small-star rounds:
+    *    O(log n) rounds on any graph shape, edges-only shuffles. This
+    *    is the 100 TB path (billions of pair edges never fit a driver).
+    * The threshold is a parameter so tests (and extreme deployments)
+    * can force either tier. */
+  private[graft] def nearDupClustersWithRounds(
+      pairs: DataFrame,
+      driverEdgeThreshold: Long = 2000000L): (DataFrame, Int) = {
     // the (possibly expensive) candidate-pair pipeline is read 4 times
     // below (edges union + node-id union) — cache it, materialize both
     // compact derived sets eagerly, release before the rounds start
@@ -383,8 +397,37 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     p.unpersist(false)
+    var prevCount = edges.count()
+    if (prevCount <= driverEdgeThreshold) {
+      // tier 1: union-find with union-by-minimum (the smaller root
+      // becomes parent), so each root IS the component-minimum doc_id —
+      // the same label the star rounds converge to
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val assigned = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct.map(x => (x, find(x))).toSeq
+        .toDF("doc_id", "cluster")
+      val labels = assigned.union(
+        nodes.join(assigned.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster")))
+      edges.unpersist(false)
+      return (labels, 0)
+    }
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = prevCount == 0L
     while (!converged) {
       rounds += 1
       require(rounds <= 64,
@@ -395,10 +438,14 @@ object Dedup {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      // cached: consumed by BOTH the small-star re-hang and its
+      // neighborhood-minimum agg — uncached, the join+distinct DAG
+      // would execute twice inside one round
       val large = sym.filter(col("v") > col("u"))
         .join(m, Seq("u"))
         .select(col("m").as("u"), col("v"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // SMALL-STAR: per node v, re-hang its smaller neighbors (all its
       // u partners under the canonical orientation) and v itself under
       // the neighborhood minimum
@@ -409,11 +456,18 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // fixed point: the round rewired nothing (set equality — both
-      // sides are distinct and canonically oriented)
-      converged = small.exceptAll(edges).isEmpty &&
-        edges.exceptAll(small).isEmpty
+      large.unpersist(false)
+      // fixed point: the round rewired nothing. Both sides are DISTINCT
+      // canonically-oriented sets, so equality is |A| = |B| plus ONE
+      // empty one-sided difference — and the count is a cheap action on
+      // the just-checkpointed result, so most rounds (counts moving)
+      // skip the exceptAll shuffle entirely
+      val cnt = small.count()
+      converged = cnt == prevCount && small.exceptAll(edges).isEmpty
+      val prev = edges
       edges = small
+      prevCount = cnt
+      prev.unpersist(false) // release the superseded round's blocks
     }
     // at the fixed point the edges ARE per-component stars (u = the
     // component minimum); centers and isolated nodes label themselves

@@ -513,15 +513,36 @@ class LakeTable(
   private def writeData(df: DataFrame, partitionCols: Seq[String]): (String, Seq[ManifestEntry]) = {
     val dir = UUID.randomUUID().toString.take(18)
     val abs = s"$location/data/$dir"
-    val writer = df.write.mode("errorifexists")
+    // HASH-DISTRIBUTE laid-out writes on the layout columns (Iceberg's
+    // write.distribution-mode=hash): without it every shuffle task
+    // holding rows of a leaf writes its own file there — tasks × leaves
+    // small files per commit, which bloats the footer-stats harvest,
+    // the manifest, and every downstream open. The AQE REBALANCE
+    // shuffle co-locates each leaf's rows, coalesces small leaves into
+    // shared tasks AND splits a skewed leaf across several (a plain
+    // repartition would serialize a huge single-partition batch through
+    // one task) — files-per-commit tracks LEAVES (+ skew splits), not
+    // tasks × leaves.
+    val out = if (partitionCols.isEmpty) df
+      else df.hint("rebalance", partitionCols.map(col): _*)
+    val writer = out.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(abs)
     val entries =
       if (partitionCols.isEmpty)
         Seq(ManifestEntry(dir, None, footerStats(new Path(abs), df.schema), StampAtCommit))
-      else listLeafPartitions(new Path(abs), partitionCols.length)
-        .map(rel => ManifestEntry(dir, Some(rel),
-          footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))
+      else {
+        // footer harvesting is metadata-sized but LATENCY-bound (one
+        // driver-side open per file): overlap the per-leaf reads
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(listLeafPartitions(new Path(abs), partitionCols.length))(rel =>
+            Future(ManifestEntry(dir, Some(rel),
+              footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))),
+          Duration.Inf)
+      }
     (dir, entries)
   }
 
@@ -585,9 +606,18 @@ class LakeTable(
   private def readEntries(s: Snapshot, entries: Seq[ManifestEntry]): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    val parts = entries.groupBy(_.dir).toSeq.map { case (dir, es) =>
-      readDir(s, dir, es)
-    }
+    // UNPARTITIONED-layout entries collapse into ONE multi-path relation:
+    // a dir-per-commit union would make the plan (and driver planning
+    // cost) O(commits) — thousands of unioned relations on a
+    // long-appended table — where one relation lists all dirs in a
+    // single pass. Partitioned-layout dirs keep readDir's per-dir
+    // basePath dispatch (partition-value extraction needs it).
+    val (unpart, part) = entries.partition(_.partition.isEmpty)
+    val parts =
+      (if (unpart.isEmpty) Nil
+       else Seq(spark.read.schema(s.schema)
+         .parquet(unpart.map(e => s"$location/data/${e.dir}").distinct: _*))) ++
+      part.groupBy(_.dir).toSeq.map { case (dir, es) => readDir(s, dir, es) }
     parts.reduce(_ unionByName _).select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 

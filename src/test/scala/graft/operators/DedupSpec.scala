@@ -146,7 +146,9 @@ class DedupSpec extends SparkSpec {
     // 999 would need ~999 propagation rounds); large-star/small-star
     // doubles the hang-depth per round, so ~log2(1000) + epsilon rounds
     val path = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = Dedup.nearDupClustersWithRounds(path)
+    // threshold 0 forces the DISTRIBUTED tier (the default would take
+    // the driver union-find shortcut for a graph this small)
+    val (labels, rounds) = Dedup.nearDupClustersWithRounds(path, driverEdgeThreshold = 0L)
     withClue(s"rounds = $rounds: ") { rounds should be <= 12 }
     val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     out.length shouldBe 1000
@@ -171,9 +173,16 @@ class DedupSpec extends SparkSpec {
     }
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(n => n -> find(n.toInt).toLong).toMap
+    // BOTH tiers must agree with the reference: the driver union-find
+    // shortcut (default threshold) and the distributed star rounds
+    // (threshold 0)
     val out = Dedup.nearDupClusters(edges.toDF("doc_a", "doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     out shouldBe expected
+    val distributed = Dedup
+      .nearDupClustersWithRounds(edges.toDF("doc_a", "doc_b"), driverEdgeThreshold = 0L)
+      ._1.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    distributed shouldBe expected
   }
 
   test("crossSplitContamination scores containment, not Jaccard") {
