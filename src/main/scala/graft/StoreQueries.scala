@@ -433,6 +433,37 @@ object StoreQueries {
     t.read.orderBy("o_orderkey")
   }
 
+  /** c30: INCREMENTALLY-MAINTAINED ROLLUP — an append-only events
+    * source grows in three generations with a `Rollup.refresh` after
+    * each; every refresh reads only the increment (incremental scan),
+    * combines with the current totals of the touched groups, and lands
+    * delta + watermark in ONE merge commit. The measures are decimal,
+    * so the incremental totals are BIT-EQUAL to the oracle's full
+    * recompute — any double-apply, lost delta, or wrong changes() range
+    * diverges the hash. */
+  private def c30(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ru"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_src")
+    cat.dropTable("lake.events_rollup") // stale rollup from a prior run
+    val dst = cat.table("lake.events_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("value"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    src.append(ev.filter(col("event_id") > 2 * q))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    // already-current refresh must be a no-op (watermark unchanged)
+    require(Rollup.refresh(src, dst, Seq("event_type"), Seq("value")) == 0L,
+      "refresh at head must fold zero versions")
+    dst.read.orderBy("event_type")
+  }
+
   /** e22: IVF centroid RE-BALANCE — the index is built on the initial
     * corpus, later vectors are appended under the frozen quantizer
     * (e19), then `rebalance` re-trains each centroid as the mean of its
@@ -602,6 +633,7 @@ object StoreQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c27_partition_evolution" -> (c27 _),
     "c28_type_promotion" -> (c28 _),
+    "c30_incremental_rollup" -> (c30 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -635,6 +667,12 @@ object StoreQueries {
               ELSE o_totalprice END AS o_totalprice
          FROM orders
          ORDER BY o_orderkey""",
+    "c30_incremental_rollup" ->
+      // three incremental refreshes must equal one full recompute —
+      // decimal sums are order-independent, so equality is exact
+      """SELECT event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "c28_type_promotion" ->
       // evens keep original keys (legacy int32 files), odds are shifted
       // past int range (post-promotion long files); %5 keys gain an

@@ -903,8 +903,11 @@ class LakeTable(
     * (`cdc_pipeline.py:220-237`). Partition-pruned: when the table is
     * partitioned and the source carries the partition columns, only the
     * partitions present in the source are rewritten. */
-  def mergeInto(source: DataFrame, keys: Seq[String]): Snapshot =
-    rewriteMatching(source, keys, "merge") { (targetSlice, src) =>
+  def mergeInto(
+      source: DataFrame,
+      keys: Seq[String],
+      extraProperties: Map[String, String] = Map.empty): Snapshot =
+    rewriteMatching(source, keys, "merge", extraProperties) { (targetSlice, src) =>
       graft.operators.Merge.upsert(targetSlice, src, keys)
     }
 
@@ -1437,7 +1440,14 @@ class LakeTable(
     *
     * Every tier rewrites with the CURRENT spec, so touching a
     * legacy-layout entry migrates it. */
-  private def rewriteMatching(source: DataFrame, keys: Seq[String], op: String)(
+  private def rewriteMatching(
+      source: DataFrame,
+      keys: Seq[String],
+      op: String,
+      // property updates that must ride THIS commit (e.g. the rollup
+      // refresh watermark — separate data and property commits would
+      // double-apply the delta if a crash landed between them)
+      extraProps: Map[String, String] = Map.empty)(
       rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot = {
     val s = requireExists()
     val soundLayoutPrune = bucketSpec(s) match {
@@ -1552,7 +1562,7 @@ class LakeTable(
     val out = rewrite(morRead(s, affected), source)
     val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
     commit(op, requireParentVersion = Some(s.version))(_ =>
-      (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
+      (s.schema, s.partitionCols, untouched ++ newEntries, s.properties ++ extraProps,
         Map(
           "prune-mode" -> mode,
           "rewritten-entries" -> affected.size.toString,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.LakeCatalog
+
+class RollupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (id, k, v) => (id, k, v) }.toDF("id", "k", "v")
+      .select($"id", $"k", $"v".cast("decimal(10,2)").as("v"))
+
+  private def freshCat =
+    new LakeCatalog(spark, Files.createTempDirectory("rollup-wh").toString)
+
+  private def state(dst: graft.store.LakeTable) =
+    dst.read.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+
+  test("incremental refreshes equal a full recompute; watermark rides the merge commit") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src")
+    val dst = cat.table("db.agg")
+    src.createOrReplace(ev((1L, "a", "1.10"), (2L, "b", "2.20")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) // bootstrap = rebuild
+    dst.properties(Rollup.WatermarkProp) shouldBe "1"
+    state(dst) shouldBe Seq(("a", 1L, "1.10"), ("b", 1L, "2.20"))
+
+    src.append(ev((3L, "a", "0.90"), (4L, "c", "3.00")))
+    src.append(ev((5L, "b", "1.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) shouldBe 2L // two versions folded
+    dst.properties(Rollup.WatermarkProp) shouldBe "3"
+    state(dst) shouldBe Seq(("a", 2L, "2.00"), ("b", 2L, "3.20"), ("c", 1L, "3.00"))
+    // bit-equal to the full recompute (decimal sums are order-free)
+    val full = src.read.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    state(dst) shouldBe full
+    // at head: no-op, watermark unchanged, no phantom commit
+    val vBefore = dst.currentSnapshot.get.version
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) shouldBe 0L
+    dst.currentSnapshot.get.version shouldBe vBefore
+  }
+
+  test("refresh refuses after a non-append source commit; rebuild recovers") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src")
+    val dst = cat.table("db.agg")
+    src.createOrReplace(ev((1L, "a", "1.00"), (2L, "b", "2.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    // a COW rewrite re-emits rewritten rows in changes(): must refuse
+    src.mergeInto(ev((1L, "a", "5.00")), Seq("id"))
+    an[IllegalArgumentException] should be thrownBy
+      Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    // rollup state untouched by the refusal
+    state(dst) shouldBe Seq(("a", 1L, "1.00"), ("b", 1L, "2.00"))
+    Rollup.rebuild(src, dst, Seq("k"), Seq("v"))
+    state(dst) shouldBe Seq(("a", 1L, "5.00"), ("b", 1L, "2.00"))
+    // and incremental maintenance resumes cleanly after the rebuild
+    src.append(ev((3L, "b", "1.50")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) shouldBe 1L
+    state(dst) shouldBe Seq(("a", 1L, "5.00"), ("b", 2L, "3.50"))
+  }
+
+  test("a source REPLACE inside the refresh range refuses — prior totals are invalid") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src")
+    val dst = cat.table("db.agg")
+    src.createOrReplace(ev((1L, "a", "1.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    src.createOrReplace(ev((2L, "b", "2.00"))) // rows the watermark counted are gone
+    an[IllegalArgumentException] should be thrownBy
+      Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    Rollup.rebuild(src, dst, Seq("k"), Seq("v"))
+    state(dst) shouldBe Seq(("b", 1L, "2.00"))
+  }
+
+  test("a pre-existing non-rollup table is refused (no silent overwrite)") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src")
+    val dst = cat.table("db.not_a_rollup")
+    src.createOrReplace(ev((1L, "a", "1.00")))
+    dst.createOrReplace(ev((9L, "z", "9.99")))
+    an[IllegalStateException] should be thrownBy
+      Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+  }
+}
