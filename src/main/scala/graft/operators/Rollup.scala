@@ -78,11 +78,33 @@ object Rollup {
         s"(${range.filterNot(AppendOps).mkString(", ")}) — the incremental " +
         "scan would re-emit rewritten rows; rebuild the rollup instead")
     val delta = aggregated(src.changes(lastV, Some(srcV)), groupCols, sumCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      refreshDelta(dst, groupCols, sumCols, delta, srcV, lastV)
+    } finally { delta.unpersist(); () }
+  }
+
+  private def refreshDelta(dst: LakeTable, groupCols: Seq[String],
+      sumCols: Seq[String], delta: DataFrame, srcV: Long, lastV: Long): Long = {
+    // MERGE matches keys with plain (Iceberg) equality, which can never
+    // match a NULL group key — a null group would INSERT a duplicate
+    // total row instead of replacing its own. Refuse up front (the
+    // delta is aggregate-sized, so the probe is cheap); coalesce the
+    // group column in the source projection to lift the restriction.
+    require(delta.filter(groupCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      s"rollup group key(s) ${groupCols.mkString(",")} contain NULLs — " +
+        "MERGE key equality cannot replace a null-keyed group; coalesce " +
+        "the group column to a sentinel before rolling up")
     // combine with the current totals of the touched groups only; the
-    // rollup side is aggregate-sized, so this join is cheap at any scale
-    val curCols = groupCols.map(col) ++
-      (col("n").as("__cur_n") +: sumCols.map(c => col(s"sum_$c").as(s"__cur_$c")))
-    val combined = delta.join(dst.read.select(curCols: _*), groupCols, "left")
+    // rollup side is aggregate-sized, so this join is cheap at any
+    // scale (null-safe equality as belt-and-suspenders under the
+    // refusal above)
+    val cur = dst.read.select(
+      groupCols.map(c => col(c).as(s"__ck_$c")) ++
+        (col("n").as("__cur_n") +:
+          sumCols.map(c => col(s"sum_$c").as(s"__cur_$c"))): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__ck_$c")).reduce(_ && _)
+    val combined = delta.join(cur, joinCond, "left")
       .select(groupCols.map(col) ++
         ((col("n") + coalesce(col("__cur_n"), lit(0L))).as("n") +:
           sumCols.map(c =>

@@ -1959,8 +1959,15 @@ class LakeTable(
     val bHead = bt.requireExists()
     val forkV = bt.forkVersion
     val lineage = bt.allSnapshots.filter(_.version >= forkV).sortBy(_.version)
-    require(lineage.headOption.exists(_.version == forkV),
-      s"cannot cherry-pick $b: snapshots back to the fork point v$forkV were expired")
+    // CONTIGUOUS retention required, not just the fork itself: with the
+    // fork pinned (e.g. tagged) while expiry dropped an intermediate
+    // snapshot, a rewrite commit could hide in the gap — its rewritten
+    // entries would import as "additions" and duplicate rows main still
+    // holds. A gap is indistinguishable from that, so refuse.
+    require(lineage.map(_.version) == (forkV to bHead.version),
+      s"cannot cherry-pick $b: snapshots between the fork point v$forkV " +
+        s"and the head v${bHead.version} were expired — the commit kinds " +
+        "in the gap cannot be audited; re-fork and re-audit")
     val appendOps = Set("fork", "append", "append-evolve")
     val bad = lineage.filterNot(s => appendOps(s.operation))
     require(bad.isEmpty,

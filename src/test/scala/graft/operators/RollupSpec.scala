@@ -84,6 +84,20 @@ class RollupSpec extends SparkSpec {
     state(dst) shouldBe Seq(("b", 1L, "2.00"))
   }
 
+  test("a NULL group key in the delta is refused (merge equality cannot replace it)") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src")
+    val dst = cat.table("db.agg")
+    src.createOrReplace(ev((1L, "a", "1.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    src.append(Seq((2L, null.asInstanceOf[String], "2.00")).toDF("id", "k", "v")
+      .select($"id", $"k", $"v".cast("decimal(10,2)").as("v")))
+    an[IllegalArgumentException] should be thrownBy
+      Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    state(dst) shouldBe Seq(("a", 1L, "1.00")) // untouched by the refusal
+  }
+
   test("a pre-existing non-rollup table is refused (no silent overwrite)") {
     val cat = freshCat
     cat.createDatabase("db")

@@ -561,6 +561,19 @@ class LakeTableSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy t.cherryPick("evo")
   }
 
+  test("branch: cherryPick refuses when expiry left a gap below the head") {
+    val t = freshCatalog().table("db.t")
+    t.createOrReplace(df(Seq((1L, "a", 1.0))))
+    t.createBranch("gap")
+    val b = t.branch("gap")
+    b.append(df(Seq((2L, "b", 2.0))))
+    b.append(df(Seq((3L, "c", 3.0))))
+    b.createTag("pin", Some(1L)) // pin the fork so expiry keeps v1...
+    b.expireSnapshots(keepLast = 1) // ...but drops the middle append
+    // the gap could as easily hide a rewrite — auditing is impossible
+    an[IllegalArgumentException] should be thrownBy t.cherryPick("gap")
+  }
+
   test("branch: cherry-picked rows are re-stamped above pre-existing MoR deletes") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (5L, "e", 5.0))))
