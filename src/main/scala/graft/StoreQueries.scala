@@ -433,6 +433,35 @@ object StoreQueries {
     t.read.orderBy("o_orderkey")
   }
 
+  /** c31: BLOOM-SIDECAR point lookup — four appends with INTERLEAVED
+    * key residues (`%4`), so every manifest entry spans essentially the
+    * whole o_orderkey range and min/max stats prune NOTHING for an
+    * equality probe. The `write.bloom.columns` sidecars built at each
+    * commit prove the min/max keys absent from the other entries; the
+    * runtime assert pins that the lookup plans ≤2 of the 4 entries
+    * before a single data file is opened, and the oracle hashes the
+    * returned rows. The 100 TB shape: a PK lookup on an append-churned
+    * table reads a few KB of sidecars, not every overlapping file. */
+  private def c31(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_bl"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_bloomed")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base.filter(col("o_orderkey") % 4 === 0),
+      tableProperties = Map(
+        "write.bloom.columns" -> "o_orderkey",
+        "write.bloom.expected-items" -> "100000"))
+    (1 to 3).foreach(m => t.append(base.filter(col("o_orderkey") % 4 === m)))
+    val mm = base.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val cond = col("o_orderkey").isin(mm.getLong(0), mm.getLong(1))
+    val snap = t.currentSnapshot.get
+    require(snap.entries.size == 4, s"expected 4 entries, got ${snap.entries.size}")
+    val plannedN = t.prunedEntries(snap, cond).size
+    require(plannedN <= 2, s"bloom skipping planned $plannedN of 4 entries")
+    t.readWhere(cond).orderBy("o_orderkey")
+  }
+
   /** c30: INCREMENTALLY-MAINTAINED ROLLUP — an append-only events
     * source grows in three generations with a `Rollup.refresh` after
     * each; every refresh reads only the increment (incremental scan),
@@ -655,7 +684,8 @@ object StoreQueries {
     "c10_maintenance_ledger" -> (c10 _),
     "e07_knn_ivf_index" -> (e07 _),
     "e19_knn_ivf_append" -> (e19 _),
-    "e22_knn_ivf_rebalance" -> (e22 _)
+    "e22_knn_ivf_rebalance" -> (e22 _),
+    "c31_bloom_point_lookup" -> (c31 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -673,6 +703,14 @@ object StoreQueries {
       """SELECT event_type, count(*) AS n,
            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "c31_bloom_point_lookup" ->
+      // the engine-side bloom pruning is plan-level (runtime-asserted in
+      // the query and pinned in BloomSkippingSpec); the oracle proves
+      // the surviving rows are exactly the point-lookup result
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders
+                              UNION ALL SELECT max(o_orderkey) FROM orders)
+         ORDER BY o_orderkey""",
     "c28_type_promotion" ->
       // evens keep original keys (legacy int32 files), odds are shifted
       // past int range (post-promotion long files); %5 keys gain an

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expressions.{BloomMightContain, CosineSim, DotProduct, HitCount, LshBucket, Md5PrefixLongs, MinhashSketch, NgramHashes, RollingHash, SeededMinhash, ShingleMd5Longs, Simhash16, TopKByScore}
+import graft.expressions.{BloomBuildAgg, BloomMightContain, CosineSim, DotProduct, HitCount, LshBucket, Md5PrefixLongs, MinhashSketch, NgramHashes, RollingHash, SeededMinhash, ShingleMd5Longs, Simhash16, TopKByScore}
 
 /** Engine extension hook, wired through `spark.sql.extensions`
   * (GraftSession sets it): the supported injection point for custom
@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(HitCount.descriptor)
     ext.injectFunction(ShingleMd5Longs.descriptor)
     ext.injectFunction(BloomMightContain.descriptor)
+    ext.injectFunction(BloomBuildAgg.descriptor)
   }
 }

@@ -35,7 +35,11 @@ case class ManifestEntry(
     dir: String,
     partition: Option[String],
     stats: Map[String, (String, String)] = Map.empty,
-    seq: Long = 0L) {
+    seq: Long = 0L,
+    // columns with a bloom sidecar file for this entry's leaf (point-
+    // lookup file skipping; the filter bytes live OUTSIDE the manifest,
+    // under <location>/blooms/<dir>/..., so metadata stays small)
+    blooms: Seq[String] = Nil) {
   def dataPath(tableLocation: String): String = {
     val base = s"$tableLocation/data/$dir"
     partition.map(p => s"$base/$p").getOrElse(base)
@@ -182,7 +186,9 @@ class LakeTable(
       e.get("dir").asText(),
       Option(e.get("partition")).filter(!_.isNull).map(_.asText()),
       stats,
-      Option(e.get("seq")).filter(!_.isNull).map(_.asLong()).getOrElse(0L))
+      Option(e.get("seq")).filter(!_.isNull).map(_.asLong()).getOrElse(0L),
+      Option(e.get("blooms")).filter(!_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   private def parseSegmentRefs(n: com.fasterxml.jackson.databind.JsonNode): Option[Seq[SegmentRef]] =
@@ -284,6 +290,10 @@ class LakeTable(
       }
     }
     if (e.seq != 0L) en.put("seq", e.seq)
+    if (e.blooms.nonEmpty) {
+      val bn = en.putArray("blooms")
+      e.blooms.foreach(bn.add)
+    }
   }
 
   /** Segment layout for snapshot `s`: reuse every donor segment whose
@@ -510,7 +520,10 @@ class LakeTable(
     * pass. (Iceberg collects the same metrics inside its write tasks;
     * here the driver reads the footers post-write, which is bounded by
     * files-per-commit, not table size.) */
-  private def writeData(df: DataFrame, partitionCols: Seq[String]): (String, Seq[ManifestEntry]) = {
+  private def writeData(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      props: Map[String, String] = Map.empty): (String, Seq[ManifestEntry]) = {
     val dir = UUID.randomUUID().toString.take(18)
     val abs = s"$location/data/$dir"
     // HASH-DISTRIBUTE laid-out writes on the layout columns (Iceberg's
@@ -543,7 +556,62 @@ class LakeTable(
               footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))),
           Duration.Inf)
       }
-    (dir, entries)
+    val bloomCols = bloomColumnsFor(df.schema, props)
+    if (bloomCols.isEmpty) (dir, entries)
+    else {
+      val written = writeBloomSidecars(dir, abs, bloomCols, props)
+      (dir, entries.map(e =>
+        if (written(e.partition.getOrElse(""))) e.copy(blooms = bloomCols) else e))
+    }
+  }
+
+  /** Bloom-indexed columns for this write: the `write.bloom.columns`
+    * property filtered to columns the batch schema actually carries
+    * with a bloom-supported type. */
+  private def bloomColumnsFor(schema: StructType, props: Map[String, String]): Seq[String] =
+    props.get("write.bloom.columns").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(c => schema.fields.exists(f =>
+        f.name == c && BloomSkipping.supportedType(f.dataType)))
+
+  /** Build every leaf's bloom sidecars in ONE column-pruned job over the
+    * freshly written dir (`groupBy(leaf).agg(BloomBuildAgg...)` — the
+    * aggregate OR-merges map-side, so the job carries one filter per
+    * (leaf, column), never row data), then the driver writes each
+    * filter to `blooms/<dir>/<leaf>/<col>.bloom`. Cost is O(batch),
+    * bounded by the commit like the footer-stats harvest. Returns the
+    * set of leaf rel-paths ("" = unpartitioned) that got sidecars. */
+  private def writeBloomSidecars(
+      dir: String,
+      abs: String,
+      cols: Seq[String],
+      props: Map[String, String]): Set[String] = {
+    import graft.expressions.BloomBuildAgg
+    val items = props.getOrElse("write.bloom.expected-items", "200000").toLong
+    val fpp = props.getOrElse("write.bloom.fpp", "0.01").toDouble
+    val leaf = regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(s"$dir/") + "(?:(.+)/)?[^/]+$", 1).as("__leaf")
+    val aggs = cols.map(c => BloomBuildAgg.bloomAgg(col(c), items, fpp).as(c))
+    val rows = spark.read.parquet(abs)
+      .select(leaf +: cols.map(col): _*)
+      .groupBy("__leaf")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(rows.toSeq) { r =>
+        Future {
+          val rel = r.getString(0)
+          cols.zipWithIndex.foreach { case (c, i) =>
+            val sub = if (rel.isEmpty) "" else s"$rel/"
+            val out = fs.create(new Path(s"$location/blooms/$dir/$sub$c.bloom"), true)
+            try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
+          }
+          r.getString(0)
+        }
+      }, Duration.Inf).toSet
   }
 
   /** Aggregate column chunk min/max across all parquet files directly
@@ -693,8 +761,59 @@ class LakeTable(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), s.schema)
     empty.filter(cond).queryExecution.analyzed
       .collectFirst { case f: Filter => f.condition }
-      .map(expr => s.entries.filter(e => StatsPruning.mayMatch(e.stats, s.schema, expr)))
+      .map(expr => bloomPruned(s, expr,
+        s.entries.filter(e => StatsPruning.mayMatch(e.stats, s.schema, expr))))
       .getOrElse(s.entries)
+  }
+
+  /** Sidecar lifecycle follows the data dir: when a dir is deleted
+    * (snapshot expiry, orphan sweep), its bloom files go with it. */
+  private def deleteBloomDir(dir: String): Unit = {
+    val p = new Path(s"$location/blooms/$dir")
+    try { if (fs.exists(p)) { fs.delete(p, true); () } }
+    catch { case _: java.io.IOException => () }
+  }
+
+  private def bloomPath(e: ManifestEntry, c: String): Path =
+    new Path(s"$location/blooms/${e.dir}/" +
+      e.partition.map(_ + "/").getOrElse("") + s"$c.bloom")
+
+  private def loadBloom(path: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val in = fs.open(new Path(path))
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Bloom-sidecar point-lookup pruning, applied AFTER min/max pruning
+    * (see [[BloomSkipping]]): for each probeable equality conjunct,
+    * entries whose sidecar filter proves every candidate key absent are
+    * dropped before any data file is opened. Sidecars are loaded only
+    * for the (entry, column) pairs the predicate needs — small driver
+    * reads, latency-overlapped like the footer-stats harvest — and a
+    * missing or unreadable sidecar conservatively keeps its entry. */
+  private def bloomPruned(
+      s: Snapshot,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    val cands = BloomSkipping.candidates(cond, s.schema)
+    if (cands.isEmpty) return entries
+    val needed = (for {
+      e <- entries; (c, _) <- cands if e.blooms.contains(c)
+    } yield bloomPath(e, c).toString).distinct
+    if (needed.isEmpty) return entries
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val loaded = Await.result(
+      Future.traverse(needed)(p => Future(p -> loadBloom(p))), Duration.Inf).toMap
+    entries.filter { e =>
+      cands.forall { case (c, keys) =>
+        !e.blooms.contains(c) ||
+          loaded.getOrElse(bloomPath(e, c).toString, None).forall(bf =>
+            keys.exists(k => BloomSkipping.mightContain(bf, k)))
+      }
+    }
   }
 
   def toDF: DataFrame = read
@@ -827,13 +946,13 @@ class LakeTable(
           Map("bucket.column" -> spec._1, "bucket.count" -> spec._2.toString))
       case None => (df, partitionBy, Map.empty[String, String])
     }
-    val (_, entries) = writeData(data, pcols)
+    val props = DefaultProperties ++ bucketProps ++ tableProperties
+    val (_, entries) = writeData(data, pcols, props)
     // replace semantics: the parent's outstanding MoR delete files are
     // meaningless for the replacement data (and the fresh properties
     // map may not carry mor.delete-keys) — drop them
     commit("create-or-replace", deleteEntriesFn = _ => Nil)(_ =>
-      (df.schema, pcols, entries,
-        DefaultProperties ++ bucketProps ++ tableProperties, Map.empty))
+      (df.schema, pcols, entries, props, Map.empty))
   }
 
   /** Retry bounds for additive commits, from the table properties. */
@@ -847,7 +966,7 @@ class LakeTable(
     * racer's evolution or property update survives the retry. */
   def append(df: DataFrame): Snapshot = {
     val s = requireExists()
-    val (_, entries) = writeData(prepared(df, s), s.partitionCols)
+    val (_, entries) = writeData(prepared(df, s), s.partitionCols, s.properties)
     val (retries, waitMs) = retryConfig(s)
     commit("append", retries, waitMs)(p =>
       (p.get.schema, p.get.partitionCols, p.get.entries ++ entries,
@@ -880,7 +999,7 @@ class LakeTable(
       (if (batchTypes.contains(f.name)) castTo(col(f.name), batchTypes.get(f.name), f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     val withBucket = bucketSpec(s).map(withDerivedBucket(conformed, _)).getOrElse(conformed)
-    val (_, entries) = writeData(withBucket, s.partitionCols)
+    val (_, entries) = writeData(withBucket, s.partitionCols, s.properties)
     val (retries, waitMs) = retryConfig(s)
     commit("append-evolve", retries, waitMs)(p =>
       // re-merge against the FRESH parent so a racer's evolution survives
@@ -894,7 +1013,7 @@ class LakeTable(
     * (`mysql_to_parquet.py:58` raw-zone replace). */
   def overwrite(df: DataFrame): Snapshot = {
     val s = requireExists()
-    val (_, entries) = writeData(prepared(df, s), s.partitionCols)
+    val (_, entries) = writeData(prepared(df, s), s.partitionCols, s.properties)
     commit("overwrite", deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
   }
@@ -929,7 +1048,7 @@ class LakeTable(
     }
     val out = graft.operators.Merge.upsert(conformTo(read), conformTo(source), keys)
     val withBucket = bucketSpec(s).map(withDerivedBucket(out, _)).getOrElse(out)
-    val (_, entries) = writeData(withBucket, s.partitionCols)
+    val (_, entries) = writeData(withBucket, s.partitionCols, s.properties)
     commit("merge-evolve", requireParentVersion = Some(s.version),
       deleteEntriesFn = _ => Nil)(_ =>
       (widened, s.partitionCols, entries, s.properties,
@@ -971,7 +1090,7 @@ class LakeTable(
         .map(e => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
     }.toIndexedSeq: _*)
-    val (_, entries) = writeData(prepared(updated, s), s.partitionCols)
+    val (_, entries) = writeData(prepared(updated, s), s.partitionCols, s.properties)
     commit("update", requireParentVersion = Some(s.version))(_ =>
       (s.schema, s.partitionCols, untouched ++ entries, s.properties,
         Map(
@@ -1010,7 +1129,7 @@ class LakeTable(
     val withBucket =
       (for (c <- newProps.get("bucket.column"); n <- newProps.get("bucket.count"))
         yield withDerivedBucket(conformed, (c, n.toInt))).getOrElse(conformed)
-    val (_, entries) = writeData(withBucket, newPcols)
+    val (_, entries) = writeData(withBucket, newPcols, newProps)
     commit("rename-column", requireParentVersion = Some(s.version),
       deleteEntriesFn = _ => Nil)(_ =>
       (newSchema, newPcols, entries, newProps,
@@ -1174,7 +1293,7 @@ class LakeTable(
   /** DELETE FROM this table WHERE cond — full copy-on-write. */
   def deleteWhere(cond: Column): Snapshot = {
     val s = requireExists()
-    val (_, entries) = writeData(prepared(read.filter(not(cond)), s), s.partitionCols)
+    val (_, entries) = writeData(prepared(read.filter(not(cond)), s), s.partitionCols, s.properties)
     commit("delete", requireParentVersion = Some(s.version),
       deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties, Map.empty))
@@ -1243,7 +1362,7 @@ class LakeTable(
       // an empty equality-delete file has no key stats, which would mark
       // EVERY data entry maskable and tax all future reads — skip no-ops
       if (updated.isEmpty) return s
-      val (_, dataEntries) = writeData(prepared(updated, s), s.partitionCols)
+      val (_, dataEntries) = writeData(prepared(updated, s), s.partitionCols, s.properties)
       val delEntry = writeDeleteFile(updated, keys, s)
       commit("update-mor", requireParentVersion = Some(s.version),
         deleteEntriesFn = p => p.map(_.deleteEntries).getOrElse(Nil) :+ delEntry)(_ =>
@@ -1295,7 +1414,7 @@ class LakeTable(
   def mergeIntoMoR(source: DataFrame, keys: Seq[String]): Snapshot = {
     val s = requireExists()
     requireMorKeys(s, keys)
-    val (_, dataEntries) = writeData(prepared(source, s), s.partitionCols)
+    val (_, dataEntries) = writeData(prepared(source, s), s.partitionCols, s.properties)
     val delEntry = writeDeleteFile(source, keys, s)
     // ADDITIVE (new data dirs + one delete file, nothing rewritten):
     // lost races rebuild on the fresh parent and retry like append —
@@ -1401,7 +1520,7 @@ class LakeTable(
     val (affected, untouched) = splitByDeleteReach(s, s.entries)
     val newEntries =
       if (affected.isEmpty) Nil
-      else writeData(prepared(morRead(s, affected), s), s.partitionCols)._2
+      else writeData(prepared(morRead(s, affected), s), s.partitionCols, s.properties)._2
     commit("rewrite-position-deletes", requireParentVersion = Some(s.version),
       deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, untouched ++ newEntries, s.properties,
@@ -1560,7 +1679,7 @@ class LakeTable(
     // MoR deletes (if any) fold into the rewritten slice here — its
     // new sequence number lifts it above every outstanding delete
     val out = rewrite(morRead(s, affected), source)
-    val (_, newEntries) = writeData(prepared(out, s), s.partitionCols)
+    val (_, newEntries) = writeData(prepared(out, s), s.partitionCols, s.properties)
     commit(op, requireParentVersion = Some(s.version))(_ =>
       (s.schema, s.partitionCols, untouched ++ newEntries, s.properties ++ extraProps,
         Map(
@@ -2048,7 +2167,7 @@ class LakeTable(
       if (fs.exists(dataRoot))
         fs.listStatus(dataRoot).toSeq
           .filter(st => !referenced(st.getPath.getName))
-          .foreach(st => fs.delete(st.getPath, true))
+          .foreach { st => fs.delete(st.getPath, true); deleteBloomDir(st.getPath.getName) }
       // segment files only the expired snapshots referenced are now
       // unreachable — sweep them behind the commit-window grace
       val grace = keep.lastOption.flatMap(_.properties.get("manifest.gc-grace-ms"))
@@ -2067,7 +2186,7 @@ class LakeTable(
     val bytes = dataByteSize(s)
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = prepared(read.repartition(n), s)
-    val (_, entries) = writeData(compacted, s.partitionCols)
+    val (_, entries) = writeData(compacted, s.partitionCols, s.properties)
     commit("rewrite-data-files", requireParentVersion = Some(s.version),
       deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties,
@@ -2187,7 +2306,7 @@ class LakeTable(
           Future.sequence(shards.toSeq.map(sh => Future {
             callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
             writeData(staged.filter(col("__shard") === sh).drop("__shard"),
-              s.partitionCols)._2
+              s.partitionCols, s.properties)._2
           })),
           Duration.Inf).flatten
       }
@@ -2214,7 +2333,7 @@ class LakeTable(
       val orphans = fs.listStatus(dataRoot).toSeq.filter { st =>
         !referenced(st.getPath.getName) && st.getModificationTime < olderThanMs
       }
-      orphans.foreach(st => fs.delete(st.getPath, true))
+      orphans.foreach { st => fs.delete(st.getPath, true); deleteBloomDir(st.getPath.getName) }
       orphans.size
     }
   }

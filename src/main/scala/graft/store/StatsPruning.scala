@@ -103,12 +103,12 @@ object StatsPruning {
     * cast — narrowing, truncating, or precision-losing like long→double —
     * blocks pruning on that operand: attrName/litVal see the Cast node,
     * match nothing, and the entry is conservatively kept. */
-  private def strip(e: Expression): Expression = e match {
+  private[store] def strip(e: Expression): Expression = e match {
     case c: Cast if valuePreserving(c.child.dataType, c.dataType) => strip(c.child)
     case other => other
   }
 
-  private def attrName(e: Expression): Option[String] = strip(e) match {
+  private[store] def attrName(e: Expression): Option[String] = strip(e) match {
     case a: UnresolvedAttribute => Some(a.name)
     case a: AttributeReference => Some(a.name)
     case _ => None
