@@ -566,6 +566,26 @@ object LlmQueries {
         idCol = "doc_id")
       .orderBy("doc_id", "dim")
 
+  private def m08(s: SparkSession, dir: String): DataFrame =
+    // REAL audio: encode a real RIFF/WAVE PCM16 file per doc (8 kHz /
+    // 480 samples for evens, 16 kHz / 960 for odds; every third id
+    // carries an extra LIST chunk so the parser must genuinely walk
+    // chunks), then decode — actual chunk walk, actual little-endian
+    // samples — decimate the 16 kHz files to 8 kHz, and emit per-60-
+    // sample-frame summed |amplitude|. Integer-exact end to end; the
+    // oracle replays the closed-form sample function, so any header,
+    // endianness, rate, or offset defect diverges the hash
+    Multimodal
+      .audioFrames(
+        Multimodal.encodeWav(
+          table(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") < 500),
+          "doc_id",
+          sampleRate = id => if (id % 2 == 0) 8000 else 16000,
+          nSamples = id => if (id % 2 == 0) 480 else 960),
+        "doc_id", targetRate = 8000, frame = 60)
+      .orderBy("doc_id", "frame_no")
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal
       .packPayload(table(s, dir, "documents"), "text", "text/plain")
@@ -866,6 +886,7 @@ object LlmQueries {
     "m03_segment_sample" -> (m03 _),
     "m04_resize_pool" -> (m04 _),
     "m05_embed_patches" -> (m05 _),
+    "m08_audio_frames" -> (m08 _),
     "d40_semantic_dedup" -> (d40 _),
     "d41_chunk_overlap" -> (d41 _),
     "d42_pii_scrub" -> (d42 _),
@@ -1963,6 +1984,26 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m08_audio_frames" ->
+      // the engine round-trips REAL RIFF/WAVE bytes (chunk walk, PCM16
+      // little-endian, decimation to 8 kHz); the oracle replays the
+      // closed-form sample amp(id,i) = (id*31 + i*17) % 2048 - 1024
+      // over the original sample index i = j*dec and sums |amp| per
+      // 60-decimated-sample frame
+      """WITH p AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS dec
+             FROM documents WHERE doc_id < 500),
+         s AS (SELECT p.doc_id, r.range AS i, p.dec
+             FROM p CROSS JOIN range(0, 960) r
+             WHERE r.range < 480 * p.dec AND r.range % p.dec = 0),
+         a AS (SELECT doc_id, dec, CAST(i / dec AS BIGINT) AS j,
+               abs((doc_id * 31 + i * 17) % 2048 - 1024) AS amp
+             FROM s)
+         SELECT doc_id, CAST(j // 60 AS BIGINT) AS frame_no,
+             CAST(8000 * max(dec) AS BIGINT) AS src_rate,
+             count(*) AS n, CAST(sum(amp) AS BIGINT) AS sum_abs
+         FROM a GROUP BY doc_id, j // 60
+         ORDER BY doc_id, frame_no""",
     "m04_resize_pool" ->
       // the engine round-trips REAL PNG bytes (imageio encode → decode →
       // 2x2 average pool); the oracle derives the same pixels in closed

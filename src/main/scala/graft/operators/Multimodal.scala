@@ -250,6 +250,130 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic PCM16 sample for synthetic fixture audio — the
+    * closed-form amplitude the oracle reproduces arithmetically while
+    * the engine round-trips REAL RIFF/WAVE bytes through a REAL chunk
+    * parser; any header/endianness/offset defect diverges the hash. */
+  private[operators] def amp(id: Long, i: Int): Int =
+    ((id * 31L + i * 17L) % 2048L - 1024L).toInt
+
+  /** Encode a REAL RIFF/WAVE (PCM16 mono, little-endian) file per row:
+    * sample i = `amp(id, i)`, rate/length from the supplied functions.
+    * Every third id gets an extra LIST/INFO chunk BEFORE fmt, so a
+    * consumer that assumes the canonical 44-byte layout (instead of
+    * walking chunks) breaks on real-world-shaped files. Payload lands
+    * as an opaque binary column, like audio ingested from object
+    * storage; per-partition iteration, blobs never hit the driver. */
+  def encodeWav(
+      df: DataFrame,
+      idCol: String,
+      sampleRate: Long => Int,
+      nSamples: Long => Int): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("modality", StringType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (rate, n) = (sampleRate(id), nSamples(id))
+        val listChunk = if (id % 3 == 0) 12 else 0 // "LIST"+size+"INFO"
+        val dataBytes = n * 2
+        val riffSize = 4 + listChunk + 24 + 8 + dataBytes
+        val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+          .put("WAVE".getBytes("US-ASCII"))
+        if (listChunk > 0)
+          bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+            .put("INFO".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(rate).putInt(rate * 2) // byte rate
+          .putShort(2).putShort(16) // block align, bits
+        bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        var i = 0
+        while (i < n) { bb.putShort(amp(id, i).toShort); i += 1 }
+        Row.fromSeq(r.toSeq :+ bb.array() :+ "audio/wav")
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode + rate-normalize + frame energy — the feature
+    * pass a speech/audio curation pipeline runs before any model: parse
+    * the RIFF container (genuine chunk walk: LIST/fmt/data in any
+    * order), read the ACTUAL sample rate and PCM16 little-endian
+    * samples, decimate to `targetRate` (integer factor — files already
+    * at target pass through), then emit one row per full `frame`-sample
+    * window with its sample count and summed absolute amplitude
+    * (integer-exact, so the oracle can hash it). Partial tail frames
+    * drop — the standard fixed-window contract.
+    *
+    * Scale shape: binary-in / long-rows-out, per-partition streaming,
+    * no shuffle; the explode happens map-side like frameManifest. */
+  def audioFrames(
+      df: DataFrame,
+      idCol: String,
+      targetRate: Int,
+      frame: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_no", LongType),
+      StructField("src_rate", LongType),
+      StructField("n", LongType),
+      StructField("sum_abs", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+        }
+        require(fourcc() == "RIFF", s"not a RIFF file for id=$id")
+        bb.getInt // riff size
+        require(fourcc() == "WAVE", s"not a WAVE file for id=$id")
+        var rate = -1
+        var dataOff = -1
+        var dataLen = -1
+        while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
+          val id4 = fourcc()
+          val sz = bb.getInt
+          id4 match {
+            case "fmt " =>
+              val p = bb.position()
+              require(bb.getShort == 1, "PCM only")
+              require(bb.getShort == 1, "mono only")
+              rate = bb.getInt
+              bb.position(p + sz + (sz & 1))
+            case "data" =>
+              dataOff = bb.position(); dataLen = sz
+              bb.position(bb.position() + sz + (sz & 1))
+            case _ => bb.position(bb.position() + sz + (sz & 1))
+          }
+        }
+        require(rate > 0 && dataOff >= 0, s"missing fmt/data chunk for id=$id")
+        require(rate % targetRate == 0, s"rate $rate not a multiple of $targetRate")
+        val dec = rate / targetRate
+        val nSamp = dataLen / 2
+        val nDecim = (nSamp + dec - 1) / dec
+        val fullFrames = nDecim / frame
+        (0 until fullFrames).iterator.map { f =>
+          var sum = 0L
+          var j = f * frame
+          val end = (f + 1) * frame
+          while (j < end) {
+            sum += math.abs(bb.getShort(dataOff + j * dec * 2).toLong)
+            j += 1
+          }
+          Row(id, f.toLong, rate.toLong, frame.toLong, sum)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame-sampling manifest for opaque video/audio payloads: every
     * `frameBytes`-wide slice becomes a manifest row (frame number, byte
     * offset, actual length, content md5) — the work list a downstream

@@ -150,4 +150,57 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     out.head.getString(4) shouldBe expected
   }
+
+  test("encodeWav writes a parseable RIFF container (with and without LIST chunk)") {
+    // id 6: LIST chunk present (6 % 3 == 0); id 7: canonical layout
+    val wav = Multimodal.encodeWav(
+      Seq(6L, 7L).toDF("doc_id"), "doc_id",
+      sampleRate = _ => 8000, nSamples = _ => 120)
+    val rows = wav.orderBy("doc_id").collect()
+    val b6 = rows(0).getAs[Array[Byte]]("payload")
+    val b7 = rows(1).getAs[Array[Byte]]("payload")
+    new String(b6.take(4), "US-ASCII") shouldBe "RIFF"
+    new String(b6.slice(8, 12), "US-ASCII") shouldBe "WAVE"
+    new String(b6.slice(12, 16), "US-ASCII") shouldBe "LIST"
+    new String(b7.slice(12, 16), "US-ASCII") shouldBe "fmt "
+    b6.length shouldBe b7.length + 12
+  }
+
+  test("audioFrames: real chunk walk, decimation, and integer-exact frame sums") {
+    // 8 kHz file passes through, 16 kHz decimates by 2; both produce
+    // 120 decimated samples = 2 full frames of 60 (partial tail absent)
+    val wav = Multimodal.encodeWav(
+      Seq(2L, 3L).toDF("doc_id"), "doc_id",
+      sampleRate = id => if (id % 2 == 0) 8000 else 16000,
+      nSamples = id => if (id % 2 == 0) 120 else 240)
+    val out = Multimodal.audioFrames(wav, "doc_id", targetRate = 8000, frame = 60)
+      .orderBy("doc_id", "frame_no").collect()
+    out.length shouldBe 4
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      Seq((2L, 0L, 8000L, 60L), (2L, 1L, 8000L, 60L),
+        (3L, 0L, 16000L, 60L), (3L, 1L, 16000L, 60L))
+    // closed-form check: decimated sample j of id 3 is original i = 2j
+    def expectedSum(id: Long, f: Int, dec: Int): Long =
+      (f * 60 until (f + 1) * 60).map(j => math.abs(
+        (id * 31L + (j * dec) * 17L) % 2048L - 1024L)).sum
+    out.map(_.getLong(4)).toSeq shouldBe Seq(
+      expectedSum(2L, 0, 1), expectedSum(2L, 1, 1),
+      expectedSum(3L, 0, 2), expectedSum(3L, 1, 2))
+  }
+
+  test("audioFrames drops the partial tail frame") {
+    val wav = Multimodal.encodeWav(
+      Seq(4L).toDF("doc_id"), "doc_id", _ => 8000, _ => 149)
+    Multimodal.audioFrames(wav, "doc_id", targetRate = 8000, frame = 60)
+      .count() shouldBe 2 // 149 samples → 2 full frames, 29 dropped
+  }
+
+  test("audioFrames rejects a non-RIFF payload") {
+    val junk = Seq((5L, "not a wav".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFrames(junk, "doc_id", 8000, 60).collect()
+    }
+    ex.getMessage should include("RIFF")
+  }
 }
