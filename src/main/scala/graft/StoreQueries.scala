@@ -462,6 +462,45 @@ object StoreQueries {
     t.readWhere(cond).orderBy("o_orderkey")
   }
 
+  /** c32: TABLE STATISTICS driving a join plan — ANALYZE computes HLL
+    * NDV sketches + exact row count at one snapshot; an append then
+    * refreshes them INCREMENTALLY (sketch union over just the
+    * increment, the O(increment) cadence append-mostly tables run at
+    * 100 TB). Runtime asserts pin the estimates against exact
+    * recomputation (NDV within 5%, rowCount exact); the stats then pick
+    * the BROADCAST side of the orders⋈customer join — the ANALYZE-era
+    * planner decision the stats exist for — and the oracle hashes the
+    * joined revenue rollup. */
+  private def c32(s: SparkSession, dir: String): DataFrame = {
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_st"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_stats")
+    val base = table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    t.createOrReplace(base.filter(col("o_orderkey") % 3 =!= 0))
+    t.analyze(Seq("o_custkey", "o_orderstatus"))
+    t.append(base.filter(col("o_orderkey") % 3 === 0))
+    val st = t.refreshStats()
+    require(st.version == t.currentSnapshot.get.version, "stats not at head")
+    require(st.rowCount == t.read.count(), "stats rowCount must be exact")
+    val exact = t.read.select("o_custkey").distinct().count()
+    require(math.abs(st.ndv("o_custkey") - exact) <= 0.05 * exact,
+      s"NDV ${st.ndv("o_custkey")} vs exact $exact drifted past 5%")
+    require(st.ndv("o_orderstatus") == 3L, "tiny cardinality must be HLL-exact")
+    val cust = table(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    // the stats decide the broadcast side without scanning the fact table
+    val custRows = cust.count()
+    val joined =
+      if (custRows < st.rowCount)
+        t.read.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      else cust.join(broadcast(t.read), col("o_custkey") === col("c_custkey"))
+    joined
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** c30: INCREMENTALLY-MAINTAINED ROLLUP — an append-only events
     * source grows in three generations with a `Rollup.refresh` after
     * each; every refresh reads only the increment (incremental scan),
@@ -685,7 +724,8 @@ object StoreQueries {
     "e07_knn_ivf_index" -> (e07 _),
     "e19_knn_ivf_append" -> (e19 _),
     "e22_knn_ivf_rebalance" -> (e22 _),
-    "c31_bloom_point_lookup" -> (c31 _)
+    "c31_bloom_point_lookup" -> (c31 _),
+    "c32_table_stats" -> (c32 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -703,6 +743,14 @@ object StoreQueries {
       """SELECT event_type, count(*) AS n,
            sum(CAST(value AS DECIMAL(18,4))) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "c32_table_stats" ->
+      // the stats machinery (HLL NDV, incremental union, broadcast-side
+      // choice) is runtime-asserted in the query and spec'd in
+      // TableStatsSpec; the oracle proves the stats-planned join result
+      """SELECT c_mktsegment, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "c31_bloom_point_lookup" ->
       // the engine-side bloom pruning is plan-level (runtime-asserted in
       // the query and pinned in BloomSkippingSpec); the oracle proves

@@ -11,7 +11,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Snapshot metadata for one committed table version.
   *
@@ -56,6 +56,19 @@ case class ManifestEntry(
   * content-immutable and shared across the whole ref tree (branches,
   * publishes, rollbacks reuse them byte-for-byte). */
 case class SegmentRef(file: String, count: Int)
+
+/** Table-level column statistics (the Iceberg Puffin / ANALYZE TABLE
+  * analog): per-column DataSketches HLL sketches + estimated NDVs and
+  * the exact row count, pinned to the snapshot `version` they were
+  * computed at. Sketches are kept (not just the estimates) because HLL
+  * is MERGEABLE: an append-only increment unions in O(increment) —
+  * the production refresh shape — while row-rewriting commits force a
+  * full re-analyze (HLL cannot subtract). */
+case class TableStats(
+    version: Long,
+    rowCount: Long,
+    ndv: Map[String, Long],
+    sketches: Map[String, Array[Byte]])
 
 /** `deleteEntries` are outstanding merge-on-read EQUALITY-DELETE files
   * (parquet of key tuples, `seq` = the deleting commit's sequence
@@ -2338,6 +2351,127 @@ class LakeTable(
     }
   }
 
+  // -------------------------------------------------------------------
+  // table statistics (ANALYZE TABLE / Iceberg Puffin analog)
+  // -------------------------------------------------------------------
+
+  private def statsDir = new Path(s"$location/stats")
+  private def statsPath(v: Long) = new Path(statsDir, f"v$v%05d.stats.json")
+
+  /** Types the DataSketches HLL aggregate accepts. */
+  private def hllSupported(t: DataType): Boolean = t match {
+    case IntegerType | LongType | BinaryType => true
+    case _: StringType => true
+    case _ => false
+  }
+
+  /** ANALYZE: ONE distributed pass over the current snapshot computes
+    * the exact row count plus an HLL sketch and NDV estimate per
+    * requested (HLL-capable) column, and stores them in
+    * `stats/v<version>.stats.json` — the planner input Iceberg keeps in
+    * Puffin files. At 100 TB this is the cost of one column-pruned
+    * aggregate scan, run per maintenance window, and every subsequent
+    * join-side / broadcast decision reads the tiny stats file instead
+    * of scanning anything. Older stats files are derivable and are
+    * replaced. */
+  def analyze(cols: Seq[String]): TableStats = {
+    val s = requireExists()
+    val supported = cols.filter(c =>
+      s.schema.fields.exists(f => f.name == c && hllSupported(f.dataType)))
+    require(supported.nonEmpty, s"no HLL-capable columns among $cols")
+    val aggs = count(lit(1)).as("__n") +: supported.flatMap(c => Seq(
+      hll_sketch_agg(col(c)).as(s"__sk_$c"),
+      hll_sketch_estimate(hll_sketch_agg(col(c))).as(s"__ndv_$c")))
+    val row = read.agg(aggs.head, aggs.tail: _*).head()
+    writeStatsFile(TableStats(
+      s.version,
+      row.getAs[Long]("__n"),
+      supported.map(c => c -> row.getAs[Long](s"__ndv_$c")).toMap,
+      supported.map(c => c -> row.getAs[Array[Byte]](s"__sk_$c")).toMap))
+  }
+
+  /** Latest stored stats at or below the current version, if any. */
+  def stats: Option[TableStats] = {
+    val cur = currentVersion.getOrElse(return None)
+    if (!fs.exists(statsDir)) return None
+    fs.listStatus(statsDir).toSeq.map(_.getPath.getName)
+      .collect { case StatsFileRe(v) => v.toLong }
+      .filter(_ <= cur).sorted.lastOption.map(readStatsFile)
+  }
+
+  /** Estimated distinct count of `colName` from the stored stats. */
+  def ndv(colName: String): Option[Long] = stats.flatMap(_.ndv.get(colName))
+
+  /** Refresh stats to the current version. When every commit since the
+    * stats snapshot is PURE APPEND, the refresh sketches only the
+    * increment and UNIONS it into the stored sketches — O(increment),
+    * the production cadence for append-mostly lake tables. Any
+    * row-rewriting commit in between (merge, delete, rollback,
+    * compaction is fine but merge-mor masks rows) forces a full
+    * re-analyze: HLL cannot subtract. No-op at the stats version. */
+  def refreshStats(): TableStats = {
+    val st = stats.getOrElse(
+      throw new IllegalStateException(s"no stats for $name — run analyze() first"))
+    val cur = requireExists()
+    if (cur.version == st.version) return st
+    val opsSince =
+      versionsOnDisk.filter(_ > st.version).map(v => readSnapshot(v).operation)
+    val cols = st.sketches.keys.toSeq.sorted
+    if (!opsSince.forall(Set("append", "append-evolve"))) return analyze(cols)
+    val inc = changes(st.version)
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => hll_sketch_agg(col(c)).as(s"__sk_$c"))
+    val row = inc.agg(aggs.head, aggs.tail: _*).head()
+    if (row.getAs[Long]("__n") == 0L)
+      return writeStatsFile(st.copy(version = cur.version))
+    // union stored + increment sketches: one local 1-row evaluation
+    val merged = spark.range(1).select(cols.flatMap { c =>
+      val u = hll_union(lit(st.sketches(c)), lit(row.getAs[Array[Byte]](s"__sk_$c")))
+      Seq(u.as(s"__sk_$c"), hll_sketch_estimate(u).as(s"__ndv_$c"))
+    }: _*).head()
+    writeStatsFile(TableStats(
+      cur.version,
+      st.rowCount + row.getAs[Long]("__n"),
+      cols.map(c => c -> merged.getAs[Long](s"__ndv_$c")).toMap,
+      cols.map(c => c -> merged.getAs[Array[Byte]](s"__sk_$c")).toMap))
+  }
+
+  private def writeStatsFile(st: TableStats): TableStats = {
+    val root = Mapper.createObjectNode()
+    root.put("version", st.version)
+    root.put("rowCount", st.rowCount)
+    val cn = root.putObject("columns")
+    st.sketches.keys.toSeq.sorted.foreach { c =>
+      val o = cn.putObject(c)
+      o.put("ndv", st.ndv(c))
+      o.put("sketch", java.util.Base64.getEncoder.encodeToString(st.sketches(c)))
+    }
+    val out = fs.create(statsPath(st.version), true)
+    try out.write(Mapper.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
+    finally out.close()
+    fs.listStatus(statsDir).foreach { f =>
+      f.getPath.getName match {
+        case StatsFileRe(v) if v.toLong != st.version => fs.delete(f.getPath, false)
+        case _ => ()
+      }
+    }
+    st
+  }
+
+  private def readStatsFile(v: Long): TableStats = {
+    val in = fs.open(statsPath(v))
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val n = Mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+    val cols = n.get("columns")
+    val names = cols.fieldNames().asScala.toSeq
+    TableStats(
+      n.get("version").asLong,
+      n.get("rowCount").asLong,
+      names.map(c => c -> cols.get(c).get("ndv").asLong).toMap,
+      names.map(c =>
+        c -> java.util.Base64.getDecoder.decode(cols.get(c).get("sketch").asText)).toMap)
+  }
+
   private def dataFiles(s: Snapshot): Seq[org.apache.hadoop.fs.FileStatus] =
     s.entries.map(_.dir).distinct.flatMap { dir =>
       val p = new Path(s"$location/data/$dir")
@@ -2359,6 +2493,7 @@ class CommitConflictException(msg: String, cause: Throwable)
 
 object LakeTable {
   private val VersionFileRe = "v(\\d+)\\.json".r
+  private val StatsFileRe = "v(\\d+)\\.stats\\.json".r
   private val TagsFileRe = "tags-v(\\d+)\\.json".r
 
   /** Sentinel sequence number on freshly-written manifest entries;
