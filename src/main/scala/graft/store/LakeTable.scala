@@ -775,9 +775,35 @@ class LakeTable(
     empty.filter(cond).queryExecution.analyzed
       .collectFirst { case f: Filter => f.condition }
       .map(expr => bloomPruned(s, expr,
-        s.entries.filter(e => StatsPruning.mayMatch(e.stats, s.schema, expr))))
+        s.entries.filter(e =>
+          StatsPruning.mayMatch(withPartitionStats(e), s.schema, expr))))
       .getOrElse(s.entries)
   }
+
+  /** Entry stats augmented with the entry's PARTITION VALUES as
+    * degenerate [v, v] ranges — partition columns never appear in the
+    * data files (partitionBy strips them), so footer stats can't cover
+    * them; the dir name itself is the exact value. This is Iceberg's
+    * manifest-level partition pruning: a partition predicate drops
+    * non-matching entries at PLANNING time instead of relying on the
+    * scan's directory pruning, so plan size tracks the matching
+    * partitions, not the table. Hive default-partition (null) segments
+    * contribute nothing (conservative keep). */
+  private def withPartitionStats(e: ManifestEntry): Map[String, (String, String)] =
+    e.partition match {
+      case None => e.stats
+      case Some(rel) =>
+        val kvs = rel.split('/').toSeq.flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) None
+          else {
+            val v = ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+            if (v == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(seg.take(i) -> (v, v))
+          }
+        }
+        kvs.toMap ++ e.stats
+    }
 
   /** Sidecar lifecycle follows the data dir: when a dir is deleted
     * (snapshot expiry, orphan sweep), its bloom files go with it. */

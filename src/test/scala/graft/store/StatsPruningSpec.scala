@@ -135,4 +135,39 @@ class StatsPruningSpec extends SparkSpec {
     t.prunedEntries(s, col("id") >= 290L).length shouldBe 0
     t.readWhere(col("id") >= 280L).count() shouldBe 10L
   }
+
+  test("partition predicates prune at the MANIFEST level from the dir values") {
+    // partition cols never reach the data files (partitionBy strips
+    // them), so footer stats can't cover them — the entry's dir value
+    // must stand in as a [v, v] range
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("pstats-wh").toString)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.parted")
+    val rows = (0L until 120L).map(i => (i, s"p${(i % 3)}", i * 1.0))
+    t.createOrReplace(rows.toDF("id", "pt", "v"), partitionBy = Seq("pt"))
+    t.append((120L until 240L).map(i => (i, s"p${(i % 3)}", i * 1.0))
+      .toDF("id", "pt", "v"))
+    val s = t.currentSnapshot.get
+    s.entries.length shouldBe 6 // 2 commits x 3 leaves
+    all(s.entries.map(_.stats.keySet)) should not contain "pt"
+    t.prunedEntries(s, col("pt") === "p1").length shouldBe 2
+    t.prunedEntries(s, col("pt").isin("p0", "p2")).length shouldBe 4
+    t.prunedEntries(s, col("pt") === "nope").length shouldBe 0
+    // composes with data-column range pruning on the same entries
+    t.prunedEntries(s, col("pt") === "p1" && col("id") < 120L).length shouldBe 1
+    t.readWhere(col("pt") === "p1").count() shouldBe 80L
+  }
+
+  test("numeric partition values prune with range predicates") {
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("npstats-wh").toString)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.nparted")
+    val rows = (0L until 100L).map(i => (i, i % 4, i * 1.0))
+    t.createOrReplace(rows.toDF("id", "bucket", "v"), partitionBy = Seq("bucket"))
+    val s = t.currentSnapshot.get
+    s.entries.length shouldBe 4
+    t.prunedEntries(s, col("bucket") === 2L).length shouldBe 1
+    t.prunedEntries(s, col("bucket") >= 2L).length shouldBe 2
+    t.readWhere(col("bucket") >= 2L).count() shouldBe 50L
+  }
 }
