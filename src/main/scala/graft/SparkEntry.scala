@@ -413,6 +413,30 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    // RECURSIVE CTE (Spark 4 WITH RECURSIVE → UnionLoop): hierarchy
+    // traversal, the one relational shape plain joins can't express at
+    // unknown depth. The implicit binary tree parent(d) = d DIV 2 over
+    // documents is walked from the root; each iteration is ONE
+    // broadcast-ish join of the frontier against the table, and the
+    // loop runs log2(n) rounds — the recursion dept scales as the LOG
+    // of the table, not its size. Output: per-depth node counts and id
+    // bounds (closed-form verifiable: level k holds ids [2^k, 2^(k+1))).
+    table(s, dir, "documents").select("doc_id")
+      .createOrReplaceTempView("graft_q41_docs")
+    s.sql(
+      """WITH RECURSIVE tree AS (
+           SELECT doc_id, 0 AS depth FROM graft_q41_docs WHERE doc_id = 1
+           UNION ALL
+           SELECT d.doc_id, t.depth + 1
+           FROM graft_q41_docs d JOIN tree t ON d.doc_id DIV 2 = t.doc_id
+           WHERE d.doc_id > 1
+         )
+         SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+           min(doc_id) AS lo, max(doc_id) AS hi
+         FROM tree GROUP BY depth ORDER BY depth""")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame =
     // scalar string-function battery — split_part, edit distance,
     // pad/reverse/translate/regexp, every one engine-portable (the
@@ -892,6 +916,7 @@ object SparkEntry {
     "q38_date_battery" -> (q38 _),
     "q39_listagg" -> (q39 _),
     "q40_bloom_semi_join" -> (q40 _),
+    "q41_recursive_cte" -> (q41 _),
     "s08_stream_funnel" -> (s08 _),
     "s09_windowed_topk" -> (s09 _),
     "s10_static_enrich" -> (s10 _),
@@ -1138,6 +1163,18 @@ object SparkEntry {
          string_agg(n_name, ',' ORDER BY n_name) AS nations,
          count(*) AS n
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q41_recursive_cte" ->
+      // the same WITH RECURSIVE walk, DuckDB dialect (// = integer div)
+      """WITH RECURSIVE tree AS (
+           SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 1
+           UNION ALL
+           SELECT d.doc_id, t.depth + 1
+           FROM documents d JOIN tree t ON d.doc_id // 2 = t.doc_id
+           WHERE d.doc_id > 1
+         )
+         SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+           min(doc_id) AS lo, max(doc_id) AS hi
+         FROM tree GROUP BY depth ORDER BY depth""",
     "q40_bloom_semi_join" ->
       // the bloom is a pruning detail, invisible to the result: the
       // oracle is the plain IN-subquery semi join
