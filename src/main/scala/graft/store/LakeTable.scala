@@ -549,8 +549,30 @@ class LakeTable(
     // repartition would serialize a huge single-partition batch through
     // one task) — files-per-commit tracks LEAVES (+ skew splits), not
     // tasks × leaves.
-    val out = if (partitionCols.isEmpty) df
+    val distributed = if (partitionCols.isEmpty) df
       else df.hint("rebalance", partitionCols.map(col): _*)
+    // write.sort-order (Iceberg's table sort order, applied AT INGEST):
+    // cluster + locally sort every write so data files carry tight,
+    // near-disjoint column ranges from the first commit — parquet
+    // row-group skipping then works on the sort key without waiting
+    // for a sorted compaction pass. Unpartitioned tables also get a
+    // RANGE distribution (files in the dir become range-disjoint);
+    // partitioned writes keep the leaf-rebalance distribution and sort
+    // within tasks. Missing/unsortable columns are ignored.
+    val sortCols = props.get("write.sort-order").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(c => df.schema.fieldNames.contains(c))
+    val out =
+      if (sortCols.isEmpty) distributed
+      else if (partitionCols.isEmpty)
+        df.repartitionByRange(sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else
+        // partition cols lead the local sort so the file writer's
+        // required ordering (partition cols) is already satisfied and
+        // the key order inside each leaf file survives; a bare
+        // sort(sortCols) would be re-sorted by the writer
+        distributed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     val writer = out.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(abs)
