@@ -111,6 +111,19 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  private def d50(s: SparkSession, dir: String): DataFrame = {
+    // bloom-accelerated incremental dedup: history carried as a sketch,
+    // probed map-side — only the might-dup fraction reaches the exact
+    // anti-join (q40's runtime-filter shape applied to the dedup path);
+    // result bit-identical to the plain incremental path / the oracle
+    val docs = documents(s, dir)
+    val hist = Dedup.fingerprints(docs.filter(col("doc_id") % 4 === 0))
+    Dedup
+      .bloomIncrementalDedup(docs.filter(col("doc_id") % 4 =!= 0), hist)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   private def d06(s: SparkSession, dir: String): DataFrame =
     Dedup
       .minhashSignatures(documents(s, dir), shingleSize = 3, k = 8)
@@ -844,6 +857,7 @@ object LlmQueries {
     "d13_rolling_fp" -> (d13 _),
     "d14_bpe_tokens" -> (d14 _),
     "d15_incremental_dedup" -> (d15 _),
+    "d50_bloom_incr_dedup" -> (d50 _),
     "d16_char_ngram_near_dup" -> (d16 _),
     "d17_curation_pipeline" -> (d17 _),
     "d18_minhash_estimate" -> (d18 _),
@@ -1940,6 +1954,19 @@ object LlmQueries {
          FROM documents),
          hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 = 0),
          inc AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+         fresh AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM hist)),
+         r AS (SELECT doc_id, source, row_number() OVER
+                 (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)
+         SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "d50_bloom_incr_dedup" ->
+      // the bloom is a pruning detail, invisible to the result: the
+      // oracle is d15's exact incremental dedup with the %4 split
+      """WITH fp AS (SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),
+                                   '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 = 0),
+         inc AS (SELECT * FROM fp WHERE doc_id % 4 <> 0),
          fresh AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM hist)),
          r AS (SELECT doc_id, source, row_number() OVER
                  (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)

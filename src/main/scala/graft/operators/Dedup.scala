@@ -94,6 +94,47 @@ object Dedup {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(md5(normalizeAggressive(col(textCol))).as("fp")).distinct()
 
+  /** Bloom-accelerated incremental dedup — same result as
+    * [[incrementalDedup]], different scale shape: the history
+    * fingerprint store is reduced to a KB–MB bloom sketch over 60-bit
+    * md5-prefix keys and probed MAP-SIDE on the incoming scan. Docs the
+    * sketch proves unseen (no false negatives) bypass the history
+    * anti-join entirely; only the might-dup fraction — true duplicates
+    * plus the configured fpp of false positives — shuffles into the
+    * exact anti-join that settles them. At 100 TB, where the incoming
+    * batch is huge and the duplicate fraction small, the anti-join's
+    * probe side shrinks from the whole batch to roughly that fraction;
+    * the in-batch keep-first window is unchanged, so the result is
+    * bit-identical to the plain incremental path. */
+  def bloomIncrementalDedup(
+      incoming: DataFrame,
+      knownFps: DataFrame,
+      textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.BloomMightContain
+    def fpLong(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(fp, 1, 15), 16, 10).cast("long")
+    val histKeys = knownFps.select(fpLong(col("fp")).as("fpl"))
+    histKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bytes =
+        BloomMightContain.buildFilterBytes(histKeys, "fpl", histKeys.count(), fpp)
+      val staged = incoming
+        .withColumn("fp", md5(normalizeAggressive(col(textCol))))
+        .withColumn("__might",
+          BloomMightContain.mightContain(fpLong(col("fp")), bytes))
+      val defNew = staged.filter(!col("__might"))
+      val confirmedNew = staged.filter(col("__might"))
+        .join(knownFps.select("fp"), Seq("fp"), "left_anti")
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+      defNew.unionByName(confirmedNew)
+        .withColumn("__row", row_number().over(w))
+        .filter(col("__row") === 1)
+        .drop("__row", "__might", "fp")
+    } finally { histKeys.unpersist(false); () }
+  }
+
   /** Per-doc minhash signature (k hashes over word n-gram shingles),
     * staged tokens → shingles → signature, one projection each. */
   def minhashSignatures(

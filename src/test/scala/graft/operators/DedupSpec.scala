@@ -47,6 +47,37 @@ class DedupSpec extends SparkSpec {
       Dedup.exactDedup(d).select("doc_id").collect().map(_.getLong(0)).sorted
   }
 
+  test("bloomIncrementalDedup is bit-identical to the plain incremental path") {
+    val corpus = (0L until 60L).map(i =>
+      (i, if (i % 7 == 0) near1 else s"unique text number $i", s"s${i % 3}"))
+    val d = docs(corpus: _*)
+    val hist = Dedup.fingerprints(d.filter(col("doc_id") % 4 === 0))
+    val incoming = d.filter(col("doc_id") % 4 =!= 0)
+    val plain = Dedup.incrementalDedup(incoming, hist)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val bloomed = Dedup.bloomIncrementalDedup(incoming, hist)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    bloomed shouldBe plain
+  }
+
+  test("bloomIncrementalDedup probes the sketch map-side below the anti-join") {
+    // parquet-backed source: a LocalRelation would be folded away by
+    // ConvertToLocalRelation and hide the probe from the plan
+    val tmp = java.nio.file.Files.createTempDirectory("bloomdedup").toString
+    docs((1L, near1, "a"), (2L, near2, "a"), (3L, other, "b"))
+      .write.parquet(s"$tmp/d")
+    val d = spark.read.parquet(s"$tmp/d")
+    val hist = Dedup.fingerprints(d.filter(col("doc_id") === 1L))
+    val plan = Dedup.bloomIncrementalDedup(d.filter(col("doc_id") =!= 1L), hist)
+      .queryExecution.optimizedPlan.toString
+    plan should include("graft_bloom_might_contain")
+    // the might-dup branch probes BELOW the anti-join (its child in the
+    // printed tree), so only sketch-positive rows reach the join
+    plan should include("Join LeftAnti")
+    plan.lastIndexOf("graft_bloom_might_contain") should be >
+      plan.indexOf("Join LeftAnti")
+  }
+
   test("incrementalNearDuplicates scores only incoming-vs-history pairs") {
     val hist = docs((10L, near1, "h"), (11L, other, "h"))
     val incoming = docs(
