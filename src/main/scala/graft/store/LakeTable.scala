@@ -886,6 +886,22 @@ class LakeTable(
     morRead(s, s.entries)
   }
 
+  /** Time travel by wall-clock: read the newest snapshot committed at
+    * or before `timestampMs` (Iceberg's `TIMESTAMP AS OF`). Commit
+    * timestamps are strictly usable here because versions are
+    * contiguous and each commit stamps `System.currentTimeMillis` at
+    * claim time; ties resolve to the highest version. Fails like
+    * Iceberg when the timestamp predates the first retained snapshot. */
+  def readAsOf(timestampMs: Long): DataFrame = {
+    val candidates = allSnapshots.filter(_.timestampMs <= timestampMs)
+    if (candidates.isEmpty)
+      throw new IllegalStateException(
+        s"no snapshot of $name committed at or before $timestampMs " +
+          "(older snapshots may have been expired)")
+    val s = candidates.maxBy(_.version)
+    morRead(s, s.entries)
+  }
+
   /** Incremental BATCH scan — the Iceberg `start-snapshot-id`
     * incremental append read (`tests/99.test_iceberg_cdc.ipynb`
     * options): rows in data files ADDED by append-family snapshots with

@@ -438,6 +438,20 @@ class LakeTableSpec extends SparkSpec {
     t.read.head.getString(1) shouldBe "v2"
   }
 
+  test("readAsOf time-travels by wall-clock to the newest covered snapshot") {
+    val t = freshCatalog().table("db.tt_ts")
+    t.createOrReplace(df(Seq((1L, "v1", 1.0))))
+    val ts1 = t.snapshot(1L).timestampMs
+    Thread.sleep(5) // keep the two commit stamps distinct
+    t.overwrite(df(Seq((2L, "v2", 2.0))))
+    val ts2 = t.snapshot(2L).timestampMs
+    t.readAsOf(ts1).head.getString(1) shouldBe "v1"
+    // between the commits (or exactly at v2): newest covered snapshot
+    t.readAsOf(ts2).head.getString(1) shouldBe "v2"
+    t.readAsOf(System.currentTimeMillis() + 60000).head.getString(1) shouldBe "v2"
+    an[IllegalStateException] should be thrownBy t.readAsOf(ts1 - 1)
+  }
+
   test("readStream surfaces appended commits incrementally") {
     import spark.implicits._
     val t = freshCatalog().table("db.stream")
