@@ -719,6 +719,22 @@ object SparkEntry {
       .orderBy(col("user_id"), col("click_id"),
         col("purchase_id").asc_nulls_first)
 
+  private def s15(s: SparkSession, dir: String): DataFrame =
+    // FULL-outer interval join: unmatched clicks AND unmatched purchases
+    // each emit exactly once with nulls on the absent side — in
+    // streaming BOTH null rows are watermark decisions (state on each
+    // side retires only when the other side provably can't match);
+    // batch-run here for the oracle
+    streaming.EventStreams.intervalJoin(table(s, dir, "events"),
+      joinType = "full_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("purchase_ts"),
+        col("gap_us"))
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+
   private def s14(s: SparkSession, dir: String): DataFrame =
     // left SEMI interval join — the converted-clicks feed: clicks-sized
     // output (never pairs-sized), emitted on first match in streaming;
@@ -930,6 +946,7 @@ object SparkEntry {
     "s04_sliding_windows" -> (s04 _),
     "s05_interval_join" -> (s05 _),
     "s06_outer_interval_join" -> (s06 _),
+    "s15_full_outer_interval_join" -> (s15 _),
     "s14_semi_attribution" -> (s14 _),
     "s07_stream_asof" -> (s07 _),
     "s13_stream_dedup" -> (s13 _)
@@ -1266,6 +1283,17 @@ object SparkEntry {
            ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS quartile
          FROM e ORDER BY user_id, event_id""",
+    "s15_full_outer_interval_join" ->
+      """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+         ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""",
     "s06_outer_interval_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,

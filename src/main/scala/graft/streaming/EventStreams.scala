@@ -177,7 +177,10 @@ object EventStreams {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $horizonSec SECOND"),
       joinType)
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
+      // coalesce the two user keys: identical when matched, and under
+      // full_outer a purchase-only row carries only p_user_id
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"),
         (graft.functions.Transforms.microsOf(col("purchase_ts")) -
           graft.functions.Transforms.microsOf(col("click_ts")))

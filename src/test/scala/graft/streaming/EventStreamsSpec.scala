@@ -251,6 +251,38 @@ class EventStreamsSpec extends SparkSpec {
     rows shouldBe Set((2L, 3L), (1L, -1L))
   }
 
+  test("streaming FULL outer interval join: null rows on both sides, watermark-decided") {
+    val src = Files.createTempDirectory("es-foj-src").toString
+    val ckpt = Files.createTempDirectory("es-foj-ckpt").toString
+    writeBatch(eventsDf(
+      (1L, "2026-01-01 10:00:00", 1L, "click"),    // never matches
+      (2L, "2026-01-01 10:05:00", 2L, "click"),
+      (3L, "2026-01-01 10:20:00", 2L, "purchase"), // matches click 2
+      (6L, "2026-01-01 09:00:00", 3L, "purchase")), src, 1) // click-less
+    writeBatch(eventsDf(
+      (4L, "2026-01-01 23:00:00", 8L, "click"),
+      (5L, "2026-01-01 23:00:00", 9L, "purchase")), src, 2)
+
+    val q = EventStreams
+      .intervalJoin(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        horizonSec = 3600L, watermarkDelay = "2 hours", joinType = "full_outer")
+      .writeStream.format("memory").queryName("foj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("foj").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // matched pair; unmatched click 1 with null purchase; unmatched
+    // purchase 6 with null click — each null row only after the
+    // watermark proved no counterpart can still arrive. The sentinels'
+    // own horizons aren't past the watermark, so they're withheld.
+    rows shouldBe Set((2L, 2L, 3L), (1L, 1L, -1L), (3L, -1L, 6L))
+  }
+
   test("batch semi interval join: converted clicks emit once, no pair blow-up") {
     val ev = eventsDf(
       (1L, "2026-01-01 10:00:00", 1L, "click"),
