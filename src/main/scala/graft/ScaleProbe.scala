@@ -139,6 +139,33 @@ object ScaleProbe {
       Seq("doc_id")))
     timed("mor_pruned_read")(
       ranged.read.write.format("noop").mode("overwrite").save())
+
+    // Bloom-sidecar point lookup: `bloomK` INTERLEAVED appends (every
+    // entry spans the full doc_id range, so min/max stats prune
+    // nothing), then a single-key readWhere. With write.bloom.columns
+    // the lookup plans ~1 entry after KB-sized sidecar reads; the
+    // control table without blooms must open every entry. The gap is
+    // the 100 TB PK-lookup story: sidecar IO is per-probed-entry,
+    // data IO per-match — neither grows with the table.
+    val bloomK = 8
+    val bloomed = storeCat.table("probe.docs_bloomed")
+    val plainT = storeCat.table("probe.docs_plain")
+    def slice(i: Int) = docTable.filter(col("doc_id") % bloomK === i)
+    timed("bloom_ingest") {
+      bloomed.createOrReplace(slice(0), tableProperties = Map(
+        "write.bloom.columns" -> "doc_id"))
+      (1 until bloomK).foreach(i => bloomed.append(slice(i)))
+    }
+    plainT.createOrReplace(slice(0))
+    (1 until bloomK).foreach(i => plainT.append(slice(i)))
+    val probeKey = 4243L // lives in exactly one slice
+    val bloomPlanned = bloomed
+      .prunedEntries(bloomed.currentSnapshot.get, col("doc_id") === probeKey).size
+    val plainPlanned = plainT
+      .prunedEntries(plainT.currentSnapshot.get, col("doc_id") === probeKey).size
+    println(s"    [bloom plans $bloomPlanned / $bloomK entries; control plans $plainPlanned]")
+    timed("bloom_point_lookup")(bloomed.readWhere(col("doc_id") === probeKey).count())
+    timed("plain_point_lookup")(plainT.readWhere(col("doc_id") === probeKey).count())
     spark.stop()
   }
 }
