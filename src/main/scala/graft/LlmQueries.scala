@@ -761,6 +761,24 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def d51(s: SparkSession, dir: String): DataFrame = {
+    // PERSISTENT LSH index (the IvfIndex analog for text near-dup):
+    // history signatures computed once at build/append — never re-
+    // sketched per probe, unlike d47's per-batch full-history pass —
+    // then the %3==2 micro-batch probes the two-generation index
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    val cat = new LakeCatalog(s,
+      s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+        dir.replaceAll("[^a-z0-9]", "_") + "_lsh")
+    cat.createDatabase("lake")
+    val docs = documents(s, dir)
+    LshIndex.build(cat, "lake", "neardup", docs.filter(col("doc_id") % 3 === 0))
+    LshIndex.append(cat, "lake", "neardup", docs.filter(col("doc_id") % 3 === 1))
+    LshIndex.query(cat, "lake", "neardup", docs.filter(col("doc_id") % 3 === 2))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def d48(s: SparkSession, dir: String): DataFrame =
     // Count-Min-sketch heavy hitters under the d34 gate pattern: exact
     // top-20 terms + a flag that the CMS guarantee held (never under,
@@ -915,6 +933,7 @@ object LlmQueries {
     "d45_cluster_reps" -> (d45 _),
     "d46_dup_ngram_spans" -> (d46 _),
     "d47_incr_near_dup" -> (d47 _),
+    "d51_lsh_index" -> (d51 _),
     "d48_cms_heavy_hitters" -> (d48 _),
     "d49_weighted_sample" -> (d49 _),
     "e21_adc_refine" -> (e21 _),
@@ -1753,6 +1772,42 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d51_lsh_index" ->
+      // the persistent-index probe: same LSH math as d47, but the index
+      // side is two GENERATIONS (build %3==0, append %3==1) each
+      // bucket-capped within its own ingest batch — exactly what the
+      // per-batch write-time capping produces — probed by %3==2
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         g0 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 0) WHERE bn <= 1000),
+         g1 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 1) WHERE bn <= 1000),
+         nw AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 2) WHERE bn <= 1000),
+         idx AS (SELECT band, doc_id, toks FROM g0
+                 UNION ALL SELECT band, doc_id, toks FROM g1),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, i.doc_id AS doc_b,
+                     a.toks AS toks_a, i.toks AS toks_b
+                   FROM nw a JOIN idx i ON a.band = i.band)
+         SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "d47_incr_near_dup" ->
       // d07's pipeline with the band join restricted to incoming(%5==0)
       // × history(%5!=0); each side carries its own bucket cap

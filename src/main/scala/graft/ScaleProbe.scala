@@ -166,6 +166,22 @@ object ScaleProbe {
     println(s"    [bloom plans $bloomPlanned / $bloomK entries; control plans $plainPlanned]")
     timed("bloom_point_lookup")(bloomed.readWhere(col("doc_id") === probeKey).count())
     timed("plain_point_lookup")(plainT.readWhere(col("doc_id") === probeKey).count())
+
+    // Persistent LSH index (d51) vs one-shot incremental near-dup
+    // (d47) on a FIXED ~500-doc probe batch: the index sketches history
+    // once at build, so probe cost must stay ~flat as history grows;
+    // the one-shot operator re-tokenizes and re-sketches ALL history
+    // per batch and grows with the corpus — the gap is the per-micro-
+    // batch cost a 100 TB near-dup screen pays without the index.
+    import graft.operators.LshIndex
+    val probeBatch = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(900_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    timed("lsh_index_build")(LshIndex.build(storeCat, "probe", "nd", big))
+    timed("lsh_index_probe")(
+      LshIndex.query(storeCat, "probe", "nd", probeBatch).count())
+    timed("lsh_oneshot_probe")(
+      Dedup.incrementalNearDuplicates(probeBatch, big).count())
     spark.stop()
   }
 }

@@ -156,7 +156,7 @@ object Dedup {
     * tokenize pass — an extra corpus scan at any scale). The cached
     * payload is ids + token arrays, MEMORY_AND_DISK so oversized corpora
     * spill to local disk instead of OOMing executors. */
-  private def tokenStage(
+  private[operators] def tokenStage(
       docs: DataFrame,
       textCol: String,
       blockCol: Option[String]): DataFrame = {
@@ -181,7 +181,7 @@ object Dedup {
 
   /** (band, doc_id[, blockCol]) exploded band keys with oversized buckets
     * dropped — only ids travel through the downstream self-join. */
-  private def bandedIds(
+  private[operators] def bandedIds(
       staged: DataFrame,
       shingleSize: Int,
       k: Int,
@@ -204,7 +204,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  private def jaccardOnPairs(pairs: DataFrame, docToks: DataFrame, threshold: Double): DataFrame =
+  private[operators] def jaccardOnPairs(pairs: DataFrame, docToks: DataFrame, threshold: Double): DataFrame =
     pairs
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))

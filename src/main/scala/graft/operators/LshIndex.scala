@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.LakeCatalog
+
+/** Persistent MinHash-LSH near-duplicate index over the LakeTable store
+  * — build once, probe every micro-batch, append the batch after it
+  * clears. The text analog of [[IvfIndex]], and the production shape of
+  * corpus-scale near-dup screening: `incrementalNearDuplicates` (d47)
+  * re-tokenizes and re-sketches the ENTIRE history on every batch,
+  * which at 100 TB means a full-corpus pass per micro-batch; with the
+  * index, history-side signatures are computed exactly once at ingest
+  * and each batch's cost is O(batch + candidate pairs).
+  *
+  * Tables (per index `name`):
+  *  - `<name>_bands`: (band, doc_id) — the inverted index; a probe is a
+  *    band-equality join, bucket-capped on both sides;
+  *  - `<name>_toks`: (doc_id, toks) — distinct token sets for the exact
+  *    Jaccard verify of candidate pairs (only candidates are joined
+  *    back, never the corpus).
+  *
+  * LSH parameters are pinned as table properties at build time and
+  * reused by probe/append — mixing signatures from different parameter
+  * sets would silently miss pairs, so the index refuses to drift.
+  *
+  * `maxBucket` capping: the INDEX side applies the cap per ingest batch
+  * (build or append) — a bucket oversized within any single generation
+  * is boilerplate and its rows are dropped at write time, matching the
+  * per-side capping the one-shot operators use. The probe side caps the
+  * incoming batch's own buckets the same way.
+  */
+object LshIndex {
+
+  private val ParamKeys =
+    Seq("lsh.shingle", "lsh.k", "lsh.bands", "lsh.max-bucket")
+
+  /** (staged tokens, banded ids, distinct token sets) for one batch —
+    * staged and banded are PERSISTED by the helpers; callers release
+    * both once their writes/joins have consumed them. */
+  private def bandsFor(
+      docs: DataFrame,
+      shingleSize: Int, k: Int, bands: Int, maxBucket: Int,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val staged = Dedup.tokenStage(docs, textCol, None)
+    val banded = Dedup.bandedIds(staged, shingleSize, k, bands, maxBucket, None)
+      .select("band", "doc_id")
+    val toks = staged
+      .select(col("doc_id"), array_distinct(col("__toks")).as("toks"))
+    (staged, banded, toks)
+  }
+
+  /** Tokenize + sketch the corpus ONCE and persist the inverted index.
+    * Idempotent (createOrReplace). */
+  def build(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      corpus: DataFrame,
+      shingleSize: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      textCol: String = "text"): Unit = {
+    val (staged, banded, toks) = bandsFor(corpus, shingleSize, k, bands, maxBucket, textCol)
+    val props = Map(
+      "lsh.shingle" -> shingleSize.toString,
+      "lsh.k" -> k.toString,
+      "lsh.bands" -> bands.toString,
+      "lsh.max-bucket" -> maxBucket.toString)
+    cat.table(s"$db.${name}_bands").createOrReplace(banded, tableProperties = props)
+    cat.table(s"$db.${name}_toks").createOrReplace(toks)
+    banded.unpersist(false); staged.unpersist(false)
+    ()
+  }
+
+  private def params(cat: LakeCatalog, db: String, name: String): (Int, Int, Int, Int) = {
+    val props = cat.table(s"$db.${name}_bands").properties
+    ParamKeys.find(!props.contains(_)).foreach(k =>
+      throw new IllegalStateException(s"index $name missing property $k — rebuild"))
+    (props("lsh.shingle").toInt, props("lsh.k").toInt,
+      props("lsh.bands").toInt, props("lsh.max-bucket").toInt)
+  }
+
+  /** Incremental ADD under the index's frozen parameters: sketch ONLY
+    * the new docs and append — O(batch), no history re-read. */
+  def append(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      newDocs: DataFrame,
+      textCol: String = "text"): Unit = {
+    val (sh, k, b, mb) = params(cat, db, name)
+    val (staged, banded, toks) = bandsFor(newDocs, sh, k, b, mb, textCol)
+    cat.table(s"$db.${name}_bands").append(banded)
+    cat.table(s"$db.${name}_toks").append(toks)
+    banded.unpersist(false); staged.unpersist(false)
+    ()
+  }
+
+  /** Probe: near-dup pairs (incoming doc_a × indexed doc_b) with exact
+    * Jaccard ≥ threshold. One band-equality join generates candidates
+    * (ids only), then ONLY candidates join their token sets back. */
+  def query(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      incoming: DataFrame,
+      threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    val (sh, k, b, mb) = params(cat, db, name)
+    val (inStaged, inBands, inToks) = bandsFor(incoming, sh, k, b, mb, textCol)
+    val idxBands = cat.table(s"$db.${name}_bands").read
+    val idxToks = cat.table(s"$db.${name}_toks").read
+    val pairs = inBands.select(col("band"), col("doc_id").as("doc_a"))
+      .join(idxBands.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val docToks = inToks.unionByName(idxToks)
+    Dedup.releasing(
+      Dedup.jaccardOnPairs(pairs, docToks, threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+      inStaged, inBands)
+  }
+}
