@@ -437,6 +437,73 @@ object SparkEntry {
          FROM tree GROUP BY depth ORDER BY depth""")
   }
 
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q17 shape: correlated scalar AVG subquery — each lineitem
+    // compares against ITS part's average quantity. Catalyst
+    // decorrelates to a per-partkey aggregate + join (one shuffle on
+    // partkey), never a per-row subquery execution — the optimizer
+    // shape this query exists to exercise.
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_q42_li")
+    table(s, dir, "part").createOrReplaceTempView("graft_q42_p")
+    s.sql(
+      """SELECT p_brand,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+         FROM graft_q42_li JOIN graft_q42_p ON p_partkey = l_partkey
+         WHERE p_size < 15
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM graft_q42_li l2
+                             WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact — orders
+    // with another supplier's line (semi join) where OUR line is the
+    // price maximum (anti join on strictly-greater). Catalyst plans one
+    // semi and one anti join, both shuffled on l_orderkey; the fact
+    // table is scanned three times but never exploded.
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_q43_li")
+    table(s, dir, "supplier").createOrReplaceTempView("graft_q43_s")
+    s.sql(
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+         FROM graft_q43_s JOIN graft_q43_li l1 ON s_suppkey = l1.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM graft_q43_li l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM graft_q43_li l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_extendedprice > l1.l_extendedprice)
+         GROUP BY s_name ORDER BY n_orders DESC, s_name LIMIT 20""")
+  }
+
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q20 shape: nested IN chains with a HAVING over an
+    // uncorrelated scalar subquery — suppliers who shipped any
+    // "high-volume" part (per-part total quantity above 1.5x the mean
+    // per-part total; scale-free so the same query is meaningful at
+    // every SF) from a NATION_1x nation. Plans as two stacked semi joins over
+    // one grouped subquery.
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_q44_li")
+    table(s, dir, "supplier").createOrReplaceTempView("graft_q44_s")
+    table(s, dir, "nation").createOrReplaceTempView("graft_q44_n")
+    s.sql(
+      """SELECT s_name, round(s_acctbal, 2) AS acctbal
+         FROM graft_q44_s
+         WHERE s_suppkey IN (
+             SELECT l_suppkey FROM graft_q44_li
+             WHERE l_partkey IN (
+               SELECT l_partkey FROM graft_q44_li
+               GROUP BY l_partkey
+               HAVING sum(l_quantity) > 1.5 * (
+                 SELECT avg(sq) FROM (SELECT sum(l_quantity) AS sq
+                                      FROM graft_q44_li
+                                      GROUP BY l_partkey))))
+           AND s_nationkey IN (SELECT n_nationkey FROM graft_q44_n
+                               WHERE n_name LIKE 'NATION_1%')
+         ORDER BY s_name""")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame =
     // scalar string-function battery — split_part, edit distance,
     // pad/reverse/translate/regexp, every one engine-portable (the
@@ -933,6 +1000,9 @@ object SparkEntry {
     "q39_listagg" -> (q39 _),
     "q40_bloom_semi_join" -> (q40 _),
     "q41_recursive_cte" -> (q41 _),
+    "q42_correlated_avg" -> (q42 _),
+    "q43_semi_anti_max" -> (q43 _),
+    "q44_nested_in" -> (q44 _),
     "s08_stream_funnel" -> (s08 _),
     "s09_windowed_topk" -> (s09 _),
     "s10_static_enrich" -> (s10 _),
@@ -1180,6 +1250,39 @@ object SparkEntry {
          string_agg(n_name, ',' ORDER BY n_name) AS nations,
          count(*) AS n
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q42_correlated_avg" ->
+      """SELECT p_brand,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_size < 15
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q43_semi_anti_max" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_extendedprice > l1.l_extendedprice)
+         GROUP BY s_name ORDER BY n_orders DESC, s_name LIMIT 20""",
+    "q44_nested_in" ->
+      """SELECT s_name, round(s_acctbal, 2) AS acctbal
+         FROM supplier
+         WHERE s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             WHERE l_partkey IN (
+               SELECT l_partkey FROM lineitem
+               GROUP BY l_partkey
+               HAVING sum(l_quantity) > 1.5 * (
+                 SELECT avg(sq) FROM (SELECT sum(l_quantity) AS sq
+                                      FROM lineitem GROUP BY l_partkey))))
+           AND s_nationkey IN (SELECT n_nationkey FROM nation
+                               WHERE n_name LIKE 'NATION_1%')
+         ORDER BY s_name""",
     "q41_recursive_cte" ->
       // the same WITH RECURSIVE walk, DuckDB dialect (// = integer div)
       """WITH RECURSIVE tree AS (

@@ -60,6 +60,22 @@ class PlanShapeSpec extends SparkSpec {
     all(scans.map(_.schema.fieldNames.length)) should be <= 4
   }
 
+  test("q42: the correlated AVG subquery decorrelates to an aggregate join") {
+    val p = planOps("q42_correlated_avg")
+    // no per-row subquery execution survives: the plan is joins +
+    // aggregates only (decorrelation happened)
+    p.exists(_.getClass.getSimpleName.contains("Subquery")) shouldBe false
+    p.collect { case j: BaseJoinExec => j }.size should be >= 2
+  }
+
+  test("q43: EXISTS / NOT EXISTS plan as one semi and one anti join") {
+    val joins = planOps("q43_semi_anti_max").collect { case j: BaseJoinExec => j }
+    joins.map(_.joinType.sql) should contain allOf ("LEFT SEMI", "LEFT ANTI")
+    // and nothing degenerated into a cartesian product
+    planOps("q43_semi_anti_max")
+      .collect { case c: CartesianProductExec => c } shouldBe empty
+  }
+
   test("d49: weighted sample plans as TakeOrdered, never a global sort") {
     val p = planOps("d49_weighted_sample")
     p.collect {
