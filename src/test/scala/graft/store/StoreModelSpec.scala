@@ -35,10 +35,19 @@ class StoreModelSpec extends SparkSpec {
     rnd.shuffle(from).take(n)
 
   test("random op sequences agree with the in-memory model") {
-    Seq(11L, 42L, 20260813L).foreach(runSequence)
+    // each seed runs under a different table config so every op
+    // interleaving also exercises the bloom-sidecar and ingest-sort
+    // write paths (and every per-step read crosses their read paths)
+    runSequence(11L, Map.empty)
+    runSequence(42L, Map(
+      "write.bloom.columns" -> "id,status",
+      "write.bloom.expected-items" -> "10000"))
+    runSequence(20260813L, Map(
+      "write.bloom.columns" -> "id",
+      "write.sort-order" -> "id"))
   }
 
-  private def runSequence(seed: Long): Unit = {
+  private def runSequence(seed: Long, props: Map[String, String]): Unit = {
     val rnd = new scala.util.Random(seed)
     val cat = new LakeCatalog(spark,
       Files.createTempDirectory(s"store-model-$seed").toString)
@@ -46,7 +55,7 @@ class StoreModelSpec extends SparkSpec {
 
     var model: Map[Long, (String, Double)] =
       (1L to 40L).map(i => i -> (s"v$i", i * 1.0)).toMap
-    t.createOrReplace(df(model.toSeq))
+    t.createOrReplace(df(model.toSeq), tableProperties = props)
     var history = Map(t.currentSnapshot.get.version -> model)
     var nextId = 1000L
     var lastOp = "create"
@@ -104,7 +113,7 @@ class StoreModelSpec extends SparkSpec {
           // MoR deletes (the round-5 regression) and reset the state
           lastOp = "create-or-replace"
           val rows = freshRows(5, "rt")
-          t.createOrReplace(df(rows)); model = rows.toMap
+          t.createOrReplace(df(rows), tableProperties = props); model = rows.toMap
         case 9 =>
           // key-range UPDATE: MoR mode when delete keys are fixed (a
           // prior MoR op ran), COW otherwise — assignments read the OLD
@@ -153,6 +162,19 @@ class StoreModelSpec extends SparkSpec {
         .map { case (id, (st, amt)) => (id, st, amt, id % 100) }.sorted
       withClue(s"seed=$seed step=$step op=$lastOp: ") {
         got shouldBe want
+      }
+      // point lookups drive the stats/bloom/partition prune path under
+      // every op interleaving: an existing key must come back exactly
+      // once, a never-inserted key exactly never (an unsound prune —
+      // or a stale sidecar — fails here, not just in BloomSkippingSpec)
+      model.keys.toSeq.sorted.headOption.foreach { probeId =>
+        withClue(s"seed=$seed step=$step op=$lastOp probe=$probeId: ") {
+          t.readWhere(col("id") === lit(probeId)).collect()
+            .map(_.getLong(0)).toSeq shouldBe Seq(probeId)
+        }
+      }
+      withClue(s"seed=$seed step=$step op=$lastOp miss-probe: ") {
+        t.readWhere(col("id") === lit(999999999L)).count() shouldBe 0L
       }
     }
   }
