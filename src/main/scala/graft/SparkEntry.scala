@@ -504,6 +504,30 @@ object SparkEntry {
          ORDER BY s_name""")
   }
 
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    // IGNORE NULLS window battery — the telemetry gap-fill shape:
+    // carry the last purchase value forward per user (last_value
+    // IGNORE NULLS over a running frame), look two events ahead with a
+    // default, and pin each user's first error id (first_value IGNORE
+    // NULLS over the full partition). One shuffle on user_id; every
+    // frame evaluates incrementally.
+    table(s, dir, "events").createOrReplaceTempView("graft_q45_ev")
+    s.sql(
+      """SELECT user_id, event_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END)
+             IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS last_purchase,
+           lead(event_type, 2, 'none') OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS nxt2_type,
+           first_value(CASE WHEN event_type = 'error' THEN event_id END)
+             IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_err_id
+         FROM graft_q45_ev
+         ORDER BY user_id, event_id""")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame =
     // scalar string-function battery — split_part, edit distance,
     // pad/reverse/translate/regexp, every one engine-portable (the
@@ -1001,6 +1025,7 @@ object SparkEntry {
     "q40_bloom_semi_join" -> (q40 _),
     "q41_recursive_cte" -> (q41 _),
     "q42_correlated_avg" -> (q42 _),
+    "q45_window_ignore_nulls" -> (q45 _),
     "q43_semi_anti_max" -> (q43 _),
     "q44_nested_in" -> (q44 _),
     "s08_stream_funnel" -> (s08 _),
@@ -1250,6 +1275,21 @@ object SparkEntry {
          string_agg(n_name, ',' ORDER BY n_name) AS nations,
          count(*) AS n
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q45_window_ignore_nulls" ->
+      // DuckDB puts IGNORE NULLS inside the call parens
+      """SELECT user_id, event_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS last_purchase,
+           lead(event_type, 2, 'none') OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS nxt2_type,
+           first_value(CASE WHEN event_type = 'error' THEN event_id END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_err_id
+         FROM events
+         ORDER BY user_id, event_id""",
     "q42_correlated_avg" ->
       """SELECT p_brand,
            round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
