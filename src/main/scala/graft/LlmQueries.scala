@@ -779,6 +779,21 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    // STREAMING near-dup screen, batch-run for the oracle: synthetic
+    // monotone event time (one doc per second from 2026-01-01), pairs =
+    // earlier-within-horizon near-dups. The streaming path — bounded
+    // per-bucket state, watermark retirement, dead-bucket cap,
+    // lowest-shared-band exactly-once pairs — is driven in
+    // DocStreamsSpec through a real file-source stream.
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+    graft.streaming.DocStreams.nearDupPairs(docs, horizonSec = 500L)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def d48(s: SparkSession, dir: String): DataFrame =
     // Count-Min-sketch heavy hitters under the d34 gate pattern: exact
     // top-20 terms + a flag that the CMS guarantee held (never under,
@@ -934,6 +949,7 @@ object LlmQueries {
     "d46_dup_ngram_spans" -> (d46 _),
     "d47_incr_near_dup" -> (d47 _),
     "d51_lsh_index" -> (d51 _),
+    "s16_stream_near_dup" -> (s16 _),
     "d48_cms_heavy_hitters" -> (d48 _),
     "d49_weighted_sample" -> (d49 _),
     "e21_adc_refine" -> (e21 _),
@@ -1772,6 +1788,34 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "s16_stream_near_dup" ->
+      // same LSH math as d07/d47; the pairing rule is the stream's:
+      // doc_b earlier (id order = the synthetic time order) and within
+      // the 500 s horizon (= 500 ids), whole-input bucket cap
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         kept AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk)
+                  WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                     a.toks AS toks_a, b2.toks AS toks_b
+                   FROM kept a JOIN kept b2 ON a.band = b2.band
+                   WHERE b2.doc_id < a.doc_id AND a.doc_id - b2.doc_id <= 500)
+         SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "d51_lsh_index" ->
       // the persistent-index probe: same LSH math as d47, but the index
       // side is two GENERATIONS (build %3==0, append %3==1) each

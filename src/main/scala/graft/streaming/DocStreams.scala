@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions._
+
+/** Streaming document operators — the near-dup screen a training-data
+  * ingest pipeline runs ON the stream, before anything lands.
+  *
+  * [[nearDupPairs]] is minhash-LSH near-duplicate detection as a
+  * STREAMING operator: per-band buckets live in `flatMapGroupsWithState`
+  * state, and each arriving doc is verified (exact token Jaccard)
+  * against the docs already in its buckets. State is BOUNDED three
+  * ways — the production requirements at 100 TB/day ingest:
+  *
+  *  - per-bucket cap (`maxBucket`): a bucket that exceeds the cap is
+  *    boilerplate (thousands of near-identical headers/footers); its
+  *    state drops and the bucket goes dead instead of holding an
+  *    ever-growing doc list;
+  *  - event-time horizon (`horizonSec`): docs retire from state once
+  *    the watermark proves no in-order arrival can still pair with
+  *    them — retention-window near-dup, not unbounded history;
+  *  - event-time timeout: an idle bucket's state is removed entirely.
+  *
+  * Pair exactness: a pair sharing several bands would emit once per
+  * band; state stores each doc's FULL band-key list and a pair emits
+  * only from the LOWEST shared band — exactly-once pairs without a
+  * second stateful dedup operator.
+  *
+  * Batch-run (the oracle seam) the same call computes the identical
+  * pair set declaratively: band join, earlier-within-horizon pairing,
+  * bucket cap over the whole input. One deliberate divergence, by
+  * design: in batch an over-cap bucket contributes NO pairs, while the
+  * stream emits until the cap trips and cannot retract (append mode) —
+  * the screen is conservative-keep under boilerplate either way.
+  */
+object DocStreams {
+
+  /** One stored doc in a band bucket: id, event-time micros, its full
+    * band-key list, distinct tokens. */
+  case class BandDoc(docId: Long, tsUs: Long, bands: Seq[String], toks: Seq[String])
+
+  /** Bucket state; `dead` = cap exceeded, emit nothing ever again. */
+  case class BandBucket(docs: Seq[BandDoc], dead: Boolean)
+
+  case class NearDupPair(
+      doc_a: Long, doc_b: Long, jaccard: Double, ts_a: java.sql.Timestamp)
+
+  private def jaccardOf(a: Seq[String], b: Seq[String]): Double = {
+    val sa = a.toSet
+    val inter = b.count(sa.contains) // b is distinct already
+    val union = sa.size + b.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Near-dup pairs (doc_a, earlier doc_b within `horizonSec`, exact
+    * Jaccard ≥ `threshold`). Input needs (doc_id LONG, text STRING,
+    * ts TIMESTAMP); works on a stream (bounded state, watermarked) and
+    * on a batch frame (the declarative oracle path). */
+  def nearDupPairs(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      horizonSec: Long = 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val staged = docs
+      .withColumn("__toks", tokens(col("text")))
+      .filter(size(col("__toks")) >= shingleSize)
+      .withColumn("__sh", shingleMd5Longs(col("__toks"), shingleSize, 15))
+      .withColumn("sig", minhashSketch(col("__sh"), k))
+      .withColumn("band_keys", lshBands(col("sig"), bands, k / bands))
+      .select(col("doc_id"), col("ts"), col("band_keys"),
+        array_distinct(col("__toks")).as("toks"))
+
+    if (!docs.isStreaming) {
+      val b = staged.withColumn("band", explode(col("band_keys")))
+        .select("band", "doc_id", "ts", "toks")
+      val keep = b.groupBy("band").count()
+        .filter(col("count") <= maxBucket).select("band")
+      val bb = b.join(keep, Seq("band")).select("band", "doc_id", "ts")
+      val idPairs = bb.select(col("band"), col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+        .join(bb.select(col("band"), col("doc_id").as("doc_b"), col("ts").as("ts_b")),
+          Seq("band"))
+        .filter(col("ts_b") < col("ts_a") ||
+          (col("ts_b") === col("ts_a") && col("doc_b") < col("doc_a")))
+        .filter(col("ts_a").cast("double") - col("ts_b").cast("double") <= horizonSec)
+        .groupBy("doc_a", "doc_b").agg(first("ts_a").as("ts_a"))
+      val docToks = staged.select(col("doc_id"), col("toks"))
+      return idPairs
+        .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+        .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"), col("ts_a"))
+    }
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonUs = horizonSec * 1000000L
+    staged
+      .withColumn("band", explode(col("band_keys")))
+      .withWatermark("ts", watermarkDelay)
+      .select("band", "doc_id", "ts", "band_keys", "toks")
+      .as[(String, Long, java.sql.Timestamp, Seq[String], Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (band: String,
+         rows: Iterator[(String, Long, java.sql.Timestamp, Seq[String], Seq[String])],
+         state: GroupState[BandBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(BandBucket(Nil, dead = false))
+            val wmMs = state.getCurrentWatermarkMs()
+            // retire docs the watermark proves unpairable (in-order):
+            // anything older than watermark - horizon
+            var acc = st.docs.filter(d => d.tsUs >= wmMs * 1000L - horizonUs)
+            var dead = st.dead
+            val out = List.newBuilder[NearDupPair]
+            val batch = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            var maxTsMs = wmMs
+            for ((_, id, ts, bandKeys, toks) <- batch if !dead) {
+              val tsUs = ts.getTime * 1000L + ts.getNanos / 1000 % 1000
+              maxTsMs = math.max(maxTsMs, ts.getTime)
+              for (old <- acc) {
+                val earlier = old.tsUs < tsUs || (old.tsUs == tsUs && old.docId < id)
+                if (earlier && tsUs - old.tsUs <= horizonUs) {
+                  // lowest-shared-band rule → exactly-once pairs
+                  val shared = bandKeys.find(old.bands.contains)
+                  if (shared.contains(band)) {
+                    val j = jaccardOf(toks, old.toks)
+                    if (j >= threshold) out += NearDupPair(id, old.docId, round4(j), ts)
+                  }
+                }
+              }
+              acc = acc :+ BandDoc(id, tsUs, bandKeys, toks)
+              if (acc.size > maxBucket) { dead = true; acc = Nil }
+            }
+            state.update(BandBucket(acc, dead))
+            // clean the bucket once nothing in it can pair anymore
+            state.setTimeoutTimestamp(maxTsMs + horizonSec * 1000L + 60000L)
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+}
