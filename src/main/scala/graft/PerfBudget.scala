@@ -18,7 +18,8 @@ import graft.core.GraftSession
   */
 object PerfBudget {
 
-  /** The top-15 most expensive queries of the round-6 bench. */
+  /** The most expensive queries of the round-6 bench, plus the round-9
+    * additions whose lifecycles are store/state heavy. */
   val TopQueries: Seq[String] = Seq(
     "c06_lake_merge_delete",
     "c07_lake_partitioned_cow",
@@ -29,12 +30,18 @@ object PerfBudget {
     "c22_zorder_scan",
     "c24_changelog",
     "c25_lake_mor_merge_delete",
+    "c30_incremental_rollup",
+    "c31_bloom_point_lookup",
+    "c32_table_stats",
     "d19_dedup_clusters",
     "d35_training_manifest",
     "d45_cluster_reps",
+    "d51_lsh_index",
     "e07_knn_ivf_index",
     "e13_ann_recall",
-    "e19_knn_ivf_append")
+    "e19_knn_ivf_append",
+    "e22_knn_ivf_rebalance",
+    "s16_stream_near_dup")
 
   val DefaultSf = "/root/testdata/sf0.001"
 
