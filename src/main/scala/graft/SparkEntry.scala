@@ -826,6 +826,17 @@ object SparkEntry {
       .orderBy(col("user_id"), col("click_id").asc_nulls_first,
         col("purchase_id").asc_nulls_first)
 
+  private def s17(s: SparkSession, dir: String): DataFrame =
+    // abandoned-session detection (transformWithState + event-time
+    // timers — the quiet tail session closes when the WATERMARK passes
+    // its horizon, no follow-up event needed); batch-run for the
+    // oracle, where the exhaustive input closes every session
+    streaming.SessionMonitor.abandonedSessions(table(s, dir, "events"))
+      .select(col("user_id"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+        col("n_events"), col("n_clicks"))
+      .orderBy("user_id", "s_end")
+
   private def s14(s: SparkSession, dir: String): DataFrame =
     // left SEMI interval join — the converted-clicks feed: clicks-sized
     // output (never pairs-sized), emitted on first match in streaming;
@@ -1042,6 +1053,7 @@ object SparkEntry {
     "s05_interval_join" -> (s05 _),
     "s06_outer_interval_join" -> (s06 _),
     "s15_full_outer_interval_join" -> (s15 _),
+    "s17_abandoned_sessions" -> (s17 _),
     "s14_semi_attribution" -> (s14 _),
     "s07_stream_asof" -> (s07 _),
     "s13_stream_dedup" -> (s13 _)
@@ -1518,6 +1530,25 @@ object SparkEntry {
          strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY w_start""",
+    "s17_abandoned_sessions" ->
+      // s02's gap sessionization, filtered to clicked-but-not-purchased
+      // sessions; the batch seam closes every session (exhaustive input)
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+         FROM events),
+         s AS (SELECT user_id, ts, event_type, sum(brk) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+         g AS (SELECT user_id, sid, max(ts) AS t1, count(*) AS n_events,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purch
+               FROM s GROUP BY 1, 2)
+         SELECT user_id, strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_clicks AS BIGINT) AS n_clicks
+         FROM g WHERE n_clicks > 0 AND purch = 0
+         ORDER BY user_id, s_end""",
     "s02_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
