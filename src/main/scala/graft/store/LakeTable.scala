@@ -558,21 +558,31 @@ class LakeTable(
     // for a sorted compaction pass. Unpartitioned tables also get a
     // RANGE distribution (files in the dir become range-disjoint);
     // partitioned writes keep the leaf-rebalance distribution and sort
-    // within tasks. Missing/unsortable columns are ignored.
-    val sortCols = props.get("write.sort-order").toSeq
-      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .filter(c => df.schema.fieldNames.contains(c))
+    // within tasks. `zorder(a,b,...)` sorts on the interleaved-bit
+    // curve ranked within THIS batch's bounds (one extra agg pass over
+    // the batch), so multi-dimension row-group skipping works from
+    // ingest. Missing/unsortable columns are ignored.
+    val ZOrderSpec = "(?i)\\s*zorder\\(([^)]*)\\)\\s*".r
+    val sortExprs: Seq[Column] = props.get("write.sort-order") match {
+      case Some(ZOrderSpec(inner)) =>
+        val zc = inner.split(",").toSeq.map(_.trim)
+          .filter(c => c.nonEmpty && df.schema.fieldNames.contains(c))
+        if (zc.size >= 2) zOrderExpr(df, zc).toSeq else Nil
+      case Some(cols) => cols.split(",").toSeq.map(_.trim)
+        .filter(c => c.nonEmpty && df.schema.fieldNames.contains(c)).map(col)
+      case None => Nil
+    }
     val out =
-      if (sortCols.isEmpty) distributed
+      if (sortExprs.isEmpty) distributed
       else if (partitionCols.isEmpty)
-        df.repartitionByRange(sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        df.repartitionByRange(sortExprs: _*)
+          .sortWithinPartitions(sortExprs: _*)
       else
         // partition cols lead the local sort so the file writer's
         // required ordering (partition cols) is already satisfied and
         // the key order inside each leaf file survives; a bare
         // sort(sortCols) would be re-sorted by the writer
-        distributed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        distributed.sortWithinPartitions(partitionCols.map(col) ++ sortExprs: _*)
     val writer = out.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(abs)
@@ -2310,12 +2320,24 @@ class LakeTable(
     require(zCols.size >= 2, "z-ordering needs at least two columns")
     val s = requireExists()
     val before = dataFileCount(s)
+    zOrderExpr(read, zCols) match {
+      // empty table (or an all-null column): bounds are null and the
+      // curve is undefined; no-op like an empty compaction
+      case None => (before, before)
+      case Some(zExpr) =>
+        rewriteClustered(Seq(zExpr), targetFileBytes,
+          "rewrite-data-files-zorder", Map("zorder-by" -> zCols.mkString(",")))
+    }
+  }
+
+  /** Interleaved-bit z-value over `zCols`, ranked within `df`'s own
+    * min/max bounds (one agg job over `df`). None when the curve is
+    * undefined — empty input or an all-null dimension. */
+  private def zOrderExpr(df: DataFrame, zCols: Seq[String]): Option[Column] = {
     val aggExprs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val bounds = read.agg(aggExprs.head, aggExprs.tail: _*).head()
-    // empty table (or an all-null column): nothing to cluster — bounds
-    // are null and the curve is undefined; no-op like an empty compaction
-    if (zCols.indices.exists(i => bounds.isNullAt(2 * i))) return (before, before)
+    val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    if (zCols.indices.exists(i => bounds.isNullAt(2 * i))) return None
     // up to 16 bits per dimension, shrunk so every interleaved position
     // stays below bit 63 — Java shift amounts wrap mod 64, so a 4+-column
     // curve at full width would silently alias high bits onto low ones
@@ -2326,7 +2348,7 @@ class LakeTable(
     // explicitly (least() would SKIP the null and hand them the max
     // rank, scattering null rows into the max corner's stats) — so
     // nulls cluster with the minimum corner
-    val zExpr = zCols.zipWithIndex.map { case (c, i) =>
+    Some(zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = if (hi > lo) hi - lo else 1.0
       val rank = when(col(c).isNull, lit(0L)).otherwise(
@@ -2337,9 +2359,7 @@ class LakeTable(
         shiftleft(shiftright(rank, b).bitwiseAND(lit(1L)),
           b * zCols.size + i).cast("long"))
         .reduce((a, b2) => a.bitwiseOR(b2))
-    }.reduce((a, b2) => a.bitwiseOR(b2))
-    rewriteClustered(Seq(zExpr), targetFileBytes,
-      "rewrite-data-files-zorder", Map("zorder-by" -> zCols.mkString(",")))
+    }.reduce((a, b2) => a.bitwiseOR(b2)))
   }
 
   /** Shared clustering rewrite: one range-partitioner shuffle on

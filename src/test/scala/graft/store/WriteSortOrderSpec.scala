@@ -83,6 +83,34 @@ class WriteSortOrderSpec extends SparkSpec {
     t.read.count() shouldBe 200L
   }
 
+  test("zorder(x,y) sort-order clusters each write on the interleaved curve") {
+    val t = freshCatalog().table("db.zsorted")
+    // a 20x20 grid, shuffled: after a z-ordered write each FILE covers
+    // a compact curve segment, so per-file x AND y ranges are both
+    // narrow — a linear sort on x would leave y spanning the full range
+    val rows = new scala.util.Random(11).shuffle(
+      (for (x <- 0L until 20L; y <- 0L until 20L) yield (x, y)).toList)
+      .map { case (x, y) => (x * 20 + y, x, y) }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.createOrReplace(rows.toDF("id", "x", "y"),
+      tableProperties = Map("write.sort-order" -> "zorder(x, y)"))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dir = t.currentSnapshot.get.entries.head.dir
+    val files = new java.io.File(s"${t.location}/data/$dir")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    files.size should be >= 2
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // every file's span is a fraction of the 0..19 domain on BOTH axes
+    all(spans.map(s => math.max(s._1, s._2))) should be <= 14L
+    t.read.count() shouldBe 400L
+    t.readWhere(col("x").between(0L, 4L) && col("y").between(0L, 4L))
+      .count() shouldBe 25L
+  }
+
   test("appends and merges inherit the sort order from table properties") {
     val t = freshCatalog().table("db.sorted_app")
     t.createOrReplace(shuffled, tableProperties = Map("write.sort-order" -> "id"))
