@@ -599,6 +599,23 @@ object LlmQueries {
         "doc_id", targetRate = 8000, frame = 60)
       .orderBy("doc_id", "frame_no")
 
+  private def m09(s: SparkSession, dir: String): DataFrame =
+    // REAL video: encode a real uncompressed AVI per doc (proper
+    // hdrl/strl/strf headers + movi of bottom-up padded DIB frames),
+    // demux it back — nested-LIST walk, dims from the PARSED
+    // BITMAPINFOHEADER — and weight each decoded pixel by position, so
+    // an orientation or padding defect diverges the hash, not just the
+    // row order. w=15 makes rows pad (45 → 48 bytes): the padding path
+    // is exercised, not just declared
+    Multimodal
+      .videoFrameStats(
+        Multimodal.encodeAvi(
+          table(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") < 300),
+          "doc_id", frames = 3, w = 15, h = 12),
+        "doc_id")
+      .orderBy("doc_id", "frame_no")
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal
       .packPayload(table(s, dir, "documents"), "text", "text/plain")
@@ -934,6 +951,7 @@ object LlmQueries {
     "m04_resize_pool" -> (m04 _),
     "m05_embed_patches" -> (m05 _),
     "m08_audio_frames" -> (m08 _),
+    "m09_video_frames" -> (m09 _),
     "d40_semantic_dedup" -> (d40 _),
     "d41_chunk_overlap" -> (d41 _),
     "d42_pii_scrub" -> (d42 _),
@@ -2110,6 +2128,19 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m09_video_frames" ->
+      // the engine round-trips REAL AVI bytes (container demux, DIB
+      // rows); the oracle replays pix(id,f,x,y) = (id*31+x*7+y*13+f*17)
+      // % 256 weighted by (x + 2y) over the 15x12 grid
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+         f AS (SELECT doc_id, r.range AS fno FROM ids CROSS JOIN range(0, 3) r),
+         px AS (SELECT doc_id, fno, x.range AS x, y.range AS y
+                FROM f CROSS JOIN range(0, 15) x CROSS JOIN range(0, 12) y)
+         SELECT doc_id, fno AS frame_no,
+           CAST(15 AS BIGINT) AS w, CAST(12 AS BIGINT) AS h,
+           CAST(sum(((doc_id*31 + x*7 + y*13 + fno*17) % 256) * (x + 2*y))
+                AS BIGINT) AS wsum
+         FROM px GROUP BY doc_id, fno ORDER BY doc_id, frame_no""",
     "m08_audio_frames" ->
       // the engine round-trips REAL RIFF/WAVE bytes (chunk walk, PCM16
       // little-endian, decimation to 8 kHz); the oracle replays the

@@ -374,6 +374,151 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic gray value for synthetic VIDEO frames (frame index
+    * shifts the image-series pixel function). */
+  private[operators] def pix(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31L + x * 7L + y * 13L + f * 17L) % 256L).toInt
+
+  /** Encode a REAL uncompressed AVI per row: RIFF/'AVI ' container with
+    * a proper hdrl (avih + strl/strh + strf BITMAPINFOHEADER) and a
+    * movi LIST of '00db' frames — bottom-up BI_RGB DIB rows, 4-byte
+    * padded, pixel (x,y) of frame f = gray `pix(id,f,x,y)` in all three
+    * channels. This is the standard uncompressed-AVI layout, so the
+    * decoder below must do everything a real video demuxer does for
+    * this container: walk nested LISTs, read the stream format, and
+    * interpret raw DIB frame payloads. */
+  def encodeAvi(
+      df: DataFrame,
+      idCol: String,
+      frames: Int,
+      w: Int,
+      h: Int): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("payload", BinaryType))
+      .add(StructField("modality", StringType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val rowBytes = (w * 3 + 3) / 4 * 4 // BI_RGB rows pad to 4 bytes
+        val frameBytes = rowBytes * h
+        val moviSz = 4 + frames * (8 + frameBytes)
+        val hdrlSz = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+        val bb = java.nio.ByteBuffer.allocate(8 + riffSz)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cc(s: String) = bb.put(s.getBytes("US-ASCII"))
+        cc("RIFF"); bb.putInt(riffSz); cc("AVI ")
+        cc("LIST"); bb.putInt(hdrlSz); cc("hdrl")
+        cc("avih"); bb.putInt(56)
+        bb.putInt(40000).putInt(frameBytes * 25).putInt(0).putInt(0)
+        bb.putInt(frames).putInt(0).putInt(1).putInt(frameBytes)
+        bb.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+        cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+        cc("strh"); bb.putInt(56)
+        cc("vids"); cc("DIB "); bb.putInt(0).putShort(0).putShort(0)
+        bb.putInt(0).putInt(1).putInt(25).putInt(0).putInt(frames)
+        bb.putInt(frameBytes).putInt(-1).putInt(0)
+        bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+        cc("strf"); bb.putInt(40)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        bb.putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+        cc("LIST"); bb.putInt(moviSz); cc("movi")
+        var f = 0
+        while (f < frames) {
+          cc("00db"); bb.putInt(frameBytes)
+          var yy = h - 1 // DIB rows are BOTTOM-UP
+          while (yy >= 0) {
+            var xx = 0
+            while (xx < w) {
+              val g = pix(id, f, xx, yy).toByte
+              bb.put(g).put(g).put(g) // B, G, R
+              xx += 1
+            }
+            var pad = rowBytes - w * 3
+            while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+            yy -= 1
+          }
+          f += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array() :+ "video/avi")
+      }
+    }(enc)
+  }
+
+  /** REAL video decode: demux the AVI container — walk the RIFF tree
+    * into hdrl for the strf BITMAPINFOHEADER (actual width/height/bpp),
+    * then into movi for the '00db' frame chunks — and read each frame's
+    * bottom-up padded DIB rows. Output per frame: dims from the PARSED
+    * header and a position-weighted pixel sum (weight x + 2y), which is
+    * integer-exact AND orientation-sensitive: a top-down/bottom-up or
+    * padding mistake diverges the value, not just the row order. */
+  def videoFrameStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_no", LongType),
+      StructField("w", LongType),
+      StructField("h", LongType),
+      StructField("wsum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+        }
+        require(fourcc() == "RIFF", s"not a RIFF file for id=$id")
+        bb.getInt
+        require(fourcc() == "AVI ", s"not an AVI file for id=$id")
+        var w = -1
+        var h = -1
+        val frames = Seq.newBuilder[(Int, Int)] // (offset, length)
+        def walk(end: Int): Unit =
+          while (bb.position() + 8 <= end) {
+            val id4 = fourcc()
+            val sz = bb.getInt
+            val next = bb.position() + sz + (sz & 1)
+            id4 match {
+              case "LIST" => fourcc(); walk(next) // descend, past the list type
+              case "strf" =>
+                val p = bb.position()
+                bb.getInt // biSize
+                w = bb.getInt; h = bb.getInt
+                bb.getShort // planes
+                require(bb.getShort == 24, "BI_RGB 24bpp only")
+                bb.position(p)
+              case "00db" | "00dc" => frames += ((bb.position(), sz))
+              case _ => ()
+            }
+            bb.position(next)
+          }
+        walk(b.length)
+        require(w > 0 && h > 0, s"missing strf header for id=$id")
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        frames.result().iterator.zipWithIndex.map { case ((off, len), f) =>
+          require(len == rowBytes * h, s"frame $f size $len != ${rowBytes * h}")
+          var sum = 0L
+          var yy = 0
+          while (yy < h) {
+            // row yy is stored at bottom-up index (h - 1 - yy)
+            val rowOff = off + (h - 1 - yy) * rowBytes
+            var xx = 0
+            while (xx < w) {
+              val g = bb.get(rowOff + xx * 3) & 0xff // blue channel = gray
+              sum += g.toLong * (xx + 2 * yy)
+              xx += 1
+            }
+            yy += 1
+          }
+          Row(id, f.toLong, w.toLong, h.toLong, sum)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame-sampling manifest for opaque video/audio payloads: every
     * `frameBytes`-wide slice becomes a manifest row (frame number, byte
     * offset, actual length, content md5) — the work list a downstream

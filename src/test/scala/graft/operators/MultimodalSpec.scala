@@ -195,6 +195,39 @@ class MultimodalSpec extends SparkSpec {
       .count() shouldBe 2 // 149 samples → 2 full frames, 29 dropped
   }
 
+  test("encodeAvi writes a well-formed container; videoFrameStats demuxes it exactly") {
+    val avi = Multimodal.encodeAvi(Seq(7L).toDF("doc_id"), "doc_id",
+      frames = 2, w = 15, h = 12)
+    val payload = avi.head.getAs[Array[Byte]]("payload")
+    new String(payload.take(4), "US-ASCII") shouldBe "RIFF"
+    new String(payload.slice(8, 12), "US-ASCII") shouldBe "AVI "
+    new String(payload.slice(12, 16), "US-ASCII") shouldBe "LIST"
+    val out = Multimodal.videoFrameStats(avi, "doc_id")
+      .orderBy("frame_no").collect()
+    out.length shouldBe 2
+    // dims come from the PARSED strf header
+    out.map(r => (r.getLong(2), r.getLong(3))).toSet shouldBe Set((15L, 12L))
+    // weighted sums match the closed form — any orientation (bottom-up
+    // DIB), padding (15*3=45 → 48 byte rows), or offset error diverges
+    def expected(f: Int): Long =
+      (for (x <- 0 until 15; y <- 0 until 12)
+        yield Multimodal.pix(7L, f, x, y).toLong * (x + 2 * y)).sum
+    out.map(_.getLong(4)).toSeq shouldBe Seq(expected(0), expected(1))
+  }
+
+  test("videoFrameStats rejects a payload without an strf header") {
+    // a RIFF/AVI shell with no streams: parser must fail fast, not
+    // guess dimensions
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4).put("AVI ".getBytes("US-ASCII"))
+    val junk = Seq((5L, bb.array())).toDF("doc_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFrameStats(junk, "doc_id").collect()
+    }
+    ex.getMessage should include("strf")
+  }
+
   test("audioFrames rejects a non-RIFF payload") {
     val junk = Seq((5L, "not a wav".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
