@@ -591,7 +591,10 @@ object Curation {
       weightCol: String,
       k: Int): DataFrame = {
     val wd = col(weightCol).cast("double")
-    val w = when(wd <= 0, lit(1.0)).otherwise(wd)
+    // NULL must floor like non-positive: `wd <= 0` is null for null
+    // weights, and a null key would push the row past every real key —
+    // silently unsampleable instead of uniformly weighted
+    val w = when(wd.isNull || wd <= 0, lit(1.0)).otherwise(wd)
     df.withColumn("skey",
         round(pow(hashUniform(col(idCol)), lit(1.0) / w), 6))
       .orderBy(desc("skey"), col(idCol))

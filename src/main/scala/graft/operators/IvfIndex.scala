@@ -108,10 +108,11 @@ object IvfIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = moved.count() // materialize before mutating the table
-      if (n > 0) {
-        cells.deleteWhereExists(moved.select("vec_id"), Seq("vec_id"))
-        cells.append(moved)
-      }
+      // ONE atomic commit: a partition-moving MERGE deletes each moved
+      // vector from its old cell and lands it in the new one together —
+      // a delete+append pair would leave the index missing every moved
+      // vector if the writer died between the two commits
+      if (n > 0) cells.mergeInto(moved, Seq("vec_id"))
       n
     } finally { moved.unpersist(); () }
   }

@@ -112,9 +112,18 @@ object Multimodal {
   /** Decode a PNG payload to its gray raster. Kept allocation-lean: one
     * codec entry per row, per-partition iteration amortizes everything
     * else (stream/reader setup lives in ImageIO's per-call scope; a
-    * long-lived decoder pool would slot into the mapPartitions init). */
-  private def decodeGray(payload: Array[Byte]): java.awt.image.BufferedImage =
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    * long-lived decoder pool would slot into the mapPartitions init).
+    * Fails FAST with a diagnosable message on null/undecodable bytes —
+    * ImageIO.read returns null for unrecognized input, and letting that
+    * surface as an NPE at getRaster buries the offending row. */
+  private def decodeGray(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    require(payload != null && payload.nonEmpty, "null/empty image payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      s"undecodable image payload (${payload.length} bytes, " +
+        s"head=${payload.take(8).map("%02x".format(_)).mkString})")
+    img
+  }
 
   /** REAL image resize: decode the PNG payload (actual raster, actual
     * width/height — no byte-stat faking) and average-pool non-overlapping

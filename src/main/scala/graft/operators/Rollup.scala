@@ -38,9 +38,14 @@ object Rollup {
   // NOTE: create-or-replace is deliberately NOT an append op — a
   // replace inside the refresh range invalidates every prior total
   // (the rows the watermark accounted for are gone), so it must refuse
-  // and route to rebuild, not silently compound stale state
-  private val AppendOps = Set("append", "append-evolve",
-    "publish", "cherry-pick")
+  // and route to rebuild, not silently compound stale state.
+  // "publish" is deliberately NOT append-safe either: fastForward never
+  // audits the BRANCH lineage, so a branch that ran a COW merge/delete
+  // re-surfaces its rewritten rows as adds in `changes` and the rollup
+  // would double-count them — refuse and rebuild. "cherry-pick" IS safe
+  // (it audits the branch append-only before importing) and `changes`
+  // diffs it like an append.
+  private val AppendOps = Set("append", "append-evolve", "cherry-pick")
 
   private def aggregated(rows: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {

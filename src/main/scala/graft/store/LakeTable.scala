@@ -648,13 +648,22 @@ class LakeTable(
     Await.result(
       Future.traverse(rows.toSeq) { r =>
         Future {
-          val rel = r.getString(0)
+          // input_file_name() is the URI RENDERING of the path (a space
+          // is %20, a Hive-escaped '%' is %25%25...), while manifest
+          // partition strings are the PHYSICAL names — decode one URI
+          // layer so sidecar paths and ManifestEntry.partition agree
+          // (same rule as the matches scan's dir mapping)
+          val raw = r.getString(0)
+          val rel =
+            if (raw.isEmpty) raw
+            else try new java.net.URI(raw).getPath
+            catch { case _: Exception => raw }
           cols.zipWithIndex.foreach { case (c, i) =>
             val sub = if (rel.isEmpty) "" else s"$rel/"
             val out = fs.create(new Path(s"$location/blooms/$dir/$sub$c.bloom"), true)
             try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
           }
-          r.getString(0)
+          rel
         }
       }, Duration.Inf).toSet
   }
@@ -957,7 +966,13 @@ class LakeTable(
     // table sees each batch's inserts and update post-images, the
     // upsert-stream reading Iceberg CDC consumers rely on. "delete-mor"
     // adds no data entries, so it falls out of the diff by itself.
-    val appendOps = Set("append", "append-evolve", "publish", "merge-mor")
+    // "cherry-pick" imports a branch's entries onto main and AUDITS the
+    // branch lineage append-only before importing, so its manifest diff
+    // is exactly the picked rows — unlike "publish", it can never
+    // surface a rewrite. (Skipping it here silently LOST picked rows
+    // from incremental consumers.)
+    val appendOps = Set("append", "append-evolve", "publish", "merge-mor",
+      "cherry-pick")
     // only ANCESTORS of the `to` snapshot count: a rollback points its
     // parent at the restored version, so appends that were rolled back
     // drop out of the chain and are never re-emitted (Iceberg's
@@ -2273,7 +2288,10 @@ class LakeTable(
     val bytes = dataByteSize(s)
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val compacted = prepared(read.repartition(n), s)
-    val (_, entries) = writeData(compacted, s.partitionCols, s.properties)
+    // the compactor sizes its own files — the ingest sort-order must
+    // not re-shuffle the repartition(n) layout it just chose
+    val (_, entries) = writeData(compacted, s.partitionCols,
+      s.properties - "write.sort-order")
     commit("rewrite-data-files", requireParentVersion = Some(s.version),
       deleteEntriesFn = _ => Nil)(_ =>
       (s.schema, s.partitionCols, entries, s.properties,
@@ -2402,8 +2420,11 @@ class LakeTable(
         Await.result(
           Future.sequence(shards.toSeq.map(sh => Future {
             callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+            // clustered rewrites bring their OWN ordering (z-curve /
+            // sort slices) — the ingest sort-order property must not
+            // re-shuffle the shard it just range-partitioned
             writeData(staged.filter(col("__shard") === sh).drop("__shard"),
-              s.partitionCols, s.properties)._2
+              s.partitionCols, s.properties - "write.sort-order")._2
           })),
           Duration.Inf).flatten
       }

@@ -31,10 +31,16 @@ import graft.functions.TextFunctions._
   *
   * Batch-run (the oracle seam) the same call computes the identical
   * pair set declaratively: band join, earlier-within-horizon pairing,
-  * bucket cap over the whole input. One deliberate divergence, by
-  * design: in batch an over-cap bucket contributes NO pairs, while the
-  * stream emits until the cap trips and cannot retract (append mode) —
-  * the screen is conservative-keep under boilerplate either way.
+  * bucket cap over the whole input. Two deliberate divergences under
+  * BOILERPLATE buckets, by design: (1) in batch an over-cap bucket
+  * contributes NO pairs, while the stream emits until the cap trips
+  * and cannot retract (append mode); (2) a pair whose LOWEST shared
+  * band's bucket died may be suppressed even though a higher shared
+  * band is alive — the emitting band cannot see the other buckets'
+  * state. Both only fire once a bucket crossed `maxBucket`, i.e. on
+  * data the screen treats as boilerplate; the screen stays
+  * conservative-keep either way, and under-cap corpora (the spec's
+  * parity case, and the s16 oracle) are exactly batch-equal.
   */
 object DocStreams {
 

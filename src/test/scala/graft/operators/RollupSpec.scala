@@ -49,6 +49,44 @@ class RollupSpec extends SparkSpec {
     dst.currentSnapshot.get.version shouldBe vBefore
   }
 
+  test("cherry-picked source rows fold into the rollup (changes must not skip them)") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_cp")
+    val dst = cat.table("db.agg_cp")
+    src.createOrReplace(ev((1L, "a", "1.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    // branch work lands via cherry-pick (append-only, audited)
+    src.createBranch("wap")
+    src.branch("wap").append(ev((2L, "a", "2.00"), (3L, "b", "3.00")))
+    src.cherryPick("wap")
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) should be > 0L
+    // the picked rows are IN the totals — a changes() skip would lose
+    // them while still advancing the watermark
+    state(dst) shouldBe Seq(("a", 2L, "3.00"), ("b", 1L, "3.00"))
+  }
+
+  test("a publish in the refresh range refuses — fastForward never audits the branch") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_pub")
+    val dst = cat.table("db.agg_pub")
+    src.createOrReplace(ev((1L, "a", "1.00"), (2L, "b", "2.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    // the branch REWRITES existing rows: publishing it re-surfaces
+    // them as adds in changes(), which would double-count
+    src.createBranch("rw")
+    src.branch("rw").mergeInto(ev((1L, "a", "9.00")), Seq("id"))
+    src.fastForward("rw")
+    val ex = intercept[IllegalArgumentException] {
+      Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    }
+    ex.getMessage should include("non-append")
+    // recovery: rebuild reflects the merged state exactly once
+    Rollup.rebuild(src, dst, Seq("k"), Seq("v"))
+    state(dst) shouldBe Seq(("a", 1L, "9.00"), ("b", 1L, "2.00"))
+  }
+
   test("refresh refuses after a non-append source commit; rebuild recovers") {
     val cat = freshCat
     cat.createDatabase("db")

@@ -105,6 +105,22 @@ class BloomSkippingSpec extends SparkSpec {
     t.readWhere(col("id") === 301L && col("pt") === "p1").count() shouldBe 1
   }
 
+  test("URI-encoded partition values (space, percent) still get working sidecars") {
+    val t = freshCatalog().table("db.bloomed_uri")
+    import spark.implicits._
+    val rows = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "ON HOLD" else "50%", i * 1.0))
+    t.createOrReplace(rows.toDF("id", "pt", "amount"), partitionBy = Seq("pt"),
+      tableProperties = Map("write.bloom.columns" -> "id"))
+    val s = t.currentSnapshot.get
+    // input_file_name URI-encodes these leaves; the sidecar writer must
+    // decode back to the physical names the manifest carries
+    all(s.entries.map(_.blooms)) shouldBe Seq("id")
+    planned(t, col("id") === 2L).size shouldBe 1 // even ids: ON HOLD leaf
+    t.readWhere(col("id") === 2L).count() shouldBe 1
+    t.readWhere(col("pt") === "50%").count() shouldBe 30
+  }
+
   test("COW merge rewrite regenerates sidecars for the rewritten entries") {
     val t = freshCatalog().table("db.bloomed_merge")
     interleaved(t)

@@ -59,6 +59,17 @@ class LakeTableSpec extends SparkSpec {
     t.changes(v4).count() shouldBe 0 // only the delete rewrite follows v4
   }
 
+  test("changes: cherry-picked rows surface as an append (audited append-only import)") {
+    val t = freshCatalog().table("db.t_cp")
+    val v1 = t.createOrReplace(df(Seq((1L, "a", 1.0)))).version
+    t.createBranch("wap")
+    t.branch("wap").append(df(Seq((2L, "b", 2.0))))
+    t.cherryPick("wap")
+    // the picked rows are incremental output — skipping the cherry-pick
+    // snapshot would silently lose them from every incremental consumer
+    t.changes(v1).orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("changes: evolved columns null-backfilled to the latest schema") {
     import spark.implicits._
     val t = freshCatalog().table("db.t")
