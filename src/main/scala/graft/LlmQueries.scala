@@ -470,6 +470,17 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def e23(s: SparkSession, dir: String): DataFrame = {
+    // 1-bit binary quantization: 16-byte sign codes scanned with
+    // XOR+popcount Hamming, bounded top-k shortlist, exact cosine
+    // re-rank of the shortlist only
+    val emb = table(s, dir, "embeddings")
+    Similarity
+      .bqKnn(emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank")
+  }
+
   private def e03(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(table(s, dir, "embeddings"), dim = 64).orderBy("label")
 
@@ -971,6 +982,7 @@ object LlmQueries {
     "d48_cms_heavy_hitters" -> (d48 _),
     "d49_weighted_sample" -> (d49 _),
     "e21_adc_refine" -> (e21 _),
+    "e23_bq_hamming" -> (e23 _),
     "m06_frame_manifest" -> (m06 _)
   )
 
@@ -1644,6 +1656,40 @@ object LlmQueries {
                FROM adc)
          SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e23_bq_hamming" ->
+      // two 32-bit sign-packed halves per vector (DuckDB << refuses
+      // shift 63), Hamming shortlist of 20 (ham asc, id asc — the
+      // graft_top_k tie rule), exact cosine re-rank
+      s"""WITH pk AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+             list_sum(list_transform(range(32), i ->
+               CASE WHEN v[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS h1,
+             list_sum(list_transform(range(32), i ->
+               CASE WHEN v[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS h2
+           FROM pk),
+         q AS (SELECT vec_id AS query_id, h1 AS qh1, h2 AS qh2
+               FROM codes WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, h1 AS ch1, h2 AS ch2
+               FROM codes WHERE vec_id >= 5),
+         ham AS (SELECT query_id, neighbor_id,
+             bit_count(xor(qh1, ch1)) + bit_count(xor(qh2, ch2)) AS ham
+           FROM q CROSS JOIN c),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rn
+             FROM ham) WHERE rn <= 20),
+         qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+         cvs AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id >= 5),
+         rr AS (SELECT s2.query_id, s2.neighbor_id, $CosSql AS cos
+                FROM short s2 JOIN qv USING (query_id)
+                JOIN cvs USING (neighbor_id)),
+         fin AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM rr)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM fin WHERE rank <= 5 ORDER BY query_id, rank""",
     "e21_adc_refine" ->
       // e12's ADC pipeline widened to a top-20 shortlist, then exact
       // cosine over the shortlist decides the final top-5

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -438,6 +438,57 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     short
       .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Sign bits of dims [off, off+32) packed into one BIGINT — 32-bit
+    * halves (not one 64-bit word) so the oracle can reproduce the exact
+    * codes: DuckDB's `<<` refuses shift 63, and two halves cost the
+    * same two bit_count instructions at probe time. */
+  private def bqHalf(vCol: String, off: Int): Column =
+    // get() (not []) tolerates vectors shorter than 64 dims: the
+    // missing tail reads NULL, the IF keeps its bit clear — ANSI []
+    // would throw on the out-of-bounds index
+    expr(s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> " +
+      s"acc | IF(get($vCol, i + $off) > 0, shiftleft(CAST(1 AS BIGINT), i), " +
+      "CAST(0 AS BIGINT)))")
+
+  /** BINARY-QUANTIZED kNN — the 1-bit compression modern embedding
+    * stores ship as their cheapest tier: each vector collapses to its
+    * 64 sign bits (two packed BIGINTs, 16 bytes vs 256 for float32),
+    * the full-corpus pass ranks by HAMMING distance on the codes (two
+    * XOR+popcount per candidate — `bit_count`, codegen'd), the bounded
+    * `graft_top_k` aggregate keeps a per-query shortlist map-side, and
+    * exact cosine re-ranks ONLY the shortlist. At 100 TB the scan that
+    * touches every vector reads 16 bytes of it; full vectors surface
+    * for shortlist×queries rows. */
+  def bqKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      shortlistK: Int = 20): DataFrame = {
+    import graft.functions.VectorFunctions.topKByScore
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qh1", bqHalf("qv", 0))
+      .withColumn("qh2", bqHalf("qv", 32))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val codes = c.select(col("neighbor_id"),
+      bqHalf("cv", 0).as("ch1"), bqHalf("cv", 32).as("ch2"))
+    val short = codes
+      .crossJoin(broadcast(q.select("query_id", "qh1", "qh2")))
+      .withColumn("ham",
+        expr("bit_count(qh1 ^ ch1) + bit_count(qh2 ^ ch2)").cast("double"))
+      .groupBy("query_id")
+      .agg(topKByScore(-col("ham"), col("neighbor_id"), shortlistK).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    short
+      .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
       .join(c, Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

@@ -225,4 +225,25 @@ class SimilaritySpec extends SparkSpec {
     tight.groupBy(_.getLong(0)).values.foreach(
       _.map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L))
   }
+
+  test("bqKnn with a full-corpus shortlist equals exact bruteKnn") {
+    val qs = emb.filter($"vec_id" === 0)
+    val cs = emb.filter($"vec_id" > 0)
+    val exact = Similarity.bruteKnn(qs, cs, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val bq = Similarity.bqKnn(qs, cs, k = 3, shortlistK = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    bq shouldBe exact
+  }
+
+  test("bqKnn Hamming shortlist restricts the rerank candidate set") {
+    val qs = emb.filter($"vec_id" === 0) // signs: (+,0,0,0) -> only bit 0
+    val cs = emb.filter($"vec_id" > 0)
+    // shortlist of 1: only the code-nearest candidate survives to the
+    // rerank; v4 = (-1,0,0,0) has NO positive dims (code 0, Hamming 1),
+    // while v1/v2 set extra sign bits — the id tie-break inside equal
+    // Hamming keeps the choice deterministic
+    val out = Similarity.bqKnn(qs, cs, k = 3, shortlistK = 1).collect()
+    out.length shouldBe 1
+  }
 }
