@@ -528,6 +528,25 @@ object SparkEntry {
          ORDER BY user_id, event_id""")
   }
 
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    // generator battery — the lateral table functions ETL leans on:
+    // posexplode (ordinal-preserving unnest) long-formats the p_type
+    // tokens, stack pivots two attributes into key/value rows; both run
+    // map-side (Generate nodes, no shuffle until the output sort)
+    table(s, dir, "part").createOrReplaceTempView("graft_q46_p")
+    s.sql(
+      """SELECT p_partkey, concat('tok_', CAST(pos AS STRING)) AS key, tok AS val
+         FROM (SELECT p_partkey, posexplode(split(p_type, ' ')) AS (pos, tok)
+               FROM graft_q46_p)
+         UNION ALL
+         SELECT p_partkey, key, val FROM (
+           SELECT p_partkey,
+             stack(2, 'size', CAST(p_size AS STRING), 'brand', p_brand)
+               AS (key, val)
+           FROM graft_q46_p)
+         ORDER BY p_partkey, key, val""")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame =
     // scalar string-function battery — split_part, edit distance,
     // pad/reverse/translate/regexp, every one engine-portable (the
@@ -1037,6 +1056,7 @@ object SparkEntry {
     "q41_recursive_cte" -> (q41 _),
     "q42_correlated_avg" -> (q42 _),
     "q45_window_ignore_nulls" -> (q45 _),
+    "q46_generators" -> (q46 _),
     "q43_semi_anti_max" -> (q43 _),
     "q44_nested_in" -> (q44 _),
     "s08_stream_funnel" -> (s08 _),
@@ -1287,6 +1307,17 @@ object SparkEntry {
          string_agg(n_name, ',' ORDER BY n_name) AS nations,
          count(*) AS n
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q46_generators" ->
+      // posexplode → range-join unnest with ordinals; stack → UNION ALL
+      """WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS tk FROM part)
+         SELECT p_partkey, 'tok_' || CAST(r.range AS VARCHAR) AS key,
+                tk[r.range + 1] AS val
+         FROM t CROSS JOIN range(0, 8) r WHERE r.range < len(tk)
+         UNION ALL
+         SELECT p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part
+         UNION ALL
+         SELECT p_partkey, 'brand', p_brand FROM part
+         ORDER BY p_partkey, key, val""",
     "q45_window_ignore_nulls" ->
       // DuckDB puts IGNORE NULLS inside the call parens
       """SELECT user_id, event_id,
