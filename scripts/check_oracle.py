@@ -1,8 +1,21 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracleSql in
 DuckDB against the sf parquet tables and compare (rows+values) with the
-parquet the Verify main wrote. Usage: check_oracle.py <sfDir> <outDir>."""
-import sys, json, glob, os, math
+parquet the Verify main wrote. Usage: check_oracle.py <sfDir> <outDir>.
+
+Round-10 hardening (after the r9 c28/c30 driver-hash failures that the
+old pandas-based compare missed):
+ - values are compared on their exact string rendering fetched through
+   Arrow (DECIMAL stays decimal.Decimal, DOUBLE stays a binary double
+   rendered via repr) — no float64 coercion that can mask one-ulp
+   decimal disagreements;
+ - any oracle SQL that casts a bare column straight to DECIMAL is a hard
+   FAIL: Spark (shortest-decimal-string HALF_UP) and DuckDB (binary
+   scaling) disagree on that cast at ulp boundaries, so the surface must
+   derive decimals from exact integer/string constructions instead.
+"""
+import sys, json, glob, os, re, math
+from decimal import Decimal
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -12,6 +25,46 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# --- seam guard: no bare double->decimal casts in the oracle surface ---
+BARE_DECIMAL_CAST = re.compile(
+    r"CAST\s*\(\s*[A-Za-z_][A-Za-z0-9_.]*\s+AS\s+DECIMAL", re.IGNORECASE)
+seam_bad = [n for n, sql in sorted(oracle.items()) if BARE_DECIMAL_CAST.search(sql)]
+if seam_bad:
+    for n in seam_bad:
+        print(f"SEAM GUARD      {n}: bare CAST(col AS DECIMAL) — ulp-ambiguous "
+              f"between Spark and DuckDB; derive via FLOOR/LPAD string instead")
+
+def render(v):
+    """Driver-style value rendering: exact, type-faithful."""
+    if v is None:
+        return "\x00null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, Decimal):
+        # normalize trailing representation: compare numeric value at the
+        # column's scale as DuckDB/Spark both render fixed-scale decimals
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(render(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{render(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+def fetch_rows(rel):
+    t = rel.fetch_arrow_table()
+    cols = list(t.column_names)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    pycols = [t.column(i).to_pylist() for i in order]
+    rows = [tuple(render(c[r]) for c in pycols) for r in range(t.num_rows)]
+    rows.sort()
+    return names, rows
+
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     got_files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -20,48 +73,42 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     try:
-        exp = con.execute(sql).fetchdf()
+        exp_cols, exp_rows = fetch_rows(con.sql(sql))
     except Exception as e:
         print(f"ORACLE ERROR    {name}: {e}")
         fail += 1
         continue
-    got = con.execute(
-        f"SELECT * FROM read_parquet({got_files!r})").fetchdf()
-    # driver sorts columns by name before hashing
-    exp = exp.reindex(sorted(exp.columns), axis=1)
-    got = got.reindex(sorted(got.columns), axis=1)
-    if list(exp.columns) != list(got.columns):
-        print(f"COLS MISMATCH   {name}: oracle={list(exp.columns)} got={list(got.columns)}")
+    try:
+        got_cols, got_rows = fetch_rows(
+            con.sql(f"SELECT * FROM read_parquet({got_files!r})"))
+    except Exception as e:
+        print(f"READ ERROR      {name}: {e}")
         fail += 1
         continue
-    if len(exp) != len(got):
-        print(f"ROWS MISMATCH   {name}: oracle={len(exp)} got={len(got)}")
+    if exp_cols != got_cols:
+        print(f"COLS MISMATCH   {name}: oracle={exp_cols} got={got_cols}")
         fail += 1
         continue
-    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
-    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    if len(exp_rows) != len(got_rows):
+        print(f"ROWS MISMATCH   {name}: oracle={len(exp_rows)} got={len(got_rows)}")
+        fail += 1
+        continue
     bad = None
-    for c in exp.columns:
-        a, b = exp[c], got[c]
-        try:
-            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                eqs = [(x == y) or (isinstance(x, float) and isinstance(y, float)
-                       and (math.isnan(x) and math.isnan(y) or x == y))
-                       for x, y in zip(a, b)]
-            else:
-                eqs = [str(x) == str(y) for x, y in zip(a, b)]
-        except Exception as e:
-            bad = (c, f"compare error {e}")
-            break
-        if not all(eqs):
-            i = eqs.index(False)
-            bad = (c, f"row {i}: oracle={a[i]!r} got={b[i]!r}")
+    for i, (a, b) in enumerate(zip(exp_rows, got_rows)):
+        if a != b:
+            for c, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    bad = f"row {i} col {exp_cols[c]}: oracle={x!r} got={y!r}"
+                    break
             break
     if bad:
-        print(f"VALUE MISMATCH  {name}: col {bad[0]} {bad[1]}")
+        print(f"VALUE MISMATCH  {name}: {bad}")
         fail += 1
     else:
-        print(f"OK              {name} ({len(exp)} rows)")
+        print(f"OK              {name} ({len(exp_rows)} rows)")
         ok += 1
-print(f"\n{ok} ok, {fail} failed")
+
+fail += len(seam_bad)
+print(f"\n{ok} ok, {fail} failed"
+      + (f" (incl. {len(seam_bad)} seam-guard)" if seam_bad else ""))
 sys.exit(1 if fail else 0)

@@ -764,7 +764,11 @@ object SparkEntry {
       .select(
         col("l_orderkey").cast(LongType).as("l_orderkey"),
         col("l_linenumber").cast(LongType).as("l_linenumber"),
-        col("l_quantity").cast(DecimalType(12, 2)).cast(StringType).as("qty_s"),
+        // floor first: l_quantity is integral by generation, and a raw
+        // double→decimal cast is ulp-ambiguous across engines (the r9
+        // c28/c30 seam) — long→decimal is exact everywhere
+        floor(col("l_quantity")).cast(DecimalType(12, 2))
+          .cast(StringType).as("qty_s"),
         col("l_returnflag").cast(StringType).as("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -1165,7 +1169,7 @@ object SparkEntry {
     "q16_schema_conform" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
          CAST(l_linenumber AS BIGINT) AS l_linenumber,
-         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_s,
+         CAST(CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS DECIMAL(12,2)) AS VARCHAR) AS qty_s,
          CAST(l_returnflag AS VARCHAR) AS l_returnflag
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q17_exists_semi" ->

@@ -19,6 +19,27 @@ object StoreQueries {
   private def warehouse(tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_warehouse_$tag"
 
+  /** Bit-exact decimal derived from a double + an integer key: the
+    * integer part is `floor(d)` (exact for any IEEE double, identical
+    * in Spark and DuckDB), the fraction digits come from modular
+    * arithmetic on `key` (exact integer math), and the decimal is
+    * parsed from the rendered string — no double→decimal rounding
+    * anywhere, so both engines produce the same value for ANY input
+    * double. (Round 9's c28/c30 driver-hash failures were ulp-boundary
+    * disagreements in `CAST(double AS DECIMAL)`: Spark rounds the
+    * double's shortest-decimal repr HALF_UP while DuckDB scales the
+    * binary double.) The oracle mirrors this as
+    * `CAST(CAST(FLOOR(d) AS BIGINT) AS VARCHAR) || '.' ||
+    *  LPAD(CAST(key % 10^scale AS VARCHAR), scale, '0')`. */
+  private[graft] def exactDecimal(d: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, precision: Int, scale: Int)
+      : org.apache.spark.sql.Column = {
+    val mod = math.pow(10, scale).toLong
+    concat(floor(d).cast("string"), lit("."),
+      lpad((key % mod).cast("string"), scale, "0"))
+      .cast(s"decimal($precision,$scale)")
+  }
+
   /** c06: full lifecycle on an unpartitioned table —
     * RTAS → MERGE (update evens) → DELETE (multiples of 7) → read. */
   private def c06(s: SparkSession, dir: String): DataFrame = {
@@ -414,7 +435,8 @@ object StoreQueries {
     val t = cat.table("lake.orders_promoted")
     val base = table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+        exactDecimal(col("o_totalprice"), col("o_orderkey"), 12, 2)
+          .as("o_totalprice"))
     t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)
       .withColumn("o_orderkey", col("o_orderkey").cast("int")))
     t.alterColumnType("o_orderkey", LongType)
@@ -497,7 +519,8 @@ object StoreQueries {
     joined
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        sum(exactDecimal(col("o_totalprice"), col("o_orderkey"), 18, 2))
+          .as("revenue"))
       .orderBy("c_mktsegment")
   }
 
@@ -518,7 +541,7 @@ object StoreQueries {
     val dst = cat.table("lake.events_rollup")
     val ev = table(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        col("value").cast("decimal(18,4)").as("value"))
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
     val q = ev.agg(max("event_id")).head().getLong(0) / 3
     src.createOrReplace(ev.filter(col("event_id") <= q))
     Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
@@ -740,15 +763,22 @@ object StoreQueries {
     "c30_incremental_rollup" ->
       // three incremental refreshes must equal one full recompute —
       // decimal sums are order-independent, so equality is exact
+      // decimal derived via floor + modular fraction digits (no
+      // double→decimal cast: ulp-ambiguous across engines, see
+      // exactDecimal)
       """SELECT event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+           sum(CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                    LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                AS DECIMAL(18,4))) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "c32_table_stats" ->
       // the stats machinery (HLL NDV, incremental union, broadcast-side
       // choice) is runtime-asserted in the query and spec'd in
       // TableStatsSpec; the oracle proves the stats-planned join result
       """SELECT c_mktsegment, count(*) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           sum(CAST(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || '.' ||
+                    LPAD(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                AS DECIMAL(18,2))) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "c31_bloom_point_lookup" ->
@@ -768,7 +798,9 @@ object StoreQueries {
                        THEN o_orderkey + 10000000000
                        ELSE o_orderkey END AS o_orderkey,
                   o_orderstatus,
-                  CAST(o_totalprice AS DECIMAL(12,2)) AS p
+                  CAST(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || '.' ||
+                       LPAD(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                    AS DECIMAL(12,2)) AS p
            FROM orders)
          SELECT o_orderkey, o_orderstatus,
            CAST(CASE WHEN o_orderkey % 5 = 0 THEN p + 7.50 ELSE p END

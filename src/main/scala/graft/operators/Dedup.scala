@@ -118,20 +118,29 @@ object Dedup {
     val histKeys = knownFps.select(fpLong(col("fp")).as("fpl"))
     histKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bytes =
-        BloomMightContain.buildFilterBytes(histKeys, "fpl", histKeys.count(), fpp)
-      val staged = incoming
-        .withColumn("fp", md5(normalizeAggressive(col(textCol))))
-        .withColumn("__might",
-          BloomMightContain.mightContain(fpLong(col("fp")), bytes))
-      val defNew = staged.filter(!col("__might"))
-      val confirmedNew = staged.filter(col("__might"))
-        .join(knownFps.select("fp"), Seq("fp"), "left_anti")
-      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
-      defNew.unionByName(confirmedNew)
-        .withColumn("__row", row_number().over(w))
-        .filter(col("__row") === 1)
-        .drop("__row", "__might", "fp")
+      // fingerprint-store contract: knownFps is already distinct, so the
+      // count sizes the filter on unique keys; a non-distinct caller only
+      // over-sizes it (fpp still honored). Empty history: the sketch and
+      // the persist cycle are pure overhead — the plain incremental path
+      // is the same plan minus both extra jobs.
+      val nHist = histKeys.count()
+      if (nHist == 0L) incrementalDedup(incoming, knownFps, textCol)
+      else {
+        val bytes =
+          BloomMightContain.buildFilterBytes(histKeys, "fpl", nHist, fpp)
+        val staged = incoming
+          .withColumn("fp", md5(normalizeAggressive(col(textCol))))
+          .withColumn("__might",
+            BloomMightContain.mightContain(fpLong(col("fp")), bytes))
+        val defNew = staged.filter(!col("__might"))
+        val confirmedNew = staged.filter(col("__might"))
+          .join(knownFps.select("fp"), Seq("fp"), "left_anti")
+        val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+        defNew.unionByName(confirmedNew)
+          .withColumn("__row", row_number().over(w))
+          .filter(col("__row") === 1)
+          .drop("__row", "__might", "fp")
+      }
     } finally { histKeys.unpersist(false); () }
   }
 

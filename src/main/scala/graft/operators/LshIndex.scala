@@ -69,8 +69,13 @@ object LshIndex {
       "lsh.k" -> k.toString,
       "lsh.bands" -> bands.toString,
       "lsh.max-bucket" -> maxBucket.toString)
-    cat.table(s"$db.${name}_bands").createOrReplace(banded, tableProperties = props)
+    // _toks commits FIRST: the two tables are separate commits, and a
+    // crash between them must leave "token sets without bands" (docs
+    // merely not yet indexed) — never band rows whose documents have no
+    // token sets, which query's inner join would silently drop as
+    // candidate pairs (missed near-duplicates)
     cat.table(s"$db.${name}_toks").createOrReplace(toks)
+    cat.table(s"$db.${name}_bands").createOrReplace(banded, tableProperties = props)
     banded.unpersist(false); staged.unpersist(false)
     ()
   }
@@ -93,8 +98,9 @@ object LshIndex {
       textCol: String = "text"): Unit = {
     val (sh, k, b, mb) = params(cat, db, name)
     val (staged, banded, toks) = bandsFor(newDocs, sh, k, b, mb, textCol)
-    cat.table(s"$db.${name}_bands").append(banded)
+    // same commit order as build: toks first (see build)
     cat.table(s"$db.${name}_toks").append(toks)
+    cat.table(s"$db.${name}_bands").append(banded)
     banded.unpersist(false); staged.unpersist(false)
     ()
   }

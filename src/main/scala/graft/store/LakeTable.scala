@@ -601,7 +601,7 @@ class LakeTable(
               footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))),
           Duration.Inf)
       }
-    val bloomCols = bloomColumnsFor(df.schema, props)
+    val bloomCols = bloomColumnsFor(df.schema, partitionCols, props)
     if (bloomCols.isEmpty) (dir, entries)
     else {
       val written = writeBloomSidecars(dir, abs, bloomCols, props)
@@ -612,10 +612,18 @@ class LakeTable(
 
   /** Bloom-indexed columns for this write: the `write.bloom.columns`
     * property filtered to columns the batch schema actually carries
-    * with a bloom-supported type. */
-  private def bloomColumnsFor(schema: StructType, props: Map[String, String]): Seq[String] =
+    * with a bloom-supported type. Partition columns are EXCLUDED even
+    * if listed: partition equality is already pruned exactly by
+    * `withPartitionStats`, and the sidecar build reads the written dir
+    * back through partition-column type INFERENCE — a string partition
+    * value that looks numeric would be hashed as a long while the probe
+    * hashes UTF-8 bytes per the table schema, silently dropping the
+    * entry that holds the matching rows. */
+  private def bloomColumnsFor(schema: StructType, partitionCols: Seq[String],
+      props: Map[String, String]): Seq[String] =
     props.get("write.bloom.columns").toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filterNot(partitionCols.contains)
       .filter(c => schema.fields.exists(f =>
         f.name == c && BloomSkipping.supportedType(f.dataType)))
 
@@ -851,7 +859,7 @@ class LakeTable(
   private def deleteBloomDir(dir: String): Unit = {
     val p = new Path(s"$location/blooms/$dir")
     try { if (fs.exists(p)) { fs.delete(p, true); () } }
-    catch { case _: java.io.IOException => () }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def bloomPath(e: ManifestEntry, c: String): Path =
@@ -863,7 +871,11 @@ class LakeTable(
       val in = fs.open(new Path(path))
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: a truncated/corrupt sidecar can
+      // surface as NegativeArraySizeException or an allocation error
+      // from a garbage length header — any unreadable sidecar must
+      // degrade to "keep the entry", never fail the read
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Bloom-sidecar point-lookup pruning, applied AFTER min/max pruning
     * (see [[BloomSkipping]]): for each probeable equality conjunct,

@@ -1,0 +1,82 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.functions._
+
+/** Guards the Spark↔DuckDB decimal seam that broke c28/c30 under the
+  * round-9 driver gate: `CAST(double AS DECIMAL)` rounds differently in
+  * the two engines at ulp boundaries (Spark goes through the double's
+  * shortest-decimal string then HALF_UP; DuckDB scales the binary
+  * double). The fix is structural — every oracle-compared decimal is
+  * derived from exact integer math (`StoreQueries.exactDecimal`:
+  * floor(d) integer part + modular fraction digits, parsed from the
+  * rendered string) — and this spec pins both halves:
+  *
+  *  1. `exactDecimal` equals a pure-JVM BigDecimal reference on
+  *     adversarial doubles (x.5-adjacent, ulp-perturbed, huge, tiny),
+  *     i.e. its value never depends on how a fractional double rounds;
+  *  2. no oracle SQL in the whole surface casts a bare column straight
+  *     to DECIMAL (the same regex `scripts/check_oracle.py` enforces
+  *     driver-side).
+  */
+class DecimalSeamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** JVM reference: what exactDecimal(d, key, p, s) must produce —
+    * floor in double space (exact), fraction from key mod 10^s. */
+  private def reference(d: Double, key: Long, scale: Int): JBigDecimal = {
+    val mod = math.pow(10, scale).toLong
+    new JBigDecimal(s"${math.floor(d).toLong}.${"%0" + scale + "d" format (key % mod)}")
+  }
+
+  // doubles chosen to sit AT or one-ulp around half-way points, where
+  // the two engines' double→decimal casts are known to disagree
+  private val adversarial: Seq[Double] = {
+    val halves = Seq(6.545, 6.555, 1.005, 2.675, 112946.265, 0.015, 499978.595)
+    halves.flatMap(h => Seq(h, Math.nextUp(h), Math.nextDown(h))) ++
+      Seq(0.0001, 1e12 + 0.5, 490.02, 1013.7)
+  }
+
+  test("exactDecimal matches the pure-integer JVM reference on adversarial doubles") {
+    val rows = adversarial.zipWithIndex.map { case (d, i) => (d, i * 37L + 5L) }
+    val df = rows.toDF("d", "k")
+      .select(col("d"), col("k"),
+        StoreQueries.exactDecimal(col("d"), col("k"), 18, 2).as("dec2"),
+        StoreQueries.exactDecimal(col("d"), col("k"), 18, 4).as("dec4"))
+    df.collect().foreach { r =>
+      val (d, k) = (r.getDouble(0), r.getLong(1))
+      assert(r.getDecimal(2).compareTo(reference(d, k, 2)) == 0,
+        s"scale-2 mismatch for d=$d k=$k: got ${r.getDecimal(2)}")
+      assert(r.getDecimal(3).compareTo(reference(d, k, 4)) == 0,
+        s"scale-4 mismatch for d=$d k=$k: got ${r.getDecimal(3)}")
+    }
+  }
+
+  test("exactDecimal is invariant under one-ulp perturbation of the double") {
+    // the derivation must not consult the double's fraction bits beyond
+    // floor(), so nudging d by one ulp (away from integer boundaries)
+    // cannot change the decimal — the property the raw cast lacks
+    val base = Seq(6.545, 2.675, 112946.265, 499978.595)
+    val rows = base.flatMap(d => Seq(d, Math.nextUp(d), Math.nextDown(d)))
+      .map(d => (d, 42L))
+    val out = rows.toDF("d", "k")
+      .select(StoreQueries.exactDecimal(col("d"), col("k"), 18, 2).as("dec"))
+      .collect().map(_.getDecimal(0))
+    out.grouped(3).zip(base.iterator).foreach { case (trio, d) =>
+      assert(trio.distinct.length == 1,
+        s"ulp perturbation of $d changed the derived decimal: ${trio.mkString(",")}")
+    }
+  }
+
+  test("no oracle SQL casts a bare column straight to DECIMAL") {
+    val bare = "(?i)CAST\\s*\\(\\s*[A-Za-z_][A-Za-z0-9_.]*\\s+AS\\s+DECIMAL".r
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if bare.findFirstIn(sql).isDefined => name
+    }
+    assert(offenders.isEmpty,
+      s"ulp-ambiguous CAST(col AS DECIMAL) in oracle SQL of: ${offenders.mkString(", ")} — " +
+        "derive via FLOOR/LPAD string construction instead (see StoreQueries.exactDecimal)")
+  }
+}

@@ -147,6 +147,32 @@ class BloomSkippingSpec extends SparkSpec {
     (liveDirs -- stillLive) should not be empty
   }
 
+  test("partition columns are excluded from bloom indexing") {
+    // the failure this prevents: sidecars are built by reading the
+    // written dir back, where a STRING partition column with
+    // numeric-looking values ('100', '101', …) comes back through
+    // partition type INFERENCE as ints — the sidecar would hash longs
+    // while the probe hashes UTF-8 bytes per the table schema, so
+    // mightContain would return false and silently drop the entry that
+    // holds the matching rows. Partition equality is already pruned
+    // exactly by partition stats; the bloom must simply not cover it.
+    val t = freshCatalog().table("db.bloomed_part")
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (i.toLong, (100 + i % 4).toString, i * 1.0))
+    t.createOrReplace(rows.toDF("id", "bucket", "amount"),
+      partitionBy = Seq("bucket"),
+      tableProperties = Map("write.bloom.columns" -> "id,bucket",
+        "write.bloom.expected-items" -> "10000"))
+    val s = t.currentSnapshot.get
+    // bloom coverage carries only the non-partition column
+    all(s.entries.map(_.blooms)) shouldBe Seq("id")
+    // the numeric-looking string partition value still finds its rows
+    t.readWhere(col("bucket") === "101").count() shouldBe 25
+    // and partition pruning (exact) still plans just that partition
+    planned(t, col("bucket") === "101").foreach(e =>
+      e.partition.getOrElse("") should include ("bucket=101"))
+  }
+
   test("all-null indexed column yields an empty filter that prunes soundly") {
     val t = freshCatalog().table("db.bloomed_null")
     import spark.implicits._
