@@ -555,6 +555,50 @@ object StoreQueries {
     dst.read.orderBy("event_type")
   }
 
+  /** c33: INCREMENTAL ROLLUP OVER MERGE-ON-READ — the c30 maintenance
+    * loop on a source that takes MoR UPDATE and DELETE commits between
+    * refreshes. Each refresh folds the SIGNED net delta: `changes`
+    * contributes the added row versions (inserts + update post-images),
+    * `removedChanges` reconstructs the masked-away ones (delete victims
+    * + update pre-images) at O(touched-slice) cost, and groups whose
+    * live count reaches zero leave the rollup entirely. Decimal
+    * measures keep every incremental total bit-equal to the oracle's
+    * full recompute of the final visible state. */
+  private def c33(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rumor"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_mor_src")
+    cat.dropTable("lake.events_mor_rollup") // stale rollup from a prior run
+    val dst = cat.table("lake.events_mor_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    // MoR UPDATE (ids %5 = 0 gain an exact 1.5000) then MoR DELETE
+    // (ids %7 = 0 leave) — both fold in ONE refresh as a signed delta
+    src.mergeIntoMoR(
+      src.read.filter(col("event_id") % 5 === 0)
+        .withColumn("value",
+          (col("value") + lit(new java.math.BigDecimal("1.5000")))
+            .cast("decimal(18,4)")),
+      Seq("event_id"))
+    src.deleteWhereExistsMoR(
+      src.read.filter(col("event_id") % 7 === 0).select("event_id"),
+      Seq("event_id"))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    // late appends land AFTER deletes; a final refresh folds them too
+    src.append(ev.filter(col("event_id") > 2 * q))
+    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    require(Rollup.refresh(src, dst, Seq("event_type"), Seq("value")) == 0L,
+      "refresh at head must fold zero versions")
+    dst.read.orderBy("event_type")
+  }
+
   /** e22: IVF centroid RE-BALANCE — the index is built on the initial
     * corpus, later vectors are appended under the frozen quantizer
     * (e19), then `rebalance` re-trains each centroid as the mean of its
@@ -725,6 +769,7 @@ object StoreQueries {
     "c27_partition_evolution" -> (c27 _),
     "c28_type_promotion" -> (c28 _),
     "c30_incremental_rollup" -> (c30 _),
+    "c33_mor_rollup" -> (c33 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -771,6 +816,25 @@ object StoreQueries {
                     LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
                 AS DECIMAL(18,4))) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "c33_mor_rollup" ->
+      // final visible state after the MoR generations: ids <= 2q with
+      // %5 = 0 updated (+1.5), ids <= 2q with %7 = 0 deleted, ids > 2q
+      // appended last untouched; the rollup's incremental signed folds
+      // must equal this full recompute exactly
+      """WITH qq AS (SELECT max(event_id) // 3 AS q FROM events),
+         base AS (SELECT event_id, event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events),
+         fin AS (
+           SELECT b.event_id, b.event_type,
+             CASE WHEN b.event_id <= 2 * qq.q AND b.event_id % 5 = 0
+                  THEN CAST(b.v + 1.5 AS DECIMAL(18,4)) ELSE b.v END AS v
+           FROM base b, qq
+           WHERE NOT (b.event_id <= 2 * qq.q AND b.event_id % 7 = 0))
+         SELECT event_type, count(*) AS n, sum(v) AS sum_value
+         FROM fin GROUP BY event_type ORDER BY event_type""",
     "c32_table_stats" ->
       // the stats machinery (HLL NDV, incremental union, broadcast-side
       // choice) is runtime-asserted in the query and spec'd in

@@ -47,6 +47,15 @@ object Rollup {
   // diffs it like an append.
   private val AppendOps = Set("append", "append-evolve", "cherry-pick")
 
+  // Merge-on-read commits fold incrementally too: their NET row change
+  // is expressible — `changes` emits the added row versions (inserts +
+  // update post-images), `removedChanges` reconstructs the masked-away
+  // ones (delete victims + update pre-images) — so the delta is the
+  // SIGNED union of both. COW merge/delete/overwrite/compaction stay
+  // refused: they rewrite entries, which breaks both scans'
+  // entries-only-accumulate assumption.
+  private val MorOps = Set("merge-mor", "delete-mor")
+
   private def aggregated(rows: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n") +:
@@ -78,11 +87,27 @@ object Rollup {
     val range = src.snapshotsDF
       .filter(col("version") > lastV && col("version") <= srcV)
       .select("operation").collect().map(_.getString(0))
-    require(range.forall(AppendOps),
+    require(range.forall(op => AppendOps(op) || MorOps(op)),
       s"source ${src.name} had non-append commit(s) since v$lastV " +
-        s"(${range.filterNot(AppendOps).mkString(", ")}) — the incremental " +
-        "scan would re-emit rewritten rows; rebuild the rollup instead")
-    val delta = aggregated(src.changes(lastV, Some(srcV)), groupCols, sumCols)
+        s"(${range.filterNot(op => AppendOps(op) || MorOps(op)).mkString(", ")}) — " +
+        "the incremental scan would re-emit rewritten rows; rebuild the " +
+        "rollup instead")
+    val addAgg = aggregated(src.changes(lastV, Some(srcV)), groupCols, sumCols)
+    val delta = (if (range.exists(MorOps)) {
+      // negative partial aggregate of the masked-away rows, combined
+      // with the positive one at aggregate size (both sides are
+      // O(groups-touched), the union re-agg is metadata-cheap)
+      val remAgg = aggregated(
+        src.removedChanges(lastV, Some(srcV)), groupCols, sumCols)
+        .select(groupCols.map(col) ++
+          ((-col("n")).as("n") +:
+            sumCols.map(c => (-col(s"sum_$c")).as(s"sum_$c"))): _*)
+      val reAggs = sum(col("n")).as("n") +:
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+      addAgg.unionByName(remAgg)
+        .groupBy(groupCols.map(col): _*)
+        .agg(reAggs.head, reAggs.tail: _*)
+    } else addAgg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       refreshDelta(dst, groupCols, sumCols, delta, srcV, lastV)
@@ -116,6 +141,14 @@ object Rollup {
             (col(s"sum_$c") + coalesce(col(s"__cur_$c"), lit(0))).as(s"sum_$c"))): _*)
     dst.mergeInto(combined, groupCols,
       extraProperties = Map(WatermarkProp -> srcV.toString))
+    // full-recompute parity under MoR deletes: a group whose live row
+    // count reached exactly zero must LEAVE the rollup (GROUP BY emits
+    // no empty groups). The sweep is a separate idempotent commit AFTER
+    // the watermark-carrying merge — a crash between the two leaves
+    // only exact n=0 tombstone rows (totals correct, group dead), which
+    // the next refresh's sweep removes; it can never double-count.
+    val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
+    if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
     srcV - lastV
   }
 }

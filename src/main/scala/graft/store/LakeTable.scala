@@ -1040,6 +1040,61 @@ class LakeTable(
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType)))
 
+  /** Rows REMOVED from the visible table by the merge-on-read delete
+    * files committed in `(fromVersion, toVersion]` — MoR DELETE victims
+    * and MoR MERGE update PRE-images, at their last visible values. The
+    * subtractive complement of [[changes]]: over a range whose commits
+    * are all append-family or MoR, `changes` minus `removedChanges` is
+    * the table's net row delta — what incremental aggregate
+    * maintenance folds ([[graft.operators.Rollup]]). The caller must
+    * ensure no commit in the range rewrote or dropped entries (COW
+    * merge/delete/overwrite, compaction, replace — Rollup's op audit
+    * refuses those): this derivation assumes data entries and delete
+    * files only ACCUMULATE across the range.
+    *
+    * Derivation: a row is removed-in-range iff a NEW delete file (one
+    * absent at `fromVersion`) masks it by the sequence rule AND no OLD
+    * delete file already masked it at `fromVersion` (semi-join the new
+    * delete keys, anti-join the old — a row masked twice in range still
+    * subtracts once). Cost: only data entries a NEW delete can reach —
+    * by sequence ordering and manifest key-range overlap — are read, so
+    * a delete batch confined to recent keys prices the recent slice of
+    * a 100 TB table, never the table. */
+  def removedChanges(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val cur = requireExists()
+    val hiSnap = toVersion.filter(_ != cur.version)
+      .map(readSnapshot).getOrElse(cur)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hiSnap.schema)
+    if (hiSnap.deleteEntries.isEmpty) return empty
+    val fromSnap = readSnapshot(fromVersion)
+    val oldDels = fromSnap.deleteEntries
+    val oldDirs = oldDels.map(_.dir).toSet
+    val newDels = hiSnap.deleteEntries.filterNot(d => oldDirs(d.dir))
+    if (newDels.isEmpty) return empty
+    val keys = morKeys(hiSnap)
+    require(keys.nonEmpty,
+      s"table $name has delete files but no $MorKeysProp property")
+    val maskable = hiSnap.entries.filter(deleteReach(hiSnap, newDels))
+    if (maskable.isEmpty) return empty
+    reconstructRemoved(hiSnap, maskable, newDels, oldDels, keys)
+  }
+
+  private def reconstructRemoved(hiSnap: Snapshot, maskable: Seq[ManifestEntry],
+      newDels: Seq[ManifestEntry], oldDels: Seq[ManifestEntry],
+      keys: Seq[String]): DataFrame = {
+    val data = maskable.groupBy(_.dir).toSeq.map { case (dir, es) =>
+      readDir(hiSnap, dir, es).withColumn("__dseq", lit(es.head.seq))
+    }.reduce(_ unionByName _)
+    val cond = keys.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _) &&
+      col("__dseq") < col("__xseq")
+    val newlyMasked = data.join(deleteKeyRows(newDels, keys), cond, "left_semi")
+    val visibleBefore =
+      if (oldDels.isEmpty) newlyMasked
+      else newlyMasked.join(deleteKeyRows(oldDels, keys), cond, "left_anti")
+    visibleBefore.select(hiSnap.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   // -------------------------------------------------------------------
   // write operations
   // -------------------------------------------------------------------
@@ -1573,19 +1628,34 @@ class LakeTable(
     * O(entries × deletes) times per planning pass. Shared by the read
     * path and the compactor. */
   private def splitByDeleteReach(
-      s: Snapshot, entries: Seq[ManifestEntry]): (Seq[ManifestEntry], Seq[ManifestEntry]) = {
+      s: Snapshot, entries: Seq[ManifestEntry]): (Seq[ManifestEntry], Seq[ManifestEntry]) =
+    entries.partition(deleteReach(s, s.deleteEntries))
+
+  /** Predicate: can any of `dels` mask a row of this entry? Types and
+    * keys hoisted once — the test runs O(entries × deletes) times per
+    * planning pass. Shared by [[splitByDeleteReach]] (all outstanding
+    * deletes) and [[removedChanges]] (the new-in-range subset). */
+  private def deleteReach(
+      s: Snapshot, dels: Seq[ManifestEntry]): ManifestEntry => Boolean = {
     val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
     val keys = morKeys(s)
-    def mayApply(e: ManifestEntry, d: ManifestEntry): Boolean =
+    e => dels.exists(d =>
       e.seq < d.seq && keys.forall { k =>
         (e.stats.get(k), d.stats.get(k)) match {
           case (Some((emn, emx)), Some((dmn, dmx))) =>
             !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
           case _ => true
         }
-      }
-    entries.partition(e => s.deleteEntries.exists(d => mayApply(e, d)))
+      })
   }
+
+  /** The key tuples of `dels` (equality-delete files) as one DataFrame
+    * of `__dk_*` columns + the deleting commit's `__xseq`. */
+  private def deleteKeyRows(dels: Seq[ManifestEntry], keys: Seq[String]): DataFrame =
+    dels.map { e =>
+      spark.read.parquet(s"$location/data/${e.dir}")
+        .select(keys.map(k => col(k).as(s"__dk_$k")) :+ lit(e.seq).as("__xseq"): _*)
+    }.reduce(_ unionByName _)
 
   /** Read `entries` with the snapshot's outstanding equality-delete
     * files applied: a data row is dropped when a delete entry with a
@@ -1608,10 +1678,7 @@ class LakeTable(
       // for the group; the layout dispatch is readDir's (per entry)
       readDir(s, dir, es).withColumn("__dseq", lit(es.head.seq))
     }.reduce(_ unionByName _)
-    val dels = s.deleteEntries.map { e =>
-      spark.read.parquet(s"$location/data/${e.dir}")
-        .select(keys.map(k => col(k).as(s"__dk_$k")) :+ lit(e.seq).as("__xseq"): _*)
-    }.reduce(_ unionByName _)
+    val dels = deleteKeyRows(s.deleteEntries, keys)
     val cond = keys.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _) &&
       col("__dseq") < col("__xseq")
     val applied = data.join(dels, cond, "left_anti")

@@ -49,6 +49,69 @@ class RollupSpec extends SparkSpec {
     dst.currentSnapshot.get.version shouldBe vBefore
   }
 
+  private def fullRecompute(src: graft.store.LakeTable) =
+    src.read.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+
+  test("MoR merge and delete commits fold incrementally, bit-equal to a full recompute") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_mor")
+    val dst = cat.table("db.agg_mor")
+    src.createOrReplace(ev((1L, "a", "1.10"), (2L, "a", "2.00"),
+      (3L, "b", "3.30"), (4L, "b", "4.00"), (5L, "c", "5.50")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    // MoR MERGE: update ids 2 and 4 (+10 each) — delete file masks the
+    // pre-images, new entries carry the post-images
+    src.mergeIntoMoR(ev((2L, "a", "12.00"), (4L, "b", "14.00")), Seq("id"))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) shouldBe 1L
+    state(dst) shouldBe fullRecompute(src)
+    state(dst) shouldBe Seq(("a", 2L, "13.10"), ("b", 2L, "17.30"), ("c", 1L, "5.50"))
+    // MoR DELETE: id 3 leaves — its last visible value (3.30) subtracts
+    src.deleteWhereExistsMoR(Seq(3L).toDF("id"), Seq("id"))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) shouldBe 1L
+    state(dst) shouldBe fullRecompute(src)
+    state(dst) shouldBe Seq(("a", 2L, "13.10"), ("b", 1L, "14.00"), ("c", 1L, "5.50"))
+  }
+
+  test("a mixed append+merge+delete range folds in ONE refresh; twice-updated keys net correctly") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_mixed")
+    val dst = cat.table("db.agg_mixed")
+    src.createOrReplace(ev((1L, "a", "1.00"), (2L, "b", "2.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    // range: append, update id 1 TWICE (both pre-image generations must
+    // net away), delete id 2, and an appended-then-deleted id 9 (must
+    // never touch the totals)
+    src.append(ev((3L, "a", "3.00"), (9L, "d", "9.00")))
+    src.mergeIntoMoR(ev((1L, "a", "10.00")), Seq("id"))
+    src.mergeIntoMoR(ev((1L, "a", "20.00")), Seq("id"))
+    src.deleteWhereExistsMoR(Seq(2L, 9L).toDF("id"), Seq("id"))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v")) shouldBe 4L
+    state(dst) shouldBe fullRecompute(src)
+    // a = id1(20.00) + id3(3.00); b and d are GONE (zero live rows —
+    // no n=0 tombstone may remain)
+    state(dst) shouldBe Seq(("a", 2L, "23.00"))
+  }
+
+  test("a COW commit in a MoR range still refuses (rewrites re-emit rows)") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_cowmix")
+    val dst = cat.table("db.agg_cowmix")
+    src.createOrReplace(ev((1L, "a", "1.00"), (2L, "b", "2.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    src.mergeIntoMoR(ev((1L, "a", "5.00")), Seq("id"))
+    src.mergeInto(ev((2L, "b", "7.00")), Seq("id")) // COW rewrite
+    val e = intercept[IllegalArgumentException] {
+      Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    }
+    e.getMessage should include ("non-append")
+  }
+
   test("cherry-picked source rows fold into the rollup (changes must not skip them)") {
     val cat = freshCat
     cat.createDatabase("db")
