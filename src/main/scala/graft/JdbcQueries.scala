@@ -90,13 +90,115 @@ object JdbcQueries {
       .orderBy("o_orderkey")
   }
 
+  /** (Re)load the pipeline source table into Derby: the orders subset
+    * with SPACE-PADDED status strings (the trim target) — the shape a
+    * real OLTP source hands the ingest pipeline. Idempotent. */
+  private def loadPipeSource(s: SparkSession, dir: String, tag: String): Unit = {
+    Class.forName(Driver)
+    val conn = DriverManager.getConnection(url(tag) + ";create=true")
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE orders_pipe")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate(
+        "CREATE TABLE orders_pipe (" +
+          "o_orderkey BIGINT PRIMARY KEY, o_orderstatus VARCHAR(10), " +
+          "o_totalprice DOUBLE)")
+      st.close()
+      val rows = SparkEntry.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+      val ps = conn.prepareStatement("INSERT INTO orders_pipe VALUES (?, ?, ?)")
+      conn.setAutoCommit(false)
+      var i = 0
+      rows.foreach { r =>
+        ps.setLong(1, r.getLong(0))
+        ps.setString(2, s"  ${r.getString(1)} ") // whitespace the pipeline trims
+        ps.setDouble(3, r.getDouble(2))
+        ps.addBatch()
+        i += 1
+        if (i % 1000 == 0) ps.executeBatch()
+      }
+      ps.executeBatch()
+      conn.commit()
+      ps.close()
+    } finally conn.close()
+  }
+
+  /** c34: the reference's batch pipeline COMPOSED end-to-end — a
+    * partitioned JDBC scan of the OLTP source, trim-all-strings, the
+    * MD5 composite-PK identity column, RTAS into a LakeTable, then an
+    * UPDATE lands in the source and the changed slice (a source-side
+    * pushdown query) merges incrementally into the lake table. The
+    * oracle replays the net transformation relationally; any defect in
+    * the scan split, trim, hash derivation, RTAS or MERGE diverges. */
+  private def c34(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Transforms
+    import graft.store.LakeCatalog
+    val tag = dir.replaceAll("[^a-z0-9]", "_")
+    loadPipeSource(s, dir, tag)
+    val opts = options(tag)
+    def conformed(df: DataFrame): DataFrame =
+      Transforms.withPkHash(
+        Transforms.trimStringColumns(df.select(
+          col("O_ORDERKEY").as("o_orderkey"),
+          col("O_ORDERSTATUS").as("o_orderstatus"),
+          col("O_TOTALPRICE").as("o_totalprice"))),
+        Seq("o_orderkey", "o_orderstatus"))
+    val b = s.read.format("jdbc").options(opts)
+      .option("query",
+        "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders_pipe")
+      .load().head()
+    val initial = conformed(JdbcReader.load(s, JdbcReader.ReadPlan(
+      opts, "orders_pipe",
+      Some(JdbcReader.Partitioning(
+        "O_ORDERKEY", b.get(0).toString, b.get(1).toString, 4)))))
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_warehouse_${tag}_jp"
+    val cat = new LakeCatalog(s, wh)
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_ingest")
+    t.createOrReplace(initial)
+    // the source moves on: an OLTP update lands...
+    val conn = DriverManager.getConnection(url(tag))
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "UPDATE orders_pipe SET o_totalprice = o_totalprice + 1000.0 " +
+          "WHERE MOD(o_orderkey, 20) = 0")
+      st.close()
+    } finally conn.close()
+    // ...and ONLY the changed slice is pulled back (source-side
+    // pushdown query) and upserted — the incremental cadence
+    val changed = conformed(s.read.format("jdbc").options(opts)
+      .option("query",
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_pipe " +
+          "WHERE MOD(o_orderkey, 20) = 0")
+      .load())
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+    t.mergeInto(changed, Seq("o_orderkey"))
+    t.read.orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c16_jdbc_partitioned" -> (c16 _))
+    "c16_jdbc_partitioned" -> (c16 _),
+    "c34_jdbc_lake_pipeline" -> (c34 _))
 
   def oracleSql: Map[String, String] = Map(
     "c16_jdbc_partitioned" ->
       // the net effect of load-into-derby + partitioned read-back is the
       // identity on the subset: values round-trip exactly (BIGINT/DOUBLE)
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""")
+         WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""",
+    "c34_jdbc_lake_pipeline" ->
+      // net transformation: the %10 subset, statuses trimmed back to the
+      // originals, %20 keys re-priced by the source update (+1000.0,
+      // rounded like the pipeline), identity = md5 of key|status
+      """SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 20 = 0
+                THEN round(o_totalprice + 1000.0, 2)
+                ELSE o_totalprice END AS o_totalprice,
+           md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus)
+             AS id_iceberg
+         FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""")
 }

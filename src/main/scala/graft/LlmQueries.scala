@@ -822,6 +822,35 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    // the streaming near-dup screen UNIFIED with the persistent LSH
+    // index, batch-run for the oracle: bootstrap = %3==0, then two
+    // screened micro-batches (%3==1, then %3==2) run through the SAME
+    // probe → pairs-partition write → guarded append path the stream's
+    // foreachBatch runs (IndexedDocStreamsSpec drives a real
+    // file-source stream plus the replay/crash-window guards). Batch 2
+    // probes generations 0 AND 1 — one signature space shared by batch
+    // jobs and the stream, instead of private in-stream bucket state.
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    import graft.streaming.IndexedDocStreams
+    val base = s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+      dir.replaceAll("[^a-z0-9]", "_") + "_s18"
+    val cat = new LakeCatalog(s, base)
+    cat.createDatabase("lake")
+    val docs = documents(s, dir)
+    LshIndex.build(cat, "lake", "nd18", docs.filter(col("doc_id") % 3 === 0))
+    val out = s"$base/screen_out"
+    IndexedDocStreams.screenBatch(cat, "lake", "nd18",
+      docs.filter(col("doc_id") % 3 === 1), 1L, out)
+    IndexedDocStreams.screenBatch(cat, "lake", "nd18",
+      docs.filter(col("doc_id") % 3 === 2), 2L, out)
+    s.read.parquet(out)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("batch_id").cast("long").as("batch_id"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def d48(s: SparkSession, dir: String): DataFrame =
     // Count-Min-sketch heavy hitters under the d34 gate pattern: exact
     // top-20 terms + a flag that the CMS guarantee held (never under,
@@ -979,6 +1008,7 @@ object LlmQueries {
     "d47_incr_near_dup" -> (d47 _),
     "d51_lsh_index" -> (d51 _),
     "s16_stream_near_dup" -> (s16 _),
+    "s18_indexed_stream_dedup" -> (s18 _),
     "d48_cms_heavy_hitters" -> (d48 _),
     "d49_weighted_sample" -> (d49 _),
     "e21_adc_refine" -> (e21 _),
@@ -1877,6 +1907,47 @@ object LlmQueries {
              / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
              AS jaccard
          FROM pairs
+         WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "s18_indexed_stream_dedup" ->
+      // two screened micro-batches against the persistent index: batch
+      // 1 (%3==1) probes generation 0; batch 2 (%3==2) probes
+      // generations 0+1 — each generation bucket-capped within its own
+      // ingest batch, the write-time capping d51 pins
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         g0 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 0) WHERE bn <= 1000),
+         g1 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 1) WHERE bn <= 1000),
+         g2 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 2) WHERE bn <= 1000),
+         p1 AS (SELECT DISTINCT a.doc_id AS doc_a, i.doc_id AS doc_b,
+                  a.toks AS toks_a, i.toks AS toks_b, 1 AS batch_id
+                FROM g1 a JOIN g0 i ON a.band = i.band),
+         p2 AS (SELECT DISTINCT a.doc_id AS doc_a, i.doc_id AS doc_b,
+                  a.toks AS toks_a, i.toks AS toks_b, 2 AS batch_id
+                FROM g2 a JOIN (SELECT band, doc_id, toks FROM g0
+                                UNION ALL SELECT band, doc_id, toks FROM g1) i
+                  ON a.band = i.band),
+         u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard,
+           CAST(batch_id AS BIGINT) AS batch_id
+         FROM u
          WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",

@@ -105,6 +105,39 @@ object LshIndex {
     ()
   }
 
+  /** Last-applied micro-batch id, recorded PER TABLE on its own append
+    * commit (streaming-sink replay guard — see [[appendBatch]]). */
+  private[graft] val BatchProp = "lsh.last-batch"
+
+  /** Idempotent per-micro-batch ADD — the streaming-ingest shape
+    * ([[graft.streaming.IndexedDocStreams]]): each index table records
+    * the last applied batch id in its own commit properties, and a
+    * replayed batch skips per table. The two commits keep build/append's
+    * toks-first order, so a crash between them leaves only "token sets
+    * without bands" (docs not yet indexed, repaired by the replay) —
+    * and the replay appends ONLY the missing bands, never duplicate
+    * token sets. Returns false when the batch had fully applied. */
+  def appendBatch(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      newDocs: DataFrame,
+      batchId: Long,
+      textCol: String = "text"): Boolean = {
+    val (sh, k, b, mb) = params(cat, db, name)
+    val toksT = cat.table(s"$db.${name}_toks")
+    val bandsT = cat.table(s"$db.${name}_bands")
+    def applied(t: graft.store.LakeTable): Boolean =
+      t.properties.get(BatchProp).exists(_.toLong >= batchId)
+    if (applied(bandsT)) return false
+    val (staged, banded, toks) = bandsFor(newDocs, sh, k, b, mb, textCol)
+    val prop = Map(BatchProp -> batchId.toString)
+    if (!applied(toksT)) toksT.append(toks, prop)
+    bandsT.append(banded, prop)
+    banded.unpersist(false); staged.unpersist(false)
+    true
+  }
+
   /** Probe: near-dup pairs (incoming doc_a × indexed doc_b) with exact
     * Jaccard ≥ threshold. One band-equality join generates candidates
     * (ids only), then ONLY candidates join their token sets back. */

@@ -1133,13 +1133,18 @@ class LakeTable(
     * lost commit races retry against the fresh parent manifest —
     * schema/partitioning/properties come from the FRESH parent so a
     * racer's evolution or property update survives the retry. */
-  def append(df: DataFrame): Snapshot = {
+  /** `extraProperties` ride the append commit atomically — the same
+    * watermark-with-the-data contract mergeInto offers (e.g. a
+    * streaming sink's last-applied-batch-id guard). */
+  def append(df: DataFrame,
+      extraProperties: Map[String, String] = Map.empty): Snapshot = {
     val s = requireExists()
     val (_, entries) = writeData(prepared(df, s), s.partitionCols, s.properties)
     val (retries, waitMs) = retryConfig(s)
     commit("append", retries, waitMs)(p =>
       (p.get.schema, p.get.partitionCols, p.get.entries ++ entries,
-        p.get.properties, Map("added-entries" -> entries.size.toString)))
+        p.get.properties ++ extraProperties,
+        Map("added-entries" -> entries.size.toString)))
   }
 
   /** Union-by-name of the stored schema with a batch's schema: existing
