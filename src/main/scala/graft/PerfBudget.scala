@@ -33,6 +33,8 @@ object PerfBudget {
     "c30_incremental_rollup",
     "c31_bloom_point_lookup",
     "c32_table_stats",
+    "c33_mor_rollup",
+    "c34_jdbc_lake_pipeline",
     "d19_dedup_clusters",
     "d35_training_manifest",
     "d45_cluster_reps",
@@ -41,7 +43,8 @@ object PerfBudget {
     "e13_ann_recall",
     "e19_knn_ivf_append",
     "e22_knn_ivf_rebalance",
-    "s16_stream_near_dup")
+    "s16_stream_near_dup",
+    "s18_indexed_stream_dedup")
 
   val DefaultSf = "/root/testdata/sf0.001"
 

@@ -140,6 +140,36 @@ object ScaleProbe {
     timed("mor_pruned_read")(
       ranged.read.write.format("noop").mode("overwrite").save())
 
+    // Incremental rollup maintenance (c30/c33 machinery) on the ranged
+    // table's shape: bootstrap aggregates the whole corpus once; then a
+    // FIXED-size append folds in O(increment), and a FIXED-size MoR
+    // delete folds as a negative delta whose removedChanges scan is
+    // confined by manifest stats to the one entry the delete keys can
+    // reach. Both refreshes must stay ~flat as `mult` grows while the
+    // bootstrap scales with the corpus — the maintenance-vs-rebuild gap
+    // every 100 TB ledger rollup lives on.
+    {
+      import graft.operators.Rollup
+      val ruSrc = storeCat.table("probe.docs_rusrc")
+      ruSrc.createOrReplace(docReplica(0))
+      (1 until mult).foreach(i => ruSrc.append(docReplica(i)))
+      val ruDst = storeCat.table("probe.docs_rollup")
+      timed("rollup_bootstrap")(
+        Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars")))
+      timed("rollup_append_fold") {
+        ruSrc.append(docReplica(0)
+          .filter(col("doc_id") < 500)
+          .withColumn("doc_id", col("doc_id") + lit(900_000_000L)))
+        Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars"))
+      }
+      timed("rollup_mor_fold") {
+        ruSrc.deleteWhereExistsMoR(
+          docReplica(0).filter(col("doc_id") < 500).select("doc_id"),
+          Seq("doc_id"))
+        Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars"))
+      }
+    }
+
     // Bloom-sidecar point lookup: `bloomK` INTERLEAVED appends (every
     // entry spans the full doc_id range, so min/max stats prune
     // nothing), then a single-key readWhere. With write.bloom.columns
