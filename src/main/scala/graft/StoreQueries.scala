@@ -421,6 +421,33 @@ object StoreQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s19: STREAMING VECTOR INGEST on the persistent IVF index,
+    * batch-run for the oracle: bootstrap trains the quantizer on
+    * [5,300); micro-batch 1 ([300,400)) probes the index THEN appends;
+    * micro-batch 2 (>= 400) probes — and must see batch 1's vectors,
+    * proving the stream extends the same index it queries. The real
+    * stream (foreachBatch, replay guard on the cells commit) is driven
+    * in IndexedVecStreamsSpec. */
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    import graft.streaming.IndexedVecStreams
+    val base = warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_s19")
+    val cat = new LakeCatalog(s, base)
+    cat.createDatabase("lake")
+    val emb = table(s, dir, "embeddings")
+    IvfIndex.build(cat, "lake", "annstream",
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 300))
+    val out = s"$base/screen_out"
+    IndexedVecStreams.screenBatch(cat, "lake", "annstream",
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), 1L, out)
+    IndexedVecStreams.screenBatch(cat, "lake", "annstream",
+      emb.filter(col("vec_id") >= 400), 2L, out)
+    s.read.parquet(out)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+        col("batch_id").cast("long").as("batch_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** c28: TYPE-PROMOTION schema evolution — the table starts with an
     * int key and a decimal(12,2) price, is promoted (int→long,
     * decimal(12,2)→decimal(18,2)) WITHOUT rewriting any data file, then
@@ -791,6 +818,7 @@ object StoreQueries {
     "c10_maintenance_ledger" -> (c10 _),
     "e07_knn_ivf_index" -> (e07 _),
     "e19_knn_ivf_append" -> (e19 _),
+    "s19_indexed_stream_knn" -> (s19 _),
     "e22_knn_ivf_rebalance" -> (e22 _),
     "c31_bloom_point_lookup" -> (c31 _),
     "c32_table_stats" -> (c32 _)
@@ -980,6 +1008,51 @@ object StoreQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
                FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "s19_indexed_stream_knn" ->
+      // e19's frozen-centroid IVF (quantizer from the [5,300)
+      // bootstrap), with TWO probe generations: batch 1 = [300,400)
+      // searching the bootstrap, batch 2 = [400,...) searching
+      // bootstrap + batch 1 — the assignment is per-vector under the
+      // frozen quantizer, so one assign over all >= 5 filters by
+      // neighbor range per batch
+      s"""WITH cd AS (SELECT label, dim, round(avg(x), 6) AS c
+               FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                       unnest(range(0, len(embedding))) AS dim
+                     FROM embeddings WHERE vec_id >= 5 AND vec_id < 300)
+               GROUP BY label, dim),
+         cent AS (SELECT label, list(c ORDER BY dim) AS ct FROM cd GROUP BY label),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id >= 5),
+         assign AS (SELECT cell, neighbor_id, cv FROM (
+             SELECT ct2.label AS cell, c.neighbor_id, c.cv,
+               row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                 list_inner_product(c.cv, ct2.ct)
+                   / (sqrt(list_inner_product(c.cv, c.cv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM corpus c CROSS JOIN cent ct2) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                 CASE WHEN vec_id < 400 THEN 1 ELSE 2 END AS batch_id
+               FROM embeddings WHERE vec_id >= 300),
+         probe AS (SELECT cell, query_id, batch_id, qv FROM (
+             SELECT ct2.label AS cell, q.query_id, q.batch_id, q.qv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_inner_product(q.qv, ct2.ct)
+                   / (sqrt(list_inner_product(q.qv, q.qv))
+                      * sqrt(list_inner_product(ct2.ct, ct2.ct))) DESC,
+                 ct2.label) AS rn
+             FROM q CROSS JOIN cent ct2) WHERE rn <= 3),
+         s AS (SELECT p.query_id, p.batch_id, a.neighbor_id,
+                 ${LlmQueries.CosSql} AS cos
+               FROM assign a JOIN probe p USING (cell)
+               WHERE (p.batch_id = 1 AND a.neighbor_id < 300)
+                  OR (p.batch_id = 2 AND a.neighbor_id < 400)),
+         r AS (SELECT query_id, batch_id, neighbor_id, cos, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos,
+           CAST(batch_id AS BIGINT) AS batch_id
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "e22_knn_ivf_rebalance" ->
       // e19's frozen-centroid build+append, then ONE re-train step:

@@ -65,6 +65,32 @@ object IvfIndex {
     ()
   }
 
+  /** Last-applied micro-batch id, recorded on the cells table's own
+    * append commit (streaming-sink replay guard — [[appendBatch]]). */
+  private[graft] val BatchProp = "ivf.last-batch"
+
+  /** Idempotent per-micro-batch ADD — the streaming-ingest shape
+    * ([[graft.streaming.IndexedVecStreams]]): [[append]] under the
+    * frozen quantizer, with the last applied batch id riding the SAME
+    * cells-table commit, so a replayed foreachBatch is a no-op. The
+    * index is one table (centroids are never touched by an add), so
+    * the guard IS the transaction. Returns false on a replay. */
+  def appendBatch(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      newVectors: DataFrame,
+      batchId: Long): Boolean = {
+    val cells = cat.table(s"$db.${name}_cells")
+    if (cells.properties.get(BatchProp).exists(_.toLong >= batchId)) return false
+    val cents = cat.table(s"$db.${name}_centroids").read
+    val assigned = nearestCells(
+      newVectors.select(col("vec_id"), col("embedding")), cents, n = 1,
+      idAs = "vec_id", vecAs = "embedding")
+    cells.append(assigned, Map(BatchProp -> batchId.toString))
+    true
+  }
+
   /** Centroid re-balance after appends — the periodic maintenance step
     * production IVF engines run when the data distribution has drifted
     * from the quantizer (appends keep their frozen-centroid cell

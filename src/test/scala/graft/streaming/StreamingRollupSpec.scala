@@ -74,4 +74,54 @@ class StreamingRollupSpec extends SparkSpec {
     // replaying the last refresh is a no-op: the watermark rode the merge
     Rollup.refresh(srcTable, rollup, Seq("k"), Seq("v")) shouldBe 0L
   }
+
+  test("a CDC UPSERT stream into a MoR target keeps its rollup current (signed folds)") {
+    // the c33 machinery at the streaming seam: micro-batches carry
+    // upserts (op 'u' updates an existing key, 'c' inserts) and
+    // deletes (op 'd'); the target applies them as MoR commits —
+    // O(batch), no rewrite — and every batch triggers one incremental
+    // refresh that folds the NET change (post-images minus masked
+    // pre-images). Totals must track a full recompute after each batch.
+    val cat = new LakeCatalog(spark, Files.createTempDirectory("sr-mor-wh").toString)
+    cat.createDatabase("db")
+    val srcTable = cat.table("db.cdc_target")
+    val rollup = cat.table("db.cdc_agg")
+    srcTable.createOrReplace(batchDf((0L, "a", "1.00"), (1L, "b", "2.00")))
+    Rollup.refresh(srcTable, rollup, Seq("k"), Seq("v"))
+
+    def cdc(rows: (Long, String, String, String)*): DataFrame =
+      rows.map { case (id, k, v, op) => (id, k, v, op) }.toDF("id", "k", "v", "op")
+        .select($"id", $"k", $"v".cast("decimal(10,2)").as("v"), $"op")
+    val src = Files.createTempDirectory("sr-mor-src").toString
+    // batch 1: update id 0 (a: 1.00 -> 10.00), insert id 2
+    writeBatch(cdc((0L, "a", "10.00", "u"), (2L, "c", "5.00", "c")), src, 1)
+    // batch 2: delete id 1 (b goes to zero live rows), update id 2
+    writeBatch(cdc((1L, "b", "0.00", "d"), (2L, "c", "7.00", "u")), src, 2)
+
+    val q = spark.readStream
+      .schema(cdc().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ups = batch.filter(col("op") =!= "d").drop("op")
+        val dels = batch.filter(col("op") === "d").select("id")
+        if (!ups.isEmpty) { srcTable.mergeIntoMoR(ups, Seq("id")); () }
+        if (!dels.isEmpty) { srcTable.deleteWhereExistsMoR(dels, Seq("id")); () }
+        Rollup.refresh(srcTable, rollup, Seq("k"), Seq("v"))
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("sr-mor-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def totals(df: DataFrame) = df.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    // final state: a = {id0: 10.00}, c = {id2: 7.00}; b deleted entirely
+    totals(rollup.read) shouldBe Seq(("a", 1L, "10.00"), ("c", 1L, "7.00"))
+    // bit-equal to the full recompute of the final visible MoR state
+    totals(srcTable.read.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))) shouldBe totals(rollup.read)
+  }
 }
