@@ -32,7 +32,9 @@ object ExplainAudit {
       "q38_date_battery", "s11_session_window", "s12_threshold_alerts",
       "s10_static_enrich", "e20_metric_battery", "e19_knn_ivf_append",
       "c23_rollback", "c24_changelog", "q39_listagg",
-      "c25_lake_mor_merge_delete", "s13_stream_dedup", "c26_migration")) {
+      "c25_lake_mor_merge_delete", "s13_stream_dedup", "c26_migration",
+      "d52_hash_split", "d53_split_leakage", "m10_perceptual_dedup",
+      "m11_audio_fingerprint")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -610,6 +610,38 @@ object LlmQueries {
         "doc_id", targetRate = 8000, frame = 60)
       .orderBy("doc_id", "frame_no")
 
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    // audio perceptual fingerprint — m10's dedup signal for sound:
+    // REAL WAV round-trip (m08's encode/chunk-walk/decimate), then the
+    // energy-GRADIENT sign per consecutive frame pair becomes one bit
+    // (integer comparison of exact |amp| sums — engine-independent),
+    // and equal fingerprints group. One partitioned window (lead) over
+    // frame sums + a hash-only grouping: payloads never shuffle
+    import org.apache.spark.sql.expressions.Window
+    val fr = Multimodal.audioFrames(
+      Multimodal.encodeWav(
+        table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 500),
+        "doc_id",
+        sampleRate = id => if (id % 2 == 0) 8000 else 16000,
+        nSamples = id => if (id % 2 == 0) 480 else 960),
+      "doc_id", targetRate = 8000, frame = 60)
+    val w = Window.partitionBy("doc_id").orderBy("frame_no")
+    fr.withColumn("next_abs", lead("sum_abs", 1).over(w))
+      .filter(col("next_abs").isNotNull)
+      .withColumn("bit",
+        when(col("next_abs") > col("sum_abs"), lit("1")).otherwise(lit("0")))
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(frame_no, bit))), s -> s.bit)"),
+        "").as("afp"))
+      .groupBy("afp")
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .filter(col("n") > 1)
+      .orderBy("afp")
+  }
+
   private def m09(s: SparkSession, dir: String): DataFrame =
     // REAL video: encode a real uncompressed AVI per doc (proper
     // hdrl/strl/strf headers + movi of bottom-up padded DIB frames),
@@ -626,6 +658,22 @@ object LlmQueries {
           "doc_id", frames = 3, w = 15, h = 12),
         "doc_id")
       .orderBy("doc_id", "frame_no")
+
+  private def m10(s: SparkSession, dir: String): DataFrame =
+    // perceptual image dedup: REAL PNG encode+decode, dHash over the
+    // decoded raster (9x8 integer-boundary pooling, gradient-sign
+    // bits compared in exact integer math), duplicate GROUPS by hash —
+    // the media near-dup signal byte-hash dedup can't see; the oracle
+    // re-derives every bit from the closed-form fixture raster
+    Multimodal
+      .perceptualHash(Multimodal.encodePng(
+        table(s, dir, "documents").select(col("doc_id")),
+        "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .filter(col("n") > 1)
+      .orderBy("phash")
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal
@@ -806,6 +854,25 @@ object LlmQueries {
     LshIndex.query(cat, "lake", "neardup", docs.filter(col("doc_id") % 3 === 2))
       .orderBy("doc_a", "doc_b")
   }
+
+  private def d52(s: SparkSession, dir: String): DataFrame =
+    // deterministic train/val/test split (md5 bucket, 800/100/100):
+    // per-split doc count, char mass and id range — reproducible across
+    // engines/runs/topologies, and appends never reassign existing ids
+    Curation.hashSplit(table(s, dir, "documents"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+
+  private def d53(s: SparkSession, dir: String): DataFrame =
+    // split-leakage audit: near-dup pairs crossing the train/val/test
+    // boundary — d20/d25's contamination generalized to near-dups; the
+    // pairs a pipeline must quarantine before training
+    Dedup.splitLeakage(
+      Curation.hashSplit(documents(s, dir), "doc_id"))
+      .orderBy("doc_a", "doc_b")
 
   private def s16(s: SparkSession, dir: String): DataFrame = {
     // STREAMING near-dup screen, batch-run for the oracle: synthetic
@@ -992,6 +1059,8 @@ object LlmQueries {
     "m05_embed_patches" -> (m05 _),
     "m08_audio_frames" -> (m08 _),
     "m09_video_frames" -> (m09 _),
+    "m10_perceptual_dedup" -> (m10 _),
+    "m11_audio_fingerprint" -> (m11 _),
     "d40_semantic_dedup" -> (d40 _),
     "d41_chunk_overlap" -> (d41 _),
     "d42_pii_scrub" -> (d42 _),
@@ -1007,6 +1076,8 @@ object LlmQueries {
     "d46_dup_ngram_spans" -> (d46 _),
     "d47_incr_near_dup" -> (d47 _),
     "d51_lsh_index" -> (d51 _),
+    "d52_hash_split" -> (d52 _),
+    "d53_split_leakage" -> (d53 _),
     "s16_stream_near_dup" -> (s16 _),
     "s18_indexed_stream_dedup" -> (s18 _),
     "d48_cms_heavy_hitters" -> (d48 _),
@@ -1910,6 +1981,51 @@ object LlmQueries {
          WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
              / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
          ORDER BY doc_a, doc_b""",
+    "d52_hash_split" ->
+      // same md5 60-bit-prefix bucket as the sampling family (d21/d49)
+      """WITH s AS (SELECT doc_id, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS b
+           FROM documents),
+         t AS (SELECT doc_id, n_chars,
+             CASE WHEN b < 800 THEN 'train'
+                  WHEN b < 900 THEN 'val' ELSE 'test' END AS split FROM s)
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM t GROUP BY split ORDER BY split""",
+    "d53_split_leakage" ->
+      // d07's banded near-dup pairs, kept only when the two sides
+      // landed in DIFFERENT d52 splits
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         ok AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk) WHERE bn <= 1000),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                     a.toks AS toks_a, b2.toks AS toks_b
+                   FROM ok a JOIN ok b2 ON a.band = b2.band AND a.doc_id < b2.doc_id),
+         tag AS (SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 800
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < 900
+                  THEN 'val' ELSE 'test' END AS split
+           FROM documents)
+         SELECT doc_a, doc_b, ta.split AS split_a, tb.split AS split_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs JOIN tag ta ON pairs.doc_a = ta.doc_id
+                    JOIN tag tb ON pairs.doc_b = tb.doc_id
+         WHERE ta.split != tb.split
+           AND CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "s18_indexed_stream_dedup" ->
       // two screened micro-batches against the persistent index: batch
       // 1 (%3==1) probes generation 0; batch 2 (%3==2) probes
@@ -2245,6 +2361,30 @@ object LlmQueries {
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m10_perceptual_dedup" ->
+      // bit-for-bit dHash re-derivation from the closed-form raster:
+      // pixel (x,y) = (id*31 + x*7 + y*13) % 256, cells cx = x*9//w,
+      // cy = y*8//h, bit = left-cell-brighter compared in exact integer
+      // cross-multiplication (sum_a*n_b > sum_b*n_a)
+      """WITH dims AS (SELECT doc_id, (8 + doc_id % 9)::INT AS w,
+               (8 + (doc_id*7) % 9)::INT AS h FROM documents),
+         px AS (SELECT d.doc_id, d.w, d.h, x.x, y.y,
+                  (d.doc_id*31 + x.x*7 + y.y*13) % 256 AS v
+                FROM dims d
+                  JOIN (SELECT unnest(range(0,16)) AS x) x ON x.x < d.w
+                  JOIN (SELECT unnest(range(0,16)) AS y) y ON y.y < d.h),
+         cells AS (SELECT doc_id, (y*8)//h AS cy, (x*9)//w AS cx,
+                     sum(v) AS s, count(*) AS n
+                   FROM px GROUP BY doc_id, (y*8)//h, (x*9)//w),
+         bits AS (SELECT a.doc_id, a.cy, a.cx,
+                    CASE WHEN a.s * b.n > b.s * a.n THEN '1' ELSE '0' END AS bit
+                  FROM cells a JOIN cells b
+                    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1),
+         ph AS (SELECT doc_id, string_agg(bit, '' ORDER BY cy, cx) AS phash
+                FROM bits GROUP BY doc_id)
+         SELECT phash, count(*) AS n,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""",
     "m09_video_frames" ->
       // the engine round-trips REAL AVI bytes (container demux, DIB
       // rows); the oracle replays pix(id,f,x,y) = (id*31+x*7+y*13+f*17)
@@ -2258,6 +2398,31 @@ object LlmQueries {
            CAST(sum(((doc_id*31 + x*7 + y*13 + fno*17) % 256) * (x + 2*y))
                 AS BIGINT) AS wsum
          FROM px GROUP BY doc_id, fno ORDER BY doc_id, frame_no""",
+    "m11_audio_fingerprint" ->
+      // m08's closed-form frame sums, then delta-sign bits ordered by
+      // frame and equal fingerprints grouped (7 bits/doc → pigeonhole
+      // guarantees groups at any sf)
+      """WITH p AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS dec
+             FROM documents WHERE doc_id < 500),
+         s AS (SELECT p.doc_id, r.range AS i, p.dec
+             FROM p CROSS JOIN range(0, 960) r
+             WHERE r.range < 480 * p.dec AND r.range % p.dec = 0),
+         a AS (SELECT doc_id, dec, CAST(i / dec AS BIGINT) AS j,
+               abs((doc_id * 31 + i * 17) % 2048 - 1024) AS amp
+             FROM s),
+         f AS (SELECT doc_id, CAST(j // 60 AS BIGINT) AS frame_no,
+               sum(amp) AS sum_abs
+             FROM a GROUP BY doc_id, j // 60),
+         bits AS (SELECT x.doc_id, x.frame_no,
+               CASE WHEN y.sum_abs > x.sum_abs THEN '1' ELSE '0' END AS bit
+             FROM f x JOIN f y
+               ON x.doc_id = y.doc_id AND y.frame_no = x.frame_no + 1),
+         fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY frame_no) AS afp
+             FROM bits GROUP BY doc_id)
+         SELECT afp, count(*) AS n,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM fp GROUP BY afp HAVING count(*) > 1 ORDER BY afp""",
     "m08_audio_frames" ->
       // the engine round-trips REAL RIFF/WAVE bytes (chunk walk, PCM16
       // little-endian, decimation to 8 kHz); the oracle replays the

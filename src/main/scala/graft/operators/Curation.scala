@@ -27,6 +27,27 @@ object Curation {
   def hashBucket(id: Column, buckets: Int): Column =
     md5Prefix60(id) % buckets
 
+  /** Deterministic train/val/test assignment by md5 hash bucket — the
+    * reproducible split every training pipeline needs: stable across
+    * engines, runs and cluster topologies, and appending new data never
+    * reassigns an existing id (the properties `rand()`/`randomSplit`
+    * lack). One map-side projection over the shared 1000-bucket space —
+    * no shuffle, no count pass. Defaults: 800/100/100 permille. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      valPermille: Int = 100,
+      testPermille: Int = 100): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille < 1000,
+      s"val+test permille must leave room for train, got $valPermille+$testPermille")
+    val b = hashBucket(col(idCol), 1000)
+    df.withColumn("split",
+      when(b < lit(1000 - valPermille - testPermille), lit("train"))
+        .when(b < lit(1000 - testPermille), lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates in permille,
     * applied map-side — no shuffle, no count pass, no rand(). The usual
     * rebalancing pass (downsample the over-represented language / source

@@ -253,6 +253,34 @@ object Dedup {
       staged, pruned)
   }
 
+  /** SPLIT-LEAKAGE audit: LSH near-dup pairs that CROSS a train/val/
+    * test boundary — the generalization of exact/n-gram contamination
+    * (d20/d25) to near-duplicates. A test document whose near-twin sits
+    * in train inflates every eval metric; this surfaces exactly those
+    * pairs, with both split labels, so the pipeline can quarantine one
+    * side before training. Cost: the banded near-dup pipeline plus an
+    * id-only join against the split tags — the tags ride a map-side
+    * projection ([[Curation.hashSplit]]), never a shuffle of text. */
+  def splitLeakage(
+      taggedDocs: DataFrame,
+      splitCol: String = "split",
+      shingleSize: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    val tags = taggedDocs.select(col("doc_id"), col(splitCol))
+    lshNearDuplicates(taggedDocs, shingleSize, k, bands, threshold,
+      maxBucket, textCol)
+      .join(tags.select(col("doc_id").as("doc_a"), col(splitCol).as("split_a")),
+        Seq("doc_a"))
+      .join(tags.select(col("doc_id").as("doc_b"), col(splitCol).as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+  }
+
   /** Incremental NEAR-dup: LSH candidates of each INCOMING doc against
     * the HISTORY corpus only, verified by exact token Jaccard — the
     * near-dup companion of [[incrementalDedup]] (which only catches

@@ -320,6 +320,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual dHash of the DECODED raster — the image analog of the
+    * text near-dup fingerprint: average-pool the gray plane onto a
+    * 9-wide × 8-high grid (integer cell boundaries `cx = x*9/w`,
+    * `cy = y*8/h`), then one bit per horizontally adjacent cell pair =
+    * "left cell brighter". Integer-EXACT: cell means never materialize
+    * as doubles — the gradient bit compares `sum_a*n_b > sum_b*n_a`,
+    * so the hash is bit-reproducible in any engine from the same
+    * pixels (the DuckDB oracle re-derives it from the closed-form
+    * fixture raster; any codec/pooling defect diverges). Emitted as a
+    * '0'/'1' string ordered by (cy, cx): images of equal perceptual
+    * structure — not equal bytes — collide, which is the dedup signal
+    * byte-hash dedup (d05) cannot see for re-encoded/jittered media.
+    * Scale: one map-side pass, 16 bytes of hash per image; grouping
+    * shuffles hashes only, never payloads. */
+  def perceptualHash(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("phash", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("payload")).mapPartitions { rows =>
+      val decode = grayDecoder()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = decode(r.getAs[Array[Byte]](1))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val g = grayPlane(img)
+        val sums = Array.ofDim[Long](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val cx = x * 9 / w
+            sums(cy)(cx) += g(y * w + x) & 0xff
+            cnts(cy)(cx) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val maxCx = (w - 1) * 9 / w
+        val sb = new java.lang.StringBuilder(72)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < maxCx) {
+            sb.append(
+              if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+                  sums(cy)(cx + 1) * cnts(cy)(cx)) '1' else '0')
+            cx += 1
+          }
+          cy += 1
+        }
+        Row(id, sb.toString)
+      }
+    }(enc)
+  }
+
   /** Deterministic PCM16 sample for synthetic fixture audio — the
     * closed-form amplitude the oracle reproduces arithmetically while
     * the engine round-trips REAL RIFF/WAVE bytes through a REAL chunk

@@ -307,4 +307,47 @@ class CurationSpec extends SparkSpec {
     Curation.bigramLogLoss(Seq((9L, "solo")).toDF("doc_id", "text"))
       .count() shouldBe 0L
   }
+
+  test("hashSplit: exhaustive, disjoint, append-stable, fraction-plausible") {
+    val ids = (1L to 2000L).toDF("doc_id")
+    val split = Curation.hashSplit(ids, "doc_id")
+    // every row gets exactly one label
+    split.count() shouldBe 2000L
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe Set("train", "val", "test")
+    counts.values.sum shouldBe 2000L
+    // 800/100/100 permille within loose tolerance (hash, not rand)
+    counts("train").toDouble / 2000 shouldBe 0.8 +- 0.05
+    // APPEND STABILITY — the property randomSplit lacks: the assignment
+    // of ids 1..2000 is identical when computed over a superset
+    val sup = Curation.hashSplit((1L to 4000L).toDF("doc_id"), "doc_id")
+      .filter($"doc_id" <= 2000)
+    sup.except(split).count() shouldBe 0L
+    split.except(sup).count() shouldBe 0L
+  }
+
+  test("splitLeakage surfaces exactly the near-dup pairs that cross splits") {
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "the quick brown fox jumps over the lazy cat tonight"
+    // 40 docs: 20 near-dup pairs (i, i+100) spread over the id space so
+    // some pairs land in the same split and some cross
+    val docs = (1L to 20L).flatMap(i =>
+      Seq((i * 7, a + s" tag$i"), (i * 7 + 100, b + s" tag$i")))
+      .toDF("doc_id", "text")
+    val tagged = Curation.hashSplit(docs, "doc_id", 300, 300)
+    val expected = Dedup.lshNearDuplicates(docs)
+      .join(tagged.select($"doc_id".as("doc_a"), $"split".as("split_a")), Seq("doc_a"))
+      .join(tagged.select($"doc_id".as("doc_b"), $"split".as("split_b")), Seq("doc_b"))
+      .filter($"split_a" =!= $"split_b")
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+    val got = Dedup.splitLeakage(tagged)
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe expected
+    expected should not be empty // the fixture must actually cross
+    // and no returned pair shares a split
+    Dedup.splitLeakage(tagged)
+      .filter($"split_a" === $"split_b").count() shouldBe 0L
+  }
 }

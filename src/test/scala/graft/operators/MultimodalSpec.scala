@@ -236,4 +236,32 @@ class MultimodalSpec extends SparkSpec {
     }
     ex.getMessage should include("RIFF")
   }
+
+  test("perceptualHash matches the closed-form derivation bit for bit") {
+    // the full path — REAL PNG encode, REAL decode, pooling, integer
+    // gradient bits — must equal a direct recomputation from the pixel
+    // formula, for every dims class (w,h vary with id)
+    val df = Multimodal.encodePng(
+      spark.range(0, 20).toDF("doc_id"), "doc_id",
+      id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt))
+    val got = Multimodal.perceptualHash(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 20L).foreach { id =>
+      val (w, h) = (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        sums(y * 8 / h)(x * 9 / w) += Multimodal.gray(id, x, y)
+        cnts(y * 8 / h)(x * 9 / w) += 1
+      }
+      val maxCx = (w - 1) * 9 / w
+      val exp = (for (cy <- 0 until 8; cx <- 0 until maxCx) yield
+        if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+            sums(cy)(cx + 1) * cnts(cy)(cx)) '1' else '0').mkString
+      got(id) shouldBe exp
+    }
+    // images sharing perceptual structure collide regardless of bytes:
+    // same dims class + same gradient signs → grouping is the signal
+    got.values.toSeq.distinct.size should be < 20
+  }
 }
