@@ -110,12 +110,14 @@ object Rollup {
     } else addAgg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      refreshDelta(dst, groupCols, sumCols, delta, srcV, lastV)
+      refreshDelta(dst, groupCols, sumCols, delta, srcV, lastV,
+        sweep = range.exists(MorOps))
     } finally { delta.unpersist(); () }
   }
 
   private def refreshDelta(dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String], delta: DataFrame, srcV: Long, lastV: Long): Long = {
+      sumCols: Seq[String], delta: DataFrame, srcV: Long, lastV: Long,
+      sweep: Boolean): Long = {
     // MERGE matches keys with plain (Iceberg) equality, which can never
     // match a NULL group key — a null group would INSERT a duplicate
     // total row instead of replacing its own. Refuse up front (the
@@ -146,9 +148,13 @@ object Rollup {
     // no empty groups). The sweep is a separate idempotent commit AFTER
     // the watermark-carrying merge — a crash between the two leaves
     // only exact n=0 tombstone rows (totals correct, group dead), which
-    // the next refresh's sweep removes; it can never double-count.
-    val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
-    if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
+    // the next MoR-range refresh's sweep removes; it can never
+    // double-count. Append-only ranges skip it (counts only grow, so
+    // n=0 is unreachable — no extra job on the hot ingest path).
+    if (sweep) {
+      val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
+      if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
+    }
     srcV - lastV
   }
 }
