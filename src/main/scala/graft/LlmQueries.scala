@@ -610,27 +610,21 @@ object LlmQueries {
         "doc_id", targetRate = 8000, frame = 60)
       .orderBy("doc_id", "frame_no")
 
-  private def m11(s: SparkSession, dir: String): DataFrame = {
-    // audio perceptual fingerprint — m10's dedup signal for sound:
-    // REAL WAV round-trip (m08's encode/chunk-walk/decimate), then the
-    // energy-GRADIENT sign per consecutive frame pair becomes one bit
-    // (integer comparison of exact |amp| sums — engine-independent),
-    // and equal fingerprints group. One partitioned window (lead) over
-    // frame sums + a hash-only grouping: payloads never shuffle
+  /** Frame-GRADIENT fingerprint dedup, shared by the audio (m11) and
+    * video (m12) perceptual screens: the sign of each consecutive
+    * frame-stat delta becomes one bit (exact integer comparison —
+    * engine-independent), the per-doc bit string is the fingerprint,
+    * and equal fingerprints group. One partitioned window (lead) over
+    * the frame stats + a fingerprint-only grouping: payloads never
+    * shuffle. */
+  private def gradientFingerprint(
+      frames: DataFrame, statCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fr = Multimodal.audioFrames(
-      Multimodal.encodeWav(
-        table(s, dir, "documents").select(col("doc_id"))
-          .filter(col("doc_id") < 500),
-        "doc_id",
-        sampleRate = id => if (id % 2 == 0) 8000 else 16000,
-        nSamples = id => if (id % 2 == 0) 480 else 960),
-      "doc_id", targetRate = 8000, frame = 60)
     val w = Window.partitionBy("doc_id").orderBy("frame_no")
-    fr.withColumn("next_abs", lead("sum_abs", 1).over(w))
-      .filter(col("next_abs").isNotNull)
+    frames.withColumn("next_v", lead(statCol, 1).over(w))
+      .filter(col("next_v").isNotNull)
       .withColumn("bit",
-        when(col("next_abs") > col("sum_abs"), lit("1")).otherwise(lit("0")))
+        when(col("next_v") > col(statCol), lit("1")).otherwise(lit("0")))
       .groupBy("doc_id")
       .agg(array_join(expr(
         "transform(array_sort(collect_list(struct(frame_no, bit))), s -> s.bit)"),
@@ -641,6 +635,34 @@ object LlmQueries {
       .filter(col("n") > 1)
       .orderBy("afp")
   }
+
+  private def m11(s: SparkSession, dir: String): DataFrame =
+    // audio perceptual fingerprint — m10's dedup signal for sound:
+    // REAL WAV round-trip (m08's encode/chunk-walk/decimate), then
+    // energy-gradient sign bits over the exact |amp| frame sums
+    gradientFingerprint(
+      Multimodal.audioFrames(
+        Multimodal.encodeWav(
+          table(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") < 500),
+          "doc_id",
+          sampleRate = id => if (id % 2 == 0) 8000 else 16000,
+          nSamples = id => if (id % 2 == 0) 480 else 960),
+        "doc_id", targetRate = 8000, frame = 60),
+      "sum_abs")
+
+  private def m12(s: SparkSession, dir: String): DataFrame =
+    // video temporal fingerprint — the same signal over the REAL AVI
+    // round-trip (m09's container demux): per-frame position-weighted
+    // pixel sums, 8 frames → 7 gradient bits per video
+    gradientFingerprint(
+      Multimodal.videoFrameStats(
+        Multimodal.encodeAvi(
+          table(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") < 300),
+          "doc_id", frames = 8, w = 15, h = 12),
+        "doc_id"),
+      "wsum")
 
   private def m09(s: SparkSession, dir: String): DataFrame =
     // REAL video: encode a real uncompressed AVI per doc (proper
@@ -1061,6 +1083,7 @@ object LlmQueries {
     "m09_video_frames" -> (m09 _),
     "m10_perceptual_dedup" -> (m10 _),
     "m11_audio_fingerprint" -> (m11 _),
+    "m12_video_fingerprint" -> (m12 _),
     "d40_semantic_dedup" -> (d40 _),
     "d41_chunk_overlap" -> (d41 _),
     "d42_pii_scrub" -> (d42 _),
@@ -2385,6 +2408,26 @@ object LlmQueries {
          SELECT phash, count(*) AS n,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""",
+    "m12_video_fingerprint" ->
+      // m09's closed-form weighted frame sums over 8 frames, then
+      // delta-sign bits and equal-fingerprint grouping (7 bits/video
+      // over 300 videos → pigeonhole guarantees groups)
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+         fx AS (SELECT doc_id, r.range AS fno FROM ids CROSS JOIN range(0, 8) r),
+         px AS (SELECT doc_id, fno, x.range AS x, y.range AS y
+                FROM fx CROSS JOIN range(0, 15) x CROSS JOIN range(0, 12) y),
+         f AS (SELECT doc_id, fno,
+                 sum(((doc_id*31 + x*7 + y*13 + fno*17) % 256) * (x + 2*y)) AS wsum
+               FROM px GROUP BY doc_id, fno),
+         bits AS (SELECT a.doc_id, a.fno,
+                    CASE WHEN b.wsum > a.wsum THEN '1' ELSE '0' END AS bit
+                  FROM f a JOIN f b
+                    ON a.doc_id = b.doc_id AND b.fno = a.fno + 1),
+         fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY fno) AS afp
+                FROM bits GROUP BY doc_id)
+         SELECT afp, count(*) AS n,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM fp GROUP BY afp HAVING count(*) > 1 ORDER BY afp""",
     "m09_video_frames" ->
       // the engine round-trips REAL AVI bytes (container demux, DIB
       // rows); the oracle replays pix(id,f,x,y) = (id*31+x*7+y*13+f*17)

@@ -39,12 +39,14 @@ object PerfBudget {
     "d35_training_manifest",
     "d45_cluster_reps",
     "d51_lsh_index",
+    "d53_split_leakage",
     "e07_knn_ivf_index",
     "e13_ann_recall",
     "e19_knn_ivf_append",
     "e22_knn_ivf_rebalance",
     "s16_stream_near_dup",
-    "s18_indexed_stream_dedup")
+    "s18_indexed_stream_dedup",
+    "s19_indexed_stream_knn")
 
   val DefaultSf = "/root/testdata/sf0.001"
 

@@ -43,6 +43,22 @@ class PlanShapeSpec extends SparkSpec {
     all(scans.map(_.schema.fieldNames.length)) should be <= 6
   }
 
+  test("d53: the split-tag joins broadcast (id-only build sides, no corpus re-shuffle)") {
+    // the leakage audit adds two id→split joins on top of the banded
+    // near-dup pipeline; the tag side is a two-column projection of the
+    // corpus, so BOTH must plan as broadcast hash joins — a shuffled
+    // join here would re-partition the pair stream twice for no reason
+    val p = planOps("d53_split_leakage")
+    val bcast = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    bcast.length should be >= 2
+    // and no sort-merge join anywhere in the audit
+    p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    } shouldBe empty
+  }
+
   test("q40: the bloom probe filters the fact scan BELOW a broadcast semi join") {
     val p = planOps("q40_bloom_semi_join")
     // the semi join is broadcast (dim-sized build side, no fact shuffle)
