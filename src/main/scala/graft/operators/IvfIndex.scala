@@ -74,7 +74,10 @@ object IvfIndex {
     * frozen quantizer, with the last applied batch id riding the SAME
     * cells-table commit, so a replayed foreachBatch is a no-op. The
     * index is one table (centroids are never touched by an add), so
-    * the guard IS the transaction. Returns false on a replay. */
+    * the guard IS the transaction. Returns false on a replay.
+    * Single sequential writer assumed (a streaming query's foreachBatch
+    * contract): batch ids must arrive monotonically — the guard is a
+    * high-water mark, not a set. */
   def appendBatch(
       cat: LakeCatalog,
       db: String,

@@ -116,7 +116,10 @@ object LshIndex {
     * toks-first order, so a crash between them leaves only "token sets
     * without bands" (docs not yet indexed, repaired by the replay) —
     * and the replay appends ONLY the missing bands, never duplicate
-    * token sets. Returns false when the batch had fully applied. */
+    * token sets. Returns false when the batch had fully applied.
+    * Single sequential writer assumed (a streaming query's foreachBatch
+    * contract): batch ids must arrive monotonically — the guard is a
+    * high-water mark, not a set. */
   def appendBatch(
       cat: LakeCatalog,
       db: String,
