@@ -421,6 +421,42 @@ object StoreQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** c35: NON-INVERTIBLE measures in the maintained rollup — c33's MoR
+    * lifecycle with a MAX measure. Sums/counts fold as signed deltas;
+    * max folds via greatest on append ranges but is re-aggregated over
+    * exactly the TOUCHED groups when a MoR range deleted rows (the
+    * departed row may have been the max — a greatest-fold would freeze
+    * it forever). The oracle's full recompute of the final state
+    * catches exactly that freeze. */
+  private def c35(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rumax"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_max_src")
+    cat.dropTable("lake.events_max_rollup")
+    val dst = cat.table("lake.events_max_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("value"),
+      maxCols = Seq("value"))
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    rf()
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    rf()
+    // delete the TOP-value slice of the ingested range: every group's
+    // max moves DOWN — the case the touched-group re-aggregate exists for
+    src.deleteWhereExistsMoR(
+      src.read.filter(col("value") > lit(new java.math.BigDecimal("300.0000")))
+        .select("event_id"),
+      Seq("event_id"))
+    rf()
+    src.append(ev.filter(col("event_id") > 2 * q))
+    rf()
+    dst.read.orderBy("event_type")
+  }
+
   /** s19: STREAMING VECTOR INGEST on the persistent IVF index,
     * batch-run for the oracle: bootstrap trains the quantizer on
     * [5,300); micro-batch 1 ([300,400)) probes the index THEN appends;
@@ -797,6 +833,7 @@ object StoreQueries {
     "c28_type_promotion" -> (c28 _),
     "c30_incremental_rollup" -> (c30 _),
     "c33_mor_rollup" -> (c33 _),
+    "c35_rollup_max" -> (c35 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -862,6 +899,23 @@ object StoreQueries {
            FROM base b, qq
            WHERE NOT (b.event_id <= 2 * qq.q AND b.event_id % 7 = 0))
          SELECT event_type, count(*) AS n, sum(v) AS sum_value
+         FROM fin GROUP BY event_type ORDER BY event_type""",
+    "c35_rollup_max" ->
+      // final visible state: ids <= 2q whose derived value > 300 are
+      // deleted; ids > 2q appended after. The maintained max must equal
+      // the full recompute — a frozen (greatest-folded) max diverges
+      """WITH qq AS (SELECT max(event_id) // 3 AS q FROM events),
+         base AS (SELECT event_id, event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events),
+         fin AS (
+           SELECT b.event_id, b.event_type, b.v
+           FROM base b, qq
+           WHERE NOT (b.event_id <= 2 * qq.q AND b.v > 300.0))
+         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
+           max(v) AS max_value
          FROM fin GROUP BY event_type ORDER BY event_type""",
     "c32_table_stats" ->
       // the stats machinery (HLL NDV, incremental union, broadcast-side

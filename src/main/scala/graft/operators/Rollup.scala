@@ -57,29 +57,39 @@ object Rollup {
   private val MorOps = Set("merge-mor", "delete-mor")
 
   private def aggregated(rows: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("n") +:
-      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+      sumCols: Seq[String], maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = (count(lit(1)).as("n") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
     rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Full rebuild: aggregate the WHOLE source at its current version.
     * The bootstrap, and the recovery path after non-append commits. */
   def rebuild(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String]): Unit = {
+      sumCols: Seq[String], maxCols: Seq[String] = Nil): Unit = {
     val v = src.currentSnapshot.get.version
-    dst.createOrReplace(aggregated(src.read, groupCols, sumCols),
+    dst.createOrReplace(aggregated(src.read, groupCols, sumCols, maxCols),
       tableProperties = Map(WatermarkProp -> v.toString))
     ()
   }
 
   /** Incremental refresh; bootstraps via [[rebuild]] when the rollup
     * does not exist yet. Returns the number of source versions folded
-    * in (0 = already current). */
+    * in (0 = already current).
+    *
+    * `maxCols` adds MAX measures — INVERTIBLE under inserts (fold via
+    * greatest with the current total) but NOT under deletes (the
+    * departed row may have been the max), so a MoR-range refresh
+    * re-aggregates max over exactly the TOUCHED groups from the source
+    * — O(touched groups' rows), the standard maintenance shape for
+    * non-invertible aggregates — while n/sum stay purely incremental.
+    * MIN is the mirror image (greatest→least); only MAX is wired to
+    * keep the surface small. */
   def refresh(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String]): Long = {
+      sumCols: Seq[String], maxCols: Seq[String] = Nil): Long = {
     val srcV = src.currentSnapshot.get.version
-    if (!dst.exists) { rebuild(src, dst, groupCols, sumCols); return srcV }
+    if (!dst.exists) { rebuild(src, dst, groupCols, sumCols, maxCols); return srcV }
     val lastV = dst.properties.getOrElse(WatermarkProp,
       throw new IllegalStateException(
         s"${dst.name} exists but carries no $WatermarkProp — not a rollup table")).toLong
@@ -92,8 +102,10 @@ object Rollup {
         s"(${range.filterNot(op => AppendOps(op) || MorOps(op)).mkString(", ")}) — " +
         "the incremental scan would re-emit rewritten rows; rebuild the " +
         "rollup instead")
-    val addAgg = aggregated(src.changes(lastV, Some(srcV)), groupCols, sumCols)
-    val delta = (if (range.exists(MorOps)) {
+    val mor = range.exists(MorOps)
+    val addAgg = aggregated(src.changes(lastV, Some(srcV)), groupCols, sumCols,
+      if (mor) Nil else maxCols)
+    val base = if (mor) {
       // negative partial aggregate of the masked-away rows, combined
       // with the positive one at aggregate size (both sides are
       // O(groups-touched), the union re-agg is metadata-cheap)
@@ -107,17 +119,29 @@ object Rollup {
       addAgg.unionByName(remAgg)
         .groupBy(groupCols.map(col): _*)
         .agg(reAggs.head, reAggs.tail: _*)
-    } else addAgg)
+    } else addAgg
+    val delta = (if (mor && maxCols.nonEmpty) {
+      // max is non-invertible under deletes: re-aggregate it over
+      // exactly the touched groups (the delta keys, aggregate-sized,
+      // broadcast into the source scan). A fully-deleted group gets a
+      // null max and n=0 — the sweep removes it.
+      val touched = base.select(groupCols.map(col): _*)
+      val exactAggs = maxCols.map(c => max(col(c)).as(s"max_$c"))
+      val exact = src.read.join(broadcast(touched), groupCols)
+        .groupBy(groupCols.map(col): _*)
+        .agg(exactAggs.head, exactAggs.tail: _*)
+      base.join(exact, groupCols, "left")
+    } else base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      refreshDelta(dst, groupCols, sumCols, delta, srcV, lastV,
-        sweep = range.exists(MorOps))
+      refreshDelta(dst, groupCols, sumCols, maxCols, delta, srcV, lastV,
+        sweep = mor, maxExact = mor)
     } finally { delta.unpersist(); () }
   }
 
   private def refreshDelta(dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String], delta: DataFrame, srcV: Long, lastV: Long,
-      sweep: Boolean): Long = {
+      sumCols: Seq[String], maxCols: Seq[String], delta: DataFrame,
+      srcV: Long, lastV: Long, sweep: Boolean, maxExact: Boolean): Long = {
     // MERGE matches keys with plain (Iceberg) equality, which can never
     // match a NULL group key — a null group would INSERT a duplicate
     // total row instead of replacing its own. Refuse up front (the
@@ -134,13 +158,21 @@ object Rollup {
     val cur = dst.read.select(
       groupCols.map(c => col(c).as(s"__ck_$c")) ++
         (col("n").as("__cur_n") +:
-          sumCols.map(c => col(s"sum_$c").as(s"__cur_$c"))): _*)
+          sumCols.map(c => col(s"sum_$c").as(s"__cur_$c"))) ++
+        maxCols.map(c => col(s"max_$c").as(s"__curm_$c")): _*)
     val joinCond = groupCols.map(c => col(c) <=> col(s"__ck_$c")).reduce(_ && _)
+    // append-range max folds against the current total (greatest skips
+    // nulls, so a new group takes the delta side); MoR-range max is
+    // already the exact touched-group re-aggregate and REPLACES
+    val maxOut = maxCols.map(c =>
+      (if (maxExact) col(s"max_$c")
+       else greatest(col(s"max_$c"), col(s"__curm_$c"))).as(s"max_$c"))
     val combined = delta.join(cur, joinCond, "left")
       .select(groupCols.map(col) ++
         ((col("n") + coalesce(col("__cur_n"), lit(0L))).as("n") +:
           sumCols.map(c =>
-            (col(s"sum_$c") + coalesce(col(s"__cur_$c"), lit(0))).as(s"sum_$c"))): _*)
+            (col(s"sum_$c") + coalesce(col(s"__cur_$c"), lit(0))).as(s"sum_$c"))) ++
+        maxOut: _*)
     dst.mergeInto(combined, groupCols,
       extraProperties = Map(WatermarkProp -> srcV.toString))
     // full-recompute parity under MoR deletes: a group whose live row

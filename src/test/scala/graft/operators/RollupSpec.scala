@@ -97,6 +97,35 @@ class RollupSpec extends SparkSpec {
     state(dst) shouldBe Seq(("a", 2L, "23.00"))
   }
 
+  test("MAX measures: append ranges fold, MoR deletes re-aggregate the touched groups") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_max")
+    val dst = cat.table("db.agg_max")
+    src.createOrReplace(ev((1L, "a", "5.00"), (2L, "a", "9.00"), (3L, "b", "4.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"), maxCols = Seq("v"))
+    def maxima = dst.read.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(3).toPlainString)).toSeq
+    maxima shouldBe Seq(("a", "9.00"), ("b", "4.00"))
+    // append range: max folds via greatest, no source re-read needed
+    src.append(ev((4L, "a", "7.00"), (5L, "c", "1.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"), maxCols = Seq("v"))
+    maxima shouldBe Seq(("a", "9.00"), ("b", "4.00"), ("c", "1.00"))
+    // THE non-invertible case: delete the row that WAS the max of 'a' —
+    // a greatest-fold would freeze 9.00 forever; the touched-group
+    // re-aggregate must find the new max 7.00
+    src.deleteWhereExistsMoR(Seq(2L).toDF("id"), Seq("id"))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"), maxCols = Seq("v"))
+    maxima shouldBe Seq(("a", "7.00"), ("b", "4.00"), ("c", "1.00"))
+    // untouched groups kept their rows without a recompute; totals and
+    // counts still bit-equal the full recompute
+    state(dst) shouldBe fullRecompute(src)
+    // and a group deleted to zero leaves entirely (null max never lands)
+    src.deleteWhereExistsMoR(Seq(3L).toDF("id"), Seq("id"))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"), maxCols = Seq("v"))
+    maxima shouldBe Seq(("a", "7.00"), ("c", "1.00"))
+  }
+
   test("a COW commit in a MoR range still refuses (rewrites re-emit rows)") {
     val cat = freshCat
     cat.createDatabase("db")
