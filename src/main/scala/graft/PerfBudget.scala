@@ -34,6 +34,7 @@ object PerfBudget {
     "c31_bloom_point_lookup",
     "c32_table_stats",
     "c33_mor_rollup",
+    "c35_rollup_max",
     "c34_jdbc_lake_pipeline",
     "d19_dedup_clusters",
     "d35_training_manifest",
