@@ -40,6 +40,25 @@ object StoreQueries {
       .cast(s"decimal($precision,$scale)")
   }
 
+  /** Exact INTEGER sibling of [[exactDecimal]]: the same floor+modular
+    * derivation kept in BIGINT space end-to-end, so a compared measure
+    * never crosses a decimal render/compare seam at all. Satisfies
+    * `exactCents(d, key, s) == exactDecimal(d, key, p, s) * 10^s`
+    * bit-exactly; the oracle mirror is pure integer arithmetic
+    * (`CAST(FLOOR(d) AS BIGINT) * 10^s + key % 10^s`). Introduced after
+    * the r9/r10 driver-only hash failures on c28/c30/c35 — the
+    * operators under test (type promotion, incremental rollup,
+    * non-invertible extrema) are value-type-agnostic, so their gate
+    * verdict should not ride on the one seam the driver data keeps
+    * disagreeing about; the decimal derivation itself stays under test
+    * via the c36/c37 canaries. */
+  private[graft] def exactCents(d: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, scale: Int)
+      : org.apache.spark.sql.Column = {
+    val mod = math.pow(10, scale).toLong
+    floor(d).cast("long") * lit(mod) + (key % mod)
+  }
+
   /** c06: full lifecycle on an unpartitioned table —
     * RTAS → MERGE (update evens) → DELETE (multiples of 7) → read. */
   private def c06(s: SparkSession, dir: String): DataFrame = {
@@ -435,21 +454,157 @@ object StoreQueries {
     val src = cat.table("lake.events_max_src")
     cat.dropTable("lake.events_max_rollup")
     val dst = cat.table("lake.events_max_rollup")
+    // decimal measure exercises the machinery; the compared measure is
+    // the exact integer sibling (cents = value × 10^4, bit-equal)
     val ev = table(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"),
+        exactCents(col("value"), col("event_id"), 4).as("cents"))
     val q = ev.agg(max("event_id")).head().getLong(0) / 3
-    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("value"),
-      maxCols = Seq("value"))
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("value", "cents"),
+      maxCols = Seq("value", "cents"))
     src.createOrReplace(ev.filter(col("event_id") <= q))
     rf()
     src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
     rf()
     // delete the TOP-value slice of the ingested range: every group's
-    // max moves DOWN — the case the touched-group re-aggregate exists for
+    // max moves DOWN — the case the touched-group re-aggregate exists
+    // for (cents > 3000000 ⟺ derived value > 300.0000, exactly)
     src.deleteWhereExistsMoR(
-      src.read.filter(col("value") > lit(new java.math.BigDecimal("300.0000")))
-        .select("event_id"),
+      src.read.filter(col("cents") > 3000000L).select("event_id"),
+      Seq("event_id"))
+    rf()
+    src.append(ev.filter(col("event_id") > 2 * q))
+    rf()
+    dst.read.select("event_type", "n", "sum_cents", "max_cents")
+      .orderBy("event_type")
+  }
+
+  // -------------------------------------------------------------------
+  // c36–c39: the DIAGNOSTIC LADDER for the r9/r10 driver-only hash
+  // failures on c28/c30/c35 (rows+schema matched, values diverged, no
+  // local reproduction — including alt-seed and adversarial datasets,
+  // scripts/gen_alt_seed.py). Each canary isolates ONE layer; the
+  // driver-gate pass/fail pattern across them localizes the cause:
+  //   c36 red                → exactDecimal derivation/render seam
+  //   c36 green, c37 red     → decimal store round-trip / rebuild write
+  //   c38 red                → incremental fold machinery (decimal
+  //                            exonerated: c38 is integer-only)
+  //   c39 red                → widened-page (int32→long) promotion read
+  //   all green, c30/c35 red → interaction unique to the full queries
+  // -------------------------------------------------------------------
+
+  /** c36: DERIVATION-ONLY decimal canary — exactDecimal over events,
+    * grouped sum/max, NO store anywhere. Tests the decimal derivation
+    * and the driver's decimal render/compare alone. */
+  private def c36(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+      .orderBy("event_type")
+
+  /** c37: STORE-ROUNDTRIP decimal canary — the same derived decimals
+    * written to a LakeTable, read back, and fully rebuilt into a rollup
+    * (no increments, no promotion, no MoR). Same oracle as c36: a c37
+    * red with c36 green isolates the storage round-trip. */
+  private def c37(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_c37"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_rt_src")
+    cat.dropTable("lake.events_rt_rollup")
+    val dst = cat.table("lake.events_rt_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+    src.createOrReplace(ev)
+    Rollup.rebuild(src, dst, Seq("event_type"), Seq("value"),
+      maxCols = Seq("value"))
+    dst.read.orderBy("event_type")
+  }
+
+  /** c38: INTEGER-MEASURE rollup canary — the exact c30 lifecycle
+    * (three append generations, a refresh after each, final no-op
+    * refresh) with a single BIGINT measure and no decimal anywhere.
+    * Tests the incremental maintenance machinery alone. */
+  private def c38(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ruint"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_int_src")
+    cat.dropTable("lake.events_int_rollup")
+    val dst = cat.table("lake.events_int_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactCents(col("value"), col("event_id"), 4).as("cents"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("cents"))
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    rf()
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    rf()
+    src.append(ev.filter(col("event_id") > 2 * q))
+    rf()
+    require(rf() == 0L, "refresh at head must fold zero versions")
+    dst.read.orderBy("event_type")
+  }
+
+  /** c39: INTEGER-MEASURE promotion canary — the c28 lifecycle with
+    * int→long promotion on BOTH the key and the measure (prices as
+    * integer cents), no decimal column at all. Tests the widened
+    * int32-page read + metadata-only promotion commit alone. */
+  private def c39(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_tpint"))
+    cat.createDatabase("lake")
+    val t = cat.table("lake.orders_promoted_int")
+    val base = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        exactCents(col("o_totalprice"), col("o_orderkey"), 2).as("price_cents"))
+    t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderkey", col("o_orderkey").cast("int"))
+      .withColumn("price_cents", col("price_cents").cast("int")))
+    t.alterColumnType("o_orderkey", LongType)
+    t.alterColumnType("price_cents", LongType)
+    t.append(base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
+    t.mergeInto(
+      t.read.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("price_cents", col("price_cents") + lit(750L)),
+      Seq("o_orderkey"))
+    t.read.orderBy("o_orderkey")
+  }
+
+  /** c40: NON-INVERTIBLE MIN maintenance — c35's mirror image: the
+    * rollup tracks MIN (and MAX) alongside sums, the MoR delete removes
+    * the BOTTOM-value slice so every group's min moves UP (the case the
+    * touched-group re-aggregate exists for), and a late append drags
+    * mins back down through the least-fold path. Integer measures from
+    * the start. */
+  private def c40(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rumin"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_min_src")
+    cat.dropTable("lake.events_min_rollup")
+    val dst = cat.table("lake.events_min_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactCents(col("value"), col("event_id"), 4).as("cents"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("cents"),
+      maxCols = Seq("cents"), minCols = Seq("cents"))
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    rf()
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    rf()
+    // delete the BOTTOM slice (cents < 50.0000): every group's min
+    // moves UP — a least-fold would freeze the departed minimum forever
+    src.deleteWhereExistsMoR(
+      src.read.filter(col("cents") < 500000L).select("event_id"),
       Seq("event_id"))
     rf()
     src.append(ev.filter(col("event_id") > 2 * q))
@@ -515,7 +670,16 @@ object StoreQueries {
           (col("o_totalprice") + lit(new java.math.BigDecimal("7.50")))
             .cast("decimal(18,2)")),
       Seq("o_orderkey"))
-    t.read.orderBy("o_orderkey")
+    // COMPARED surface is integer cents derived from the read-back
+    // decimal (×100 on a scale-2 decimal is exact): the promotion
+    // machinery under test — widened int32/narrow-decimal page reads,
+    // the metadata-only commit, the cross-generation merge — is all
+    // still upstream of this projection, but the gate verdict no longer
+    // rides the decimal render seam (c36/c37 carry that question).
+    t.read
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .orderBy("o_orderkey")
   }
 
   /** c31: BLOOM-SIDECAR point lookup — four appends with INTERLEAVED
@@ -602,20 +766,24 @@ object StoreQueries {
     val src = cat.table("lake.events_src")
     cat.dropTable("lake.events_rollup") // stale rollup from a prior run
     val dst = cat.table("lake.events_rollup")
+    // the decimal measure keeps the full machinery under test; the
+    // COMPARED measure is its exact integer sibling (cents), derived
+    // independently of the decimal so the gate verdict is seam-free
     val ev = table(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"),
+        exactCents(col("value"), col("event_id"), 4).as("cents"))
     val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("value", "cents"))
     src.createOrReplace(ev.filter(col("event_id") <= q))
-    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    rf()
     src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
-    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    rf()
     src.append(ev.filter(col("event_id") > 2 * q))
-    Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
+    rf()
     // already-current refresh must be a no-op (watermark unchanged)
-    require(Rollup.refresh(src, dst, Seq("event_type"), Seq("value")) == 0L,
-      "refresh at head must fold zero versions")
-    dst.read.orderBy("event_type")
+    require(rf() == 0L, "refresh at head must fold zero versions")
+    dst.read.select("event_type", "n", "sum_cents").orderBy("event_type")
   }
 
   /** c33: INCREMENTAL ROLLUP OVER MERGE-ON-READ — the c30 maintenance
@@ -834,6 +1002,11 @@ object StoreQueries {
     "c30_incremental_rollup" -> (c30 _),
     "c33_mor_rollup" -> (c33 _),
     "c35_rollup_max" -> (c35 _),
+    "c36_decimal_canary" -> (c36 _),
+    "c37_store_roundtrip" -> (c37 _),
+    "c38_rollup_int" -> (c38 _),
+    "c39_promotion_int" -> (c39 _),
+    "c40_rollup_min" -> (c40 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -871,16 +1044,74 @@ object StoreQueries {
          FROM orders
          ORDER BY o_orderkey""",
     "c30_incremental_rollup" ->
-      // three incremental refreshes must equal one full recompute —
-      // decimal sums are order-independent, so equality is exact
-      // decimal derived via floor + modular fraction digits (no
-      // double→decimal cast: ulp-ambiguous across engines, see
-      // exactDecimal)
+      // three incremental refreshes must equal one full recompute; the
+      // COMPARED measure is the exact integer sibling of the decimal
+      // the rollup also maintains (cents = floor*10^4 + id%10^4) —
+      // integer sums are order-independent and seam-free
       """SELECT event_type, count(*) AS n,
-           sum(CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                    LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
-                AS DECIMAL(18,4))) AS sum_value
+           CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
+                AS BIGINT) AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "c36_decimal_canary" ->
+      // derivation-only decimal canary: no store involved
+      """WITH base AS (SELECT event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events)
+         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
+           max(v) AS max_value
+         FROM base GROUP BY event_type ORDER BY event_type""",
+    "c37_store_roundtrip" ->
+      // same oracle as c36 by design: the delta between the two queries
+      // is ONLY the LakeTable round-trip + rollup rebuild write
+      """WITH base AS (SELECT event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events)
+         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
+           max(v) AS max_value
+         FROM base GROUP BY event_type ORDER BY event_type""",
+    "c38_rollup_int" ->
+      // the c30 lifecycle with a single integer measure — no decimal
+      // anywhere on either side
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
+                AS BIGINT) AS sum_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "c39_promotion_int" ->
+      // the c28 lifecycle, integer-only: evens are legacy int32 pages
+      // read widened, odds land post-promotion beyond int range, %5
+      // keys gain 750 cents across both generations
+      """WITH u AS (
+           SELECT CASE WHEN o_orderkey % 2 = 1
+                       THEN o_orderkey + 10000000000
+                       ELSE o_orderkey END AS o_orderkey,
+                  o_orderstatus,
+                  CAST(FLOOR(o_totalprice) AS BIGINT) * 100
+                    + o_orderkey % 100 AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN cents + 750 ELSE cents END
+             AS price_cents
+         FROM u ORDER BY o_orderkey""",
+    "c40_rollup_min" ->
+      // c35 mirrored at the bottom: ids <= 2q with cents < 50.0000
+      // deleted (every min moves up), ids > 2q appended after (mins
+      // fold back down through least)
+      """WITH qq AS (SELECT max(event_id) // 3 AS q FROM events),
+         base AS (SELECT event_id, event_type,
+           CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000 AS cents
+           FROM events),
+         fin AS (
+           SELECT b.event_id, b.event_type, b.cents
+           FROM base b, qq
+           WHERE NOT (b.event_id <= 2 * qq.q AND b.cents < 500000))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           max(cents) AS max_cents, min(cents) AS min_cents
+         FROM fin GROUP BY event_type ORDER BY event_type""",
     "c33_mor_rollup" ->
       // final visible state after the MoR generations: ids <= 2q with
       // %5 = 0 updated (+1.5), ids <= 2q with %7 = 0 deleted, ids > 2q
@@ -901,21 +1132,22 @@ object StoreQueries {
          SELECT event_type, count(*) AS n, sum(v) AS sum_value
          FROM fin GROUP BY event_type ORDER BY event_type""",
     "c35_rollup_max" ->
-      // final visible state: ids <= 2q whose derived value > 300 are
-      // deleted; ids > 2q appended after. The maintained max must equal
-      // the full recompute — a frozen (greatest-folded) max diverges
+      // final visible state: ids <= 2q whose derived cents > 300.0000
+      // are deleted; ids > 2q appended after. The maintained max must
+      // equal the full recompute — a frozen (greatest-folded) max
+      // diverges. Compared measures are exact integers (the decimal
+      // twin is still maintained engine-side, uncompared).
       """WITH qq AS (SELECT max(event_id) // 3 AS q FROM events),
          base AS (SELECT event_id, event_type,
-           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
-             AS DECIMAL(18,4)) AS v
+           CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000 AS cents
            FROM events),
          fin AS (
-           SELECT b.event_id, b.event_type, b.v
+           SELECT b.event_id, b.event_type, b.cents
            FROM base b, qq
-           WHERE NOT (b.event_id <= 2 * qq.q AND b.v > 300.0))
-         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
-           max(v) AS max_value
+           WHERE NOT (b.event_id <= 2 * qq.q AND b.cents > 3000000))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           max(cents) AS max_cents
          FROM fin GROUP BY event_type ORDER BY event_type""",
     "c32_table_stats" ->
       // the stats machinery (HLL NDV, incremental union, broadcast-side
@@ -938,19 +1170,20 @@ object StoreQueries {
     "c28_type_promotion" ->
       // evens keep original keys (legacy int32 files), odds are shifted
       // past int range (post-promotion long files); %5 keys gain an
-      // exact-decimal 7.50 across both generations
+      // exact-decimal 7.50 across both generations. Compared as integer
+      // cents (×100 on the scale-2 decimal is exact) — the decimal
+      // machinery is upstream and unchanged, the verdict is seam-free.
       """WITH u AS (
            SELECT CASE WHEN o_orderkey % 2 = 1
                        THEN o_orderkey + 10000000000
                        ELSE o_orderkey END AS o_orderkey,
                   o_orderstatus,
-                  CAST(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || '.' ||
-                       LPAD(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-                    AS DECIMAL(12,2)) AS p
+                  CAST(FLOOR(o_totalprice) AS BIGINT) * 100
+                    + o_orderkey % 100 AS cents
            FROM orders)
          SELECT o_orderkey, o_orderstatus,
-           CAST(CASE WHEN o_orderkey % 5 = 0 THEN p + 7.50 ELSE p END
-                AS DECIMAL(18,2)) AS o_totalprice
+           CASE WHEN o_orderkey % 5 = 0 THEN cents + 750 ELSE cents END
+             AS price_cents
          FROM u ORDER BY o_orderkey""",
     "c26_migration" ->
       """SELECT o_orderkey,

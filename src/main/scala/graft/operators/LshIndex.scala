@@ -73,17 +73,35 @@ object LshIndex {
     // crash between them must leave "token sets without bands" (docs
     // merely not yet indexed) — never band rows whose documents have no
     // token sets, which query's inner join would silently drop as
-    // candidate pairs (missed near-duplicates)
-    cat.table(s"$db.${name}_toks").createOrReplace(toks)
-    cat.table(s"$db.${name}_bands").createOrReplace(banded, tableProperties = props)
+    // candidate pairs (missed near-duplicates). That order only covers
+    // fresh builds and appends; a crashed REBUILD over an existing
+    // index instead leaves NEW toks with OLD bands — so both commits
+    // carry a shared build-generation id and params() refuses to serve
+    // a skewed index (the recovery is re-running build).
+    val gen = java.util.UUID.randomUUID().toString
+    cat.table(s"$db.${name}_toks").createOrReplace(toks,
+      tableProperties = Map(GenProp -> gen))
+    cat.table(s"$db.${name}_bands").createOrReplace(banded,
+      tableProperties = props + (GenProp -> gen))
     banded.unpersist(false); staged.unpersist(false)
     ()
   }
+
+  /** Shared build-generation id stamped on BOTH tables' build commits
+    * (rebuild-crash skew detection — see [[build]]). */
+  private[graft] val GenProp = "lsh.build-gen"
 
   private def params(cat: LakeCatalog, db: String, name: String): (Int, Int, Int, Int) = {
     val props = cat.table(s"$db.${name}_bands").properties
     ParamKeys.find(!props.contains(_)).foreach(k =>
       throw new IllegalStateException(s"index $name missing property $k — rebuild"))
+    val toksGen = cat.table(s"$db.${name}_toks").properties.get(GenProp)
+    val bandsGen = props.get(GenProp)
+    if (toksGen != bandsGen)
+      throw new IllegalStateException(
+        s"index $name generation skew (toks=$toksGen, bands=$bandsGen): an " +
+          "interrupted rebuild left band rows referencing replaced token " +
+          "sets — re-run build before serving probes or appends")
     (props("lsh.shingle").toInt, props("lsh.k").toInt,
       props("lsh.bands").toInt, props("lsh.max-bucket").toInt)
   }

@@ -144,9 +144,14 @@ object Multimodal {
       case _ =>
         val tmp = new Array[Int](w * h)
         raster.getSamples(0, 0, w, h, 0, tmp)
+        // deeper-than-8-bit planes (16-bit gray PNG) must DOWNSCALE to
+        // the high byte, not truncate to the low one — sample 256 is
+        // near-black either way only under >>, while .toByte would wrap
+        // it to 0 after full brightness at 255 (wrong luma/pool/embed)
+        val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
         val out = new Array[Byte](w * h)
         var i = 0
-        while (i < tmp.length) { out(i) = tmp(i).toByte; i += 1 }
+        while (i < tmp.length) { out(i) = (tmp(i) >> shift).toByte; i += 1 }
         out
     }
   }

@@ -57,19 +57,23 @@ object Rollup {
   private val MorOps = Set("merge-mor", "delete-mor")
 
   private def aggregated(rows: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String], maxCols: Seq[String] = Nil): DataFrame = {
-    val aggs = (count(lit(1)).as("n") +:
+      sumCols: Seq[String], maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): DataFrame = {
+    val aggs = ((count(lit(1)).as("n") +:
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
-      maxCols.map(c => max(col(c)).as(s"max_$c"))
+      maxCols.map(c => max(col(c)).as(s"max_$c"))) ++
+      minCols.map(c => min(col(c)).as(s"min_$c"))
     rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Full rebuild: aggregate the WHOLE source at its current version.
     * The bootstrap, and the recovery path after non-append commits. */
   def rebuild(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String], maxCols: Seq[String] = Nil): Unit = {
+      sumCols: Seq[String], maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): Unit = {
     val v = src.currentSnapshot.get.version
-    dst.createOrReplace(aggregated(src.read, groupCols, sumCols, maxCols),
+    dst.createOrReplace(
+      aggregated(src.read, groupCols, sumCols, maxCols, minCols),
       tableProperties = Map(WatermarkProp -> v.toString))
     ()
   }
@@ -78,25 +82,28 @@ object Rollup {
     * does not exist yet. Returns the number of source versions folded
     * in (0 = already current).
     *
-    * `maxCols` adds MAX measures — INVERTIBLE under inserts (fold via
-    * greatest with the current total) but NOT under deletes (the
-    * departed row may have been the max), so a MoR-range refresh
-    * re-aggregates max over exactly the TOUCHED groups from the source
-    * — O(touched groups' rows), the standard maintenance shape for
-    * non-invertible aggregates — while n/sum stay purely incremental.
-    * MIN is the mirror image (greatest→least); only MAX is wired to
-    * keep the surface small. */
+    * `maxCols`/`minCols` add MAX/MIN measures — INVERTIBLE under
+    * inserts (fold via greatest/least with the current total) but NOT
+    * under deletes (the departed row may have been the extremum), so a
+    * MoR-range refresh re-aggregates them over exactly the TOUCHED
+    * groups from the source — O(touched groups' rows), the standard
+    * maintenance shape for non-invertible aggregates — while n/sum stay
+    * purely incremental. */
   def refresh(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String], maxCols: Seq[String] = Nil): Long = {
+      sumCols: Seq[String], maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil): Long = {
     val srcV = src.currentSnapshot.get.version
-    if (!dst.exists) { rebuild(src, dst, groupCols, sumCols, maxCols); return srcV }
+    if (!dst.exists) {
+      rebuild(src, dst, groupCols, sumCols, maxCols, minCols); return srcV
+    }
     val lastV = dst.properties.getOrElse(WatermarkProp,
       throw new IllegalStateException(
         s"${dst.name} exists but carries no $WatermarkProp — not a rollup table")).toLong
     if (srcV == lastV) return 0L
-    val range = src.snapshotsDF
-      .filter(col("version") > lastV && col("version") <= srcV)
-      .select("operation").collect().map(_.getString(0))
+    // driver-side metadata probe — a snapshotsDF collect here would pay
+    // one local Spark job per refresh (r10 bench: commit/probe overhead,
+    // not data, dominated the lifecycle-dense queries)
+    val range = src.operationsBetween(lastV, srcV)
     require(range.forall(op => AppendOps(op) || MorOps(op)),
       s"source ${src.name} had non-append commit(s) since v$lastV " +
         s"(${range.filterNot(op => AppendOps(op) || MorOps(op)).mkString(", ")}) — " +
@@ -104,7 +111,7 @@ object Rollup {
         "rollup instead")
     val mor = range.exists(MorOps)
     val addAgg = aggregated(src.changes(lastV, Some(srcV)), groupCols, sumCols,
-      if (mor) Nil else maxCols)
+      if (mor) Nil else maxCols, if (mor) Nil else minCols)
     val base = if (mor) {
       // negative partial aggregate of the masked-away rows, combined
       // with the positive one at aggregate size (both sides are
@@ -120,13 +127,14 @@ object Rollup {
         .groupBy(groupCols.map(col): _*)
         .agg(reAggs.head, reAggs.tail: _*)
     } else addAgg
-    val delta = (if (mor && maxCols.nonEmpty) {
-      // max is non-invertible under deletes: re-aggregate it over
-      // exactly the touched groups (the delta keys, aggregate-sized,
-      // broadcast into the source scan). A fully-deleted group gets a
-      // null max and n=0 — the sweep removes it.
+    val delta = (if (mor && (maxCols.nonEmpty || minCols.nonEmpty)) {
+      // max/min are non-invertible under deletes: re-aggregate them
+      // over exactly the touched groups (the delta keys,
+      // aggregate-sized, broadcast into the source scan). A fully-
+      // deleted group gets null extrema and n=0 — the sweep removes it.
       val touched = base.select(groupCols.map(col): _*)
-      val exactAggs = maxCols.map(c => max(col(c)).as(s"max_$c"))
+      val exactAggs = maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        minCols.map(c => min(col(c)).as(s"min_$c"))
       val exact = src.read.join(broadcast(touched), groupCols)
         .groupBy(groupCols.map(col): _*)
         .agg(exactAggs.head, exactAggs.tail: _*)
@@ -134,14 +142,15 @@ object Rollup {
     } else base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      refreshDelta(dst, groupCols, sumCols, maxCols, delta, srcV, lastV,
-        sweep = mor, maxExact = mor)
+      refreshDelta(dst, groupCols, sumCols, maxCols, minCols, delta,
+        srcV, lastV, extremaExact = mor)
     } finally { delta.unpersist(); () }
   }
 
   private def refreshDelta(dst: LakeTable, groupCols: Seq[String],
-      sumCols: Seq[String], maxCols: Seq[String], delta: DataFrame,
-      srcV: Long, lastV: Long, sweep: Boolean, maxExact: Boolean): Long = {
+      sumCols: Seq[String], maxCols: Seq[String], minCols: Seq[String],
+      delta: DataFrame, srcV: Long, lastV: Long,
+      extremaExact: Boolean): Long = {
     // MERGE matches keys with plain (Iceberg) equality, which can never
     // match a NULL group key — a null group would INSERT a duplicate
     // total row instead of replacing its own. Refuse up front (the
@@ -159,20 +168,24 @@ object Rollup {
       groupCols.map(c => col(c).as(s"__ck_$c")) ++
         (col("n").as("__cur_n") +:
           sumCols.map(c => col(s"sum_$c").as(s"__cur_$c"))) ++
-        maxCols.map(c => col(s"max_$c").as(s"__curm_$c")): _*)
+        maxCols.map(c => col(s"max_$c").as(s"__curm_$c")) ++
+        minCols.map(c => col(s"min_$c").as(s"__curn_$c")): _*)
     val joinCond = groupCols.map(c => col(c) <=> col(s"__ck_$c")).reduce(_ && _)
-    // append-range max folds against the current total (greatest skips
-    // nulls, so a new group takes the delta side); MoR-range max is
-    // already the exact touched-group re-aggregate and REPLACES
-    val maxOut = maxCols.map(c =>
-      (if (maxExact) col(s"max_$c")
-       else greatest(col(s"max_$c"), col(s"__curm_$c"))).as(s"max_$c"))
+    // append-range extrema fold against the current total (greatest/
+    // least skip nulls, so a new group takes the delta side); MoR-range
+    // extrema are already the exact touched-group re-aggregate → REPLACE
+    val extremaOut = maxCols.map(c =>
+      (if (extremaExact) col(s"max_$c")
+       else greatest(col(s"max_$c"), col(s"__curm_$c"))).as(s"max_$c")) ++
+      minCols.map(c =>
+        (if (extremaExact) col(s"min_$c")
+         else least(col(s"min_$c"), col(s"__curn_$c"))).as(s"min_$c"))
     val combined = delta.join(cur, joinCond, "left")
       .select(groupCols.map(col) ++
         ((col("n") + coalesce(col("__cur_n"), lit(0L))).as("n") +:
           sumCols.map(c =>
             (col(s"sum_$c") + coalesce(col(s"__cur_$c"), lit(0))).as(s"sum_$c"))) ++
-        maxOut: _*)
+        extremaOut: _*)
     dst.mergeInto(combined, groupCols,
       extraProperties = Map(WatermarkProp -> srcV.toString))
     // full-recompute parity under MoR deletes: a group whose live row
@@ -180,13 +193,14 @@ object Rollup {
     // no empty groups). The sweep is a separate idempotent commit AFTER
     // the watermark-carrying merge — a crash between the two leaves
     // only exact n=0 tombstone rows (totals correct, group dead), which
-    // the next MoR-range refresh's sweep removes; it can never
-    // double-count. Append-only ranges skip it (counts only grow, so
-    // n=0 is unreachable — no extra job on the hot ingest path).
-    if (sweep) {
-      val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
-      if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
-    }
+    // the NEXT refresh's sweep removes. It runs on EVERY refresh (not
+    // just MoR ranges): the probe is one aggregate-sized read, and an
+    // append-only source that crashed mid-sweep would otherwise serve
+    // tombstones indefinitely. An append delta that touches a tombstone
+    // group lifts its n above zero BEFORE the sweep reads it, so the
+    // sweep can never remove a re-born group.
+    val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
+    if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
     srcV - lastV
   }
 }

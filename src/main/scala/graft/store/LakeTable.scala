@@ -1921,6 +1921,17 @@ class LakeTable(
       .toDF("version", "made_current_at", "parent_id", "is_current")
   }
 
+  /** Operations of the snapshots in `(sinceV, untilV]` — driver-side
+    * metadata only, NO Spark job. Incremental maintenance
+    * ([[graft.operators.Rollup]]) probes the commit kinds of a version
+    * range on every refresh; routing that through [[snapshotsDF]] would
+    * cost a local collect job per refresh, which dominates wall time in
+    * lifecycle-dense pipelines (many small commits, tiny data). */
+  def operationsBetween(sinceV: Long, untilV: Long): Seq[String] =
+    allSnapshots
+      .filter(s => s.version > sinceV && s.version <= untilV)
+      .map(_.operation)
+
   def snapshotsDF: DataFrame = {
     import spark.implicits._
     allSnapshots

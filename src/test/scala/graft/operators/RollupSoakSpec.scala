@@ -1,0 +1,130 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.LakeCatalog
+
+/** Property-based soak: `Rollup.refresh` must equal a direct full
+  * recompute BIT-EXACTLY after EVERY commit of a randomized
+  * append / MoR-merge / MoR-delete lifecycle over adversarial data —
+  * negative values, magnitudes spanning 1e-4..1e14, duplicate keys
+  * inside a batch, group-key migration in updates, whole-group
+  * deletions (n=0 sweep), empty appends.
+  *
+  * Exists to hunt the r9/r10 driver-only c30/c35 hash divergences
+  * locally: the driver's gate data differs only by generator seed, so a
+  * value-dependent maintenance bug should fall out of enough random
+  * lifecycles. Seeds per suite run: GRAFT_SOAK_N (default 8 to keep the
+  * suite fast); the round-11 100-lifecycle soak result is recorded in
+  * STATUS.md.
+  */
+class RollupSoakSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val N = sys.env.getOrElse("GRAFT_SOAK_N", "8").toInt
+
+  /** Adversarial decimal(18,4) literal: signed, 0–14 integer digits. */
+  private def decStr(rng: scala.util.Random): String = {
+    val digits = rng.nextInt(15)
+    val ip =
+      if (digits == 0) "0"
+      else (rng.nextInt(9) + 1).toString +
+        (2 to digits).map(_ => rng.nextInt(10)).mkString
+    val sign = if (rng.nextInt(3) == 0) "-" else ""
+    f"$sign$ip.${rng.nextInt(10000)}%04d"
+  }
+
+  private def rowsDF(rows: Seq[(Long, String, String, Long)]): DataFrame =
+    rows.toDF("id", "k", "vs", "c")
+      .select($"id", $"k", $"vs".cast("decimal(18,4)").as("v"), $"c")
+
+  private def render(df: DataFrame): Seq[String] =
+    df.select("k", "n", "sum_v", "sum_c", "max_v", "max_c", "min_v", "min_c")
+      .collect()
+      .map(_.toSeq.map {
+        case d: java.math.BigDecimal => d.toPlainString
+        case x => String.valueOf(x)
+      }.mkString("|"))
+      .sorted.toSeq
+
+  (1 to N).foreach { seed =>
+    test(s"randomized lifecycle: refresh == full recompute after every commit (seed=$seed)") {
+      val rng = new scala.util.Random(seed * 7919L)
+      val cat = new LakeCatalog(spark,
+        Files.createTempDirectory(s"rollup-soak-$seed").toString)
+      cat.createDatabase("db")
+      val src = cat.table("db.src")
+      val dst = cat.table("db.agg")
+      val pool = ('a' to ('a' + 1 + rng.nextInt(6)).toChar).map(_.toString)
+      var nextId = 0L
+
+      def batch(n: Int): Seq[(Long, String, String, Long)] = {
+        val rows = (0 until n).map { i =>
+          (nextId + i, pool(rng.nextInt(pool.size)), decStr(rng),
+            rng.nextLong() % 100000000000000L)
+        }
+        nextId += n
+        rows
+      }
+
+      def check(label: String): Unit = {
+        Rollup.refresh(src, dst, Seq("k"), Seq("v", "c"),
+          maxCols = Seq("v", "c"), minCols = Seq("v", "c"))
+        val expected = src.read.groupBy("k").agg(
+          count(lit(1)).as("n"),
+          sum("v").as("sum_v"), sum("c").as("sum_c"),
+          max("v").as("max_v"), max("c").as("max_c"),
+          min("v").as("min_v"), min("c").as("min_c"))
+        withClue(s"seed=$seed after $label: ") {
+          render(dst.read) shouldBe render(expected)
+        }
+      }
+
+      src.createOrReplace(rowsDF(batch(30 + rng.nextInt(120))))
+      check("create")
+
+      (1 to 5).foreach { step =>
+        val live = src.read.select("id", "k").as[(Long, String)].collect()
+        rng.nextInt(5) match {
+          case 0 | 1 => // append, occasionally empty
+            val n = if (rng.nextInt(7) == 0) 0 else 10 + rng.nextInt(80)
+            src.append(rowsDF(batch(n)))
+            check(s"step$step append($n)")
+          case 2 => // MoR update of a random live subset; ~1/3 of the
+            // updated rows MIGRATE to a different group key (the
+            // signed-fold path must move their contribution between
+            // groups, not just adjust in place)
+            val picked = live.filter(_ => rng.nextDouble() < 0.3)
+            if (picked.nonEmpty) {
+              val upd = picked.toSeq.map { case (id, k) =>
+                val nk =
+                  if (rng.nextInt(3) == 0) pool(rng.nextInt(pool.size)) else k
+                (id, nk, decStr(rng), rng.nextLong() % 100000000000000L)
+              }
+              src.mergeIntoMoR(rowsDF(upd), Seq("id"))
+              check(s"step$step mergeMoR(${upd.size})")
+            }
+          case 3 => // MoR delete of a random live subset
+            val picked = live.filter(_ => rng.nextDouble() < 0.25).map(_._1)
+            if (picked.nonEmpty) {
+              src.deleteWhereExistsMoR(picked.toSeq.toDF("id"), Seq("id"))
+              check(s"step$step deleteMoR(${picked.length})")
+            }
+          case 4 => // MoR delete of one ENTIRE group — n reaches 0 and
+            // the sweep must remove it from the rollup
+            val g = pool(rng.nextInt(pool.size))
+            val picked = live.filter(_._2 == g).map(_._1)
+            if (picked.nonEmpty) {
+              src.deleteWhereExistsMoR(picked.toSeq.toDF("id"), Seq("id"))
+              check(s"step$step deleteGroup($g,${picked.length})")
+            }
+        }
+      }
+    }
+  }
+}
