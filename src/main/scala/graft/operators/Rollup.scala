@@ -35,6 +35,12 @@ object Rollup {
 
   val WatermarkProp = "rollup.source-version"
 
+  /** Set (atomically, on the watermark merge commit) when a MoR-range
+    * refresh may have minted n=0 tombstone groups; cleared once a sweep
+    * completes. Lets append-only refreshes skip the tombstone probe
+    * entirely unless a crashed sweep left debt behind. */
+  val PendingSweepProp = "rollup.pending-sweep"
+
   // NOTE: create-or-replace is deliberately NOT an append op — a
   // replace inside the refresh range invalidates every prior total
   // (the rows the watermark accounted for are gone), so it must refuse
@@ -143,14 +149,14 @@ object Rollup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       refreshDelta(dst, groupCols, sumCols, maxCols, minCols, delta,
-        srcV, lastV, extremaExact = mor)
+        srcV, lastV, mor = mor)
     } finally { delta.unpersist(); () }
   }
 
   private def refreshDelta(dst: LakeTable, groupCols: Seq[String],
       sumCols: Seq[String], maxCols: Seq[String], minCols: Seq[String],
       delta: DataFrame, srcV: Long, lastV: Long,
-      extremaExact: Boolean): Long = {
+      mor: Boolean): Long = {
     // MERGE matches keys with plain (Iceberg) equality, which can never
     // match a NULL group key — a null group would INSERT a duplicate
     // total row instead of replacing its own. Refuse up front (the
@@ -175,10 +181,10 @@ object Rollup {
     // least skip nulls, so a new group takes the delta side); MoR-range
     // extrema are already the exact touched-group re-aggregate → REPLACE
     val extremaOut = maxCols.map(c =>
-      (if (extremaExact) col(s"max_$c")
+      (if (mor) col(s"max_$c")
        else greatest(col(s"max_$c"), col(s"__curm_$c"))).as(s"max_$c")) ++
       minCols.map(c =>
-        (if (extremaExact) col(s"min_$c")
+        (if (mor) col(s"min_$c")
          else least(col(s"min_$c"), col(s"__curn_$c"))).as(s"min_$c"))
     val combined = delta.join(cur, joinCond, "left")
       .select(groupCols.map(col) ++
@@ -186,21 +192,30 @@ object Rollup {
           sumCols.map(c =>
             (col(s"sum_$c") + coalesce(col(s"__cur_$c"), lit(0))).as(s"sum_$c"))) ++
         extremaOut: _*)
+    // tombstones (n=0 groups) can only be MINTED by a MoR range, so the
+    // watermark merge flags pending-sweep=true exactly then; the flag
+    // stays set until a sweep completes, covering a crash between this
+    // merge and the sweep below even if every later refresh is
+    // append-only (which would otherwise serve tombstones forever).
     dst.mergeInto(combined, groupCols,
-      extraProperties = Map(WatermarkProp -> srcV.toString))
+      extraProperties = Map(WatermarkProp -> srcV.toString) ++
+        (if (mor) Map(PendingSweepProp -> "true") else Map.empty))
     // full-recompute parity under MoR deletes: a group whose live row
     // count reached exactly zero must LEAVE the rollup (GROUP BY emits
     // no empty groups). The sweep is a separate idempotent commit AFTER
     // the watermark-carrying merge — a crash between the two leaves
     // only exact n=0 tombstone rows (totals correct, group dead), which
-    // the NEXT refresh's sweep removes. It runs on EVERY refresh (not
-    // just MoR ranges): the probe is one aggregate-sized read, and an
-    // append-only source that crashed mid-sweep would otherwise serve
-    // tombstones indefinitely. An append delta that touches a tombstone
-    // group lifts its n above zero BEFORE the sweep reads it, so the
-    // sweep can never remove a re-born group.
-    val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
-    if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
+    // the next flagged refresh's sweep removes; it can never
+    // double-count. Append-only ranges probe ONLY when the flag is set
+    // (one aggregate-sized read, off the hot ingest path otherwise). An
+    // append delta that touches a tombstone group lifts its n above
+    // zero BEFORE the sweep reads it, so a re-born group is never swept.
+    if (mor || dst.properties.get(PendingSweepProp).contains("true")) {
+      val dead = dst.read.filter(col("n") === 0).select(groupCols.map(col): _*)
+      if (!dead.isEmpty) { dst.deleteWhereExists(dead, groupCols); () }
+      dst.setProperties(Map(PendingSweepProp -> "false"))
+      ()
+    }
     srcV - lastV
   }
 }
