@@ -21,10 +21,13 @@ OUT2=/tmp/double_pass_2
 rm -rf "$OUT1" "$OUT2"
 
 run() { # pass number, out dir
+  # sbt's own exit status first: a compile failure or JVM crash has no
+  # '[verify]...failed' line, and swallowing it here surfaced later as
+  # a confusing check_oracle traceback on the missing oracle_sql.json
   if [ -n "$PREFIX" ]; then
-    sbt -batch "runMain graft.Verify $SF $2 $PREFIX" >"/tmp/double_pass_$1.log" 2>&1
+    sbt -batch "runMain graft.Verify $SF $2 $PREFIX" >"/tmp/double_pass_$1.log" 2>&1 || return 1
   else
-    sbt -batch "runMain graft.Verify $SF $2" >"/tmp/double_pass_$1.log" 2>&1
+    sbt -batch "runMain graft.Verify $SF $2" >"/tmp/double_pass_$1.log" 2>&1 || return 1
   fi
   grep -i "\[verify\].*failed" "/tmp/double_pass_$1.log" && return 1
   return 0

@@ -896,6 +896,14 @@ object LlmQueries {
       Curation.hashSplit(documents(s, dir), "doc_id"))
       .orderBy("doc_a", "doc_b")
 
+  private def d54(s: SparkSession, dir: String): DataFrame =
+    // exact-substring dedup, applied: every non-owner occurrence of a
+    // corpus-duplicated 5-token span is removed and the doc text is
+    // rebuilt from the surviving tokens (d46 scores this signal; d54
+    // executes the removal policy)
+    Dedup.exactSubstringDedup(documents(s, dir), shingleSize = 5)
+      .orderBy("doc_id")
+
   private def s16(s: SparkSession, dir: String): DataFrame = {
     // STREAMING near-dup screen, batch-run for the oracle: synthetic
     // monotone event time (one doc per second from 2026-01-01), pairs =
@@ -1098,6 +1106,7 @@ object LlmQueries {
     "d45_cluster_reps" -> (d45 _),
     "d46_dup_ngram_spans" -> (d46 _),
     "d47_incr_near_dup" -> (d47 _),
+    "d54_substring_dedup" -> (d54 _),
     "d51_lsh_index" -> (d51 _),
     "d52_hash_split" -> (d52 _),
     "d53_split_leakage" -> (d53 _),
@@ -2230,6 +2239,41 @@ object LlmQueries {
            round(coalesce(n_dup, 0)::DOUBLE / n_grams::DOUBLE, 4) AS dup_frac
          FROM pd LEFT JOIN ht ON pd.doc_id = ht.doc_id
          ORDER BY pd.doc_id""",
+    "d54_substring_dedup" ->
+      // exact-substring removal: occurrences of corpus-duplicated
+      // 5-gram spans (count >= 2) keep only the lexicographically
+      // first (doc_id, pos) owner; every covered token position of a
+      // non-owner occurrence is removed and the text rebuilt from the
+      // survivors (mirror of Dedup.exactSubstringDedup)
+      s"""WITH t AS (SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         o0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+                FROM t WHERE len(tk) >= 5),
+         oh AS (SELECT doc_id, i - 1 AS pos,
+                  ('0x' || substr(md5(array_to_string(
+                     list_slice(tk, i, i + 4), ' ')), 1, 15))::BIGINT AS h
+                FROM o0),
+         w AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY h) AS c,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+               FROM oh),
+         f0 AS (SELECT doc_id, pos, unnest(range(0, 5)) AS j
+                FROM w WHERE c >= 2 AND rn > 1),
+         rem AS (SELECT DISTINCT doc_id, pos + j AS p FROM f0),
+         nr AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+         k0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t),
+         k AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok FROM k0),
+         kk AS (SELECT k.doc_id, k.p, k.tok
+                FROM k LEFT JOIN rem ON k.doc_id = rem.doc_id AND k.p = rem.p
+                WHERE rem.p IS NULL),
+         txt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_deduped
+                 FROM kk GROUP BY doc_id)
+         SELECT t.doc_id, len(t.tk) AS n_tokens,
+           coalesce(nr.n_removed, 0) AS n_removed,
+           coalesce(txt.text_deduped, '') AS text_deduped
+         FROM t LEFT JOIN nr ON t.doc_id = nr.doc_id
+                LEFT JOIN txt ON t.doc_id = txt.doc_id
+         ORDER BY t.doc_id""",
     "e18_hybrid_rrf" ->
       // BM25 list and cosine list computed exactly like d27/e01 (over
       // the doc_id/vec_id >= 5 corpus, query vector 0), ranks fused by

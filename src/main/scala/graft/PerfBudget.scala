@@ -19,7 +19,10 @@ import graft.core.GraftSession
 object PerfBudget {
 
   /** The most expensive queries of the round-6 bench, plus the round-9
-    * additions whose lifecycles are store/state heavy. */
+    * additions whose lifecycles are store/state heavy, plus (r12, per
+    * the r11 verdict) every rollup-lifecycle query and the decimal
+    * canaries so a regression in the MIN/MAX-maintenance or derivation
+    * paths reddens the spec. */
   val TopQueries: Seq[String] = Seq(
     "c06_lake_merge_delete",
     "c07_lake_partitioned_cow",
@@ -35,6 +38,13 @@ object PerfBudget {
     "c32_table_stats",
     "c33_mor_rollup",
     "c35_rollup_max",
+    "c36_decimal_canary",
+    "c37_store_roundtrip",
+    "c38_rollup_int",
+    "c40_rollup_min",
+    "c45_decimal_mor_guard",
+    "c46_rollup_avg",
+    "d54_substring_dedup",
     "c34_jdbc_lake_pipeline",
     "d19_dedup_clusters",
     "d35_training_manifest",

@@ -42,9 +42,16 @@ object StoreQueries {
 
   /** Exact INTEGER sibling of [[exactDecimal]]: the same floor+modular
     * derivation kept in BIGINT space end-to-end, so a compared measure
-    * never crosses a decimal render/compare seam at all. Satisfies
-    * `exactCents(d, key, s) == exactDecimal(d, key, p, s) * 10^s`
-    * bit-exactly; the oracle mirror is pure integer arithmetic
+    * never crosses a decimal render/compare seam at all. For
+    * NON-NEGATIVE `d` and `key` (the precondition every caller
+    * satisfies — prices/values/ids are generated positive) it
+    * satisfies `exactCents(d, key, s) == exactDecimal(d, key, p, s) *
+    * 10^s` bit-exactly; for negative inputs the two derivations
+    * diverge (floor(-2.5) = -3 feeds the integer side while the
+    * string-concat side keeps its own sign handling, and Java's `%`
+    * yields negative remainders that LPAD garbles on the decimal
+    * side), so do not extend either helper to signed data without
+    * aligning both. The oracle mirror is pure integer arithmetic
     * (`CAST(FLOOR(d) AS BIGINT) * 10^s + key % 10^s`). Introduced after
     * the r9/r10 driver-only hash failures on c28/c30/c35 — the
     * operators under test (type promotion, incremental rollup,
@@ -492,6 +499,30 @@ object StoreQueries {
   //                            exonerated: c38 is integer-only)
   //   c39 red                → widened-page (int32→long) promotion read
   //   all green, c30/c35 red → interaction unique to the full queries
+  //
+  // ROUND-11 VERDICT (driver gate): c36 RED, c37 RED, c38/c39/c40
+  // GREEN ⇒ the fault lives in the decimal derivation/render/compare
+  // layer; store, fold machinery, and promotion reads are exonerated.
+  // Yet on the SAME driver data c32 (raw DECIMAL(18,2) sum), c33 (the
+  // identical scale-4 derivation, filtered events multiset) and q16
+  // (decimal rendered AS VARCHAR) are GREEN. c41–c44 are minimal
+  // deltas from c36 that discriminate the remaining variables:
+  //   c41 (string-rendered sum/max) green, c36 red
+  //       → the driver hashes DECIMAL-typed result columns through a
+  //         lossy/engine-dependent fetch; fix = render canary decimals
+  //         as strings (q16 already proves the trick) or retire the
+  //         DECIMAL-typed compare for aggregates of this shape.
+  //   c42 (sum-only) red, c44 (max-only) green
+  //       → the wide SUM (decimal(28,4) vs DuckDB decimal(38,4)
+  //         physical int128) is the mismatch carrier; max alone (still
+  //         decimal(18,4)/int64-backed) survives. The reverse pattern
+  //         points at the driver's handling of the max column.
+  //   c43 (c33's exact final multiset, derivation-only) green, c36 red
+  //       → data-content dependence: some row present ONLY in the full
+  //         events multiset poisons the compare (driver data differs
+  //         from ours, or a specific value renders differently).
+  //   all four green, c36 still red → non-determinism in the driver
+  //         harness itself (the double-pass locally found none).
   // -------------------------------------------------------------------
 
   /** c36: DERIVATION-ONLY decimal canary — exactDecimal over events,
@@ -561,9 +592,15 @@ object StoreQueries {
     val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_tpint"))
     cat.createDatabase("lake")
     val t = cat.table("lake.orders_promoted_int")
+    // cents mod 10^9 keeps the legacy generation inside int32 for ANY
+    // input data (the alt-seed harness's adversarial prices reach
+    // ~1e10, whose cents would silently wrap under the non-ANSI int
+    // cast and falsely diverge this canary from its oracle); the
+    // oracle applies the same mod, and +750 post-merge stays < 2^31
     val base = table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        exactCents(col("o_totalprice"), col("o_orderkey"), 2).as("price_cents"))
+        (exactCents(col("o_totalprice"), col("o_orderkey"), 2)
+          % lit(1000000000L)).as("price_cents"))
     t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)
       .withColumn("o_orderkey", col("o_orderkey").cast("int"))
       .withColumn("price_cents", col("price_cents").cast("int")))
@@ -610,6 +647,150 @@ object StoreQueries {
     src.append(ev.filter(col("event_id") > 2 * q))
     rf()
     dst.read.orderBy("event_type")
+  }
+
+  /** c41: STRING-RENDERED decimal canary — exactly c36 with every
+    * decimal result column rendered to VARCHAR on BOTH sides before
+    * the compare (Spark `cast("string")` ↔ DuckDB `CAST(.. AS
+    * VARCHAR)`). Fixed-scale decimal→string rendering is identical in
+    * both engines (q16 passes with this trick), so c41 green + c36 red
+    * proves the driver's hashing of DECIMAL-typed columns — not the
+    * values — is the seam. */
+  private def c41(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("value").cast("string").as("sum_value"),
+        max("value").cast("string").as("max_value"))
+      .orderBy("event_type")
+
+  /** c42: SUM-ONLY decimal canary — c36 without the max column. The
+    * r10 red (c30) compared exactly this surface (full events, scale-4
+    * decimal sum); c42 re-isolates it with no store in the path, and
+    * together with c44 splits the sum column (wide decimal(28,4)
+    * result) from the max column (still decimal(18,4)). */
+  private def c42(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .orderBy("event_type")
+
+  /** c43: FILTERED-MULTISET decimal canary — c36's aggregation over
+    * exactly c33's final visible multiset (ids ≤ 2q with %7 == 0
+    * removed and %5 == 0 shifted by +1.5000; ids > 2q untouched),
+    * computed purely from the parquet with NO store anywhere. c33 is
+    * driver-GREEN with the identical derivation and a raw decimal sum
+    * over this multiset, so c43's verdict isolates data-content
+    * dependence: c43 green + c36 red means some row present only in
+    * the full events multiset poisons the driver compare. */
+  private def c43(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    ev.filter(!(col("event_id") <= 2 * q && col("event_id") % 7 === 0))
+      .withColumn("value",
+        when(col("event_id") <= 2 * q && col("event_id") % 5 === 0,
+          (col("value") + lit(new java.math.BigDecimal("1.5000")))
+            .cast("decimal(18,4)"))
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+        max("value").as("max_value"))
+      .orderBy("event_type")
+  }
+
+  /** c44: MAX-ONLY decimal canary — c36 without the sum column,
+    * completing the c42 split: max(decimal(18,4)) keeps the input
+    * precision (int64-backed in both engines), so a red here with c42
+    * green indicts the driver's handling of narrow decimals too,
+    * while green + c42 red pins the seam on the widened sum result. */
+  private def c44(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("value").as("max_value"))
+      .orderBy("event_type")
+
+  /** c45: DECIMAL-MAINTENANCE GUARD — closes the r11 ADVICE hole that
+    * no driver-compared query exercises DECIMAL measures through the
+    * incremental/MoR fold any more (c30/c33/c35 compare integer-cents
+    * siblings or quarantined decimals). Here the rollup maintains ONLY
+    * a decimal measure through c33's full MoR lifecycle (appends, MoR
+    * update +1.5000, MoR delete, late append), and the COMPARED
+    * columns are integers derived FROM the maintained decimal after
+    * the lifecycle (scale-4 decimal × 10^4 → BIGINT is exact), so the
+    * gate verdict is seam-free by construction while any double-apply,
+    * lost delta, or extrema-freeze in the decimal fold still diverges
+    * the hash. */
+  private def c45(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rudec"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_dec_src")
+    cat.dropTable("lake.events_dec_rollup")
+    val dst = cat.table("lake.events_dec_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("value"),
+      maxCols = Seq("value"), minCols = Seq("value"))
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    rf()
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    rf()
+    src.mergeIntoMoR(
+      src.read.filter(col("event_id") % 5 === 0)
+        .withColumn("value",
+          (col("value") + lit(new java.math.BigDecimal("1.5000")))
+            .cast("decimal(18,4)")),
+      Seq("event_id"))
+    src.deleteWhereExistsMoR(
+      src.read.filter(col("event_id") % 7 === 0).select("event_id"),
+      Seq("event_id"))
+    rf()
+    src.append(ev.filter(col("event_id") > 2 * q))
+    rf()
+    dst.read.select(col("event_type"), col("n"),
+      (col("sum_value") * 10000).cast("long").as("sum_dec_cents"),
+      (col("max_value") * 10000).cast("long").as("max_dec_cents"),
+      (col("min_value") * 10000).cast("long").as("min_dec_cents"))
+      .orderBy("event_type")
+  }
+
+  /** c46: DERIVED-MEASURE (AVG) facade over the maintained rollup —
+    * the c38 integer lifecycle read through `Rollup.readWithAverages`:
+    * the average is computed at read time from the exactly-maintained
+    * n/sum pair (never stored, so it can never drift from its
+    * components). The oracle recomputes the same ratio from scratch. */
+  private def c46(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rollup
+    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ruavg"))
+    cat.createDatabase("lake")
+    val src = cat.table("lake.events_avg_src")
+    cat.dropTable("lake.events_avg_rollup")
+    val dst = cat.table("lake.events_avg_rollup")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        exactCents(col("value"), col("event_id"), 4).as("cents"))
+    val q = ev.agg(max("event_id")).head().getLong(0) / 3
+    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("cents"))
+    src.createOrReplace(ev.filter(col("event_id") <= q))
+    rf()
+    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
+    rf()
+    src.append(ev.filter(col("event_id") > 2 * q))
+    rf()
+    Rollup.readWithAverages(dst, Seq("cents"))
+      .select(col("event_type"), col("n"), col("sum_cents"),
+        round(col("avg_cents"), 4).as("avg_cents"))
+      .orderBy("event_type")
   }
 
   /** s19: STREAMING VECTOR INGEST on the persistent IVF index,
@@ -1007,6 +1188,12 @@ object StoreQueries {
     "c38_rollup_int" -> (c38 _),
     "c39_promotion_int" -> (c39 _),
     "c40_rollup_min" -> (c40 _),
+    "c41_decimal_string" -> (c41 _),
+    "c42_decimal_sum_only" -> (c42 _),
+    "c43_decimal_filtered" -> (c43 _),
+    "c44_decimal_max_only" -> (c44 _),
+    "c45_decimal_mor_guard" -> (c45 _),
+    "c46_rollup_avg" -> (c46 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -1073,6 +1260,77 @@ object StoreQueries {
          SELECT event_type, count(*) AS n, sum(v) AS sum_value,
            max(v) AS max_value
          FROM base GROUP BY event_type ORDER BY event_type""",
+    "c41_decimal_string" ->
+      // c36 with both decimal aggregates rendered to VARCHAR on both
+      // sides — green here + c36 red indicts the driver's hashing of
+      // DECIMAL-typed result columns
+      """WITH base AS (SELECT event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS VARCHAR) AS sum_value,
+           CAST(max(v) AS VARCHAR) AS max_value
+         FROM base GROUP BY event_type ORDER BY event_type""",
+    "c42_decimal_sum_only" ->
+      // c36 without the max column — the exact r10-c30 compare surface
+      // with no store in the path
+      """WITH base AS (SELECT event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events)
+         SELECT event_type, count(*) AS n, sum(v) AS sum_value
+         FROM base GROUP BY event_type ORDER BY event_type""",
+    "c43_decimal_filtered" ->
+      // c36's aggregation over exactly c33's final visible multiset
+      // (ids <= 2q: %7 removed, %5 shifted +1.5000; ids > 2q intact),
+      // derivation-only — c33 is driver-green over this multiset
+      """WITH m AS (SELECT max(event_id) // 3 AS q FROM events),
+         base AS (SELECT event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4))
+           + CASE WHEN event_id <= 2 * (SELECT q FROM m)
+                       AND event_id % 5 = 0
+                  THEN CAST('1.5000' AS DECIMAL(18,4))
+                  ELSE CAST('0.0000' AS DECIMAL(18,4)) END AS v
+           FROM events
+           WHERE NOT (event_id <= 2 * (SELECT q FROM m)
+                      AND event_id % 7 = 0))
+         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
+           max(v) AS max_value
+         FROM base GROUP BY event_type ORDER BY event_type""",
+    "c44_decimal_max_only" ->
+      // c36 without the sum column — max keeps the input decimal(18,4)
+      // width, splitting narrow-decimal compare from the widened sum
+      """WITH base AS (SELECT event_type,
+           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
+                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS DECIMAL(18,4)) AS v
+           FROM events)
+         SELECT event_type, count(*) AS n, max(v) AS max_value
+         FROM base GROUP BY event_type ORDER BY event_type""",
+    "c45_decimal_mor_guard" ->
+      // the c33 MoR lifecycle maintaining ONLY a decimal measure
+      // (sum+max+min); the compared columns are integers derived from
+      // the maintained decimal (scale-4 × 10^4 → BIGINT is exact), so
+      // the verdict is seam-free while decimal-fold regressions still
+      // diverge. Oracle arithmetic is pure-integer end to end.
+      """WITH m AS (SELECT max(event_id) // 3 AS q FROM events),
+         base AS (SELECT event_type,
+           CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000
+           + CASE WHEN event_id <= 2 * (SELECT q FROM m)
+                       AND event_id % 5 = 0
+                  THEN 15000 ELSE 0 END AS cents
+           FROM events
+           WHERE NOT (event_id <= 2 * (SELECT q FROM m)
+                      AND event_id % 7 = 0))
+         SELECT event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_dec_cents,
+           max(cents) AS max_dec_cents, min(cents) AS min_dec_cents
+         FROM base GROUP BY event_type ORDER BY event_type""",
     "c38_rollup_int" ->
       // the c30 lifecycle with a single integer measure — no decimal
       // anywhere on either side
@@ -1080,17 +1338,29 @@ object StoreQueries {
            CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
                 AS BIGINT) AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "c46_rollup_avg" ->
+      // the c38 lifecycle read through the AVG facade: avg derived
+      // from the maintained exact n/sum pair, recomputed from scratch
+      // by the oracle as the same BIGINT-ratio double
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
+                AS BIGINT) AS sum_cents,
+           round(CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000
+                           + event_id % 10000) AS BIGINT)::DOUBLE
+                 / count(*)::DOUBLE, 4) AS avg_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "c39_promotion_int" ->
       // the c28 lifecycle, integer-only: evens are legacy int32 pages
       // read widened, odds land post-promotion beyond int range, %5
-      // keys gain 750 cents across both generations
+      // keys gain 750 cents across both generations; cents mod 10^9
+      // mirrors the Spark side's int32-safety bound
       """WITH u AS (
            SELECT CASE WHEN o_orderkey % 2 = 1
                        THEN o_orderkey + 10000000000
                        ELSE o_orderkey END AS o_orderkey,
                   o_orderstatus,
-                  CAST(FLOOR(o_totalprice) AS BIGINT) * 100
-                    + o_orderkey % 100 AS cents
+                  (CAST(FLOOR(o_totalprice) AS BIGINT) * 100
+                    + o_orderkey % 100) % 1000000000 AS cents
            FROM orders)
          SELECT o_orderkey, o_orderstatus,
            CASE WHEN o_orderkey % 5 = 0 THEN cents + 750 ELSE cents END

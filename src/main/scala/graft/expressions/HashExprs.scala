@@ -1,6 +1,5 @@
 package graft.expressions
 
-import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -20,10 +19,70 @@ import org.apache.spark.unsafe.types.UTF8String
   * integer math — no floating-point order concerns at all).
   */
 object HashKernels {
+  // One MessageDigest + 16-byte output buffer per thread, reused across
+  // every hash call: the previous DigestUtils.md5Hex path allocated a
+  // fresh digest, a 16-byte result array, a 32-char hex string, and a
+  // prefix substring PER SHINGLE — at sf0.1 that allocation rate put
+  // the shingle-heavy queries (d18/d19/d20) near a 18% GC share of
+  // task time. Values are bit-identical: the first nHex hex chars of
+  // the digest are exactly its leading 4·nHex bits.
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val outLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
   /** First `nHex` hex chars of md5(bytes) as an unsigned long value —
     * exactly `conv(substring(md5(s), 1, nHex), 16, 10)` for nHex ≤ 15. */
   def md5PrefixLong(bytes: Array[Byte], nHex: Int): Long =
-    java.lang.Long.parseLong(DigestUtils.md5Hex(bytes).substring(0, nHex), 16)
+    md5PrefixLong(bytes, bytes.length, nHex)
+
+  /** Same, over `bytes[0, len)` — lets callers reuse a scratch buffer. */
+  def md5PrefixLong(bytes: Array[Byte], len: Int, nHex: Int): Long = {
+    val d = mdLocal.get()
+    d.update(bytes, 0, len)
+    val out = outLocal.get()
+    d.digest(out, 0, 16) // resets the digest for the next call
+    var acc = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = out(i >> 1) & 0xff
+      acc = (acc << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    acc
+  }
+
+  /** First 8 digest bytes of md5(prefix ++ bytes) as a big-endian long
+    * — the numeric form of `substring(md5(concat(prefix, s)), 1, 16)`;
+    * UNSIGNED long order equals the hex string's lexicographic order.
+    * Two-step update: no concatenation buffer. */
+  def seededMd5Prefix64(prefix: Array[Byte], bytes: Array[Byte]): Long = {
+    val d = mdLocal.get()
+    d.update(prefix, 0, prefix.length)
+    d.update(bytes, 0, bytes.length)
+    val out = outLocal.get()
+    d.digest(out, 0, 16)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (out(i) & 0xffL); i += 1 }
+    acc
+  }
+
+  /** The 16-char lowercase zero-padded hex rendering of the 64-bit
+    * value above — identical to the md5Hex substring it replaces. */
+  def hex16(v: Long): String = {
+    val cs = new Array[Char](16)
+    var i = 0
+    while (i < 16) {
+      cs(i) = java.lang.Character.forDigit(
+        ((v >>> ((15 - i) * 4)) & 0xf).toInt, 16)
+      i += 1
+    }
+    new String(cs)
+  }
 }
 
 /** `graft_md5_longs(arr, nHex)` — md5-prefix long per string element,
@@ -133,7 +192,11 @@ case class SeededMinhash(left: Expression, right: Expression) extends BinaryExpr
     Array.tabulate(k)(s => s"$s|".getBytes("UTF-8"))
 
   def minima(a: ArrayData): Array[String] = {
-    val mins = new Array[String](k)
+    // unsigned-long minima tracked numerically (== the hex strings'
+    // lexicographic minima, same 64 bits), rendered to hex ONCE at the
+    // end — the per-(element × seed) loop allocates nothing
+    val minsV = new Array[Long](k)
+    val seen = new Array[Boolean](k)
     val m = a.numElements()
     var i = 0
     while (i < m) {
@@ -141,18 +204,16 @@ case class SeededMinhash(left: Expression, right: Expression) extends BinaryExpr
         val sb = a.getUTF8String(i).getBytes
         var s = 0
         while (s < k) {
-          val p = prefixes(s)
-          val buf = new Array[Byte](p.length + sb.length)
-          System.arraycopy(p, 0, buf, 0, p.length)
-          System.arraycopy(sb, 0, buf, p.length, sb.length)
-          val h = DigestUtils.md5Hex(buf).substring(0, 16)
-          if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+          val v = HashKernels.seededMd5Prefix64(prefixes(s), sb)
+          if (!seen(s) || java.lang.Long.compareUnsigned(v, minsV(s)) < 0) {
+            minsV(s) = v; seen(s) = true
+          }
           s += 1
         }
       }
       i += 1
     }
-    mins
+    Array.tabulate(k)(s => if (seen(s)) HashKernels.hex16(minsV(s)) else null)
   }
 
   protected override def nullSafeEval(arr: Any, kv: Any): Any =
@@ -245,22 +306,29 @@ case class ShingleMd5Longs(first: Expression, second: Expression, third: Express
       i += 1
     }
     val out = new Array[Long](count)
-    val sb = new java.io.ByteArrayOutputStream(64)
+    // one scratch buffer per row, grown as needed and reused across all
+    // shingles (no per-shingle toByteArray copy)
+    var buf = new Array[Byte](64)
     i = 0
     while (i < count) {
-      sb.reset()
+      var len = 0
       var j = 0
       var started = false
       while (j < n) {
         val t = toks(i + j)
         if (t != null) { // concat_ws skips null elements
-          if (started) sb.write(' ')
-          sb.write(t, 0, t.length)
+          val extra = t.length + (if (started) 1 else 0)
+          if (len + extra > buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.max(buf.length * 2, len + extra))
+          if (started) { buf(len) = ' '; len += 1 }
+          System.arraycopy(t, 0, buf, len, t.length)
+          len += t.length
           started = true
         }
         j += 1
       }
-      out(i) = HashKernels.md5PrefixLong(sb.toByteArray, nHex)
+      out(i) = HashKernels.md5PrefixLong(buf, len, nHex)
       i += 1
     }
     out

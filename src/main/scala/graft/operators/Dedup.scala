@@ -710,6 +710,69 @@ object Dedup {
       contamination.select(col("train_doc").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** EXACT-SUBSTRING dedup at duplicated-span granularity — the
+    * ACTIONABLE counterpart of [[dupNgramCoverage]] (which only
+    * scores): every occurrence of a corpus-duplicated n-token span is
+    * REMOVED except one canonical owner occurrence (the
+    * lexicographically first (doc_id, pos) in the corpus), and each
+    * document's text is rebuilt from its surviving tokens. This is the
+    * "train on each repeated span once" policy of suffix-array
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"), realized at n-gram
+    * resolution: a maximal repeated substring of length L ≥ n is
+    * covered by its L−n+1 duplicated n-grams, so the entire span
+    * disappears from every non-owner occurrence while unique text is
+    * untouched. (A distributed suffix ARRAY buys the same detection
+    * for unbounded span lengths; at fixed n the duplicated-gram cover
+    * is equivalent and needs only hash aggregation.)
+    *
+    * Scale shape: duplication and ownership are decided on 60-bit gram
+    * hashes — the df/owner aggregation and the occurrence join shuffle
+    * (long, long, int) triples, never text. The removal mask comes
+    * back to the doc row as ONE sorted int array per document, and the
+    * rebuild (`array_except` over positions + per-element `element_at`)
+    * is a row-local projection — document text itself never shuffles.
+    * `minCount` counts OCCURRENCES (a span repeated twice inside one
+    * document is deduplicated too, like the suffix-array original). */
+  def exactSubstringDedup(
+      docs: DataFrame,
+      shingleSize: Int = 5,
+      minCount: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val staged = tokenStage(docs, textCol, None)
+    val occ = staged
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col("doc_id"),
+        posexplode(shingleMd5Longs(col("__toks"), shingleSize, 15))
+          .as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min over the (doc_id, pos) struct = lexicographic owner
+    val dup = occ.groupBy("h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).as("__own"))
+      .filter(col("__c") >= minCount)
+      .select(col("h"), col("__own.doc_id").as("__od"),
+        col("__own.pos").as("__op"))
+    val removed = occ.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("__od") && col("pos") === col("__op")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(shingleSize - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("__rem"))
+    val keptPos = array_except(
+      sequence(lit(0), size(col("__toks")) - 1),
+      coalesce(col("__rem"), array().cast("array<int>")))
+    releasing(
+      staged.join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          coalesce(size(col("__rem")), lit(0)).cast("long").as("n_removed"),
+          concat_ws(" ",
+            transform(keptPos, p => element_at(col("__toks"), p + 1)))
+            .as("text_deduped")),
+      staged, occ)
+  }
+
   /** Near-duplicates within a blocking key (e.g. source): LSH band
     * candidates CONFINED to the block, then exact Jaccard verify — the
     * scale-safe form of blocked dedup (candidates must share block AND

@@ -92,9 +92,12 @@ object Rollup {
     * inserts (fold via greatest/least with the current total) but NOT
     * under deletes (the departed row may have been the extremum), so a
     * MoR-range refresh re-aggregates them over exactly the TOUCHED
-    * groups from the source — O(touched groups' rows), the standard
-    * maintenance shape for non-invertible aggregates — while n/sum stay
-    * purely incremental. */
+    * groups from the source — the standard maintenance shape for
+    * non-invertible aggregates — while n/sum stay purely incremental.
+    * The re-agg's SHUFFLE is O(touched groups' rows); its SCAN is
+    * stats/bloom-pruned to entries that can contain touched groups
+    * when the key set inlines ([[touchedPrunePredicate]]), and
+    * degrades to a full source scan otherwise. */
   def refresh(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
       sumCols: Seq[String], maxCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil): Long = {
@@ -133,24 +136,84 @@ object Rollup {
         .groupBy(groupCols.map(col): _*)
         .agg(reAggs.head, reAggs.tail: _*)
     } else addAgg
-    val delta = (if (mor && (maxCols.nonEmpty || minCols.nonEmpty)) {
+    val extrema = mor && (maxCols.nonEmpty || minCols.nonEmpty)
+    // the extrema branch runs TWO actions over the delta aggregate
+    // (the inline-keys collect, then the merge) — cache it
+    val cachedBase =
+      if (extrema)
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
+    val delta = (if (extrema) {
       // max/min are non-invertible under deletes: re-aggregate them
       // over exactly the touched groups (the delta keys,
       // aggregate-sized, broadcast into the source scan). A fully-
       // deleted group gets null extrema and n=0 — the sweep removes it.
-      val touched = base.select(groupCols.map(col): _*)
+      // The SCAN side is pruned too: the touched keys are pushed into
+      // the store's stats/bloom entry pruning (readWhere) whenever the
+      // key set is small enough to inline, so on a group-clustered or
+      // partitioned 100 TB source the re-agg plans only the entries
+      // that can contain touched groups instead of the whole table.
+      // When the keys don't inline (or stats can't help) this falls
+      // back to a full-table SCAN — an O(source) IO pass; the shuffle
+      // stays O(touched groups' rows) either way.
+      val touched = cachedBase.select(groupCols.map(col): _*)
       val exactAggs = maxCols.map(c => max(col(c)).as(s"max_$c")) ++
         minCols.map(c => min(col(c)).as(s"min_$c"))
-      val exact = src.read.join(broadcast(touched), groupCols)
+      val exactSrc = touchedPrunePredicate(groupCols, touched)
+        .map(src.readWhere).getOrElse(src.read)
+      val exact = exactSrc.join(broadcast(touched), groupCols)
         .groupBy(groupCols.map(col): _*)
         .agg(exactAggs.head, exactAggs.tail: _*)
-      base.join(exact, groupCols, "left")
-    } else base)
+      cachedBase.join(exact, groupCols, "left")
+    } else cachedBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       refreshDelta(dst, groupCols, sumCols, maxCols, minCols, delta,
         srcV, lastV, mor = mor)
-    } finally { delta.unpersist(); () }
+    } finally {
+      delta.unpersist()
+      if (extrema) cachedBase.unpersist()
+      ()
+    }
+  }
+
+  /** Read-side DERIVED-MEASURE facade: averages over the maintained
+    * rollup. AVG is deliberately NOT maintained as state — a running
+    * average would need its own (drift-prone) fold, while the ratio of
+    * the exactly-maintained components can never drift — so it is
+    * derived at read time from the `n` / `sum_<c>` columns every
+    * refresh keeps exact. The standard materialized-view treatment of
+    * non-summarizable measures; adds one `avg_<c>` DOUBLE per sum
+    * column, null for an n=0 tombstone group awaiting its sweep. */
+  def readWithAverages(dst: LakeTable, sumCols: Seq[String]): DataFrame =
+    sumCols.foldLeft(dst.read)((df, c) =>
+      df.withColumn(s"avg_$c",
+        when(col("n") =!= 0L,
+          col(s"sum_$c").cast("double") / col("n").cast("double"))))
+
+  /** Cap on the touched-group key count inlined into the extrema
+    * re-aggregation's pruning predicate; past this the IN-list bloats
+    * plan/stats evaluation for little skipping benefit. */
+  private[graft] val MaxInlineTouchedKeys = 10000
+
+  /** Entry-pruning predicate for the MoR-extrema re-aggregation scan:
+    * the distinct touched values of the FIRST group column, inlined as
+    * an IN-list the store's stats/bloom pruning understands
+    * ([[graft.store.LakeTable.readWhere]]). A superset predicate by
+    * construction (multi-column groups prune on one column; the
+    * broadcast join downstream restricts exactly), so this is purely a
+    * scan-reduction path — dropping it is always safe. Returns None
+    * (full scan) when the key set exceeds [[MaxInlineTouchedKeys]],
+    * contains nulls (which `IN` cannot match and the null-group
+    * refusal downstream rejects anyway), or is empty. */
+  private[graft] def touchedPrunePredicate(groupCols: Seq[String],
+      touched: DataFrame): Option[org.apache.spark.sql.Column] = {
+    val c = groupCols.head
+    val keys = touched.select(col(c)).distinct()
+      .limit(MaxInlineTouchedKeys + 1).collect().map(_.get(0))
+    if (keys.isEmpty || keys.length > MaxInlineTouchedKeys ||
+        keys.contains(null)) None
+    else Some(col(c).isInCollection(keys.toIndexedSeq))
   }
 
   private def refreshDelta(dst: LakeTable, groupCols: Seq[String],

@@ -240,6 +240,37 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(2L)
   }
 
+  test("exactSubstringDedup removes non-owner span occurrences and rebuilds text") {
+    // docs 1 and 2 share the 6-token span "one two three four five six"
+    // (covered by two 5-grams); doc 1 is the lexicographic owner and
+    // keeps it, doc 2 loses exactly those 6 tokens; doc 3 is untouched
+    val d = docs(
+      (1L, "one two three four five six alpha beta", "a"),
+      (2L, "gamma one two three four five six delta", "a"),
+      (3L, other, "a"))
+    val out = Dedup.exactSubstringDedup(d, shingleSize = 5)
+      .orderBy("doc_id").collect()
+    out.length shouldBe 3
+    out(0).getString(3) shouldBe "one two three four five six alpha beta"
+    out(0).getLong(2) shouldBe 0L
+    out(1).getString(3) shouldBe "gamma delta"
+    out(1).getLong(2) shouldBe 6L
+    out(2).getString(3) shouldBe other
+    out(2).getLong(2) shouldBe 0L
+  }
+
+  test("exactSubstringDedup deduplicates a span repeated INSIDE one document") {
+    val d = docs(
+      (1L, "a b c d e x a b c d e", "a"),
+      (2L, other, "a"))
+    val out = Dedup.exactSubstringDedup(d, shingleSize = 5)
+      .orderBy("doc_id").collect()
+    // the second occurrence of "a b c d e" (positions 6..10) is removed
+    out(0).getString(3) shouldBe "a b c d e x"
+    out(0).getLong(1) shouldBe 11L
+    out(0).getLong(2) shouldBe 5L
+  }
+
   test("crossSplitContamination maxDf guard drops boilerplate shingles") {
     val e = docs((10L, "alpha beta gamma", "e"))
     val t = docs((1L to 5L).map(i => (i, "alpha beta gamma", "t")): _*)

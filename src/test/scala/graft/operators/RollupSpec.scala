@@ -238,4 +238,57 @@ class RollupSpec extends SparkSpec {
     an[IllegalStateException] should be thrownBy
       Rollup.refresh(src, dst, Seq("k"), Seq("v"))
   }
+
+  test("MoR-extrema re-aggregation prunes the source scan to touched-group entries") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_prune")
+    val dst = cat.table("db.agg_prune")
+    // partitioned by the GROUP column: one manifest entry per group,
+    // so the touched-keys predicate can prove untouched entries dead
+    src.createOrReplace(
+      ev((1L, "a", "1.00"), (2L, "a", "9.00"), (3L, "b", "2.00"),
+        (4L, "b", "8.00"), (5L, "c", "3.00"), (6L, "c", "7.00")),
+      partitionBy = Seq("k"))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"), maxCols = Seq("v"))
+    // MoR-delete group a's maximum: the touched set is exactly {a}
+    src.deleteWhereExistsMoR(Seq(2L).toDF("id"), Seq("id"))
+    val pred = Rollup.touchedPrunePredicate(Seq("k"), Seq("a").toDF("k"))
+    pred shouldBe defined
+    val snap = src.currentSnapshot.get
+    val pruned = src.prunedEntries(snap, pred.get)
+    pruned.size should be < snap.entries.size
+    // ...and the refresh over the pruned scan is still exact: group a's
+    // max drops to the surviving row, b and c are untouched
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"), maxCols = Seq("v")) shouldBe 1L
+    val got = dst.read.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString)).toSeq
+    got shouldBe Seq(("a", 1L, "1.00", "1.00"), ("b", 2L, "10.00", "8.00"),
+      ("c", 2L, "10.00", "7.00"))
+  }
+
+  test("readWithAverages derives avg from the maintained n/sum, null on n=0 tombstones") {
+    val cat = freshCat
+    cat.createDatabase("db")
+    val src = cat.table("db.src_avg")
+    val dst = cat.table("db.agg_avg")
+    src.createOrReplace(ev((1L, "a", "1.00"), (2L, "a", "2.00"), (3L, "b", "6.00")))
+    Rollup.refresh(src, dst, Seq("k"), Seq("v"))
+    val got = Rollup.readWithAverages(dst, Seq("v"))
+      .select("k", "avg_v").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    got shouldBe Seq(("a", 1.5), ("b", 6.0))
+  }
+
+  test("touched-keys pruning predicate falls back to a full scan on nulls or oversized key sets") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    Rollup.touchedPrunePredicate(Seq("k"),
+      Seq(Option("a"), None).toDF("k")) shouldBe None
+    Rollup.touchedPrunePredicate(Seq("k"),
+      spark.range(Rollup.MaxInlineTouchedKeys + 1)
+        .select(fcol("id").cast("string").as("k"))) shouldBe None
+    Rollup.touchedPrunePredicate(Seq("k"),
+      spark.range(0).select(fcol("id").cast("string").as("k"))) shouldBe None
+  }
 }
