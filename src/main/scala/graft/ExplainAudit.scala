@@ -34,7 +34,7 @@ object ExplainAudit {
       "c23_rollback", "c24_changelog", "q39_listagg",
       "c25_lake_mor_merge_delete", "s13_stream_dedup", "c26_migration",
       "d52_hash_split", "d53_split_leakage", "m10_perceptual_dedup",
-      "m11_audio_fingerprint")) {
+      "m11_audio_fingerprint", "d54_substring_dedup")) {
       println(s"=== $name ===")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -19,8 +19,8 @@ import graft.store.LakeCatalog
   * locally: the driver's gate data differs only by generator seed, so a
   * value-dependent maintenance bug should fall out of enough random
   * lifecycles. Seeds per suite run: GRAFT_SOAK_N (default 8 to keep the
-  * suite fast); the round-11 100-lifecycle soak result is recorded in
-  * STATUS.md.
+  * suite fast); the per-round GRAFT_SOAK_N=100 drift-net results are
+  * recorded in STATUS.md (first run: round 12, 100/100 green).
   */
 class RollupSoakSpec extends SparkSpec {
 
