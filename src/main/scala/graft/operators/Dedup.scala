@@ -729,9 +729,12 @@ object Dedup {
     * Scale shape: duplication and ownership are decided on 60-bit gram
     * hashes — the df/owner aggregation and the occurrence join shuffle
     * (long, long, int) triples, never text. The removal mask comes
-    * back to the doc row as ONE sorted int array per document, and the
-    * rebuild (`array_except` over positions + per-element `element_at`)
-    * is a row-local projection — document text itself never shuffles.
+    * back to the doc row as ONE sorted int array per document (an
+    * affected-docs-sized frame: broadcast when small, otherwise the
+    * token arrays pay a single doc_id shuffle for the mask join — the
+    * one corpus-sized move, irreducible for any text-REWRITING
+    * operator), and the rebuild (`array_except` over positions +
+    * per-element `element_at`) is a row-local projection.
     * `minCount` counts OCCURRENCES (a span repeated twice inside one
     * document is deduplicated too, like the suffix-array original). */
   def exactSubstringDedup(
