@@ -53,6 +53,12 @@ object ScaleProbe {
     time("exact_groups")(Dedup.exactGroups(big))
     time("lsh_near_dup")(Dedup.lshNearDuplicates(big, maxBucket = 1000))
     time("dup_ngram_coverage")(Dedup.dupNgramCoverage(big))
+    // d54: the actionable form of the coverage score — non-owner
+    // occurrences of corpus-duplicated spans removed, text rebuilt.
+    // Replicas share zero tokens, so duplicated-span density is
+    // constant as the corpus grows: wall must track ~the corpus (one
+    // token-stage pass + hash-keyed shuffles), never all-pairs.
+    time("substring_dedup (d54)")(Dedup.exactSubstringDedup(big))
     time("simhash_near_dup")(Dedup.simhashNearDuplicates(big))
 
     // ANN probes (the e04/e07/e19 IVF family): corpus replicated with
@@ -168,6 +174,39 @@ object ScaleProbe {
           Seq("doc_id"))
         Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars"))
       }
+    }
+
+    // MoR-extrema rollup (c35/c40 machinery): MAX is non-invertible
+    // under deletes, so the refresh re-aggregates the touched groups
+    // from the SOURCE — the touched-key pruning must confine that scan
+    // to entries whose stats can contain the touched groups. Source =
+    // `mult` ranged appends with a range-aligned group column (one
+    // `grp` value per entry); delete keys confined to the NEWEST range
+    // ⇒ the re-agg plans ~1 entry no matter how many ranges the table
+    // holds (the 100 TB shape: churn lands in recent partitions, the
+    // extrema re-agg never re-reads cold history).
+    {
+      import graft.operators.Rollup
+      def grpReplica(i: Int) = docReplica(i).withColumn("grp", lit(i))
+      val exSrc = storeCat.table("probe.docs_exsrc")
+      exSrc.createOrReplace(grpReplica(0))
+      (1 until mult).foreach(i => exSrc.append(grpReplica(i)))
+      val exDst = storeCat.table("probe.docs_exrollup")
+      timed("extrema_bootstrap")(
+        Rollup.refresh(exSrc, exDst, Seq("grp"), Seq("n_chars"),
+          maxCols = Seq("n_chars")))
+      timed("extrema_mor_fold") {
+        exSrc.deleteWhereExistsMoR(
+          grpReplica(mult - 1).filter(col("doc_id") % 100 === 7)
+            .select("doc_id"),
+          Seq("doc_id"))
+        Rollup.refresh(exSrc, exDst, Seq("grp"), Seq("n_chars"),
+          maxCols = Seq("n_chars"))
+      }
+      // plan-level evidence, same predicate shape the refresh inlined
+      val planned = exSrc.prunedEntries(exSrc.currentSnapshot.get,
+        col("grp").isInCollection(Seq(mult - 1))).size
+      println(s"    [extrema re-agg plans $planned of >=$mult entries]")
     }
 
     // Bloom-sidecar point lookup: `bloomK` INTERLEAVED appends (every
