@@ -63,7 +63,19 @@ def fetch_rows(rel):
     pycols = [t.column(i).to_pylist() for i in order]
     rows = [tuple(render(c[r]) for c in pycols) for r in range(t.num_rows)]
     rows.sort()
-    return names, rows
+    decimal_cols = [cols[i] for i in range(len(cols))
+                    if "decimal" in str(t.schema.field(i).type)]
+    return names, rows, decimal_cols
+
+# Round-13 hardening (the c36-c44 ladder post-mortem): the driver's
+# compare normalizes trailing fractional zeros when fetching DECIMAL
+# result columns, so ANY decimal-typed compared column can go red
+# data-dependently (r12 verdict: 9/9 red rows carried a trailing-zero
+# render, every green one did not). The surface rule is therefore:
+# never expose a DECIMAL-typed column to the compare - render it to
+# VARCHAR on both sides or derive an exact integer. The one sanctioned
+# exception is the designated trailing-zero mechanism probe.
+DECIMAL_OUTPUT_OK = {"c47_tz_probe_decimal"}
 
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
@@ -78,16 +90,23 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     try:
-        exp_cols, exp_rows = fetch_rows(con.sql(sql))
+        exp_cols, exp_rows, _ = fetch_rows(con.sql(sql))
     except Exception as e:
         print(f"ORACLE ERROR    {name}: {e}")
         fail += 1
         continue
     try:
-        got_cols, got_rows = fetch_rows(
+        got_cols, got_rows, got_dec = fetch_rows(
             con.sql(f"SELECT * FROM read_parquet({got_files!r})"))
     except Exception as e:
         print(f"READ ERROR      {name}: {e}")
+        fail += 1
+        continue
+    if got_dec and name not in DECIMAL_OUTPUT_OK:
+        print(f"DECIMAL OUTPUT  {name}: compared column(s) {got_dec} are "
+              f"DECIMAL-typed - the driver compare normalizes trailing "
+              f"fractional zeros on decimal fetch; render to VARCHAR on "
+              f"both sides or derive an exact integer")
         fail += 1
         continue
     if exp_cols != got_cols:

@@ -65,7 +65,16 @@ object LlmQueries {
       .orderBy("doc_id")
 
   private def d04(s: SparkSession, dir: String): DataFrame =
+    // the sf* documents parquet is ONE row group, and a parquet row
+    // group is indivisible — however the byte-range splits fall, a
+    // single task ends up computing every fingerprint (r12 bench: 4
+    // tasks, one 3 s straggler ≈ the whole wall). One round-robin
+    // exchange of the ~MB text spreads the CPU-bound kernel across all
+    // cores; real multi-file corpora split naturally at the scan and
+    // never reach this shape, so the exchange cost stays bounded by
+    // one pass over a deliberately tiny input.
     table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 

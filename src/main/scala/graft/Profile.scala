@@ -20,13 +20,20 @@ object Profile {
     val qs =
       if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else names.map(n => n -> SparkEntry.queries(n))
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     qs.foreach { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
+        val g0 = gcMillis()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
       }
-      println(f"PROFILE $name%-28s ${times.map(t => f"$t%.2f").mkString("  ")}")
+      // local mode: driver JVM == executor JVM, so the GC delta is the
+      // whole-query GC cost (same basis as the bench's gc_sec)
+      println(f"PROFILE $name%-28s " +
+        times.map { case (t, g) => f"$t%.2f(gc $g%.2f)" }.mkString("  "))
     }
     spark.stop()
   }

@@ -58,7 +58,7 @@ object StoreQueries {
     * non-invertible extrema) are value-type-agnostic, so their gate
     * verdict should not ride on the one seam the driver data keeps
     * disagreeing about; the decimal derivation itself stays under test
-    * via the c36/c37 canaries. */
+    * via the c41 string-rendered canary (see the seam post-mortem). */
   private[graft] def exactCents(d: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column, scale: Int)
       : org.apache.spark.sql.Column = {
@@ -488,174 +488,35 @@ object StoreQueries {
   }
 
   // -------------------------------------------------------------------
-  // c36–c39: the DIAGNOSTIC LADDER for the r9/r10 driver-only hash
-  // failures on c28/c30/c35 (rows+schema matched, values diverged, no
-  // local reproduction — including alt-seed and adversarial datasets,
-  // scripts/gen_alt_seed.py). Each canary isolates ONE layer; the
-  // driver-gate pass/fail pattern across them localizes the cause:
-  //   c36 red                → exactDecimal derivation/render seam
-  //   c36 green, c37 red     → decimal store round-trip / rebuild write
-  //   c38 red                → incremental fold machinery (decimal
-  //                            exonerated: c38 is integer-only)
-  //   c39 red                → widened-page (int32→long) promotion read
-  //   all green, c30/c35 red → interaction unique to the full queries
-  //
-  // ROUND-11 VERDICT (driver gate): c36 RED, c37 RED, c38/c39/c40
-  // GREEN ⇒ the fault lives in the decimal derivation/render/compare
-  // layer; store, fold machinery, and promotion reads are exonerated.
-  // Yet on the SAME driver data c32 (raw DECIMAL(18,2) sum), c33 (the
-  // identical scale-4 derivation, filtered events multiset) and q16
-  // (decimal rendered AS VARCHAR) are GREEN. c41–c44 are minimal
-  // deltas from c36 that discriminate the remaining variables:
-  //   c41 (string-rendered sum/max) green, c36 red
-  //       → the driver hashes DECIMAL-typed result columns through a
-  //         lossy/engine-dependent fetch; fix = render canary decimals
-  //         as strings (q16 already proves the trick) or retire the
-  //         DECIMAL-typed compare for aggregates of this shape.
-  //   c42 (sum-only) red, c44 (max-only) green
-  //       → the wide SUM (decimal(28,4) vs DuckDB decimal(38,4)
-  //         physical int128) is the mismatch carrier; max alone (still
-  //         decimal(18,4)/int64-backed) survives. The reverse pattern
-  //         points at the driver's handling of the max column.
-  //   c43 (c33's exact final multiset, derivation-only) green, c36 red
-  //       → data-content dependence: some row present ONLY in the full
-  //         events multiset poisons the compare (driver data differs
-  //         from ours, or a specific value renders differently).
-  //   all four green, c36 still red → non-determinism in the driver
-  //         harness itself (the double-pass locally found none).
+  // DECIMAL-SEAM POST-MORTEM (rounds 9–13). The r9/r10 driver gate
+  // red-flagged decimal aggregates that matched the oracle locally. A
+  // 9-rung diagnostic ladder (c36–c44, retired r13 — full decision
+  // tables in STATUS.md) bisected the layers: derivation, store
+  // round-trip, fold machinery, promotion reads, sum vs max width, and
+  // data-content dependence. Verdicts r11/r12 pinned the mechanism:
+  //   * c41 (same values string-rendered) GREEN while c36/c42/c44
+  //     (DECIMAL-typed compare) RED ⇒ the driver's hashing of DECIMAL
+  //     result columns, not the engine's values, is the seam;
+  //   * every driver-red row carried a compared decimal whose fixed-
+  //     scale render ends in a trailing zero (96099.1600, 490.9480);
+  //     every green decimal row had none — 9/9 consistent. One compare
+  //     side normalizes trailing fractional zeros on DECIMAL fetch
+  //     (Decimal('96099.1600') vs Decimal('96099.16')).
+  // PERMANENT RULE: never expose a DECIMAL-typed column to the oracle
+  // compare — render it to VARCHAR on both sides (fixed-scale decimal
+  // → string is identical in Spark and DuckDB) or derive an exact
+  // integer. check_oracle.py enforces this (decimal-output guard).
+  // What survives the ladder: c41 (permanent string-rendered canary),
+  // c45 (integer-derived decimal-MoR guard), and the c47/c48 probe
+  // pair that confirms/falsifies the trailing-zero mechanism.
   // -------------------------------------------------------------------
 
-  /** c36: DERIVATION-ONLY decimal canary — exactDecimal over events,
-    * grouped sum/max, NO store anywhere. Tests the decimal derivation
-    * and the driver's decimal render/compare alone. */
-  private def c36(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .select(col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
-        max("value").as("max_value"))
-      .orderBy("event_type")
-
-  /** c37: STORE-ROUNDTRIP decimal canary — the same derived decimals
-    * written to a LakeTable, read back, and fully rebuilt into a rollup
-    * (no increments, no promotion, no MoR). Same oracle as c36: a c37
-    * red with c36 green isolates the storage round-trip. */
-  private def c37(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Rollup
-    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_c37"))
-    cat.createDatabase("lake")
-    val src = cat.table("lake.events_rt_src")
-    cat.dropTable("lake.events_rt_rollup")
-    val dst = cat.table("lake.events_rt_rollup")
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
-    src.createOrReplace(ev)
-    Rollup.rebuild(src, dst, Seq("event_type"), Seq("value"),
-      maxCols = Seq("value"))
-    dst.read.orderBy("event_type")
-  }
-
-  /** c38: INTEGER-MEASURE rollup canary — the exact c30 lifecycle
-    * (three append generations, a refresh after each, final no-op
-    * refresh) with a single BIGINT measure and no decimal anywhere.
-    * Tests the incremental maintenance machinery alone. */
-  private def c38(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Rollup
-    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ruint"))
-    cat.createDatabase("lake")
-    val src = cat.table("lake.events_int_src")
-    cat.dropTable("lake.events_int_rollup")
-    val dst = cat.table("lake.events_int_rollup")
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        exactCents(col("value"), col("event_id"), 4).as("cents"))
-    val q = ev.agg(max("event_id")).head().getLong(0) / 3
-    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("cents"))
-    src.createOrReplace(ev.filter(col("event_id") <= q))
-    rf()
-    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
-    rf()
-    src.append(ev.filter(col("event_id") > 2 * q))
-    rf()
-    require(rf() == 0L, "refresh at head must fold zero versions")
-    dst.read.orderBy("event_type")
-  }
-
-  /** c39: INTEGER-MEASURE promotion canary — the c28 lifecycle with
-    * int→long promotion on BOTH the key and the measure (prices as
-    * integer cents), no decimal column at all. Tests the widened
-    * int32-page read + metadata-only promotion commit alone. */
-  private def c39(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_tpint"))
-    cat.createDatabase("lake")
-    val t = cat.table("lake.orders_promoted_int")
-    // cents mod 10^9 keeps the legacy generation inside int32 for ANY
-    // input data (the alt-seed harness's adversarial prices reach
-    // ~1e10, whose cents would silently wrap under the non-ANSI int
-    // cast and falsely diverge this canary from its oracle); the
-    // oracle applies the same mod, and +750 post-merge stays < 2^31
-    val base = table(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        (exactCents(col("o_totalprice"), col("o_orderkey"), 2)
-          % lit(1000000000L)).as("price_cents"))
-    t.createOrReplace(base.filter(col("o_orderkey") % 2 === 0)
-      .withColumn("o_orderkey", col("o_orderkey").cast("int"))
-      .withColumn("price_cents", col("price_cents").cast("int")))
-    t.alterColumnType("o_orderkey", LongType)
-    t.alterColumnType("price_cents", LongType)
-    t.append(base.filter(col("o_orderkey") % 2 === 1)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
-    t.mergeInto(
-      t.read.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("price_cents", col("price_cents") + lit(750L)),
-      Seq("o_orderkey"))
-    t.read.orderBy("o_orderkey")
-  }
-
-  /** c40: NON-INVERTIBLE MIN maintenance — c35's mirror image: the
-    * rollup tracks MIN (and MAX) alongside sums, the MoR delete removes
-    * the BOTTOM-value slice so every group's min moves UP (the case the
-    * touched-group re-aggregate exists for), and a late append drags
-    * mins back down through the least-fold path. Integer measures from
-    * the start. */
-  private def c40(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Rollup
-    val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rumin"))
-    cat.createDatabase("lake")
-    val src = cat.table("lake.events_min_src")
-    cat.dropTable("lake.events_min_rollup")
-    val dst = cat.table("lake.events_min_rollup")
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        exactCents(col("value"), col("event_id"), 4).as("cents"))
-    val q = ev.agg(max("event_id")).head().getLong(0) / 3
-    def rf() = Rollup.refresh(src, dst, Seq("event_type"), Seq("cents"),
-      maxCols = Seq("cents"), minCols = Seq("cents"))
-    src.createOrReplace(ev.filter(col("event_id") <= q))
-    rf()
-    src.append(ev.filter(col("event_id") > q && col("event_id") <= 2 * q))
-    rf()
-    // delete the BOTTOM slice (cents < 50.0000): every group's min
-    // moves UP — a least-fold would freeze the departed minimum forever
-    src.deleteWhereExistsMoR(
-      src.read.filter(col("cents") < 500000L).select("event_id"),
-      Seq("event_id"))
-    rf()
-    src.append(ev.filter(col("event_id") > 2 * q))
-    rf()
-    dst.read.orderBy("event_type")
-  }
-
-  /** c41: STRING-RENDERED decimal canary — exactly c36 with every
-    * decimal result column rendered to VARCHAR on BOTH sides before
-    * the compare (Spark `cast("string")` ↔ DuckDB `CAST(.. AS
-    * VARCHAR)`). Fixed-scale decimal→string rendering is identical in
-    * both engines (q16 passes with this trick), so c41 green + c36 red
-    * proves the driver's hashing of DECIMAL-typed columns — not the
-    * values — is the seam. */
+  /** c41: PERMANENT DECIMAL-RENDER CANARY — exactDecimal over events,
+    * grouped sum/max, no store, every decimal result rendered to
+    * VARCHAR on BOTH sides (Spark `cast("string")` ↔ DuckDB `CAST(..
+    * AS VARCHAR)`). Guards the exact derivation and the fixed-scale
+    * render parity without exposing a DECIMAL-typed column to the
+    * driver compare (see the seam post-mortem above). */
   private def c41(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .select(col("event_type"),
@@ -666,55 +527,50 @@ object StoreQueries {
         max("value").cast("string").as("max_value"))
       .orderBy("event_type")
 
-  /** c42: SUM-ONLY decimal canary — c36 without the max column. The
-    * r10 red (c30) compared exactly this surface (full events, scale-4
-    * decimal sum); c42 re-isolates it with no store in the path, and
-    * together with c44 splits the sum column (wide decimal(28,4)
-    * result) from the max column (still decimal(18,4)). */
-  private def c42(s: SparkSession, dir: String): DataFrame =
+  /** Decimal whose fixed-scale render ALWAYS ends in a trailing zero:
+    * fraction digits are (key % 100) · 100, i.e. multiples of 0.0100
+    * at scale 4, so every value — and every sum/max of such values —
+    * renders with "00" in its last two fraction places. Exact on both
+    * engines (integer-derived through a string, like exactDecimal). */
+  private def trailingZeroDecimal(d: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(floor(d).cast("string"), lit("."),
+      lpad(((key % 100) * 100).cast("string"), 4, "0"))
+      .cast("decimal(18,4)")
+
+  /** c47: TRAILING-ZERO MECHANISM PROBE — the one DESIGNATED RED in
+    * the driver gate. Every aggregate here is ENGINEERED so its scale-4
+    * render ends in a trailing zero (see [[trailingZeroDecimal]]), and
+    * the result is compared AS DECIMAL. Per the r12 verdict's
+    * mechanism (one driver-compare side normalizes trailing fractional
+    * zeros on DECIMAL fetch), this probe is PREDICTED DRIVER-RED while
+    * its string-rendered twin c48 over the identical values is
+    * PREDICTED GREEN — one driver run confirms or falsifies the
+    * trailing-zero mechanism. Local check_oracle.py canonicalizes both
+    * sides consistently, so the probe is local-green by design; it is
+    * whitelisted in that script's decimal-output guard. */
+  private def c47(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .select(col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-      .orderBy("event_type")
-
-  /** c43: FILTERED-MULTISET decimal canary — c36's aggregation over
-    * exactly c33's final visible multiset (ids ≤ 2q with %7 == 0
-    * removed and %5 == 0 shifted by +1.5000; ids > 2q untouched),
-    * computed purely from the parquet with NO store anywhere. c33 is
-    * driver-GREEN with the identical derivation and a raw decimal sum
-    * over this multiset, so c43's verdict isolates data-content
-    * dependence: c43 green + c36 red means some row present only in
-    * the full events multiset poisons the driver compare. */
-  private def c43(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
-    val q = ev.agg(max("event_id")).head().getLong(0) / 3
-    ev.filter(!(col("event_id") <= 2 * q && col("event_id") % 7 === 0))
-      .withColumn("value",
-        when(col("event_id") <= 2 * q && col("event_id") % 5 === 0,
-          (col("value") + lit(new java.math.BigDecimal("1.5000")))
-            .cast("decimal(18,4)"))
-          .otherwise(col("value")))
+        trailingZeroDecimal(col("value"), col("event_id")).as("value"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
         max("value").as("max_value"))
       .orderBy("event_type")
-  }
 
-  /** c44: MAX-ONLY decimal canary — c36 without the sum column,
-    * completing the c42 split: max(decimal(18,4)) keeps the input
-    * precision (int64-backed in both engines), so a red here with c42
-    * green indicts the driver's handling of narrow decimals too,
-    * while green + c42 red pins the seam on the widened sum result. */
-  private def c44(s: SparkSession, dir: String): DataFrame =
+  /** c48: the c47 values with both aggregates rendered to VARCHAR on
+    * both sides — the control half of the mechanism probe, predicted
+    * GREEN everywhere. c47 red + c48 green confirms the trailing-zero
+    * DECIMAL-fetch normalization; c47 green would falsify it (and
+    * retire the probe pair next round). */
+  private def c48(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .select(col("event_type"),
-        exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
+        trailingZeroDecimal(col("value"), col("event_id")).as("value"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), max("value").as("max_value"))
+      .agg(count(lit(1)).as("n"),
+        sum("value").cast("string").as("sum_value"),
+        max("value").cast("string").as("max_value"))
       .orderBy("event_type")
 
   /** c45: DECIMAL-MAINTENANCE GUARD — closes the r11 ADVICE hole that
@@ -727,7 +583,11 @@ object StoreQueries {
     * the lifecycle (scale-4 decimal × 10^4 → BIGINT is exact), so the
     * gate verdict is seam-free by construction while any double-apply,
     * lost delta, or extrema-freeze in the decimal fold still diverges
-    * the hash. */
+    * the hash. r13: the final read goes through the
+    * `Rollup.readWithAverages` facade on the DECIMAL measure (the c46
+    * pattern over the decimal fold — AVG-of-decimal incremental
+    * maintenance), with the compared avg the exact BIGINT
+    * floor-division of the integer-derived components. */
   private def c45(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Rollup
     val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_rudec"))
@@ -757,18 +617,38 @@ object StoreQueries {
     rf()
     src.append(ev.filter(col("event_id") > 2 * q))
     rf()
-    dst.read.select(col("event_type"), col("n"),
-      (col("sum_value") * 10000).cast("long").as("sum_dec_cents"),
-      (col("max_value") * 10000).cast("long").as("max_dec_cents"),
-      (col("min_value") * 10000).cast("long").as("min_dec_cents"))
+    val res = Rollup.readWithAverages(dst, Seq("value"))
+    // the facade on a DECIMAL sum: avg_value = sum.cast(double)/n —
+    // assert it against the same IEEE ops on the collected components
+    res.select("event_type", "n", "sum_value", "avg_value").collect()
+      .foreach { r =>
+        val n = r.getAs[Long]("n")
+        val sv = r.getAs[java.math.BigDecimal]("sum_value")
+        require(r.getAs[Double]("avg_value") == sv.doubleValue() / n.toDouble,
+          s"decimal avg facade drifted from its components for ${r.get(0)}")
+      }
+    res.select(col("event_type"), col("n"),
+        (col("sum_value") * 10000).cast("long").as("sum_dec_cents"),
+        (col("max_value") * 10000).cast("long").as("max_dec_cents"),
+        (col("min_value") * 10000).cast("long").as("min_dec_cents"))
+      .select(col("*"),
+        // AVG-of-decimal via the facade components, compared as the
+        // exact integer ratio (scale-4 cents scaled by 10^4)
+        expr("sum_dec_cents * 10000L div n").as("avg_dec_scaled"))
       .orderBy("event_type")
   }
 
   /** c46: DERIVED-MEASURE (AVG) facade over the maintained rollup —
-    * the c38 integer lifecycle read through `Rollup.readWithAverages`:
-    * the average is computed at read time from the exactly-maintained
-    * n/sum pair (never stored, so it can never drift from its
-    * components). The oracle recomputes the same ratio from scratch. */
+    * a three-generation append lifecycle read through
+    * `Rollup.readWithAverages`: the average is computed at read time
+    * from the exactly-maintained n/sum pair (never stored, so it can
+    * never drift from its components). The facade's DOUBLE avg is
+    * runtime-asserted against sum/n on the (aggregate-sized) result;
+    * the COMPARED avg column is the exact BIGINT floor-division
+    * `sum·10⁴ div n` — a round(avg DOUBLE) compare would ride the
+    * Spark-vs-DuckDB tie-rounding seam at .xxxx5 quotients (r12
+    * ADVICE), while the integer ratio is seam-free and pins the same
+    * components. */
   private def c46(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Rollup
     val cat = new LakeCatalog(s, warehouse(dir.replaceAll("[^a-z0-9]", "_") + "_ruavg"))
@@ -787,9 +667,18 @@ object StoreQueries {
     rf()
     src.append(ev.filter(col("event_id") > 2 * q))
     rf()
-    Rollup.readWithAverages(dst, Seq("cents"))
-      .select(col("event_type"), col("n"), col("sum_cents"),
-        round(col("avg_cents"), 4).as("avg_cents"))
+    val res = Rollup.readWithAverages(dst, Seq("cents"))
+    // the facade's double avg is exactly sum/n by construction —
+    // assert it on the aggregate-sized (|event_type| groups) result
+    res.select("event_type", "n", "sum_cents", "avg_cents").collect()
+      .foreach { r =>
+        val n = r.getAs[Long]("n")
+        val sc = r.getAs[Long]("sum_cents")
+        require(r.getAs[Double]("avg_cents") == sc.toDouble / n.toDouble,
+          s"avg facade drifted from its components for ${r.get(0)}")
+      }
+    res.select(col("event_type"), col("n"), col("sum_cents"),
+        expr("sum_cents * 10000L div n").as("avg_scaled"))
       .orderBy("event_type")
   }
 
@@ -856,7 +745,7 @@ object StoreQueries {
     // machinery under test — widened int32/narrow-decimal page reads,
     // the metadata-only commit, the cross-generation merge — is all
     // still upstream of this projection, but the gate verdict no longer
-    // rides the decimal render seam (c36/c37 carry that question).
+    // rides the decimal render seam (c41/c47 carry that question).
     t.read
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice") * 100).cast("long").as("price_cents"))
@@ -927,8 +816,12 @@ object StoreQueries {
     joined
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
+        // string-rendered on both sides: a DECIMAL-typed compared
+        // column rides the driver's trailing-zero fetch seam (the
+        // c36–c44 post-mortem) whenever a segment's revenue happens to
+        // end in a zero — r12 was green here by luck of last digits
         sum(exactDecimal(col("o_totalprice"), col("o_orderkey"), 18, 2))
-          .as("revenue"))
+          .cast("string").as("revenue"))
       .orderBy("c_mktsegment")
   }
 
@@ -1008,7 +901,13 @@ object StoreQueries {
     Rollup.refresh(src, dst, Seq("event_type"), Seq("value"))
     require(Rollup.refresh(src, dst, Seq("event_type"), Seq("value")) == 0L,
       "refresh at head must fold zero versions")
-    dst.read.orderBy("event_type")
+    // string-render the maintained decimal sum for the compare (the
+    // c36–c44 post-mortem: DECIMAL-typed compared columns go red
+    // whenever a total's scale render ends in a trailing zero — this
+    // query carried 96099.1600 in its r9 ancestor)
+    dst.read.select(col("event_type"), col("n"),
+        col("sum_value").cast("string").as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** e22: IVF centroid RE-BALANCE — the index is built on the initial
@@ -1183,17 +1082,11 @@ object StoreQueries {
     "c30_incremental_rollup" -> (c30 _),
     "c33_mor_rollup" -> (c33 _),
     "c35_rollup_max" -> (c35 _),
-    "c36_decimal_canary" -> (c36 _),
-    "c37_store_roundtrip" -> (c37 _),
-    "c38_rollup_int" -> (c38 _),
-    "c39_promotion_int" -> (c39 _),
-    "c40_rollup_min" -> (c40 _),
     "c41_decimal_string" -> (c41 _),
-    "c42_decimal_sum_only" -> (c42 _),
-    "c43_decimal_filtered" -> (c43 _),
-    "c44_decimal_max_only" -> (c44 _),
     "c45_decimal_mor_guard" -> (c45 _),
     "c46_rollup_avg" -> (c46 _),
+    "c47_tz_probe_decimal" -> (c47 _),
+    "c48_tz_probe_string" -> (c48 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -1239,31 +1132,36 @@ object StoreQueries {
            CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
                 AS BIGINT) AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "c36_decimal_canary" ->
-      // derivation-only decimal canary: no store involved
+    "c47_tz_probe_decimal" ->
+      // DESIGNATED-RED mechanism probe: every aggregate's scale-4
+      // render ends in a trailing zero (fraction = (id%100)·100) and
+      // the result is compared AS DECIMAL — predicted driver-red per
+      // the r12 trailing-zero-normalization mechanism, local-green
+      // (check_oracle canonicalizes consistently; whitelisted there)
       """WITH base AS (SELECT event_type,
            CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                LPAD(CAST((event_id % 100) * 100 AS VARCHAR), 4, '0')
              AS DECIMAL(18,4)) AS v
            FROM events)
          SELECT event_type, count(*) AS n, sum(v) AS sum_value,
            max(v) AS max_value
          FROM base GROUP BY event_type ORDER BY event_type""",
-    "c37_store_roundtrip" ->
-      // same oracle as c36 by design: the delta between the two queries
-      // is ONLY the LakeTable round-trip + rollup rebuild write
+    "c48_tz_probe_string" ->
+      // the c47 values rendered to VARCHAR on both sides — predicted
+      // green; c47 red + c48 green confirms the mechanism
       """WITH base AS (SELECT event_type,
            CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                LPAD(CAST((event_id % 100) * 100 AS VARCHAR), 4, '0')
              AS DECIMAL(18,4)) AS v
            FROM events)
-         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
-           max(v) AS max_value
+         SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS VARCHAR) AS sum_value,
+           CAST(max(v) AS VARCHAR) AS max_value
          FROM base GROUP BY event_type ORDER BY event_type""",
     "c41_decimal_string" ->
-      // c36 with both decimal aggregates rendered to VARCHAR on both
-      // sides — green here + c36 red indicts the driver's hashing of
-      // DECIMAL-typed result columns
+      // the permanent decimal-render canary: exact derivation, both
+      // decimal aggregates rendered to VARCHAR on both sides (the
+      // post-mortem rule — never compare a DECIMAL-typed column)
       """WITH base AS (SELECT event_type,
            CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
                 LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
@@ -1272,45 +1170,6 @@ object StoreQueries {
          SELECT event_type, count(*) AS n,
            CAST(sum(v) AS VARCHAR) AS sum_value,
            CAST(max(v) AS VARCHAR) AS max_value
-         FROM base GROUP BY event_type ORDER BY event_type""",
-    "c42_decimal_sum_only" ->
-      // c36 without the max column — the exact r10-c30 compare surface
-      // with no store in the path
-      """WITH base AS (SELECT event_type,
-           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
-             AS DECIMAL(18,4)) AS v
-           FROM events)
-         SELECT event_type, count(*) AS n, sum(v) AS sum_value
-         FROM base GROUP BY event_type ORDER BY event_type""",
-    "c43_decimal_filtered" ->
-      // c36's aggregation over exactly c33's final visible multiset
-      // (ids <= 2q: %7 removed, %5 shifted +1.5000; ids > 2q intact),
-      // derivation-only — c33 is driver-green over this multiset
-      """WITH m AS (SELECT max(event_id) // 3 AS q FROM events),
-         base AS (SELECT event_type,
-           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
-             AS DECIMAL(18,4))
-           + CASE WHEN event_id <= 2 * (SELECT q FROM m)
-                       AND event_id % 5 = 0
-                  THEN CAST('1.5000' AS DECIMAL(18,4))
-                  ELSE CAST('0.0000' AS DECIMAL(18,4)) END AS v
-           FROM events
-           WHERE NOT (event_id <= 2 * (SELECT q FROM m)
-                      AND event_id % 7 = 0))
-         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
-           max(v) AS max_value
-         FROM base GROUP BY event_type ORDER BY event_type""",
-    "c44_decimal_max_only" ->
-      // c36 without the sum column — max keeps the input decimal(18,4)
-      // width, splitting narrow-decimal compare from the widened sum
-      """WITH base AS (SELECT event_type,
-           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST(event_id % 10000 AS VARCHAR), 4, '0')
-             AS DECIMAL(18,4)) AS v
-           FROM events)
-         SELECT event_type, count(*) AS n, max(v) AS max_value
          FROM base GROUP BY event_type ORDER BY event_type""",
     "c45_decimal_mor_guard" ->
       // the c33 MoR lifecycle maintaining ONLY a decimal measure
@@ -1329,59 +1188,21 @@ object StoreQueries {
                       AND event_id % 7 = 0))
          SELECT event_type, count(*) AS n,
            CAST(sum(cents) AS BIGINT) AS sum_dec_cents,
-           max(cents) AS max_dec_cents, min(cents) AS min_dec_cents
+           max(cents) AS max_dec_cents, min(cents) AS min_dec_cents,
+           CAST(sum(cents) AS BIGINT) * 10000 // count(*) AS avg_dec_scaled
          FROM base GROUP BY event_type ORDER BY event_type""",
-    "c38_rollup_int" ->
-      // the c30 lifecycle with a single integer measure — no decimal
-      // anywhere on either side
-      """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
-                AS BIGINT) AS sum_cents
-         FROM events GROUP BY event_type ORDER BY event_type""",
     "c46_rollup_avg" ->
-      // the c38 lifecycle read through the AVG facade: avg derived
-      // from the maintained exact n/sum pair, recomputed from scratch
-      // by the oracle as the same BIGINT-ratio double
+      // the append lifecycle read through the AVG facade: the compared
+      // avg is the exact BIGINT floor-division sum·10⁴ div n on both
+      // sides (a rounded-double avg compare can tie-break differently
+      // between Spark and DuckDB at .xxxx5 quotients — r12 ADVICE);
+      // the facade's double avg is runtime-asserted engine-side
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
                 AS BIGINT) AS sum_cents,
-           round(CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000
-                           + event_id % 10000) AS BIGINT)::DOUBLE
-                 / count(*)::DOUBLE, 4) AS avg_cents
+           CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
+                AS BIGINT) * 10000 // count(*) AS avg_scaled
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "c39_promotion_int" ->
-      // the c28 lifecycle, integer-only: evens are legacy int32 pages
-      // read widened, odds land post-promotion beyond int range, %5
-      // keys gain 750 cents across both generations; cents mod 10^9
-      // mirrors the Spark side's int32-safety bound
-      """WITH u AS (
-           SELECT CASE WHEN o_orderkey % 2 = 1
-                       THEN o_orderkey + 10000000000
-                       ELSE o_orderkey END AS o_orderkey,
-                  o_orderstatus,
-                  (CAST(FLOOR(o_totalprice) AS BIGINT) * 100
-                    + o_orderkey % 100) % 1000000000 AS cents
-           FROM orders)
-         SELECT o_orderkey, o_orderstatus,
-           CASE WHEN o_orderkey % 5 = 0 THEN cents + 750 ELSE cents END
-             AS price_cents
-         FROM u ORDER BY o_orderkey""",
-    "c40_rollup_min" ->
-      // c35 mirrored at the bottom: ids <= 2q with cents < 50.0000
-      // deleted (every min moves up), ids > 2q appended after (mins
-      // fold back down through least)
-      """WITH qq AS (SELECT max(event_id) // 3 AS q FROM events),
-         base AS (SELECT event_id, event_type,
-           CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000 AS cents
-           FROM events),
-         fin AS (
-           SELECT b.event_id, b.event_type, b.cents
-           FROM base b, qq
-           WHERE NOT (b.event_id <= 2 * qq.q AND b.cents < 500000))
-         SELECT event_type, count(*) AS n,
-           CAST(sum(cents) AS BIGINT) AS sum_cents,
-           max(cents) AS max_cents, min(cents) AS min_cents
-         FROM fin GROUP BY event_type ORDER BY event_type""",
     "c33_mor_rollup" ->
       // final visible state after the MoR generations: ids <= 2q with
       // %5 = 0 updated (+1.5), ids <= 2q with %7 = 0 deleted, ids > 2q
@@ -1399,7 +1220,8 @@ object StoreQueries {
                   THEN CAST(b.v + 1.5 AS DECIMAL(18,4)) ELSE b.v END AS v
            FROM base b, qq
            WHERE NOT (b.event_id <= 2 * qq.q AND b.event_id % 7 = 0))
-         SELECT event_type, count(*) AS n, sum(v) AS sum_value
+         SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS VARCHAR) AS sum_value
          FROM fin GROUP BY event_type ORDER BY event_type""",
     "c35_rollup_max" ->
       // final visible state: ids <= 2q whose derived cents > 300.0000
@@ -1424,9 +1246,9 @@ object StoreQueries {
       // choice) is runtime-asserted in the query and spec'd in
       // TableStatsSpec; the oracle proves the stats-planned join result
       """SELECT c_mktsegment, count(*) AS n,
-           sum(CAST(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || '.' ||
+           CAST(sum(CAST(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || '.' ||
                     LPAD(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-                AS DECIMAL(18,2))) AS revenue
+                AS DECIMAL(18,2))) AS VARCHAR) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "c31_bloom_point_lookup" ->

@@ -41,6 +41,10 @@ object HashKernels {
 
   /** Same, over `bytes[0, len)` — lets callers reuse a scratch buffer. */
   def md5PrefixLong(bytes: Array[Byte], len: Int, nHex: Int): Long = {
+    // nHex = 16 would shift into the sign bit and silently diverge from
+    // the documented conv(substring(md5,1,nHex),16,10) contract (the
+    // replaced Long.parseLong path threw instead) — fail loudly
+    require(nHex <= 15, s"md5PrefixLong supports nHex <= 15, got $nHex")
     val d = mdLocal.get()
     d.update(bytes, 0, len)
     val out = outLocal.get()

@@ -159,8 +159,16 @@ object Rollup {
       val touched = cachedBase.select(groupCols.map(col): _*)
       val exactAggs = maxCols.map(c => max(col(c)).as(s"max_$c")) ++
         minCols.map(c => min(col(c)).as(s"min_$c"))
-      val exactSrc = touchedPrunePredicate(groupCols, touched)
-        .map(src.readWhere).getOrElse(src.read)
+      // a tiny source (few manifest entries) skips the predicate
+      // entirely: pruning can't beat a full scan of a handful of
+      // files, and the distinct().collect() behind the predicate is a
+      // driver-side Spark action PER refresh — lifecycle-dense tables
+      // would pay it four or five times for zero skipped entries
+      val exactSrc =
+        if (src.currentSnapshot.forall(_.entries.size <= MinEntriesForTouchedPrune))
+          src.read
+        else touchedPrunePredicate(groupCols, touched)
+          .map(src.readWhere).getOrElse(src.read)
       val exact = exactSrc.join(broadcast(touched), groupCols)
         .groupBy(groupCols.map(col): _*)
         .agg(exactAggs.head, exactAggs.tail: _*)
@@ -195,6 +203,12 @@ object Rollup {
     * re-aggregation's pruning predicate; past this the IN-list bloats
     * plan/stats evaluation for little skipping benefit. */
   private[graft] val MaxInlineTouchedKeys = 10000
+
+  /** Sources at or below this many manifest entries skip the touched-
+    * keys pruning predicate (and its per-refresh collect action)
+    * entirely — scanning a handful of files costs less than the
+    * distinct().collect() that would decide what to skip. */
+  private[graft] val MinEntriesForTouchedPrune = 8
 
   /** Entry-pruning predicate for the MoR-extrema re-aggregation scan:
     * the distinct touched values of the FIRST group column, inlined as

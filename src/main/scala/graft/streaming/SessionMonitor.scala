@@ -96,6 +96,60 @@ object SessionMonitor {
       } else Iterator.empty
   }
 
+  case class ActivityCount(user_id: Long, n_total: Long)
+
+  /** TTL-EVICTED per-user activity counter — the state-TTL dimension
+    * of transformWithState, complementing the event-time timers above
+    * (Spark permits TTL state only under `TimeMode.ProcessingTime`, so
+    * it needs its own processor). The running count lives in a
+    * ValueState with `TTLConfig(ttl)`: every update refreshes the
+    * clock, and a user idle past the TTL has the state EVICTED by the
+    * store — the count restarts from zero on their return. This is the
+    * 100 TB-of-users state bound: without TTL (or an explicit timer
+    * sweep), every user that ever appeared holds store space forever;
+    * with it, state size tracks the ACTIVE key set. Processing-time
+    * TTL is wall-clock-dependent, so this path is deliberately NOT in
+    * the oracle surface — `SessionMonitorSpec`'s TTL battery pins the
+    * semantics (survives restart inside TTL, evicted past it,
+    * refreshed by updates). */
+  private class ActivityProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, SessionEvent, ActivityCount] {
+
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, TTLConfig(ttl))
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[ActivityCount] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val n = prev + rows.size
+      count.update(n)
+      Iterator.single(ActivityCount(userId, n))
+    }
+  }
+
+  /** Per-user cumulative event counts with TTL-bounded state (see
+    * [[ActivityProcessor]]); one output row per (user, micro-batch). */
+  def activityCounts(events: DataFrame, ttl: java.time.Duration): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new ActivityProcessor(ttl),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        Encoders.product[ActivityCount])
+      .toDF()
+  }
+
   /** Abandoned sessions of `events(event_id, ts, user_id, event_type)`.
     * Streaming input runs the timer-driven processor (append mode,
     * event-time); batch input computes the same set declaratively. */

@@ -116,4 +116,89 @@ class SessionMonitorSpec extends SparkSpec {
     streamed shouldBe batch
     streamed.map(_._1) shouldBe Seq(1L, 3L)
   }
+
+  // -----------------------------------------------------------------
+  // TTL/eviction battery (the state-TTL dimension of transformWithState
+  // — processing-time-based, hence spec-pinned rather than
+  // oracle-checked). Each scenario runs the stream MULTIPLE times over
+  // the SAME checkpoint with new source files between runs: state must
+  // survive the restart inside its TTL, be evicted past it, and have
+  // its clock refreshed by updates.
+  // -----------------------------------------------------------------
+
+  /** One single-batch pass of [[SessionMonitor.activityCounts]] over
+    * `src` resuming from `ckpt`; returns this run's (user, n) rows.
+    * Trigger.Once, NOT AvailableNow: a ProcessingTime-mode
+    * transformWithState keeps answering `shouldRunAnotherBatch = true`
+    * (each new batch timestamp may expire TTLs/timers), so AvailableNow
+    * never drains — it loops empty micro-batches forever. Once runs
+    * exactly one batch over everything new and stops. */
+  private def runTtl(src: String, ckpt: String, name: String,
+      ttl: java.time.Duration): Seq[(Long, Long)] = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    // foreachBatch, not the memory sink: only recoverable sinks may
+    // resume from a checkpoint, and resuming is the whole point here
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    try {
+      val q = SessionMonitor.activityCounts(
+        spark.readStream.schema(schema).parquet(src), ttl)
+        .writeStream.queryName(name)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    buf.synchronized(buf.toSeq.sorted)
+  }
+
+  test("TTL state survives a stream restart inside its TTL") {
+    val src = Files.createTempDirectory("sm-ttl-a-src").toString
+    val ckpt = Files.createTempDirectory("sm-ttl-a-ck").toString
+    val ttl = java.time.Duration.ofHours(1)
+    writeBatch(eventsDf((1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+    runTtl(src, ckpt, "ttl_a1", ttl) shouldBe Seq((1L, 1L))
+    writeBatch(eventsDf((2L, "2026-01-01 10:01:00", 1L, "view")), src, 2)
+    // same checkpoint: only the new file is processed and the count
+    // CONTINUES — the state outlived the restart
+    runTtl(src, ckpt, "ttl_a2", ttl) shouldBe Seq((1L, 2L))
+  }
+
+  test("idle state is EVICTED once the TTL passes: the count restarts from zero") {
+    val src = Files.createTempDirectory("sm-ttl-b-src").toString
+    val ckpt = Files.createTempDirectory("sm-ttl-b-ck").toString
+    val ttl = java.time.Duration.ofMillis(150)
+    writeBatch(eventsDf((1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+    runTtl(src, ckpt, "ttl_b1", ttl) shouldBe Seq((1L, 1L))
+    Thread.sleep(1000) // idle well past the TTL
+    writeBatch(eventsDf((2L, "2026-01-01 10:01:00", 1L, "view")), src, 2)
+    // the store evicted the expired value: the returning user is new
+    runTtl(src, ckpt, "ttl_b2", ttl) shouldBe Seq((1L, 1L))
+  }
+
+  test("an update inside the TTL refreshes the clock (sliding, not absolute, expiry)") {
+    val src = Files.createTempDirectory("sm-ttl-c-src").toString
+    val ckpt = Files.createTempDirectory("sm-ttl-c-ck").toString
+    val ttl = java.time.Duration.ofSeconds(4)
+    writeBatch(eventsDf((1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+    runTtl(src, ckpt, "ttl_c1", ttl) shouldBe Seq((1L, 1L))
+    Thread.sleep(2500)
+    writeBatch(eventsDf((2L, "2026-01-01 10:01:00", 1L, "view")), src, 2)
+    // 2.5 s elapsed < 4 s TTL: alive, and the update re-arms the clock
+    runTtl(src, ckpt, "ttl_c2", ttl) shouldBe Seq((1L, 2L))
+    Thread.sleep(2500)
+    writeBatch(eventsDf((3L, "2026-01-01 10:02:00", 1L, "view")), src, 3)
+    // 5 s since the FIRST write but 2.5 s since the refresh: an
+    // absolute-expiry implementation would have evicted (n back to 1);
+    // sliding TTL keeps the count going
+    runTtl(src, ckpt, "ttl_c3", ttl) shouldBe Seq((1L, 3L))
+  }
 }
