@@ -338,6 +338,10 @@ object LlmQueries {
     // training, run as two explodes + one key agg (tokens staged as a
     // column first so the bigram lambda reads an attribute)
     val toks = table(s, dir, "documents")
+      // same single-row-group straggler shape as d04: the tokenize +
+      // double-explode all run inside the scan stage, so spread the
+      // text round-robin first (see the d04 comment)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("__toks", tokens(col("text")))
       .select(explode(col("__toks")).as("t"))
       .filter(length(col("t")) >= 2)
@@ -698,7 +702,10 @@ object LlmQueries {
     // re-derives every bit from the closed-form fixture raster
     Multimodal
       .perceptualHash(Multimodal.encodePng(
-        table(s, dir, "documents").select(col("doc_id")),
+        table(s, dir, "documents").select(col("doc_id"))
+          // the PNG encode+decode is per-row CPU inside the scan stage
+          // of a one-row-group parquet — spread it like d04/d36
+          .repartition(s.sparkContext.defaultParallelism),
         "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)))
       .groupBy("phash")
       .agg(count(lit(1)).as("n"),
