@@ -73,9 +73,12 @@ def fetch_rows(rel):
 # data-dependently (r12 verdict: 9/9 red rows carried a trailing-zero
 # render, every green one did not). The surface rule is therefore:
 # never expose a DECIMAL-typed column to the compare - render it to
-# VARCHAR on both sides or derive an exact integer. The one sanctioned
-# exception is the designated trailing-zero mechanism probe.
-DECIMAL_OUTPUT_OK = {"c47_tz_probe_decimal"}
+# VARCHAR on both sides or derive an exact integer. The c47/c48 probe
+# pair CONFIRMED the mechanism in the r13 driver gate (c47 red on hash
+# only, c48 green over identical values, exactly as pre-registered) and
+# was retired in r14; this guard is the permanent rule. The whitelist
+# stays (empty) so a future sanctioned probe has a door.
+DECIMAL_OUTPUT_OK = set()
 
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
@@ -90,9 +93,19 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     try:
-        exp_cols, exp_rows, _ = fetch_rows(con.sql(sql))
+        exp_cols, exp_rows, exp_dec = fetch_rows(con.sql(sql))
     except Exception as e:
         print(f"ORACLE ERROR    {name}: {e}")
+        fail += 1
+        continue
+    if exp_dec and name not in DECIMAL_OUTPUT_OK:
+        # symmetric guard (r13 ADVICE): an oracle SQL yielding DECIMAL
+        # while the engine writes VARCHAR renders identically here yet
+        # still rides the driver's oracle-side DECIMAL-fetch seam
+        print(f"DECIMAL ORACLE  {name}: oracle column(s) {exp_dec} are "
+              f"DECIMAL-typed - the driver's oracle-side fetch rides the "
+              f"trailing-zero normalization seam; CAST to VARCHAR or "
+              f"derive an exact integer in the oracle SQL too")
         fail += 1
         continue
     try:

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.store.LakeCatalog
+import graft.store.{LakeCatalog, StoreTiming}
 
 /** Phase-level profiler for the table-store commit path:
   * `runMain graft.CommitProbe [sfDir] [iters]` replays the c07
@@ -31,6 +31,7 @@ object CommitProbe {
     }
 
     val base = SparkEntry.table(spark, sfDir, "orders")
+    StoreTiming.enable()
 
     (1 to iters).foreach { it =>
       println(s"== c07 shape (partitioned COW), iter $it ==")
@@ -71,6 +72,53 @@ object CommitProbe {
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
         .write.format("noop").mode("overwrite").save())
+
+      // The bench-top-5 shape (s18/c45/c33/c35): MANY SEQUENTIAL TINY
+      // commits to one unpartitioned table — per-commit machinery, not
+      // data volume, dominates these. 12 small appends + 2 MoR ops.
+      println(s"== lifecycle shape (13 tiny sequential commits), iter $it ==")
+      val wh3 = s"${sys.props("java.io.tmpdir")}/graft_cprobe_l$it"
+      val cat3 = new LakeCatalog(spark, wh3)
+      cat3.createDatabase("lake")
+      val tl = cat3.table("lake.orders_lifecycle")
+      val tiny = base.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      time("createOrReplace")(
+        tl.createOrReplace(tiny.filter(col("o_orderkey") % 12 === 0)))
+      time("12 tiny appends")((1 to 11).foreach(i =>
+        tl.append(tiny.filter(col("o_orderkey") % 12 === i))))
+      time("mergeIntoMoR")(tl.mergeIntoMoR(
+        tiny.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderstatus", lit("Z")), Seq("o_orderkey")))
+      time("deleteWhereMoR")(tl.deleteWhereExistsMoR(
+        tiny.filter(col("o_orderkey") % 103 === 0), Seq("o_orderkey")))
+      time("read+order")(tl.read
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .write.format("noop").mode("overwrite").save())
+    }
+
+    // floor isolation: the same TINY cached batch appended through the
+    // store vs written raw by Spark — the delta is the store's per-
+    // commit overhead, the raw number is the Spark-job floor no store
+    // change can shave
+    println("== tiny-append floor (1k cached rows, 10 reps) ==")
+    val tinyDf = base.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .limit(1000).cache()
+    tinyDf.count()
+    val whF = s"${sys.props("java.io.tmpdir")}/graft_cprobe_f"
+    val catF = new LakeCatalog(spark, whF)
+    catF.createDatabase("lake")
+    val tf = catF.table("lake.floor_probe")
+    tf.createOrReplace(tinyDf)
+    time("10 store appends")((1 to 10).foreach(_ => tf.append(tinyDf)))
+    time("10 raw spark writes")((1 to 10).foreach(i =>
+      tinyDf.write.mode("overwrite").parquet(s"$whF/raw_$i")))
+
+    // phase attribution across ALL iterations (commit.build-entries
+    // CONTAINS the data.* phases it triggers — read as a tree)
+    println("== StoreTiming phase report (all iters) ==")
+    StoreTiming.report().foreach { case (phase, n, sec) =>
+      println(f"  PHASE $phase%-24s calls=$n%-5d total=$sec%8.2f s  avg=${sec / n * 1000}%7.1f ms")
     }
     spark.stop()
   }

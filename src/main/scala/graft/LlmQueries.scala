@@ -394,15 +394,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  private def d35(s: SparkSession, dir: String): DataFrame = {
-    // the full training-data manifest — every curation stage composed in
-    // one plan: exact dedup → quality + language gate → eval-split
-    // decontamination → per-source cap → sequence packing. Each stage is
-    // the already-verified operator; the composition is what a real
-    // pipeline ships, and Catalyst fuses the stages into one DAG (no
-    // materialization between them except the contamination stage's
-    // released caches).
-    val docs = documents(s, dir)
+  private def d35(s: SparkSession, dir: String): DataFrame =
+    trainingManifest(documents(s, dir))
+
+  /** The full training-data manifest over an arbitrary documents-shaped
+    * corpus — every curation stage composed in one plan: exact dedup →
+    * quality + language gate → eval-split decontamination → per-source
+    * cap → sequence packing. Each stage is the already-verified
+    * operator; the composition is what a real pipeline ships, and
+    * Catalyst fuses the stages into one DAG (no materialization between
+    * them except the contamination stage's released caches). Exposed so
+    * ScaleProbe can drive the identical shapes at 1×/10×/100× corpus. */
+  private[graft] def trainingManifest(docs: DataFrame): DataFrame = {
     val flagged = Dedup.crossSplitContamination(
       docs.filter(col("doc_id") % 10 === 0),
       docs.filter(col("doc_id") % 10 =!= 0),

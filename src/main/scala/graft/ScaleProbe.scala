@@ -15,11 +15,48 @@ import graft.operators.Dedup
   * carry ids/hashes (not text), and wall-clock grows ~linearly in the
   * corpus. `runMain graft.ScaleProbe [sfDir] [mult]`. */
 object ScaleProbe {
+
+  /** Three-point decade ladder on the d35 flagship (the full
+    * training-manifest composition): 1× / 10× / 100× the sf corpus,
+    * same replica construction as the main probe. Two points (1×/10×)
+    * can hide a superlinear term that only bends at the next decade;
+    * the printed ratios make the curvature visible —
+    * `runMain graft.ScaleProbe <sfDir> flagship`. */
+  private def flagshipLadder(spark: SparkSession, sfDir: String): Unit = {
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    def replica(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", s"$$1q${i}x")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val walls = Seq(1, 10, 100).map { mult =>
+      val corpus = (0 until mult).map(replica).reduce(_ unionByName _)
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = corpus.count()
+      val t0 = System.nanoTime()
+      val rows = LlmQueries.trainingManifest(corpus).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE d35_manifest x$mult%-4d $wall%8.2f s  ($docs docs -> $rows rows)")
+      corpus.unpersist()
+      mult -> wall
+    }
+    walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>
+      println(f"PROBE d35 ratio x$m0->x$m1: wall ${w1 / w0}%.2f for ${m1 / m0}x data")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val spark = GraftSession.builder(appName = "graft-scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.drop(1).headOption.contains("flagship")) {
+      flagshipLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val par = spark.sparkContext.defaultParallelism
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")

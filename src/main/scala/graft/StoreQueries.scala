@@ -506,9 +506,13 @@ object StoreQueries {
   // compare — render it to VARCHAR on both sides (fixed-scale decimal
   // → string is identical in Spark and DuckDB) or derive an exact
   // integer. check_oracle.py enforces this (decimal-output guard).
-  // What survives the ladder: c41 (permanent string-rendered canary),
-  // c45 (integer-derived decimal-MoR guard), and the c47/c48 probe
-  // pair that confirms/falsifies the trailing-zero mechanism.
+  // What survives the ladder: c41 (permanent string-rendered canary)
+  // and c45 (integer-derived decimal-MoR guard). The c47/c48 probe
+  // pair that confirmed the mechanism (r13 driver gate: c47 red on
+  // hash only, c48 green over the identical values — exactly as
+  // pre-registered) was retired in r14; the mechanical rule in
+  // check_oracle.py (hard-fail any DECIMAL-typed compared column on
+  // EITHER side) is the permanent guard.
   // -------------------------------------------------------------------
 
   /** c41: PERMANENT DECIMAL-RENDER CANARY — exactDecimal over events,
@@ -521,52 +525,6 @@ object StoreQueries {
     table(s, dir, "events")
       .select(col("event_type"),
         exactDecimal(col("value"), col("event_id"), 18, 4).as("value"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum("value").cast("string").as("sum_value"),
-        max("value").cast("string").as("max_value"))
-      .orderBy("event_type")
-
-  /** Decimal whose fixed-scale render ALWAYS ends in a trailing zero:
-    * fraction digits are (key % 100) · 100, i.e. multiples of 0.0100
-    * at scale 4, so every value — and every sum/max of such values —
-    * renders with "00" in its last two fraction places. Exact on both
-    * engines (integer-derived through a string, like exactDecimal). */
-  private def trailingZeroDecimal(d: org.apache.spark.sql.Column,
-      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(floor(d).cast("string"), lit("."),
-      lpad(((key % 100) * 100).cast("string"), 4, "0"))
-      .cast("decimal(18,4)")
-
-  /** c47: TRAILING-ZERO MECHANISM PROBE — the one DESIGNATED RED in
-    * the driver gate. Every aggregate here is ENGINEERED so its scale-4
-    * render ends in a trailing zero (see [[trailingZeroDecimal]]), and
-    * the result is compared AS DECIMAL. Per the r12 verdict's
-    * mechanism (one driver-compare side normalizes trailing fractional
-    * zeros on DECIMAL fetch), this probe is PREDICTED DRIVER-RED while
-    * its string-rendered twin c48 over the identical values is
-    * PREDICTED GREEN — one driver run confirms or falsifies the
-    * trailing-zero mechanism. Local check_oracle.py canonicalizes both
-    * sides consistently, so the probe is local-green by design; it is
-    * whitelisted in that script's decimal-output guard. */
-  private def c47(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .select(col("event_type"),
-        trailingZeroDecimal(col("value"), col("event_id")).as("value"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
-        max("value").as("max_value"))
-      .orderBy("event_type")
-
-  /** c48: the c47 values with both aggregates rendered to VARCHAR on
-    * both sides — the control half of the mechanism probe, predicted
-    * GREEN everywhere. c47 red + c48 green confirms the trailing-zero
-    * DECIMAL-fetch normalization; c47 green would falsify it (and
-    * retire the probe pair next round). */
-  private def c48(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .select(col("event_type"),
-        trailingZeroDecimal(col("value"), col("event_id")).as("value"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum("value").cast("string").as("sum_value"),
@@ -745,7 +703,7 @@ object StoreQueries {
     // machinery under test — widened int32/narrow-decimal page reads,
     // the metadata-only commit, the cross-generation merge — is all
     // still upstream of this projection, but the gate verdict no longer
-    // rides the decimal render seam (c41/c47 carry that question).
+    // rides the decimal render seam (c41 carries that question).
     t.read
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice") * 100).cast("long").as("price_cents"))
@@ -1085,8 +1043,6 @@ object StoreQueries {
     "c41_decimal_string" -> (c41 _),
     "c45_decimal_mor_guard" -> (c45 _),
     "c46_rollup_avg" -> (c46 _),
-    "c47_tz_probe_decimal" -> (c47 _),
-    "c48_tz_probe_string" -> (c48 _),
     "c26_migration" -> (c26 _),
     "c24_changelog" -> (c24 _),
     "c23_rollback" -> (c23 _),
@@ -1132,32 +1088,6 @@ object StoreQueries {
            CAST(sum(CAST(FLOOR(value) AS BIGINT) * 10000 + event_id % 10000)
                 AS BIGINT) AS sum_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "c47_tz_probe_decimal" ->
-      // DESIGNATED-RED mechanism probe: every aggregate's scale-4
-      // render ends in a trailing zero (fraction = (id%100)·100) and
-      // the result is compared AS DECIMAL — predicted driver-red per
-      // the r12 trailing-zero-normalization mechanism, local-green
-      // (check_oracle canonicalizes consistently; whitelisted there)
-      """WITH base AS (SELECT event_type,
-           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST((event_id % 100) * 100 AS VARCHAR), 4, '0')
-             AS DECIMAL(18,4)) AS v
-           FROM events)
-         SELECT event_type, count(*) AS n, sum(v) AS sum_value,
-           max(v) AS max_value
-         FROM base GROUP BY event_type ORDER BY event_type""",
-    "c48_tz_probe_string" ->
-      // the c47 values rendered to VARCHAR on both sides — predicted
-      // green; c47 red + c48 green confirms the mechanism
-      """WITH base AS (SELECT event_type,
-           CAST(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '.' ||
-                LPAD(CAST((event_id % 100) * 100 AS VARCHAR), 4, '0')
-             AS DECIMAL(18,4)) AS v
-           FROM events)
-         SELECT event_type, count(*) AS n,
-           CAST(sum(v) AS VARCHAR) AS sum_value,
-           CAST(max(v) AS VARCHAR) AS max_value
-         FROM base GROUP BY event_type ORDER BY event_type""",
     "c41_decimal_string" ->
       // the permanent decimal-render canary: exact derivation, both
       // decimal aggregates rendered to VARCHAR on both sides (the

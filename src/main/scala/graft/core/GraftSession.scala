@@ -43,6 +43,18 @@ object GraftSession {
       // custom Catalyst surface (native expressions, e.g. graft_rolling_hash)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Per-commit committer tax (r14 CommitProbe: lifecycle-dense store
+      // queries are bounded by the ~110 ms Spark-job floor of each tiny
+      // write, not by manifest machinery). v2 commits task output
+      // straight to the destination dir — atomic-visibility is NOT lost,
+      // because every table commit writes to a fresh UUID dir that stays
+      // invisible until the snapshot claim references it (a failed job
+      // leaves an unreferenced dir for remove_orphan_files). _SUCCESS
+      // markers are skipped for the same reason: readers and the
+      // footer-stats harvest filter on *.parquet, the marker is one
+      // wasted fs op per commit.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (excludeSimplifyCasts)
       b.config(
         "spark.sql.optimizer.excludedRules",

@@ -101,7 +101,13 @@ object Rollup {
   def refresh(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
       sumCols: Seq[String], maxCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil): Long = {
-    val srcV = src.currentSnapshot.get.version
+    // capture the snapshot ONCE: the version check and the tiny-source
+    // heuristic below must observe the same snapshot (a concurrent
+    // commit between two currentSnapshot reads could diverge them), and
+    // one metadata read per refresh is all a lifecycle-dense table
+    // should pay
+    val srcSnap = src.currentSnapshot.get
+    val srcV = srcSnap.version
     if (!dst.exists) {
       rebuild(src, dst, groupCols, sumCols, maxCols, minCols); return srcV
     }
@@ -165,7 +171,7 @@ object Rollup {
       // driver-side Spark action PER refresh — lifecycle-dense tables
       // would pay it four or five times for zero skipped entries
       val exactSrc =
-        if (src.currentSnapshot.forall(_.entries.size <= MinEntriesForTouchedPrune))
+        if (srcSnap.entries.size <= MinEntriesForTouchedPrune)
           src.read
         else touchedPrunePredicate(groupCols, touched)
           .map(src.readWhere).getOrElse(src.read)

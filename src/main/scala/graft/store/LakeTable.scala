@@ -386,7 +386,7 @@ class LakeTable(
     val pc = n.putArray("partitionCols"); s.partitionCols.foreach(pc.add)
     // entries live in immutable segment files; the snapshot stores refs
     val segArr = n.putArray("segments")
-    segmentLayout(s, reuseRefs).foreach { r =>
+    StoreTiming.time("meta.segment-layout")(segmentLayout(s, reuseRefs)).foreach { r =>
       val o = segArr.addObject(); o.put("file", r.file); o.put("count", r.count); ()
     }
     // outstanding MoR delete files stay inline: their count is bounded
@@ -400,19 +400,21 @@ class LakeTable(
     val sum = n.putObject("summary"); s.summary.foreach { case (k, v) => sum.put(k, v) }
 
     val target = new Path(metaDir, f"v${s.version}%05d.json")
-    fs.mkdirs(metaDir)
-    // Commit point: fully write a hidden temp file, then atomically claim
-    // the version file — readers never observe partial metadata (the temp
-    // name is filtered by VersionFileRe) and exactly one writer wins each
-    // version — the same protocol as Iceberg's HadoopTableOperations.
-    val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
-    finally out.close()
-    val claimed = claimFile(tmp, target)
-    fs.delete(tmp, false)
-    if (!claimed)
-      throw new CommitConflictException(s"concurrent commit on $name v${s.version}", null)
+    StoreTiming.time("meta.snapshot-io") {
+      fs.mkdirs(metaDir)
+      // Commit point: fully write a hidden temp file, then atomically claim
+      // the version file — readers never observe partial metadata (the temp
+      // name is filtered by VersionFileRe) and exactly one writer wins each
+      // version — the same protocol as Iceberg's HadoopTableOperations.
+      val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(Mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+      finally out.close()
+      val claimed = claimFile(tmp, target)
+      fs.delete(tmp, false)
+      if (!claimed)
+        throw new CommitConflictException(s"concurrent commit on $name v${s.version}", null)
+    }
   }
 
   /** Atomic no-overwrite claim of `target` from a fully-written `tmp`.
@@ -474,7 +476,8 @@ class LakeTable(
                 s"v${parent.map(_.version).getOrElse(0L)} — a concurrent " +
                 "commit may have changed rows this rewrite read", null)
         }
-        val (sch, pcols, entries, props, summary) = buildEntries(parent)
+        val (sch, pcols, entries, props, summary) =
+          StoreTiming.time("commit.build-entries")(buildEntries(parent))
         // versions are STRICTLY CONTIGUOUS (parent+1, never floored):
         // the claim-file protocol serializes writers only when every
         // commit targets the head's immediate successor — a version gap
@@ -583,10 +586,12 @@ class LakeTable(
         // the key order inside each leaf file survives; a bare
         // sort(sortCols) would be re-sorted by the writer
         distributed.sortWithinPartitions(partitionCols.map(col) ++ sortExprs: _*)
-    val writer = out.write.mode("errorifexists")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(abs)
-    val entries =
+    StoreTiming.time("data.parquet-write") {
+      val writer = out.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(abs)
+    }
+    val entries = StoreTiming.time("data.footer-stats") {
       if (partitionCols.isEmpty)
         Seq(ManifestEntry(dir, None, footerStats(new Path(abs), df.schema), StampAtCommit))
       else {
@@ -601,10 +606,12 @@ class LakeTable(
               footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))),
           Duration.Inf)
       }
+    }
     val bloomCols = bloomColumnsFor(df.schema, partitionCols, props)
     if (bloomCols.isEmpty) (dir, entries)
     else {
-      val written = writeBloomSidecars(dir, abs, bloomCols, props)
+      val written = StoreTiming.time("data.bloom-sidecars")(
+        writeBloomSidecars(dir, abs, bloomCols, props))
       (dir, entries.map(e =>
         if (written(e.partition.getOrElse(""))) e.copy(blooms = bloomCols) else e))
     }
@@ -1762,7 +1769,22 @@ class LakeTable(
         s.partitionCols.forall(c => keys.contains(c) && source.columns.contains(c))
     }
     val (affected, untouched, mode) =
-      if (soundLayoutPrune) {
+      if (isTinyRewrite(s)) {
+        // TINY-TABLE SHORT-CIRCUIT (r14, the Rollup.refresh prune-skip
+        // pattern): every prune tier below pays at least one driver-side
+        // Spark action just to DECIDE what to skip (tier 1 collects the
+        // source's distinct layout values, tier 2 min/max-aggregates its
+        // key ranges, stage 2 runs a matches scan) — on a handful of
+        // entries holding a few MB the decision costs more than
+        // rewriting them all. Lifecycle-dense tables (rollup dsts,
+        // watermark ledgers) pay those probe actions on EVERY
+        // micro-batch merge. Entry count alone is NOT a safe gate — a
+        // compacted 100 TB table also has few entries after
+        // rewriteDataFiles collapses the manifest — so the gate also
+        // size-probes the candidate dirs driver-side (≤ a handful of
+        // fs listings, still far cheaper than one Spark action).
+        (s.entries, Seq.empty[ManifestEntry], "tiny")
+      } else if (soundLayoutPrune) {
         // tier 1: prune by the source's layout values
         val pruneSource = bucketSpec(s) match {
           case Some(spec) => withDerivedBucket(source, spec)
@@ -1872,6 +1894,30 @@ class LakeTable(
           "prune-mode" -> mode,
           "rewritten-entries" -> affected.size.toString,
           "untouched-entries" -> untouched.size.toString)))
+  }
+
+  /** Whether the whole table is small enough that a matching rewrite
+    * should skip the prune dispatch: few manifest entries AND their
+    * data dirs total at most the `rewrite.tiny.max-bytes` table
+    * property (default [[LakeTable.TinyRewriteMaxBytes]]; 0 disables
+    * the short-circuit — the prune-contract specs pin the at-scale
+    * dispatch through it). The byte probe is driver-side metadata (one
+    * listStatus per entry dir, bounded by the entry cap); an
+    * unlistable dir disqualifies — unknown size must never be treated
+    * as tiny. */
+  private def isTinyRewrite(s: Snapshot): Boolean = {
+    val cap = s.properties.get(LakeTable.TinyRewriteMaxBytesProp)
+      .map(_.toLong).getOrElse(LakeTable.TinyRewriteMaxBytes)
+    cap > 0L && s.entries.size <= LakeTable.MinEntriesForRewritePrune && {
+      var total = 0L
+      s.entries.forall { e =>
+        try {
+          total += fs.listStatus(new Path(e.dataPath(location)))
+            .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+          total <= cap
+        } catch { case _: java.io.IOException => false }
+      }
+    }
   }
 
   /** Cast `c` to `to` only when the batch's type differs beyond
@@ -2700,6 +2746,22 @@ object LakeTable {
     * [[LakeTable.commit]] replaces it with the commit's stamp from the
     * monotonic `lastSequenceNumber` counter. */
   private val StampAtCommit = -1L
+
+  /** Tables at or below this many manifest entries are CANDIDATES for
+    * skipping the rewrite prune dispatch (and its per-merge driver-side
+    * probe actions) — deciding what to skip among a handful of entries
+    * costs more than rewriting them all. The merge sibling of
+    * [[graft.operators.Rollup.MinEntriesForTouchedPrune]]. Guarded by a
+    * size probe ([[LakeTable.TinyRewriteMaxBytes]]): entry count alone
+    * would misclassify a compacted huge table. */
+  private[graft] val MinEntriesForRewritePrune = 8
+
+  /** Data-size ceiling for the tiny-rewrite short-circuit: rewriting
+    * this much outright costs about what one prune probe action does.
+    * Per-table override: the [[TinyRewriteMaxBytesProp]] property
+    * (`"0"` disables the short-circuit entirely). */
+  private[graft] val TinyRewriteMaxBytes = 64L << 20
+  private[graft] val TinyRewriteMaxBytesProp = "rewrite.tiny.max-bytes"
 
   /** Superseded `tags-v<n>.json` generations kept on each successful
     * claim. Sized so a reader's bounded re-list retries cannot be

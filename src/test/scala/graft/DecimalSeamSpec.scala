@@ -70,39 +70,13 @@ class DecimalSeamSpec extends SparkSpec {
     }
   }
 
-  test("c47/c48 probe pair: engineered trailing zeros, identical values") {
-    // the c47 mechanism probe only probes while EVERY compared decimal
-    // renders with a trailing fractional zero (fraction digits are
-    // multiples of 0.0100 at scale 4, closed under sum and max) — if a
-    // testdata or derivation change broke that property the probe would
-    // silently stop exercising the driver's trailing-zero DECIMAL-fetch
-    // normalization; and c48 is only a control while it renders the
-    // SAME values as strings
-    val sfDir = "/root/testdata/sf0.001"
-    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)),
-      s"probe test data '$sfDir' not present on this machine")
-    val dec = SparkEntry.queries("c47_tz_probe_decimal")(spark, sfDir)
-      .collect()
-    assert(dec.nonEmpty)
-    dec.foreach { r =>
-      Seq("sum_value", "max_value").foreach { c =>
-        val rendered = r.getAs[JBigDecimal](c).toPlainString
-        assert(rendered.matches(""".*\.\d\d00"""),
-          s"c47 $c for ${r.get(0)} renders '$rendered' — no trailing " +
-            "zero, the mechanism probe is no longer probing")
-      }
-    }
-    val str = SparkEntry.queries("c48_tz_probe_string")(spark, sfDir)
-      .collect()
-    assert(str.length == dec.length)
-    dec.zip(str).foreach { case (d, s) =>
-      assert(d.get(0) == s.get(0) && d.getAs[Long]("n") == s.getAs[Long]("n"))
-      Seq("sum_value", "max_value").foreach { c =>
-        assert(s.getAs[String](c) == d.getAs[JBigDecimal](c).toPlainString,
-          s"c48 $c is not the string render of c47's value for ${d.get(0)}")
-      }
-    }
-  }
+  // The c47/c48 trailing-zero mechanism probe pair and its property
+  // test were retired in r14 after the r13 driver gate delivered the
+  // pre-registered prediction exactly (c47 red on hash only, c48 green
+  // over the identical values). The confirmed mechanism — one driver-
+  // compare side normalizes trailing fractional zeros on DECIMAL
+  // fetch — is permanently fenced by scripts/check_oracle.py, which
+  // hard-fails any DECIMAL-typed compared column on either side.
 
   test("no oracle SQL casts a bare column straight to DECIMAL") {
     val bare = "(?i)CAST\\s*\\(\\s*[A-Za-z_][A-Za-z0-9_.]*\\s+AS\\s+DECIMAL".r

@@ -100,6 +100,11 @@ class IvfIndexSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     IvfIndex.append(cat, "lake", "ann", drift)
     val cells = cat.table("lake.ann_cells")
+    // this test pins rebalance's AT-SCALE file-stability contract (only
+    // entries holding moved keys are rewritten); disable the tiny-table
+    // rewrite short-circuit a 31-vector fixture would otherwise take
+    cells.setProperties(
+      Map(graft.store.LakeTable.TinyRewriteMaxBytesProp -> "0"))
     cells.read.filter($"vec_id" === 10L).select("cell").head().getString(0) shouldBe "1"
     val cellAEntries = cells.currentSnapshot.get.entries
       .filter(_.partition.contains("cell=0")).map(_.dir).toSet

@@ -83,13 +83,34 @@ class LakeTableSpec extends SparkSpec {
 
   test("mergeInto: source rows win, unmatched inserted, rest survive") {
     val t = freshCatalog().table("db.t")
-    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    // pin the at-scale prune dispatch: disable the tiny-table rewrite
+    // short-circuit that would otherwise skip it on a 3-row fixture
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))),
+      tableProperties = Map(LakeTable.TinyRewriteMaxBytesProp -> "0"))
     t.mergeInto(df(Seq((2L, "B", 20.0), (4L, "d", 4.0))), Seq("id"))
     val out = t.read.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     out shouldBe Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
     // unpartitioned ⇒ the zero-extra-scan key-range tier (no layout a
     // matched row could move across, so no matches scan is needed)
     t.currentSnapshot.get.summary("prune-mode") shouldBe "key-range"
+  }
+
+  test("tiny-table rewrites skip the prune dispatch, stay correct, and the gate is size-bounded") {
+    val t = freshCatalog().table("db.tiny")
+    t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    t.mergeInto(df(Seq((2L, "B", 20.0), (4L, "d", 4.0))), Seq("id"))
+    // default gate: few entries + few bytes ⇒ no prune probe actions
+    t.currentSnapshot.get.summary("prune-mode") shouldBe "tiny"
+    t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+    // the gate is BYTE-bounded, not just entry-count-bounded: a table
+    // whose few entries exceed the cap (forced tiny cap here — the
+    // compacted-100 TB-table shape) must take the real dispatch
+    t.setProperties(Map(LakeTable.TinyRewriteMaxBytesProp -> "1"))
+    t.deleteWhereExists(df(Seq((4L, "x", 0.0))).select("id"), Seq("id"))
+    t.currentSnapshot.get.summary("prune-mode") should not be "tiny"
+    t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
   }
 
   test("deleteWhereExists removes matching keys only") {
@@ -111,7 +132,8 @@ class LakeTableSpec extends SparkSpec {
     val t = freshCatalog().table("db.p")
     val base = Seq((1L, "2020-01-01", 1.0), (2L, "2020-01-02", 2.0),
       (3L, "2020-01-03", 3.0)).toDF("id", "day", "v")
-    t.createOrReplace(base, partitionBy = Seq("day"))
+    t.createOrReplace(base, partitionBy = Seq("day"),
+      tableProperties = Map(LakeTable.TinyRewriteMaxBytesProp -> "0"))
     val v1 = t.currentSnapshot.get
     v1.entries.size shouldBe 3
 
@@ -137,7 +159,8 @@ class LakeTableSpec extends SparkSpec {
     // matches scan must find and rewrite it.
     val t = freshCatalog().table("db.mv")
     t.createOrReplace(Seq((1L, "eu", 1.0), (2L, "us", 2.0))
-      .toDF("id", "region", "v"), partitionBy = Seq("region"))
+      .toDF("id", "region", "v"), partitionBy = Seq("region"),
+      tableProperties = Map(LakeTable.TinyRewriteMaxBytesProp -> "0"))
     t.mergeInto(Seq((1L, "us", 9.0)).toDF("id", "region", "v"), Seq("id"))
     val rows = t.read.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
@@ -189,7 +212,8 @@ class LakeTableSpec extends SparkSpec {
     import spark.implicits._
     val t = freshCatalog().table("db.pd")
     t.createOrReplace(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp"),
-      partitionBy = Seq("grp"))
+      partitionBy = Seq("grp"),
+      tableProperties = Map(LakeTable.TinyRewriteMaxBytesProp -> "0"))
     t.deleteWhereExists(Seq((3L, "a")).toDF("id", "grp"), Seq("id"))
     val v = t.currentSnapshot.get
     v.summary("rewritten-entries") shouldBe "1"

@@ -20,7 +20,12 @@ class StatsPruningSpec extends SparkSpec {
   /** 3 appends with disjoint id ranges — the append-ordered layout a
     * time/key-correlated ingest naturally produces. */
   private def build3(t: LakeTable) = {
-    t.createOrReplace((0L until 100L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"))
+    // these specs pin the AT-SCALE prune dispatch; disable the
+    // tiny-table rewrite short-circuit that would otherwise skip it
+    // on a 300-row fixture (r14, LakeTable.TinyRewriteMaxBytesProp)
+    t.createOrReplace(
+      (0L until 100L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"),
+      tableProperties = Map(LakeTable.TinyRewriteMaxBytesProp -> "0"))
     t.append((100L until 200L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"))
     t.append((200L until 300L).map(i => (i, s"r$i", i * 1.5)).toDF("id", "s", "v"))
     t

@@ -187,18 +187,42 @@ class SessionMonitorSpec extends SparkSpec {
   test("an update inside the TTL refreshes the clock (sliding, not absolute, expiry)") {
     val src = Files.createTempDirectory("sm-ttl-c-src").toString
     val ckpt = Files.createTempDirectory("sm-ttl-c-ck").toString
-    val ttl = java.time.Duration.ofSeconds(4)
+    // margins (r14, was 4 s TTL / 2.5 s sleeps): each restart pays a
+    // parquet write + full streaming-query start + RocksDB checkpoint
+    // restore, which on a loaded host could eat the old ~1.5 s slack
+    // and evict state that the test asserts alive. 10 s TTL with 6 s
+    // sleeps keeps the sliding-vs-absolute discrimination (6+6 > 10,
+    // so an absolute clock is guaranteed expired at the third batch —
+    // overhead only widens that gap) while leaving ~4 s of restart
+    // slack per hop; a pathologically slow hop CANCELS instead of
+    // failing, because the property is unobservable once the hop
+    // itself outlived the TTL.
+    val ttl = java.time.Duration.ofSeconds(10)
+    def hopWithinTtl[A](armedAtNanos: Long, sleepMs: Long)(run: => A): A = {
+      Thread.sleep(sleepMs)
+      val out = run
+      assume(System.nanoTime() - armedAtNanos < ttl.toNanos,
+        s"host too slow: the batch hop itself outlived the ${ttl.getSeconds} s " +
+          "TTL, sliding-expiry is unobservable here")
+      out
+    }
     writeBatch(eventsDf((1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
     runTtl(src, ckpt, "ttl_c1", ttl) shouldBe Seq((1L, 1L))
-    Thread.sleep(2500)
-    writeBatch(eventsDf((2L, "2026-01-01 10:01:00", 1L, "view")), src, 2)
-    // 2.5 s elapsed < 4 s TTL: alive, and the update re-arms the clock
-    runTtl(src, ckpt, "ttl_c2", ttl) shouldBe Seq((1L, 2L))
-    Thread.sleep(2500)
-    writeBatch(eventsDf((3L, "2026-01-01 10:02:00", 1L, "view")), src, 3)
-    // 5 s since the FIRST write but 2.5 s since the refresh: an
-    // absolute-expiry implementation would have evicted (n back to 1);
-    // sliding TTL keeps the count going
-    runTtl(src, ckpt, "ttl_c3", ttl) shouldBe Seq((1L, 3L))
+    val armed1 = System.nanoTime() // clock armed during c1's batch, i.e. before this
+    val r2 = hopWithinTtl(armed1, 6000) {
+      writeBatch(eventsDf((2L, "2026-01-01 10:01:00", 1L, "view")), src, 2)
+      runTtl(src, ckpt, "ttl_c2", ttl)
+    }
+    // 6 s elapsed < 10 s TTL: alive, and the update re-arms the clock
+    r2 shouldBe Seq((1L, 2L))
+    val armed2 = System.nanoTime()
+    val r3 = hopWithinTtl(armed2, 6000) {
+      writeBatch(eventsDf((3L, "2026-01-01 10:02:00", 1L, "view")), src, 3)
+      runTtl(src, ckpt, "ttl_c3", ttl)
+    }
+    // 12+ s since the FIRST write (past the 10 s TTL) but only ~6 s
+    // since the refresh: an absolute-expiry implementation would have
+    // evicted (n back to 1); sliding TTL keeps the count going
+    r3 shouldBe Seq((1L, 3L))
   }
 }

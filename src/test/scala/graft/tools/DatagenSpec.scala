@@ -1,0 +1,118 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.store.LakeCatalog
+
+/** Convergence spec for the [[Datagen]] workload generator (the §5
+  * test-strategy artifact the reference covers with its Faker
+  * notebook): a seeded insert/update/delete workload applied through
+  * the store's REAL commits must leave the table equal to a plain-
+  * Scala replay of the same op log — every op keyed, every value
+  * regenerated, nulls included. */
+class DatagenSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("qty", IntegerType),
+    StructField("price", DecimalType(12, 2)),
+    StructField("score", DoubleType),
+    StructField("active", BooleanType),
+    StructField("created", DateType),
+    StructField("updated_at", TimestampType),
+    StructField("payload", BinaryType)))
+
+  /** Render one value for order-free comparison (bytes and decimals
+    * have identity-based / scale-sensitive equals). */
+  private def norm(v: Any): Any = v match {
+    case b: Array[Byte] => b.toVector
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => other
+  }
+
+  private def freshTable(tag: String) = {
+    val wh = Files.createTempDirectory(s"datagen-$tag").toString
+    val cat = new LakeCatalog(spark, wh)
+    cat.createDatabase("gen")
+    cat.table("gen.workload")
+  }
+
+  test("seeded workload converges to the replayed op-log model") {
+    val t = freshTable("conv")
+    t.createOrReplace(Datagen.bulkDf(spark, schema, "id", 50, seed = 7L))
+    // model bootstrap: what bulkDf wrote, read back once (the ops below
+    // never depend on these values — only on keys — so this read does
+    // not weaken the oracle for the mutation paths under test)
+    val keyIdx = schema.fieldIndex("id")
+    val model = scala.collection.mutable.Map.empty[Long, Seq[Any]]
+    t.read.collect().foreach(r => model(r.getLong(keyIdx)) = r.toSeq.map(norm))
+
+    val log = Datagen.runWorkload(spark, t, "id", ops = 40, seed = 11L,
+      batchRows = 2)
+    log.foreach {
+      case Datagen.Insert(rows) =>
+        rows.foreach(r => model(r.getLong(keyIdx)) = r.toSeq.map(norm))
+      case Datagen.Update(rows) =>
+        rows.foreach { r =>
+          val k = r.getLong(keyIdx)
+          assert(model.contains(k), s"update invented key $k")
+          model(k) = r.toSeq.map(norm)
+        }
+      case Datagen.Delete(rows) =>
+        rows.foreach { r =>
+          val k = r.getLong(0)
+          assert(model.remove(k).isDefined, s"delete of unknown key $k")
+        }
+    }
+    // all three op kinds must actually have run at 60/20/20 over 40 ops
+    log.collect { case i: Datagen.Insert => i } should not be empty
+    log.collect { case u: Datagen.Update => u } should not be empty
+    log.collect { case d: Datagen.Delete => d } should not be empty
+
+    val got = t.read.collect()
+      .map(r => r.getLong(keyIdx) -> r.toSeq.map(norm)).toMap
+    got.keySet shouldBe model.keySet
+    model.foreach { case (k, exp) =>
+      withClue(s"key $k: ") { got(k) shouldBe exp }
+    }
+  }
+
+  test("bulkDf is schema-shaped, deterministic, and nulls at ~the requested rate") {
+    val n = 4000L
+    val df = Datagen.bulkDf(spark, schema, "id", n, seed = 3L)
+    df.schema.fields.map(f => f.name -> f.dataType).toSeq shouldBe
+      schema.fields.map(f => f.name -> f.dataType).toSeq
+    df.count() shouldBe n
+    // deterministic: a second identical plan yields identical rows
+    val again = Datagen.bulkDf(spark, schema, "id", n, seed = 3L)
+    df.exceptAll(again).count() shouldBe 0
+    // 10% nulls per nullable field, ±4σ over 4000 draws
+    val nameNulls = df.filter(df("name").isNull).count().toDouble / n
+    nameNulls should be > 0.06
+    nameNulls should be < 0.14
+    df.filter(df("id").isNull).count() shouldBe 0
+  }
+
+  test("rowFor respects nullability and the key column") {
+    val rng = new Random(5L)
+    val rows = (1 to 300).map(i => Datagen.rowFor(schema, "id", i.toLong, rng))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      r.getLong(0) shouldBe (i + 1).toLong
+    }
+    // key never null even though id is in the schema; nullables do null
+    val nulls = rows.count(_.isNullAt(schema.fieldIndex("name")))
+    nulls should be > 10
+    nulls should be < 70
+    // every non-null value matches its declared type via Row round-trip
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    df.count() shouldBe 300
+  }
+}
