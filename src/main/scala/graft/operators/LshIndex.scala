@@ -91,6 +91,23 @@ object LshIndex {
     * (rebuild-crash skew detection — see [[build]]). */
   private[graft] val GenProp = "lsh.build-gen"
 
+  /** Sketch one batch under the index's PINNED parameters — the shared
+    * front half of [[query]] and [[appendBatch]], exposed so a caller
+    * doing probe-then-append on the SAME batch (the streaming screen,
+    * [[graft.streaming.IndexedDocStreams.screenBatch]]) tokenizes and
+    * minhashes it ONCE instead of once per half. Returns (staged,
+    * banded, toks); staged and banded are persisted — the caller MUST
+    * unpersist both after its writes/joins have consumed them. */
+  private[graft] def sketchFor(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      docs: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val (sh, k, b, mb) = params(cat, db, name)
+    bandsFor(docs, sh, k, b, mb, textCol)
+  }
+
   private def params(cat: LakeCatalog, db: String, name: String): (Int, Int, Int, Int) = {
     val props = cat.table(s"$db.${name}_bands").properties
     ParamKeys.find(!props.contains(_)).foreach(k =>
@@ -145,17 +162,34 @@ object LshIndex {
       newDocs: DataFrame,
       batchId: Long,
       textCol: String = "text"): Boolean = {
-    val (sh, k, b, mb) = params(cat, db, name)
     val toksT = cat.table(s"$db.${name}_toks")
     val bandsT = cat.table(s"$db.${name}_bands")
     def applied(t: graft.store.LakeTable): Boolean =
       t.properties.get(BatchProp).exists(_.toLong >= batchId)
     if (applied(bandsT)) return false
-    val (staged, banded, toks) = bandsFor(newDocs, sh, k, b, mb, textCol)
+    val (staged, banded, toks) = sketchFor(cat, db, name, newDocs, textCol)
+    try appendSketched(cat, db, name, banded, toks, batchId)
+    finally { banded.unpersist(false); staged.unpersist(false); () }
+  }
+
+  /** [[appendBatch]] over an ALREADY-SKETCHED batch (from [[sketchFor]]
+    * — same index, same parameters; the probe-then-append callers).
+    * Caller keeps ownership of the sketch caches. */
+  private[graft] def appendSketched(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      banded: DataFrame,
+      toks: DataFrame,
+      batchId: Long): Boolean = {
+    val toksT = cat.table(s"$db.${name}_toks")
+    val bandsT = cat.table(s"$db.${name}_bands")
+    def applied(t: graft.store.LakeTable): Boolean =
+      t.properties.get(BatchProp).exists(_.toLong >= batchId)
+    if (applied(bandsT)) return false
     val prop = Map(BatchProp -> batchId.toString)
     if (!applied(toksT)) toksT.append(toks, prop)
     bandsT.append(banded, prop)
-    banded.unpersist(false); staged.unpersist(false)
     true
   }
 
@@ -169,8 +203,22 @@ object LshIndex {
       incoming: DataFrame,
       threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
-    val (sh, k, b, mb) = params(cat, db, name)
-    val (inStaged, inBands, inToks) = bandsFor(incoming, sh, k, b, mb, textCol)
+    val (inStaged, inBands, inToks) = sketchFor(cat, db, name, incoming, textCol)
+    Dedup.releasing(
+      querySketched(cat, db, name, inBands, inToks, threshold),
+      inStaged, inBands)
+  }
+
+  /** [[query]] over an ALREADY-SKETCHED batch (from [[sketchFor]]).
+    * Lazy — the caller materializes (write/collect) while it still
+    * owns the sketch caches, then unpersists them. */
+  private[graft] def querySketched(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      inBands: DataFrame,
+      inToks: DataFrame,
+      threshold: Double): DataFrame = {
     val idxBands = cat.table(s"$db.${name}_bands").read
     val idxToks = cat.table(s"$db.${name}_toks").read
     val pairs = inBands.select(col("band"), col("doc_id").as("doc_a"))
@@ -178,9 +226,7 @@ object LshIndex {
       .select("doc_a", "doc_b")
       .distinct()
     val docToks = inToks.unionByName(idxToks)
-    Dedup.releasing(
-      Dedup.jaccardOnPairs(pairs, docToks, threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
-      inStaged, inBands)
+    Dedup.jaccardOnPairs(pairs, docToks, threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 }

@@ -59,14 +59,23 @@ object IndexedDocStreams {
     val bandsT = cat.table(s"$db.${name}_bands")
     if (bandsT.properties.get(LshIndex.BatchProp).exists(_.toLong >= batchId))
       return // fully applied: the output partition predates the append
-    LshIndex.query(cat, db, name, batch, threshold, textCol)
-      .withColumn("batch_id", lit(batchId))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(outDir)
-    LshIndex.appendBatch(cat, db, name, batch, batchId, textCol)
+    // sketch the batch ONCE (tokenize + minhash + banding is the
+    // CPU-heavy half of both the probe and the append — r14: the
+    // separate query/appendBatch calls each re-sketched it); the pairs
+    // write below materializes the probe while the sketch caches are
+    // still live, then the append reuses them
+    val (staged, banded, toks) =
+      LshIndex.sketchFor(cat, db, name, batch, textCol)
+    try {
+      LshIndex.querySketched(cat, db, name, banded, toks, threshold)
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
+      LshIndex.appendSketched(cat, db, name, banded, toks, batchId)
+    } finally { banded.unpersist(false); staged.unpersist(false); () }
     ()
   }
 

@@ -125,11 +125,15 @@ object Datagen {
     * sample keys from the LIVE key set tracked driver-side (seeded →
     * replayable), so they always hit existing rows like the
     * reference's `df.take(n)` does, without reading the table back
-    * between ops. Returns the op log for model replay. */
+    * between ops. `mor = true` drives the merge-on-read write path
+    * (equality-delete commits) instead of copy-on-write — same op
+    * log, same convergence contract, the store's other write mode
+    * under the identical workload. Returns the op log for model
+    * replay. */
   def runWorkload(spark: SparkSession, t: LakeTable, keyCol: String,
       ops: Int, seed: Long, insertRatio: Double = 0.6,
       updateRatio: Double = 0.2, batchRows: Int = 1,
-      nullRate: Double = 0.1): Seq[Op] = {
+      nullRate: Double = 0.1, mor: Boolean = false): Seq[Op] = {
     require(insertRatio >= 0 && updateRatio >= 0 && insertRatio + updateRatio <= 1.0,
       "ratios must be non-negative and sum to at most 1 (delete takes the rest)")
     val schema = t.read.schema
@@ -153,13 +157,16 @@ object Datagen {
         val rows = (1 to batchRows.min(live.size)).map { _ =>
           rowFor(schema, keyCol, live(rng.nextInt(live.size)), rng, nullRate)
         }
-        t.mergeInto(df(rows, schema), Seq(keyCol))
+        if (mor) t.mergeIntoMoR(df(rows, schema), Seq(keyCol))
+        else t.mergeInto(df(rows, schema), Seq(keyCol))
         log += Update(rows)
       } else {
         val keys = (1 to batchRows.min(live.size))
           .map(_ => live.remove(rng.nextInt(live.size))).distinct
         val keySchema = StructType(Seq(schema(keyCol)))
-        t.deleteWhereExists(df(keys.map(Row(_)), keySchema), Seq(keyCol))
+        val keyDf = df(keys.map(Row(_)), keySchema)
+        if (mor) t.deleteWhereExistsMoR(keyDf, Seq(keyCol))
+        else t.deleteWhereExists(keyDf, Seq(keyCol))
         log += Delete(keys.map(Row(_)))
       }
     }

@@ -44,8 +44,10 @@ class DatagenSpec extends SparkSpec {
     cat.table("gen.workload")
   }
 
-  test("seeded workload converges to the replayed op-log model") {
-    val t = freshTable("conv")
+  /** Seeded workload through the given write mode must leave the table
+    * equal to the plain-Scala replay of its op log. */
+  private def convergence(tag: String, seed: Long, mor: Boolean): Unit = {
+    val t = freshTable(tag)
     t.createOrReplace(Datagen.bulkDf(spark, schema, "id", 50, seed = 7L))
     // model bootstrap: what bulkDf wrote, read back once (the ops below
     // never depend on these values — only on keys — so this read does
@@ -54,8 +56,8 @@ class DatagenSpec extends SparkSpec {
     val model = scala.collection.mutable.Map.empty[Long, Seq[Any]]
     t.read.collect().foreach(r => model(r.getLong(keyIdx)) = r.toSeq.map(norm))
 
-    val log = Datagen.runWorkload(spark, t, "id", ops = 40, seed = 11L,
-      batchRows = 2)
+    val log = Datagen.runWorkload(spark, t, "id", ops = 40, seed = seed,
+      batchRows = 2, mor = mor)
     log.foreach {
       case Datagen.Insert(rows) =>
         rows.foreach(r => model(r.getLong(keyIdx)) = r.toSeq.map(norm))
@@ -81,6 +83,22 @@ class DatagenSpec extends SparkSpec {
     got.keySet shouldBe model.keySet
     model.foreach { case (k, exp) =>
       withClue(s"key $k: ") { got(k) shouldBe exp }
+    }
+  }
+
+  // both write modes under the identical reference-shaped workload;
+  // extra seeds via GRAFT_SOAK_N (the RollupSoakSpec convention) turn
+  // this into the reference-shaped store soak
+  private val seeds: Seq[Long] = {
+    val n = sys.env.get("GRAFT_SOAK_N").map(_.toInt).getOrElse(1)
+    (0 until n).map(i => 11L + 13L * i)
+  }
+  seeds.foreach { seed =>
+    test(s"seeded COW workload (seed $seed) converges to the replayed op-log model") {
+      convergence(s"cow$seed", seed, mor = false)
+    }
+    test(s"seeded MoR workload (seed $seed) converges to the replayed op-log model") {
+      convergence(s"mor$seed", seed, mor = true)
     }
   }
 
