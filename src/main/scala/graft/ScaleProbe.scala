@@ -47,12 +47,64 @@ object ScaleProbe {
     }
   }
 
+  /** Three-point decade ladder on the PERSISTENT LSH INDEX's probe
+    * (the d51/s18 steady state): build the index over a 1×/10×/100×
+    * history, then probe it with the SAME fixed ~500-doc batch. The
+    * 100 TB claim under test is that probe cost is flat in history
+    * size (one band join against the index + candidate-only Jaccard —
+    * candidates are bucket-bounded, so a bigger history only adds
+    * band rows the probe's keys never touch); build cost may grow
+    * ~linearly (it sketches the history once, amortized over every
+    * later probe). `runMain graft.ScaleProbe <sfDir> lsh`. */
+  private def lshLadder(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    def replica(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", s"$$1q${i}x")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val probeBatch = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(900_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probeBatch.count()
+    val walls = Seq(1, 10, 100).map { mult =>
+      val history = (0 until mult).map(replica).reduce(_ unionByName _)
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = history.count()
+      val cat = new LakeCatalog(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_probe_lsh_$mult")
+      cat.createDatabase("probe")
+      val t0 = System.nanoTime()
+      LshIndex.build(cat, "probe", "nd", history)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      history.unpersist()
+      val t1 = System.nanoTime()
+      val pairs = LshIndex.query(cat, "probe", "nd", probeBatch).count()
+      val probeWall = (System.nanoTime() - t1) / 1e9
+      println(f"PROBE lsh_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  ($docs docs, $pairs pairs)")
+      mult -> probeWall
+    }
+    walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>
+      println(f"PROBE lsh probe ratio x$m0->x$m1: wall ${w1 / w0}%.2f for ${m1 / m0}x history")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder(appName = "graft-scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.drop(1).headOption.contains("flagship")) {
       flagshipLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("lsh")) {
+      lshLadder(spark, sfDir)
       spark.stop()
       return
     }
