@@ -13,15 +13,91 @@ import graft.store.{LakeCatalog, StoreTiming}
   * the Spark job cost of the same stage. Companion to ScaleProbe /
   * ManifestProbe: run before and after commit-path changes. */
 object CommitProbe {
+
+  /** Volume ladder over the bench-top-5 lifecycle shape: the SAME 13
+    * sequential commits (createOrReplace + 11 appends + MoR merge +
+    * MoR delete) at ×1 / ×10 / ×100 rows per commit. The 100 TB claim
+    * under test is that lifecycle cost tracks COMMIT COUNT, not data
+    * volume — per-commit machinery (job floor + snapshot/segment/
+    * footer metadata) amortizes as each commit carries more rows, so
+    * wall must grow far sublinearly across the two decades.
+    * `runMain graft.CommitProbe <sfDir> ladder`. */
+  private def lifecycleLadder(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    val base = SparkEntry.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // rungs by rows-per-commit: ~1.2k / ~12.5k / ~125k (x100 replicates
+    // the sf0.1 orders table 10x with disjoint key offsets so the MoR
+    // merge/delete keys keep the same selectivity at every rung)
+    def replicate(n: Int) = (0 until n)
+      .map(i => base.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 100_000_000L)))
+      .reduce(_ unionByName _)
+    val rungs = Seq(
+      ("x1", base.filter(col("o_orderkey") % 10 === 0)),
+      ("x10", base),
+      ("x100", replicate(10)))
+    // commits split on a HASH of the key so every rung gets 12 equal
+    // non-empty slices regardless of how the rung's source was sampled
+    def slice(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.filter(pmod(hash(col("o_orderkey")), lit(12)) === i)
+    // absorb JIT/plan-compile warmup so rung x1 isn't first-run-inflated
+    locally {
+      val whW = s"${sys.props("java.io.tmpdir")}/graft_cprobe_ladder_warm"
+      val catW = new LakeCatalog(spark, whW)
+      catW.createDatabase("lake")
+      val tw = catW.table("lake.warm")
+      val w = base.filter(col("o_orderkey") % 100 === 0)
+      tw.createOrReplace(slice(w, 0))
+      tw.append(slice(w, 1))
+      tw.mergeIntoMoR(slice(w, 2).withColumn("o_orderstatus", lit("W")),
+        Seq("o_orderkey"))
+      tw.deleteWhereExistsMoR(slice(w, 3), Seq("o_orderkey"))
+      tw.read.write.format("noop").mode("overwrite").save()
+    }
+    val walls = rungs.map { case (label, src) =>
+      val cached = src.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = cached.count()
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_ladder_$label"
+      val cat = new LakeCatalog(spark, wh)
+      cat.createDatabase("lake")
+      val t = cat.table("lake.orders_ladder")
+      val t0 = System.nanoTime()
+      t.createOrReplace(slice(cached, 0))
+      (1 until 12).foreach(i => t.append(slice(cached, i)))
+      t.mergeIntoMoR(
+        cached.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderstatus", lit("Z")), Seq("o_orderkey"))
+      t.deleteWhereExistsMoR(
+        cached.filter(col("o_orderkey") % 103 === 0), Seq("o_orderkey"))
+      t.read.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      cached.unpersist()
+      println(f"PROBE lifecycle $label%-5s rows/commit ~${rows / 12}%-8d wall $wall%8.2f s")
+      wall
+    }
+    walls.sliding(2).zip(Seq("x1->x10", "x10->x100")).foreach {
+      case (Seq(w0, w1), hop) =>
+        println(f"PROBE lifecycle ratio $hop: wall ${w1 / w0}%.2f for 10x rows/commit")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val iters = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession
       .builder(appName = "graft-commit-probe", master = s"local[$cpus]",
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.drop(1).headOption.contains("ladder")) {
+      lifecycleLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    val iters = args.drop(1).headOption.map(_.toInt).getOrElse(3)
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
