@@ -82,6 +82,44 @@ object CommitProbe {
       case (Seq(w0, w1), hop) =>
         println(f"PROBE lifecycle ratio $hop: wall ${w1 / w0}%.2f for 10x rows/commit")
     }
+
+    // the c33/c45 shape on the same rungs: a Rollup REFRESHED AFTER
+    // EVERY COMMIT (incremental maintenance folds the commit's delta,
+    // never rescans the table) — refresh cost must track DELTA size,
+    // so the maintained lifecycle should show the same sublinear slope
+    import graft.operators.Rollup
+    val rollWalls = rungs.map { case (label, src) =>
+      val cached = src.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_rladder_$label"
+      val cat = new LakeCatalog(spark, wh)
+      cat.createDatabase("lake")
+      val t = cat.table("lake.orders_rladder")
+      val dst = cat.table("lake.orders_rladder_rollup")
+      def refresh() =
+        Rollup.refresh(t, dst, Seq("o_orderstatus"), Seq("o_totalprice"))
+      val t0 = System.nanoTime()
+      t.createOrReplace(slice(cached, 0)); refresh()
+      (1 until 12).foreach { i => t.append(slice(cached, i)); refresh() }
+      t.mergeIntoMoR(
+        cached.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderstatus", lit("Z")), Seq("o_orderkey"))
+      refresh()
+      t.deleteWhereExistsMoR(
+        cached.filter(col("o_orderkey") % 103 === 0), Seq("o_orderkey"))
+      refresh()
+      dst.read.orderBy("o_orderstatus")
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      cached.unpersist()
+      println(f"PROBE maintained $label%-5s wall $wall%8.2f s (14 refreshes)")
+      wall
+    }
+    rollWalls.sliding(2).zip(Seq("x1->x10", "x10->x100")).foreach {
+      case (Seq(w0, w1), hop) =>
+        println(f"PROBE maintained ratio $hop: wall ${w1 / w0}%.2f for 10x rows/commit")
+    }
   }
 
   def main(args: Array[String]): Unit = {
