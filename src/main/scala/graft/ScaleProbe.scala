@@ -66,8 +66,11 @@ object ScaleProbe {
       (if (i == 0) col("text")
        else regexp_replace(col("text"), "(\\S+)", s"$$1q${i}x")).as("text"),
       col("lang"), col("source"), col("n_chars"))
+    // probe ids must clear EVERY replica range (replica i shifts by
+    // i*10M, topping out at 990M + base ids at the x100 rung), or the
+    // jaccard token-union would merge two documents under one id
     val probeBatch = base.filter(col("doc_id") < 500)
-      .select((col("doc_id") + lit(900_000_000L)).as("doc_id"),
+      .select((col("doc_id") + lit(2_000_000_000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probeBatch.count()
@@ -254,7 +257,7 @@ object ScaleProbe {
       timed("rollup_append_fold") {
         ruSrc.append(docReplica(0)
           .filter(col("doc_id") < 500)
-          .withColumn("doc_id", col("doc_id") + lit(900_000_000L)))
+          .withColumn("doc_id", col("doc_id") + lit(2_000_000_000L)))
         Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars"))
       }
       timed("rollup_mor_fold") {
@@ -333,7 +336,7 @@ object ScaleProbe {
     // batch cost a 100 TB near-dup screen pays without the index.
     import graft.operators.LshIndex
     val probeBatch = base.filter(col("doc_id") < 500)
-      .select((col("doc_id") + lit(900_000_000L)).as("doc_id"),
+      .select((col("doc_id") + lit(2_000_000_000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
     timed("lsh_index_build")(LshIndex.build(storeCat, "probe", "nd", big))
     timed("lsh_index_probe")(

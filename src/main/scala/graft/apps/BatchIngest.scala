@@ -77,8 +77,39 @@ object BatchIngest {
       outputPath: String,
       database: String = ""): Unit = {
     val df = JdbcReader.readJdbcTable(spark, manager, sourceTable, numPartitions, database)
-    conformSnapshot(df, Nil, "update_ts_dms")
-      .write.mode("overwrite").parquet(outputPath)
+    atomicOverwriteParquet(spark, conformSnapshot(df, Nil, "update_ts_dms"), outputPath)
+  }
+
+  /** Overwrite `outputPath` with `df` as parquet WITHOUT ever exposing a
+    * torn snapshot. The session runs committer v2 with _SUCCESS markers
+    * disabled — safe for the lake store (visibility = snapshot claim
+    * over a fresh UUID dir) but not for a direct overwrite sink, where
+    * a mid-job failure would leave partially-written part files visible
+    * with no completion marker for parquetToLake to check. So: stage
+    * into a hidden sibling dir, swap it in only after the job finished.
+    * A failure leaves the previous complete snapshot untouched (the
+    * stage dir is cleaned up here, or by the next run if the JVM died).
+    * rename() is atomic on HDFS/local; on an object store front this
+    * with a rename-capable layer. */
+  def atomicOverwriteParquet(
+      spark: SparkSession, df: DataFrame, outputPath: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outputPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = Option(out.getParent).getOrElse(
+      throw new java.io.IOException(s"no parent dir for $out"))
+    // sweep stage dirs a crashed previous run left behind
+    if (fs.exists(parent))
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(s".${out.getName}.staging-"))
+        .foreach(fs.delete(_, true))
+    val tmp = new org.apache.hadoop.fs.Path(
+      parent, s".${out.getName}.staging-${java.util.UUID.randomUUID}")
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(out)) fs.delete(out, true)
+      if (!fs.rename(tmp, out))
+        throw new java.io.IOException(s"rename $tmp -> $out failed")
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Pipeline 3: raw-zone parquet → lake RTAS

@@ -52,7 +52,9 @@ object GraftSession {
       // leaves an unreferenced dir for remove_orphan_files). _SUCCESS
       // markers are skipped for the same reason: readers and the
       // footer-stats harvest filter on *.parquet, the marker is one
-      // wasted fs op per commit.
+      // wasted fs op per commit. Direct overwrite sinks outside the
+      // store do NOT get this guarantee for free — they must stage
+      // into a temp dir and rename (BatchIngest.jdbcToParquet does).
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (excludeSimplifyCasts)

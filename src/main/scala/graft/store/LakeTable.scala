@@ -1906,8 +1906,16 @@ class LakeTable(
     * unlistable dir disqualifies — unknown size must never be treated
     * as tiny. */
   private def isTinyRewrite(s: Snapshot): Boolean = {
-    val cap = s.properties.get(LakeTable.TinyRewriteMaxBytesProp)
-      .map(_.toLong).getOrElse(LakeTable.TinyRewriteMaxBytes)
+    // a malformed property value must not turn every subsequent write
+    // into a hard outage — fall back to the default and warn once
+    val cap = s.properties.get(LakeTable.TinyRewriteMaxBytesProp) match {
+      case Some(v) => scala.util.Try(v.toLong).getOrElse {
+        logger.warn(s"unparseable ${LakeTable.TinyRewriteMaxBytesProp}='$v'" +
+          s" on $name; using default ${LakeTable.TinyRewriteMaxBytes}")
+        LakeTable.TinyRewriteMaxBytes
+      }
+      case None => LakeTable.TinyRewriteMaxBytes
+    }
     cap > 0L && s.entries.size <= LakeTable.MinEntriesForRewritePrune && {
       var total = 0L
       s.entries.forall { e =>

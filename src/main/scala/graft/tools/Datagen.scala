@@ -154,9 +154,12 @@ object Datagen {
         t.append(df(rows, schema))
         log += Insert(rows)
       } else if (dice < insertRatio + updateRatio) {
-        val rows = (1 to batchRows.min(live.size)).map { _ =>
-          rowFor(schema, keyCol, live(rng.nextInt(live.size)), rng, nullRate)
-        }
+        // sample keys WITHOUT replacement: a merge source carrying the
+        // same key twice would leave two physical rows for that key
+        // (upsert anti-joins the target, not the source against itself),
+        // diverging from the last-wins replay model
+        val keys = rng.shuffle(live.toVector).take(batchRows.min(live.size))
+        val rows = keys.map(k => rowFor(schema, keyCol, k, rng, nullRate))
         if (mor) t.mergeIntoMoR(df(rows, schema), Seq(keyCol))
         else t.mergeInto(df(rows, schema), Seq(keyCol))
         log += Update(rows)

@@ -61,4 +61,28 @@ class BatchIngestSpec extends SparkSpec {
     rows shouldBe Seq(9)
     cat.table("s.t").currentSnapshot.get.version shouldBe 2L
   }
+
+  test("atomicOverwriteParquet swaps complete snapshots and never leaves stage dirs") {
+    val dir = Files.createTempDirectory("raw3")
+    val out = dir.resolve("zone").toString
+    BatchIngest.atomicOverwriteParquet(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), out)
+    spark.read.parquet(out).count() shouldBe 2
+    // second overwrite replaces, doesn't merge
+    BatchIngest.atomicOverwriteParquet(spark, Seq((9, "z")).toDF("id", "v"), out)
+    spark.read.parquet(out).select("id").head().getInt(0) shouldBe 9
+    // a stage dir a crashed run left behind is swept, not accumulated
+    val stale = dir.resolve(".zone.staging-deadbeef")
+    Files.createDirectory(stale)
+    BatchIngest.atomicOverwriteParquet(spark, Seq((7, "q")).toDF("id", "v"), out)
+    Files.exists(stale) shouldBe false
+    // the destination's parent holds ONLY the destination afterwards
+    val leftovers = new java.io.File(dir.toString).listFiles().map(_.getName).toSeq
+    leftovers shouldBe Seq("zone")
+    // and a failing WRITE leaves the previous complete snapshot intact
+    val bad = spark.range(1).selectExpr("assert_true(id > 0) AS boom", "id")
+    an[Exception] should be thrownBy
+      BatchIngest.atomicOverwriteParquet(spark, bad, out)
+    spark.read.parquet(out).select("id").head().getInt(0) shouldBe 7
+    new java.io.File(dir.toString).listFiles().map(_.getName).toSeq shouldBe Seq("zone")
+  }
 }

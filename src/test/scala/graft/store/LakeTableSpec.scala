@@ -111,6 +111,15 @@ class LakeTableSpec extends SparkSpec {
     t.deleteWhereExists(df(Seq((4L, "x", 0.0))).select("id"), Seq("id"))
     t.currentSnapshot.get.summary("prune-mode") should not be "tiny"
     t.read.orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    // a typo'd property value must degrade to the default, not turn
+    // every subsequent write on the table into a hard parse outage
+    t.setProperties(Map(LakeTable.TinyRewriteMaxBytesProp -> "64MB"))
+    noException should be thrownBy
+      t.mergeInto(df(Seq((1L, "A", 10.0))), Seq("id"))
+    t.currentSnapshot.get.summary("prune-mode") shouldBe "tiny"
+    t.read.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "A"), (2L, "B"), (3L, "c"))
   }
 
   test("deleteWhereExists removes matching keys only") {

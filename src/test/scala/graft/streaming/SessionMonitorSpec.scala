@@ -207,15 +207,22 @@ class SessionMonitorSpec extends SparkSpec {
       out
     }
     writeBatch(eventsDf((1L, "2026-01-01 10:00:00", 1L, "click")), src, 1)
+    // capture BEFORE the arming batch runs: the TTL clock is armed
+    // while c1 processes, so measuring from after runTtl returned would
+    // under-count elapsed time and let a slow query start/shutdown eat
+    // the TTL before the guard even starts watching — the guard must
+    // bound the full arm-to-check interval (over-counting only makes
+    // it cancel earlier, the safe direction)
+    val armed1 = System.nanoTime()
     runTtl(src, ckpt, "ttl_c1", ttl) shouldBe Seq((1L, 1L))
-    val armed1 = System.nanoTime() // clock armed during c1's batch, i.e. before this
+    var armed2 = 0L
     val r2 = hopWithinTtl(armed1, 6000) {
       writeBatch(eventsDf((2L, "2026-01-01 10:01:00", 1L, "view")), src, 2)
+      armed2 = System.nanoTime() // before c2 processes (and re-arms)
       runTtl(src, ckpt, "ttl_c2", ttl)
     }
     // 6 s elapsed < 10 s TTL: alive, and the update re-arms the clock
     r2 shouldBe Seq((1L, 2L))
-    val armed2 = System.nanoTime()
     val r3 = hopWithinTtl(armed2, 6000) {
       writeBatch(eventsDf((3L, "2026-01-01 10:02:00", 1L, "view")), src, 3)
       runTtl(src, ckpt, "ttl_c3", ttl)

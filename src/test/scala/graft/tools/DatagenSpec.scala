@@ -78,7 +78,12 @@ class DatagenSpec extends SparkSpec {
     log.collect { case u: Datagen.Update => u } should not be empty
     log.collect { case d: Datagen.Delete => d } should not be empty
 
-    val got = t.read.collect()
+    val physicalRows = t.read.collect()
+    // toMap below collapses duplicate keys — assert the PHYSICAL row
+    // count first, so a merge that left two rows for one key (e.g. a
+    // source batch sampled with replacement) cannot hide behind it
+    physicalRows.length shouldBe model.size
+    val got = physicalRows
       .map(r => r.getLong(keyIdx) -> r.toSeq.map(norm)).toMap
     got.keySet shouldBe model.keySet
     model.foreach { case (k, exp) =>
