@@ -97,6 +97,62 @@ object ScaleProbe {
     }
   }
 
+  /** Decade ladder on the s18 STREAMING steady state: index a
+    * 1×/10×/100× history, then run THREE sequential ~500-doc
+    * micro-batches through [[graft.streaming.IndexedDocStreams
+    * .screenBatch]] — the FULL per-batch path (sketch once → probe the
+    * index → dynamic-overwrite the pairs partition → append the batch's
+    * signatures). The 100 TB claim under test: per-micro-batch wall is
+    * flat in indexed-history size, because the probe is band-bucket-
+    * bounded and the append is O(batch). Batch 1 at each rung also
+    * absorbs the first-touch plan compile; batch 3 is the steady state
+    * compared across rungs. `runMain graft.ScaleProbe <sfDir> stream`. */
+  private def streamLadder(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    import graft.streaming.IndexedDocStreams
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    def replica(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", s"$$1q${i}x")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    // micro-batch k: the same ~500 base docs (true near-dups of replica
+    // 0 AND of every previously appended batch — constant pair work per
+    // batch index, so rung-to-rung wall ratios isolate history size),
+    // ids clear of every replica range and of each other
+    def batch(k: Int): DataFrame = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(2_000_000_000L + k * 1_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val walls = Seq(1, 10, 100).map { mult =>
+      val history = (0 until mult).map(replica).reduce(_ unionByName _)
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = history.count()
+      val cat = new LakeCatalog(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_probe_stream_$mult")
+      cat.createDatabase("probe")
+      val outDir = s"${sys.props("java.io.tmpdir")}/graft_probe_stream_out_$mult"
+      val t0 = System.nanoTime()
+      LshIndex.build(cat, "probe", "nd", history)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      history.unpersist()
+      val batchWalls = (1 to 3).map { k =>
+        val t1 = System.nanoTime()
+        IndexedDocStreams.screenBatch(cat, "probe", "nd", batch(k), k.toLong, outDir)
+        (System.nanoTime() - t1) / 1e9
+      }
+      val pairs = spark.read.parquet(outDir).count()
+      println(f"PROBE s18_screen x$mult%-4d build $buildWall%8.2f s  " +
+        f"batches ${batchWalls.map(w => f"$w%.2f").mkString("/")} s  ($docs docs, $pairs pairs)")
+      mult -> batchWalls.last
+    }
+    walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>
+      println(f"PROBE s18 steady-batch ratio x$m0->x$m1: wall ${w1 / w0}%.2f for ${m1 / m0}x history")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder(appName = "graft-scale-probe").getOrCreate()
@@ -108,6 +164,11 @@ object ScaleProbe {
     }
     if (args.drop(1).headOption.contains("lsh")) {
       lshLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("stream")) {
+      streamLadder(spark, sfDir)
       spark.stop()
       return
     }

@@ -128,12 +128,17 @@ object Datagen {
     * between ops. `mor = true` drives the merge-on-read write path
     * (equality-delete commits) instead of copy-on-write — same op
     * log, same convergence contract, the store's other write mode
-    * under the identical workload. Returns the op log for model
-    * replay. */
+    * under the identical workload. `tps > 0` paces the loop at that
+    * many transactions per second (the reference notebook's configured
+    * TPS): each op waits for its schedule slot `start + k/tps`; a slow
+    * op eats its own slack — pacing never skips or reorders ops, so
+    * the op log stays seed-replayable regardless of host speed.
+    * Returns the op log for model replay. */
   def runWorkload(spark: SparkSession, t: LakeTable, keyCol: String,
       ops: Int, seed: Long, insertRatio: Double = 0.6,
       updateRatio: Double = 0.2, batchRows: Int = 1,
-      nullRate: Double = 0.1, mor: Boolean = false): Seq[Op] = {
+      nullRate: Double = 0.1, mor: Boolean = false,
+      tps: Double = 0.0): Seq[Op] = {
     require(insertRatio >= 0 && updateRatio >= 0 && insertRatio + updateRatio <= 1.0,
       "ratios must be non-negative and sum to at most 1 (delete takes the rest)")
     val schema = t.read.schema
@@ -144,7 +149,13 @@ object Datagen {
     val log = scala.collection.mutable.ArrayBuffer.empty[Op]
     def df(rows: Seq[Row], s: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), s)
-    (1 to ops).foreach { _ =>
+    val startNanos = System.nanoTime()
+    (1 to ops).foreach { k =>
+      if (tps > 0) {
+        val slotNanos = startNanos + ((k - 1) * 1e9 / tps).toLong
+        val waitMs = (slotNanos - System.nanoTime()) / 1_000_000L
+        if (waitMs > 0) Thread.sleep(waitMs)
+      }
       val dice = rng.nextDouble()
       if (dice < insertRatio || live.isEmpty) {
         val rows = (1 to batchRows).map { _ =>
@@ -176,7 +187,7 @@ object Datagen {
     log.toSeq
   }
 
-  /** CLI: `runMain graft.tools.Datagen [warehouse] [ops] [seed]` —
+  /** CLI: `runMain graft.tools.Datagen [warehouse] [ops] [seed] [tps]` —
     * creates a reference-shaped mixed-type table, seeds it, runs the
     * 60/20/20 workload, prints the op mix and final row count. */
   def main(args: Array[String]): Unit = {
@@ -184,6 +195,7 @@ object Datagen {
       s"${sys.props("java.io.tmpdir")}/graft_datagen")
     val ops = args.drop(1).headOption.map(_.toInt).getOrElse(30)
     val seed = args.drop(2).headOption.map(_.toLong).getOrElse(42L)
+    val tps = args.drop(3).headOption.map(_.toDouble).getOrElse(0.0)
     val spark = GraftSession.builder(appName = "graft-datagen").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val schema = StructType(Seq(
@@ -200,7 +212,7 @@ object Datagen {
     cat.dropTable("gen.workload")
     val t = cat.table("gen.workload")
     t.createOrReplace(bulkDf(spark, schema, "id", 1000, seed))
-    val log = runWorkload(spark, t, "id", ops, seed)
+    val log = runWorkload(spark, t, "id", ops, seed, tps = tps)
     val mix = log.groupBy(_.getClass.getSimpleName).view.mapValues(_.size).toMap
     println(s"DATAGEN ops=$ops mix=$mix rows=${t.read.count()} " +
       s"version=${t.currentSnapshot.map(_.version).getOrElse(-1L)}")

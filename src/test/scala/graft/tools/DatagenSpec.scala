@@ -98,6 +98,32 @@ class DatagenSpec extends SparkSpec {
     val n = sys.env.get("GRAFT_SOAK_N").map(_.toInt).getOrElse(1)
     (0 until n).map(i => 11L + 13L * i)
   }
+  test("tps pacing holds each op to its schedule slot without changing the op log") {
+    val wh = Files.createTempDirectory("dg-tps").toString
+    val cat = new LakeCatalog(spark, wh)
+    cat.createDatabase("gen")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    def fresh(name: String) = {
+      val t = cat.table(s"gen.$name")
+      t.createOrReplace(Datagen.bulkDf(spark, schema, "id", 10, 3L))
+      t
+    }
+    // lower bound is deterministic: op k waits for slot (k-1)/tps, so
+    // 5 ops at 2 tps cannot finish before 2 s after the first op began
+    // (no upper bound — a loaded host only ADDS wall)
+    val t0 = System.nanoTime()
+    val pacedLog = Datagen.runWorkload(spark, fresh("paced"), "id",
+      ops = 5, seed = 17L, tps = 2.0)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    elapsed should be >= 2.0
+    // pacing must not leak into the seeded op sequence
+    val freeLog = Datagen.runWorkload(spark, fresh("free"), "id",
+      ops = 5, seed = 17L)
+    pacedLog shouldBe freeLog
+  }
+
   seeds.foreach { seed =>
     test(s"seeded COW workload (seed $seed) converges to the replayed op-log model") {
       convergence(s"cow$seed", seed, mor = false)
