@@ -89,7 +89,23 @@ object ScaleProbe {
       val t1 = System.nanoTime()
       val pairs = LshIndex.query(cat, "probe", "nd", probeBatch).count()
       val probeWall = (System.nanoTime() - t1) / 1e9
-      println(f"PROBE lsh_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  ($docs docs, $pairs pairs)")
+      val plan = LshIndex.lastProbeStats.map(st =>
+        if (st.tinyBypass) "tiny-bypass"
+        else s"pruned bands ${st.bandEntriesPlanned}/${st.bandEntriesTotal}" +
+          s" toks ${st.toksEntriesPlanned}/${st.toksEntriesTotal}").getOrElse("?")
+      // second probe with the tiny-bypass floor disabled: times the
+      // at-scale PRUNED plan on the same index (IN-list pushdown +
+      // sidecar file skipping), so the rung reports both dispatches
+      cat.table("probe.nd_bands").setProperties(
+        Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+      val t2 = System.nanoTime()
+      val pairsP = LshIndex.query(cat, "probe", "nd", probeBatch).count()
+      val prunedWall = (System.nanoTime() - t2) / 1e9
+      val planP = LshIndex.lastProbeStats.map(st =>
+        s"bands ${st.bandEntriesPlanned}/${st.bandEntriesTotal}" +
+          s" toks ${st.toksEntriesPlanned}/${st.toksEntriesTotal}").getOrElse("?")
+      require(pairsP == pairs, s"pruned probe diverged: $pairsP vs $pairs")
+      println(f"PROBE lsh_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  pruned-probe $prunedWall%8.2f s  ($docs docs, $pairs pairs, plan=$plan, pruned=$planP)")
       mult -> probeWall
     }
     walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>
@@ -144,8 +160,12 @@ object ScaleProbe {
         (System.nanoTime() - t1) / 1e9
       }
       val pairs = spark.read.parquet(outDir).count()
+      val plan = LshIndex.lastProbeStats.map(st =>
+        if (st.tinyBypass) "tiny-bypass"
+        else s"pruned bands ${st.bandEntriesPlanned}/${st.bandEntriesTotal}" +
+          s" toks ${st.toksEntriesPlanned}/${st.toksEntriesTotal}").getOrElse("?")
       println(f"PROBE s18_screen x$mult%-4d build $buildWall%8.2f s  " +
-        f"batches ${batchWalls.map(w => f"$w%.2f").mkString("/")} s  ($docs docs, $pairs pairs)")
+        f"batches ${batchWalls.map(w => f"$w%.2f").mkString("/")} s  ($docs docs, $pairs pairs, plan=$plan)")
       mult -> batchWalls.last
     }
     walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>

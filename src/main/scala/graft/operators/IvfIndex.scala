@@ -158,10 +158,15 @@ object IvfIndex {
     val probes = nearestCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       cents, n = nprobe, idAs = "query_id", vecAs = "qv")
-    // literal IN over the partition column → file-pruned cells scan
+    // literal IN over the partition column, through readWhere: the
+    // manifest's degenerate [v,v] partition ranges drop non-probed
+    // cells' entries at PLANNING time (plan size tracks nprobe, not the
+    // index's cell count), and the scan's directory pruning then skips
+    // their files — versus read+filter, which planned every entry and
+    // relied on the file source alone
     val probedCells = probes.select("cell").distinct().collect().map(_.get(0))
-    val cellRows = cat.table(s"$db.${name}_cells").read
-      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val cellRows = cat.table(s"$db.${name}_cells")
+      .readWhere(col("cell").isin(probedCells.toIndexedSeq: _*))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
     cellRows
       .join(broadcast(probes), Seq("cell"))

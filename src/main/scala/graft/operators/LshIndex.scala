@@ -79,10 +79,24 @@ object LshIndex {
     // carry a shared build-generation id and params() refuses to serve
     // a skewed index (the recovery is re-running build).
     val gen = java.util.UUID.randomUUID().toString
+    // Bloom sidecars on the probe keys: band values are hash-uniform,
+    // so every data file spans ~the whole key range and min/max stats
+    // prune NOTHING for a probe — the per-file bloom is what lets a
+    // probe's IN-list (see querySketched) drop index files at planning
+    // time. Same for candidate doc_ids against the token-set table.
+    // Filters are sized for MICRO-BATCH appends (the generation count
+    // is dominated by them — ~24 KB each instead of the 240 KB
+    // default): the one bootstrap generation's filter ends up
+    // overloaded (high fpp → conservatively kept), which is harmless —
+    // it holds the whole initial corpus and probes almost always need
+    // it anyway.
+    val bloomProps = Map("write.bloom.expected-items" -> "20000")
     cat.table(s"$db.${name}_toks").createOrReplace(toks,
-      tableProperties = Map(GenProp -> gen))
+      tableProperties = bloomProps +
+        (GenProp -> gen) + ("write.bloom.columns" -> "doc_id"))
     cat.table(s"$db.${name}_bands").createOrReplace(banded,
-      tableProperties = props + (GenProp -> gen))
+      tableProperties = props ++ bloomProps +
+        (GenProp -> gen) + ("write.bloom.columns" -> "band"))
     banded.unpersist(false); staged.unpersist(false)
     ()
   }
@@ -202,30 +216,145 @@ object LshIndex {
       name: String,
       incoming: DataFrame,
       threshold: Double = 0.5,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
     val (inStaged, inBands, inToks) = sketchFor(cat, db, name, incoming, textCol)
     Dedup.releasing(
-      querySketched(cat, db, name, inBands, inToks, threshold),
+      querySketched(cat, db, name, inBands, inToks, threshold, maxProbeKeys),
       inStaged, inBands)
   }
 
+  /** Probe IN-lists above this cardinality fall back to the unpruned
+    * full-index scan: the key collect is a driver-side action, so it
+    * must stay bounded — a micro-batch probe is far below this; only a
+    * huge one-shot backfill batch trips it (and for that, the scan IS
+    * the right plan). */
+  private[graft] val DefaultMaxProbeKeys: Int = 1 << 20
+
+  /** Indexes whose band AND token tables are each under this many data
+    * bytes take the single-job unpruned probe plan: the pruned probe
+    * pays ~3 extra driver actions (key collects + the candidate
+    * checkpoint) plus sidecar loads per micro-batch — measured ~0.6 s
+    * at local[32], a pure win only once the full-index scan costs
+    * more. The `rewrite.tiny.max-bytes` dispatch pattern, as a
+    * bands-table property; "0" disables the bypass (the prune-contract
+    * specs pin the at-scale path through it). */
+  private[graft] val ProbePruneMinBytesProp = "lsh.probe.prune-min-bytes"
+  private[graft] val ProbePruneMinBytes: Long = 64L << 20
+  private val TinyProbeMaxEntries = 64
+
+  /** (table location, snapshot version) → tiny? — the byte probe is
+    * O(entries) driver FS metadata and a stream probes every batch;
+    * snapshots are immutable so the verdict is cacheable forever.
+    * Entries are a few dozen bytes each — a week-long stream adds one
+    * per index commit, far under any memory concern. */
+  private val tinyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+
+  private def tinyIndex(
+      bandsT: graft.store.LakeTable, toksT: graft.store.LakeTable): Boolean = {
+    val cap = bandsT.properties.get(ProbePruneMinBytesProp) match {
+      case Some(v) => scala.util.Try(v.toLong).getOrElse(ProbePruneMinBytes)
+      case None => ProbePruneMinBytes
+    }
+    cap > 0L && Seq(bandsT, toksT).forall(t => t.currentSnapshot.exists(s =>
+      s.entries.size <= TinyProbeMaxEntries &&
+        tinyCache.computeIfAbsent((t.location, s.version), _ => t.dataUnder(s, cap))))
+  }
+
+  /** Planning stats of the most recent probe in this JVM — probe/test
+    * introspection (streams are single-writer; concurrent probes would
+    * interleave this, so it is diagnostics, never control flow).
+    * `tinyBypass` = the index was under the size floor and took the
+    * single-job unpruned plan; counts are -1 where not applicable. */
+  final case class ProbeStats(
+      bandKeys: Int, bandEntriesPlanned: Int, bandEntriesTotal: Int,
+      candidateIds: Int, toksEntriesPlanned: Int, toksEntriesTotal: Int,
+      bandFallback: Boolean, toksFallback: Boolean, tinyBypass: Boolean)
+  @volatile private[graft] var lastProbeStats: Option[ProbeStats] = None
+
+  /** Distinct values of `c` when there are at most `cap` of them —
+    * None above the cap (the caller falls back to an unpruned scan). */
+  private def boundedDistinct(df: DataFrame, c: String, cap: Int): Option[Seq[Any]] = {
+    val rows = df.select(c).distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.toSeq.map(_.get(0)))
+  }
+
   /** [[query]] over an ALREADY-SKETCHED batch (from [[sketchFor]]).
-    * Lazy — the caller materializes (write/collect) while it still
-    * owns the sketch caches, then unpersists them. */
+    *
+    * Probe-pruned index reads — the 100 TB shape: the batch's band set
+    * (bounded by batch × bands) pushes into the band table's
+    * [[graft.store.LakeTable.readWhere]] as an IN list, so the per-file
+    * bloom sidecars drop every index file holding none of the probed
+    * bands BEFORE it is opened; the surviving candidate ids then prune
+    * the token-set read the same way. Without this, every micro-batch
+    * re-scanned the FULL inverted index and the FULL token-set table —
+    * per-probe cost tracked the corpus, not the batch. Either key set
+    * exceeding `maxProbeKeys` falls back to the old full-scan plan,
+    * and an index under the [[ProbePruneMinBytesProp]] size floor
+    * bypasses the whole machinery (tiny scans beat the probe's extra
+    * driver actions — the tiny-rewrite dispatch pattern).
+    *
+    * The candidate-pair frame is materialized eagerly here (a local
+    * checkpoint — ids only, bounded by the bucket caps) both to pin the
+    * pre-append snapshot by VALUE and because the candidate-id collect
+    * needs it; the returned verify join is lazy and must be consumed
+    * while the caller still owns the sketch caches. */
   private[graft] def querySketched(
       cat: LakeCatalog,
       db: String,
       name: String,
       inBands: DataFrame,
       inToks: DataFrame,
-      threshold: Double): DataFrame = {
-    val idxBands = cat.table(s"$db.${name}_bands").read
-    val idxToks = cat.table(s"$db.${name}_toks").read
-    val pairs = inBands.select(col("band"), col("doc_id").as("doc_a"))
-      .join(idxBands.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    val docToks = inToks.unionByName(idxToks)
+      threshold: Double,
+      maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
+    val bandsT = cat.table(s"$db.${name}_bands")
+    val toksT = cat.table(s"$db.${name}_toks")
+    if (tinyIndex(bandsT, toksT)) {
+      // under the size floor the full scan is cheaper than the pruned
+      // probe's extra driver actions — the original one-job lazy plan
+      lastProbeStats = Some(ProbeStats(-1, -1, -1, -1, -1, -1,
+        bandFallback = true, toksFallback = true, tinyBypass = true))
+      val pairs = inBands.select(col("band"), col("doc_id").as("doc_a"))
+        .join(bandsT.read.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      return Dedup.jaccardOnPairs(pairs, inToks.unionByName(toksT.read), threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    val probeBands = boundedDistinct(inBands, "band", maxProbeKeys)
+    val (pairsPlan, bandPlanned, bandTotal) = probeBands match {
+      case Some(ks) if ks.isEmpty =>
+        // every doc fell under the shingle floor: nothing can pair
+        (inBands.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")).limit(0), 0, 0)
+      case other =>
+        val (idxBands, planned, total) = other match {
+          case Some(ks) => bandsT.readWhereCounted(col("band").isInCollection(ks))
+          case None =>
+            val full = bandsT.read
+            (full, -1, -1)
+        }
+        val p = inBands.select(col("band"), col("doc_id").as("doc_a"))
+          .join(idxBands.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+          .select("doc_a", "doc_b")
+          .distinct()
+        (p, planned, total)
+    }
+    val pairs = pairsPlan.localCheckpoint(true)
+    val cands = boundedDistinct(pairs, "doc_b", maxProbeKeys)
+    val (docToks, toksPlanned, toksTotal) = cands match {
+      case Some(ids) if ids.isEmpty => (inToks, 0, 0)
+      case Some(ids) =>
+        val (idxToks, planned, total) =
+          toksT.readWhereCounted(col("doc_id").isInCollection(ids))
+        (inToks.unionByName(idxToks), planned, total)
+      case None => (inToks.unionByName(toksT.read), -1, -1)
+    }
+    lastProbeStats = Some(ProbeStats(
+      probeBands.map(_.size).getOrElse(-1), bandPlanned, bandTotal,
+      cands.map(_.size).getOrElse(-1), toksPlanned, toksTotal,
+      bandFallback = probeBands.isEmpty, toksFallback = cands.isEmpty,
+      tinyBypass = false))
     Dedup.jaccardOnPairs(pairs, docToks, threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -811,10 +811,17 @@ class LakeTable(
     * the few entries that overlap the range. The full predicate is
     * still applied to the surviving rows (pruning is conservative:
     * unsupported predicates or missing stats keep the entry). */
-  def readWhere(cond: Column): DataFrame = {
+  def readWhere(cond: Column): DataFrame = readWhereCounted(cond)._1
+
+  /** [[readWhere]] plus planning introspection: (frame, entries planned,
+    * entries total). Probe-style callers (index probes, point lookups)
+    * record how much the stats+bloom pruning actually cut without
+    * running the pruning walk — and its sidecar loads — twice. */
+  private[graft] def readWhereCounted(cond: Column): (DataFrame, Int, Int) = {
     val s = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"table $name does not exist"))
-    morRead(s, prunedEntries(s, cond)).filter(cond)
+    val entries = prunedEntries(s, cond)
+    (morRead(s, entries).filter(cond), entries.size, s.entries.size)
   }
 
   /** Entries surviving stats pruning for `cond` (exposed for planning
@@ -905,7 +912,8 @@ class LakeTable(
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val loaded = Await.result(
-      Future.traverse(needed)(p => Future(p -> loadBloom(p))), Duration.Inf).toMap
+      Future.traverse(needed)(p =>
+        Future(p -> LakeTable.cachedBloom(p)(loadBloom(p)))), Duration.Inf).toMap
     entries.filter { e =>
       cands.forall { case (c, keys) =>
         !e.blooms.contains(c) ||
@@ -1916,15 +1924,23 @@ class LakeTable(
       }
       case None => LakeTable.TinyRewriteMaxBytes
     }
-    cap > 0L && s.entries.size <= LakeTable.MinEntriesForRewritePrune && {
-      var total = 0L
-      s.entries.forall { e =>
-        try {
-          total += fs.listStatus(new Path(e.dataPath(location)))
-            .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-          total <= cap
-        } catch { case _: java.io.IOException => false }
-      }
+    cap > 0L && s.entries.size <= LakeTable.MinEntriesForRewritePrune &&
+      dataUnder(s, cap)
+  }
+
+  /** Whether `s`'s data files total at most `capBytes` — the generic
+    * tiny-table byte probe ([[isTinyRewrite]]'s body, reusable by
+    * index-probe dispatches). Driver-side metadata only (one
+    * listStatus per entry dir — callers bound the entry count);
+    * an unlistable dir disqualifies: unknown size is never tiny. */
+  private[graft] def dataUnder(s: Snapshot, capBytes: Long): Boolean = {
+    var total = 0L
+    s.entries.forall { e =>
+      try {
+        total += fs.listStatus(new Path(e.dataPath(location)))
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        total <= capBytes
+      } catch { case _: java.io.IOException => false }
     }
   }
 
@@ -2770,6 +2786,51 @@ object LakeTable {
     * (`"0"` disables the short-circuit entirely). */
   private[graft] val TinyRewriteMaxBytes = 64L << 20
   private[graft] val TinyRewriteMaxBytesProp = "rewrite.tiny.max-bytes"
+
+  /** Driver-side LRU cache of bloom sidecar FILTERS, keyed by absolute
+    * path and shared across table handles (handles are recreated per
+    * `catalog.table(...)` call — the loaded filters are what must
+    * survive). Sidecar paths are write-once: every commit writes its
+    * sidecars under its own fresh data dir, so a cached filter can
+    * never go stale; filters of deleted dirs simply age out. Byte-
+    * budgeted eviction (access order): a long-running stream probes
+    * its index every micro-batch, and re-reading each surviving
+    * entry's sidecar from the FS per probe would make read planning
+    * IO-bound at exactly the entry counts where pruning matters. */
+  private val BloomCacheBudgetBytes = 256L << 20
+  private val bloomCache = new java.util.LinkedHashMap[
+    String, (org.apache.spark.util.sketch.BloomFilter, Long)](64, 0.75f, true)
+  private var bloomCacheBytes = 0L
+
+  private def bloomCacheGet(path: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.synchronized(Option(bloomCache.get(path)).map(_._1))
+
+  private def bloomCachePut(path: String, bf: org.apache.spark.util.sketch.BloomFilter): Unit =
+    bloomCache.synchronized {
+      if (!bloomCache.containsKey(path)) {
+        val sz = math.max(64L, bf.bitSize() / 8)
+        bloomCache.put(path, (bf, sz))
+        bloomCacheBytes += sz
+        val it = bloomCache.entrySet().iterator()
+        while (bloomCacheBytes > BloomCacheBudgetBytes && it.hasNext) {
+          bloomCacheBytes -= it.next().getValue._2
+          it.remove()
+        }
+      }
+    }
+
+  /** Cache-through sidecar load: IO runs OUTSIDE the lock (concurrent
+    * probes load distinct paths in parallel); a miss (unreadable or
+    * absent sidecar) is never cached — it must stay a loud re-probe,
+    * not a sticky verdict. */
+  private[store] def cachedBloom(path: String)(
+      load: => Option[org.apache.spark.util.sketch.BloomFilter])
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCacheGet(path).orElse {
+      val bf = load
+      bf.foreach(bloomCachePut(path, _))
+      bf
+    }
 
   /** Superseded `tags-v<n>.json` generations kept on each successful
     * claim. Sized so a reader's bounded re-list retries cannot be

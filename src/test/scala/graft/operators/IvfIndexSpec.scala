@@ -46,6 +46,14 @@ class IvfIndexSpec extends SparkSpec {
     val plan = cells.read.filter($"cell" === "0").queryExecution.executedPlan.toString
     plan should include("PartitionFilters")
     plan should not include "PartitionFilters: []"
+    // and through readWhere (the query path), at PLANNING time too: the
+    // manifest's degenerate partition ranges drop the other cells'
+    // entries before any file is opened — plan size tracks nprobe, not
+    // the index's cell count
+    val (_, planned, total) = cells.readWhereCounted($"cell".isin("0"))
+    total shouldBe cells.currentSnapshot.get.entries.size
+    planned should be < total
+    planned should be >= 1
   }
 
   test("append: frozen quantizer, old cell files intact, new vectors searchable") {

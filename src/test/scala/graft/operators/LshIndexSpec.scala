@@ -66,6 +66,80 @@ class LshIndexSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq shouldBe Seq(1L)
   }
 
+  test("probe plans only the index entries that can hold a matching band") {
+    val cat = freshCatalog()
+    // generation A: one content family; generation B (appended): another.
+    // The probe is a near-dup of B only — its band values (minhashes of
+    // B-ish shingles) appear in no generation-A file, so the band bloom
+    // sidecars must drop A's entries at planning time, and the candidate
+    // ids must likewise drop A's token-set entries.
+    LshIndex.build(cat, "ix", "nd",
+      docs((0L until 8L).map(i => (i, s"alpha beta gamma delta line $i here")): _*))
+    // force the at-scale pruned path (the test index is under the
+    // tiny-bypass size floor)
+    cat.table("ix.nd_bands").setProperties(
+      Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+    LshIndex.appendBatch(cat, "ix", "nd", docs((100L, near1), (101L, other)), 1L)
+    val hits = LshIndex.query(cat, "ix", "nd", docs((200L, near2)))
+      .collect().map(_.getLong(1)).sorted
+    hits shouldBe Array(100L)
+    val st = LshIndex.lastProbeStats.get
+    st.bandFallback shouldBe false
+    st.toksFallback shouldBe false
+    // both tables hold two generations (build + append); only the
+    // append generation can match the probe
+    st.bandEntriesTotal should be >= 2
+    st.bandEntriesPlanned should be < st.bandEntriesTotal
+    st.toksEntriesTotal should be >= 2
+    st.toksEntriesPlanned should be < st.toksEntriesTotal
+  }
+
+  test("oversized probe falls back to the full-index scan with identical results") {
+    val corpus = docs((0L until 24L).map(i =>
+      (i, if (i % 5 == 0) near1 else s"filler text row $i keeps going")): _*)
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", corpus)
+    cat.table("ix.nd_bands").setProperties(
+      Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+    val probe = docs((300L, near2), (301L, "unrelated wording entirely"))
+    val pruned = LshIndex.query(cat, "ix", "nd", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val full = LshIndex.query(cat, "ix", "nd", probe, maxProbeKeys = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    LshIndex.lastProbeStats.get.bandFallback shouldBe true
+    LshIndex.lastProbeStats.get.toksFallback shouldBe true
+    full shouldBe pruned
+    full should not be empty
+  }
+
+  test("a probe batch entirely under the shingle floor yields empty, no scan") {
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1)))
+    cat.table("ix.nd_bands").setProperties(
+      Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+    val out = LshIndex.query(cat, "ix", "nd", docs((9L, "two words")))
+    out.collect() shouldBe empty
+    val st = LshIndex.lastProbeStats.get
+    st.bandKeys shouldBe 0
+    st.bandEntriesPlanned shouldBe 0
+    st.toksEntriesPlanned shouldBe 0
+  }
+
+  test("an index under the size floor takes the single-job bypass plan") {
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1), (2L, other)))
+    val hits = LshIndex.query(cat, "ix", "nd", docs((50L, near2)))
+      .collect().map(_.getLong(1)).sorted
+    hits shouldBe Array(1L)
+    LshIndex.lastProbeStats.get.tinyBypass shouldBe true
+    // a malformed floor value degrades to the default, never throws
+    cat.table("ix.nd_bands").setProperties(
+      Map(LshIndex.ProbePruneMinBytesProp -> "not-a-number"))
+    LshIndex.query(cat, "ix", "nd", docs((51L, near2)))
+      .collect().map(_.getLong(1)).sorted shouldBe Array(1L)
+    LshIndex.lastProbeStats.get.tinyBypass shouldBe true
+  }
+
   test("a missing-parameter index fails fast instead of probing garbage") {
     val cat = freshCatalog()
     // a bands table created OUTSIDE build carries no lsh.* properties
