@@ -47,6 +47,63 @@ object ScaleProbe {
     }
   }
 
+  /** Three-point decade ladder on the PERSISTENT IVF INDEX's probe
+    * (the e07/s19 steady state): build the index over a 1×/10×/100×
+    * vector corpus and probe it with the SAME fixed ~200-query batch.
+    * `nlist` scales WITH the corpus (replica-unique labels — the IVF
+    * sizing rule: cells grow with N so per-cell size stays bounded;
+    * a fixed nlist over 100× vectors would just make every cell 100×
+    * heavier and the probe linear). The 100 TB claim under test:
+    * per-probe cost = batch-vs-centroid assignment (broadcast,
+    * map-side) + nprobe PRUNED cell partitions of ~constant size —
+    * flat in corpus size. Append is O(batch) under the frozen
+    * quantizer. `runMain graft.ScaleProbe <sfDir> ivf`. */
+  private def ivfLadder(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.IvfIndex
+    import graft.store.LakeCatalog
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // replica i: ids offset clear of every rung, vectors slightly
+    // scaled (near- but not exact duplicates of replica 0 — kNN stays
+    // meaningful), labels replica-unique so the label-trained coarse
+    // quantizer's nlist grows with the corpus
+    def replica(i: Int): DataFrame = base.select(
+      (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+      (if (i == 0) col("embedding")
+       else transform(col("embedding"), x => x * lit(1.0f + i * 1e-4f))).as("embedding"),
+      (col("label") + lit(i * 10000)).as("label"))
+    val probeBatch = base.filter(col("vec_id") < 200)
+      .select((col("vec_id") + lit(2_000_000_000L)).as("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probeBatch.count()
+    val walls = Seq(1, 10, 100).map { mult =>
+      val corpus = (0 until mult).map(replica).reduce(_ unionByName _)
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vecs = corpus.count()
+      val cat = new LakeCatalog(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_probe_ivf_$mult")
+      cat.createDatabase("probe")
+      val t0 = System.nanoTime()
+      IvfIndex.build(cat, "probe", "ann", corpus)
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      corpus.unpersist()
+      val nlist = cat.table("probe.ann_centroids").read.count()
+      val t1 = System.nanoTime()
+      val rows = IvfIndex.query(cat, "probe", "ann", probeBatch, k = 5, nprobe = 3).count()
+      val probeWall = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      IvfIndex.appendBatch(cat, "probe", "ann", probeBatch, 1L)
+      val appendWall = (System.nanoTime() - t2) / 1e9
+      println(f"PROBE ivf_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  " +
+        f"append $appendWall%8.2f s  ($vecs vecs, $nlist cells, $rows neighbor rows)")
+      mult -> probeWall
+    }
+    walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>
+      println(f"PROBE ivf probe ratio x$m0->x$m1: wall ${w1 / w0}%.2f for ${m1 / m0}x corpus")
+    }
+  }
+
   /** Three-point decade ladder on the PERSISTENT LSH INDEX's probe
     * (the d51/s18 steady state): build the index over a 1×/10×/100×
     * history, then probe it with the SAME fixed ~500-doc batch. The
@@ -184,6 +241,11 @@ object ScaleProbe {
     }
     if (args.drop(1).headOption.contains("lsh")) {
       lshLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("ivf")) {
+      ivfLadder(spark, sfDir)
       spark.stop()
       return
     }

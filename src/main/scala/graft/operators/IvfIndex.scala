@@ -155,9 +155,14 @@ object IvfIndex {
       k: Int,
       nprobe: Int): DataFrame = {
     val cents = cat.table(s"$db.${name}_centroids").read
+    // eager local checkpoint: the assignment feeds BOTH the probed-cell
+    // collect and the broadcast join — without it the batch×nlist
+    // distance pass runs twice; the checkpointed payload is only
+    // (cell, query_id, qv) × nprobe, bounded by the query batch
     val probes = nearestCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       cents, n = nprobe, idAs = "query_id", vecAs = "qv")
+      .localCheckpoint(true)
     // literal IN over the partition column, through readWhere: the
     // manifest's degenerate [v,v] partition ranges drop non-probed
     // cells' entries at PLANNING time (plan size tracks nprobe, not the

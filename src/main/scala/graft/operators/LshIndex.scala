@@ -62,7 +62,8 @@ object LshIndex {
       k: Int = 8,
       bands: Int = 4,
       maxBucket: Int = 1000,
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      pruneMinBytes: Long = ProbePruneMinBytes): Unit = {
     val (staged, banded, toks) = bandsFor(corpus, shingleSize, k, bands, maxBucket, textCol)
     val props = Map(
       "lsh.shingle" -> shingleSize.toString,
@@ -89,8 +90,15 @@ object LshIndex {
     // default): the one bootstrap generation's filter ends up
     // overloaded (high fpp → conservatively kept), which is harmless —
     // it holds the whole initial corpus and probes almost always need
-    // it anyway.
-    val bloomProps = Map("write.bloom.expected-items" -> "20000")
+    // it anyway. `pruneMinBytes` is ONE floor for the whole feature:
+    // under it, probes take the single-job bypass AND commits skip the
+    // sidecar-build job (filters nothing would read — measured ~0.3 s
+    // of pure insurance per micro-batch append at bench scale); past
+    // it, both sides activate together.
+    val bloomProps = Map(
+      "write.bloom.expected-items" -> "20000",
+      "write.bloom.min-table-bytes" -> pruneMinBytes.toString,
+      ProbePruneMinBytesProp -> pruneMinBytes.toString)
     cat.table(s"$db.${name}_toks").createOrReplace(toks,
       tableProperties = bloomProps +
         (GenProp -> gen) + ("write.bloom.columns" -> "doc_id"))
@@ -243,13 +251,16 @@ object LshIndex {
   private[graft] val ProbePruneMinBytes: Long = 64L << 20
   private val TinyProbeMaxEntries = 64
 
-  /** (table location, snapshot version) → tiny? — the byte probe is
-    * O(entries) driver FS metadata and a stream probes every batch;
-    * snapshots are immutable so the verdict is cacheable forever.
-    * Entries are a few dozen bytes each — a week-long stream adds one
-    * per index commit, far under any memory concern. */
+  /** (table location, snapshot version, cap) → tiny? — the byte probe
+    * is O(entries) driver FS metadata and a stream probes every batch;
+    * snapshots are immutable so a verdict is cacheable forever. The cap
+    * is part of the key: the floor property lives on the BANDS table,
+    * so changing it bumps only that table's version — the toks verdict
+    * must not survive under a stale cap. Entries are a few dozen bytes
+    * each — a week-long stream adds one per index commit, far under
+    * any memory concern. */
   private val tinyCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
 
   private def tinyIndex(
       bandsT: graft.store.LakeTable, toksT: graft.store.LakeTable): Boolean = {
@@ -259,7 +270,7 @@ object LshIndex {
     }
     cap > 0L && Seq(bandsT, toksT).forall(t => t.currentSnapshot.exists(s =>
       s.entries.size <= TinyProbeMaxEntries &&
-        tinyCache.computeIfAbsent((t.location, s.version), _ => t.dataUnder(s, cap))))
+        tinyCache.computeIfAbsent((t.location, s.version, cap), _ => t.dataUnder(s, cap))))
   }
 
   /** Planning stats of the most recent probe in this JVM — probe/test

@@ -607,13 +607,43 @@ class LakeTable(
           Duration.Inf)
       }
     }
-    val bloomCols = bloomColumnsFor(df.schema, partitionCols, props)
+    val bloomCols0 = bloomColumnsFor(df.schema, partitionCols, props)
+    val bloomCols =
+      if (bloomCols0.isEmpty || pastBloomFloor(abs, props)) bloomCols0 else Nil
     if (bloomCols.isEmpty) (dir, entries)
     else {
       val written = StoreTiming.time("data.bloom-sidecars")(
         writeBloomSidecars(dir, abs, bloomCols, props))
       (dir, entries.map(e =>
         if (written(e.partition.getOrElse(""))) e.copy(blooms = bloomCols) else e))
+    }
+  }
+
+  /** `write.bloom.min-table-bytes`: sidecar building starts with the
+    * first commit that pushes the table past this size (absent/0 =
+    * every commit builds, the default). Probes that dispatch on the
+    * SAME floor (the LSH index) never consult sidecars while the table
+    * is under it, so building them there is a per-commit job spent on
+    * files nothing reads; entries written under the floor carry no
+    * sidecar once it is crossed — [[bloomPruned]] conservatively keeps
+    * them — and gain one when a rewrite re-lands their rows. The
+    * parent-size probe is driver-side metadata, guarded to ≤64 entries
+    * (more entries ⇒ treated as past the floor, no FS walk). */
+  private def pastBloomFloor(abs: String, props: Map[String, String]): Boolean = {
+    val floor = props.get("write.bloom.min-table-bytes") match {
+      case Some(v) => scala.util.Try(v.toLong).getOrElse {
+        logger.warn(s"unparseable write.bloom.min-table-bytes='$v' on $name; " +
+          "building sidecars unconditionally")
+        0L
+      }
+      case None => 0L
+    }
+    floor <= 0L || {
+      val writtenBytes =
+        try fs.getContentSummary(new Path(abs)).getLength
+        catch { case _: java.io.IOException => Long.MaxValue } // unknown → build
+      writtenBytes >= floor || currentSnapshot.exists(s =>
+        s.entries.size > 64 || !dataUnder(s, floor - writtenBytes))
     }
   }
 

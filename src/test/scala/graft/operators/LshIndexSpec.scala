@@ -73,12 +73,11 @@ class LshIndexSpec extends SparkSpec {
     // B-ish shingles) appear in no generation-A file, so the band bloom
     // sidecars must drop A's entries at planning time, and the candidate
     // ids must likewise drop A's token-set entries.
+    // pruneMinBytes = 0 forces the at-scale behavior on a test-sized
+    // index: sidecars built from the first commit, probes pruned
     LshIndex.build(cat, "ix", "nd",
-      docs((0L until 8L).map(i => (i, s"alpha beta gamma delta line $i here")): _*))
-    // force the at-scale pruned path (the test index is under the
-    // tiny-bypass size floor)
-    cat.table("ix.nd_bands").setProperties(
-      Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+      docs((0L until 8L).map(i => (i, s"alpha beta gamma delta line $i here")): _*),
+      pruneMinBytes = 0L)
     LshIndex.appendBatch(cat, "ix", "nd", docs((100L, near1), (101L, other)), 1L)
     val hits = LshIndex.query(cat, "ix", "nd", docs((200L, near2)))
       .collect().map(_.getLong(1)).sorted
@@ -98,9 +97,7 @@ class LshIndexSpec extends SparkSpec {
     val corpus = docs((0L until 24L).map(i =>
       (i, if (i % 5 == 0) near1 else s"filler text row $i keeps going")): _*)
     val cat = freshCatalog()
-    LshIndex.build(cat, "ix", "nd", corpus)
-    cat.table("ix.nd_bands").setProperties(
-      Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+    LshIndex.build(cat, "ix", "nd", corpus, pruneMinBytes = 0L)
     val probe = docs((300L, near2), (301L, "unrelated wording entirely"))
     val pruned = LshIndex.query(cat, "ix", "nd", probe)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
@@ -114,9 +111,7 @@ class LshIndexSpec extends SparkSpec {
 
   test("a probe batch entirely under the shingle floor yields empty, no scan") {
     val cat = freshCatalog()
-    LshIndex.build(cat, "ix", "nd", docs((1L, near1)))
-    cat.table("ix.nd_bands").setProperties(
-      Map(LshIndex.ProbePruneMinBytesProp -> "0"))
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1)), pruneMinBytes = 0L)
     val out = LshIndex.query(cat, "ix", "nd", docs((9L, "two words")))
     out.collect() shouldBe empty
     val st = LshIndex.lastProbeStats.get
@@ -132,6 +127,12 @@ class LshIndexSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted
     hits shouldBe Array(1L)
     LshIndex.lastProbeStats.get.tinyBypass shouldBe true
+    // under the floor, commits also SKIP the sidecar-build job —
+    // filters nothing would read (the bypass plan never consults them)
+    cat.table("ix.nd_bands").currentSnapshot.get.entries
+      .forall(_.blooms.isEmpty) shouldBe true
+    cat.table("ix.nd_toks").currentSnapshot.get.entries
+      .forall(_.blooms.isEmpty) shouldBe true
     // a malformed floor value degrades to the default, never throws
     cat.table("ix.nd_bands").setProperties(
       Map(LshIndex.ProbePruneMinBytesProp -> "not-a-number"))
