@@ -94,6 +94,25 @@ object IvfIndex {
     true
   }
 
+  /** Fold the cells table's accumulated append generations: one plain
+    * compaction (the store's `rewriteDataFiles`, layout-preserving —
+    * the table stays cell-partitioned). Every streamed append commits
+    * one manifest entry PER TOUCHED CELL LEAF (up to batch-size
+    * entries per micro-batch — the ScaleProbe ivf ladder measures
+    * this), and probes walk entries driver-side, so an unfolded index
+    * eventually pays O(appends × touched-leaves) planning per query.
+    * Contents are moved, never changed: probe results, the replay
+    * high-water mark, and the centroids table (untouched) all
+    * survive. Run off the ingest path on a maintenance cadence —
+    * `rebalance`'s cheaper sibling for when the quantizer has NOT
+    * drifted. Returns (filesBefore, filesAfter). */
+  def compact(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    cat.table(s"$db.${name}_cells").rewriteDataFiles(targetFileBytes)
+
   /** Centroid re-balance after appends — the periodic maintenance step
     * production IVF engines run when the data distribution has drifted
     * from the quantizer (appends keep their frozen-centroid cell

@@ -215,6 +215,35 @@ object LshIndex {
     true
   }
 
+  /** Fold the index's accumulated micro-batch generations: one plain
+    * compaction per table (the store's `rewriteDataFiles`). A streamed
+    * index gains one manifest entry per append commit — probes walk
+    * them driver-side, and pruning granularity IS the entry — and any
+    * generation written under the sidecar floor carries no filters.
+    * Compaction re-lands all rows in few large files, rebuilding
+    * sidecars through the same floor-gated write path (a folded table
+    * past `write.bloom.min-table-bytes` gets them even if every source
+    * generation was under it — the backfill path the floor design
+    * relies on). Contents are moved, never changed: probe results,
+    * the build-generation pin, and the `lsh.last-batch` replay
+    * high-water mark all survive (properties ride the rewrite commit).
+    * Run it off the ingest path on a maintenance cadence, like the
+    * store's compaction. Returns ((toksBefore, toksAfter),
+    * (bandsBefore, bandsAfter)) file counts. */
+  def compact(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): ((Int, Int), (Int, Int)) = {
+    // same order as build/append (toks first): a crash between the two
+    // rewrites leaves one table compacted and the other not — contents
+    // identical either way, so probes stay correct and the generation
+    // pin never skews
+    val t = cat.table(s"$db.${name}_toks").rewriteDataFiles(targetFileBytes)
+    val b = cat.table(s"$db.${name}_bands").rewriteDataFiles(targetFileBytes)
+    (t, b)
+  }
+
   /** Probe: near-dup pairs (incoming doc_a × indexed doc_b) with exact
     * Jaccard ≥ threshold. One band-equality join generates candidates
     * (ids only), then ONLY candidates join their token sets back. */

@@ -81,7 +81,16 @@ object IndexedDocStreams {
 
   /** Attach the screen to a streaming doc frame (doc_id, text, ...).
     * The index must exist ([[LshIndex.build]] the bootstrap corpus
-    * first — possibly empty). */
+    * first — possibly empty).
+    *
+    * `compactEveryBatches` > 0 folds the index tables every N batches
+    * AFTER the batch's own screen+append (the CDC pipeline's
+    * interval-gated in-stream maintenance pattern): a streamed index
+    * gains one manifest entry per append commit, and unfolded it
+    * eventually pays O(commits) probe planning. Compaction is
+    * idempotent and content-preserving ([[LshIndex.compact]]); if it
+    * crashes mid-fold, the replayed batch screens against the
+    * identical row set and re-folds on its next interval. */
   def run(
       stream: DataFrame,
       cat: LakeCatalog,
@@ -91,6 +100,7 @@ object IndexedDocStreams {
       checkpoint: String,
       threshold: Double = 0.5,
       textCol: String = "text",
+      compactEveryBatches: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
@@ -98,6 +108,10 @@ object IndexedDocStreams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         screenBatch(cat, db, name, batch, id, outDir, threshold, textCol)
+        if (compactEveryBatches > 0 && id > 0 && id % compactEveryBatches == 0) {
+          LshIndex.compact(cat, db, name)
+          ()
+        }
       }
       .start()
 }

@@ -58,7 +58,14 @@ object IndexedVecStreams {
   }
 
   /** Attach the screen to a streaming embedding frame. The index must
-    * exist ([[IvfIndex.build]] the bootstrap corpus first). */
+    * exist ([[IvfIndex.build]] the bootstrap corpus first).
+    *
+    * `compactEveryBatches` > 0 folds the cells table every N batches
+    * after the batch's own screen+append ([[IvfIndex.compact]] — each
+    * append commits one manifest entry per touched cell leaf, so an
+    * unfolded streamed index pays ever-growing probe planning);
+    * content-preserving and idempotent, same contract as the doc
+    * screen's interval compaction. */
   def run(
       stream: DataFrame,
       cat: LakeCatalog,
@@ -68,6 +75,7 @@ object IndexedVecStreams {
       checkpoint: String,
       k: Int = 5,
       nprobe: Int = 3,
+      compactEveryBatches: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
@@ -75,6 +83,10 @@ object IndexedVecStreams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         screenBatch(cat, db, name, batch, id, outDir, k, nprobe)
+        if (compactEveryBatches > 0 && id > 0 && id % compactEveryBatches == 0) {
+          IvfIndex.compact(cat, db, name)
+          ()
+        }
       }
       .start()
 }

@@ -141,6 +141,44 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.lastProbeStats.get.tinyBypass shouldBe true
   }
 
+  test("compact folds generations, backfills sidecars, preserves probe results") {
+    val cat = freshCatalog()
+    // four generations under the default floor: no sidecars anywhere
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1), (2L, other)))
+    LshIndex.appendBatch(cat, "ix", "nd",
+      docs((10L, "some fresh material in batch ten right here")), 1L)
+    LshIndex.appendBatch(cat, "ix", "nd",
+      docs((11L, "entirely new phrasing for batch eleven today")), 2L)
+    LshIndex.appendBatch(cat, "ix", "nd", docs((12L, near2)), 3L)
+    val bandsT = cat.table("ix.nd_bands")
+    bandsT.currentSnapshot.get.entries.size should be >= 4
+    bandsT.currentSnapshot.get.entries.forall(_.blooms.isEmpty) shouldBe true
+    val probe = docs((500L, near2))
+    val before = LshIndex.query(cat, "ix", "nd", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    before.map(_._2).toSeq shouldBe Seq(1L, 12L)
+    // drop the floor (operator decision: this index is heading past
+    // it), then compact — the rewrite re-lands every generation's rows
+    // WITH sidecars, through the same floor-gated write path
+    Seq("ix.nd_bands", "ix.nd_toks").foreach(t =>
+      cat.table(t).setProperties(Map(
+        LshIndex.ProbePruneMinBytesProp -> "0",
+        "write.bloom.min-table-bytes" -> "0")))
+    LshIndex.compact(cat, "ix", "nd")
+    val folded = cat.table("ix.nd_bands").currentSnapshot.get
+    folded.entries.size shouldBe 1
+    folded.entries.forall(_.blooms.nonEmpty) shouldBe true
+    cat.table("ix.nd_toks").currentSnapshot.get.entries
+      .forall(_.blooms.nonEmpty) shouldBe true
+    // probe parity through the pruned plan, and the replay high-water
+    // mark survived the rewrite: batch 3 is still a no-op
+    val after = LshIndex.query(cat, "ix", "nd", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    after shouldBe before
+    LshIndex.lastProbeStats.get.tinyBypass shouldBe false
+    LshIndex.appendBatch(cat, "ix", "nd", docs((12L, near2)), 3L) shouldBe false
+  }
+
   test("a missing-parameter index fails fast instead of probing garbage") {
     val cat = freshCatalog()
     // a bands table created OUTSIDE build carries no lsh.* properties

@@ -71,6 +71,32 @@ class IndexedDocStreamsSpec extends SparkSpec {
     exact shouldBe 1.0
   }
 
+  test("in-stream interval compaction folds the index without changing the screen") {
+    val cat = freshIndex(docs((1L, near1), (2L, other)))
+    val src = Files.createTempDirectory("idx-src").toString
+    writeBatch(docs((10L, near2)), src, 1)
+    writeBatch(docs((20L, near1)), src, 2)
+    writeBatch(docs((30L, near2)), src, 3)
+    val out = Files.createTempDirectory("idx-out").toString + "/pairs"
+    val ckpt = Files.createTempDirectory("idx-ckpt").toString
+    val q = IndexedDocStreams.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      cat, "db", "nd", out, ckpt, compactEveryBatches = 1)
+    q.awaitTermination()
+    // identical pair semantics to the uncompacted stream: each batch
+    // still pairs against the bootstrap AND every earlier batch
+    readPairs(out) shouldBe Seq(
+      (10L, 1L, 0L),
+      (20L, 1L, 1L), (20L, 10L, 1L),
+      (30L, 1L, 2L), (30L, 10L, 2L), (30L, 20L, 2L))
+    // folds ran after batches 1 and 2: the five append/build
+    // generations collapse to one entry per table
+    cat.table("db.nd_bands").currentSnapshot.get.entries.size shouldBe 1
+    cat.table("db.nd_toks").currentSnapshot.get.entries.size shouldBe 1
+    // the replay high-water mark survived the folds
+    LshIndex.appendBatch(cat, "db", "nd", docs((30L, near2)), 2L) shouldBe false
+  }
+
   test("a replayed batch is a full no-op on both sinks") {
     val cat = freshIndex(docs((1L, near1)))
     val out = Files.createTempDirectory("idx-out2").toString + "/pairs"

@@ -69,6 +69,35 @@ class IndexedVecStreamsSpec extends SparkSpec {
     rows.filter(_._1 == 20L).map(_._3).distinct shouldBe Seq(1L)
   }
 
+  test("in-stream interval compaction folds the cells table, screen unchanged") {
+    val cat = freshIndex()
+    val src = Files.createTempDirectory("vec-src3").toString
+    writeBatch(df(vec(10L, 0, 8f)), src, 1)
+    writeBatch(df(vec(20L, 1, 8f)), src, 2)
+    writeBatch(df(vec(30L, 0, 7f)), src, 3)
+    val out = Files.createTempDirectory("vec-out3").toString + "/nn"
+    val ckpt = Files.createTempDirectory("vec-ckpt3").toString
+    val q = IndexedVecStreams.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      cat, "db", "ann", out, ckpt, k = 3, nprobe = 1, compactEveryBatches = 1)
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // same screen semantics as the uncompacted stream
+    rows.filter(_._1 == 10L).map(_._2).toSet shouldBe Set(1L, 2L)
+    rows.filter(_._1 == 20L).map(_._2).toSet shouldBe Set(3L, 4L)
+    rows.filter(_._1 == 30L).map(_._2).toSet shouldBe Set(1L, 2L, 10L)
+    // folds ran after batches 1 and 2: entries collapse to one per
+    // occupied cell (build + three appends would otherwise stack one
+    // entry per touched leaf per commit)
+    val cells = cat.table("db.ann_cells")
+    val occupied = cells.read.select("cell").distinct().count()
+    cells.currentSnapshot.get.entries.size.toLong shouldBe occupied
+    // the replay high-water mark survived the folds
+    IvfIndex.appendBatch(cat, "db", "ann", df(vec(30L, 0, 7f)), 2L) shouldBe false
+  }
+
   test("a replayed batch is a no-op on the cells commit and the output") {
     val cat = freshIndex()
     val out = Files.createTempDirectory("vec-out2").toString + "/nn"
