@@ -896,6 +896,30 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def d55(s: SparkSession, dir: String): DataFrame = {
+    // full index LIFECYCLE under the oracle: build(%3==0) →
+    // append(%3==1) → REMOVE every doc_id%7==0 (the retraction /
+    // right-to-be-forgotten path: key-pruned deletes on both index
+    // tables) → COMPACT (a pure fold — entries collapse, contents and
+    // probe results must not move) → probe(%3==2). The oracle filters
+    // removed ids AFTER the per-generation bucket caps, exactly
+    // matching write-time capping followed by row deletion.
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    val cat = new LakeCatalog(s,
+      s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+        dir.replaceAll("[^a-z0-9]", "_") + "_lsh55")
+    cat.createDatabase("lake")
+    val docs = documents(s, dir)
+    LshIndex.build(cat, "lake", "neardup55", docs.filter(col("doc_id") % 3 === 0))
+    LshIndex.append(cat, "lake", "neardup55", docs.filter(col("doc_id") % 3 === 1))
+    LshIndex.remove(cat, "lake", "neardup55",
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+    LshIndex.compact(cat, "lake", "neardup55")
+    LshIndex.query(cat, "lake", "neardup55", docs.filter(col("doc_id") % 3 === 2))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def d52(s: SparkSession, dir: String): DataFrame =
     // deterministic train/val/test split (md5 bucket, 800/100/100):
     // per-split doc count, char mass and id range — reproducible across
@@ -1127,6 +1151,7 @@ object LlmQueries {
     "d47_incr_near_dup" -> (d47 _),
     "d54_substring_dedup" -> (d54 _),
     "d51_lsh_index" -> (d51 _),
+    "d55_lsh_retract" -> (d55 _),
     "d52_hash_split" -> (d52 _),
     "d53_split_leakage" -> (d53 _),
     "s16_stream_near_dup" -> (s16 _),
@@ -2143,6 +2168,44 @@ object LlmQueries {
                   WHERE doc_id % 3 = 2) WHERE bn <= 1000),
          idx AS (SELECT band, doc_id, toks FROM g0
                  UNION ALL SELECT band, doc_id, toks FROM g1),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, i.doc_id AS doc_b,
+                     a.toks AS toks_a, i.toks AS toks_b
+                   FROM nw a JOIN idx i ON a.band = i.band)
+         SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE), 4)
+             AS jaccard
+         FROM pairs
+         WHERE CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(toks_a, toks_b))) AS DOUBLE) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "d55_lsh_retract" ->
+      // d51's two-generation index with the retraction lifecycle: the
+      // per-generation bucket caps (write-time) apply FIRST, then the
+      // removed ids (%7==0) drop out of the index side — deletion
+      // removes stored rows, it never re-runs capping; compaction is a
+      // pure fold and contributes nothing the oracle could see. The
+      // probe side is untouched (removal only hits the index tables).
+      s"""WITH t AS ($ToksCte),
+         sh AS (SELECT doc_id, list_distinct(tk) AS toks, $Shingles3 AS shingles
+                FROM t WHERE len(tk) >= 3),
+         hsh AS (SELECT doc_id, toks, $ShingleHashes AS hs FROM sh),
+         sig AS (SELECT doc_id, toks, $Sketch8 AS sg FROM hsh),
+         b AS (SELECT doc_id, toks, unnest(range(0, 4)) AS bi, sg FROM sig),
+         bk AS (SELECT doc_id, toks,
+                  bi::VARCHAR || '_' || sg[bi*2+1]::VARCHAR || '_'
+                    || sg[bi*2+2]::VARCHAR AS band FROM b),
+         g0 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 0) WHERE bn <= 1000),
+         g1 AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 1) WHERE bn <= 1000),
+         nw AS (SELECT * FROM (SELECT band, doc_id, toks,
+                  count(*) OVER (PARTITION BY band) AS bn FROM bk
+                  WHERE doc_id % 3 = 2) WHERE bn <= 1000),
+         idx AS (SELECT band, doc_id, toks FROM g0 WHERE doc_id % 7 <> 0
+                 UNION ALL SELECT band, doc_id, toks FROM g1 WHERE doc_id % 7 <> 0),
          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, i.doc_id AS doc_b,
                      a.toks AS toks_a, i.toks AS toks_b
                    FROM nw a JOIN idx i ON a.band = i.band)

@@ -94,6 +94,24 @@ object IvfIndex {
     true
   }
 
+  /** Remove vectors from the index — the retraction path: one
+    * key-pruned delete on the cells table (`deleteMatching` dispatches
+    * COW or merge-on-read per `write.delete.mode`). The centroids
+    * table is untouched (the frozen quantizer is statistics, not
+    * content — the next `rebalance`/`build` re-trains without the
+    * removed vectors). Exact: a removed vector can never surface as a
+    * neighbor, and cell partition pruning confines the rewrite to the
+    * cells that actually held it. */
+  def remove(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      vecIds: DataFrame): Unit = {
+    cat.table(s"$db.${name}_cells")
+      .deleteMatching(vecIds.select("vec_id"), Seq("vec_id"))
+    ()
+  }
+
   /** Fold the cells table's accumulated append generations: one plain
     * compaction (the store's `rewriteDataFiles`, layout-preserving —
     * the table stays cell-partitioned). Every streamed append commits

@@ -215,6 +215,29 @@ object LshIndex {
     true
   }
 
+  /** Remove documents from the index — the retraction / right-to-be-
+    * forgotten path: one key-pruned delete per table (`deleteMatching`
+    * dispatches COW or merge-on-read per the tables'
+    * `write.delete.mode`). Band rows and token sets are both keyed by
+    * doc_id, so removal is exact: a removed document can never appear
+    * in a later probe's pairs, either as a candidate (no band rows) or
+    * in the verify (no token set). Bands-FIRST, the reverse of
+    * build/append's toks-first order, for the same reason: a crash
+    * between the two deletes must leave "token sets without bands"
+    * (unindexed, invisible to probes), never band rows whose token
+    * sets are gone — the verify join would silently drop those
+    * candidate pairs while the bands kept generating them. */
+  def remove(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      docIds: DataFrame): Unit = {
+    val ids = docIds.select("doc_id")
+    cat.table(s"$db.${name}_bands").deleteMatching(ids, Seq("doc_id"))
+    cat.table(s"$db.${name}_toks").deleteMatching(ids, Seq("doc_id"))
+    ()
+  }
+
   /** Fold the index's accumulated micro-batch generations: one plain
     * compaction per table (the store's `rewriteDataFiles`). A streamed
     * index gains one manifest entry per append commit — probes walk

@@ -56,6 +56,27 @@ class IvfIndexSpec extends SparkSpec {
     planned should be >= 1
   }
 
+  test("remove retracts vectors from later probes; centroids untouched") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    IvfIndex.build(cat, "lake", "ann", emb.filter($"vec_id" >= 6))
+    val centsBefore = cat.table("lake.ann_centroids").read
+      .collect().map(_.toString).sorted
+    val q = emb.filter($"vec_id" === 0L)
+    val before = IvfIndex.query(cat, "lake", "ann", q, k = 3, nprobe = 1)
+      .collect().map(_.getLong(2))
+    before should not be empty
+    val victim = before.head
+    IvfIndex.remove(cat, "lake", "ann",
+      Seq(victim).toDF("vec_id"))
+    val after = IvfIndex.query(cat, "lake", "ann", q, k = 3, nprobe = 1)
+      .collect().map(_.getLong(2))
+    after should not contain victim
+    // the frozen quantizer is statistics, not content
+    cat.table("lake.ann_centroids").read
+      .collect().map(_.toString).sorted shouldBe centsBefore
+  }
+
   test("append: frozen quantizer, old cell files intact, new vectors searchable") {
     val cat = freshCat
     cat.createDatabase("lake")

@@ -179,6 +179,33 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.appendBatch(cat, "ix", "nd", docs((12L, near2)), 3L) shouldBe false
   }
 
+  test("remove retracts a document from every later probe, others unaffected") {
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1), (2L, near2), (3L, other)))
+    LshIndex.query(cat, "ix", "nd", docs((50L, near1)))
+      .collect().map(_.getLong(1)).sorted shouldBe Array(1L, 2L)
+    LshIndex.remove(cat, "ix", "nd", docs((1L, near1)).select("doc_id"))
+    // doc 1 gone from candidates AND verify; doc 2 still pairs
+    LshIndex.query(cat, "ix", "nd", docs((51L, near1)))
+      .collect().map(_.getLong(1)).sorted shouldBe Array(2L)
+    cat.table("ix.nd_toks").read.filter(col("doc_id") === 1L).count() shouldBe 0
+    // appends still work after a removal (properties/params intact)
+    LshIndex.append(cat, "ix", "nd", docs((60L, near1)))
+    LshIndex.query(cat, "ix", "nd", docs((52L, near1)))
+      .collect().map(_.getLong(1)).sorted shouldBe Array(2L, 60L)
+  }
+
+  test("remove under merge-on-read delete mode stays exact") {
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1), (2L, near2), (3L, other)))
+    Seq("ix.nd_bands", "ix.nd_toks").foreach(t =>
+      cat.table(t).setProperties(Map("write.delete.mode" -> "merge-on-read")))
+    LshIndex.remove(cat, "ix", "nd", docs((2L, near2)).select("doc_id"))
+    cat.table("ix.nd_bands").currentSnapshot.get.operation should include("mor")
+    LshIndex.query(cat, "ix", "nd", docs((70L, near1)))
+      .collect().map(_.getLong(1)).sorted shouldBe Array(1L)
+  }
+
   test("a missing-parameter index fails fast instead of probing garbage") {
     val cat = freshCatalog()
     // a bands table created OUTSIDE build carries no lsh.* properties
