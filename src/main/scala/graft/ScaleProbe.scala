@@ -113,6 +113,54 @@ object ScaleProbe {
     * band rows the probe's keys never touch); build cost may grow
     * ~linearly (it sketches the history once, amortized over every
     * later probe). `runMain graft.ScaleProbe <sfDir> lsh`. */
+  /** Fragmentation probe for the index-maintenance claim: stream 100
+    * tiny append generations into one LSH index (100 commits → ~200
+    * manifest entries + ~200 data files per table), time the fixed
+    * probe against the FRAGMENTED index, compact, time it again. The
+    * delta is the per-probe fragmentation tax — entry walking, file
+    * opens, per-file footer reads — that interval compaction
+    * (`compactEveryBatches`) exists to bound; on an object store the
+    * per-file open is ~10-100× this local-FS cost.
+    * `runMain graft.ScaleProbe <sfDir> lshfrag`. */
+  private def lshFragProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cat = new LakeCatalog(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_probe_lshfrag")
+    cat.createDatabase("probe")
+    LshIndex.build(cat, "probe", "nd", base.filter(col("doc_id") < 100))
+    val t0 = System.nanoTime()
+    (1 to 100).foreach { k =>
+      LshIndex.appendBatch(cat, "probe", "nd",
+        base.filter(col("doc_id") >= k * 100L && col("doc_id") < (k + 1) * 100L),
+        k.toLong)
+    }
+    val appendWall = (System.nanoTime() - t0) / 1e9
+    val probeBatch = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(2_000_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    def timeProbe(): (Double, Long) = {
+      val t = System.nanoTime()
+      val pairs = LshIndex.query(cat, "probe", "nd", probeBatch).count()
+      ((System.nanoTime() - t) / 1e9, pairs)
+    }
+    def entries = cat.table("probe.nd_bands").currentSnapshot.get.entries.size
+    val eFrag = entries
+    val (fragWall, fragPairs) = timeProbe()
+    val (fragWall2, _) = timeProbe() // second shot: warm plans, FS cache
+    val tC = System.nanoTime()
+    LshIndex.compact(cat, "probe", "nd")
+    val compactWall = (System.nanoTime() - tC) / 1e9
+    val eFolded = entries
+    val (foldWall, foldPairs) = timeProbe()
+    val (foldWall2, _) = timeProbe()
+    require(foldPairs == fragPairs, s"compaction changed results: $foldPairs vs $fragPairs")
+    println(f"PROBE lsh_frag 101 commits (append wall $appendWall%.1f s): " +
+      f"probe@$eFrag-entries $fragWall%.2f/$fragWall2%.2f s -> compact $compactWall%.2f s " +
+      f"-> probe@$eFolded-entries $foldWall%.2f/$foldWall2%.2f s  ($fragPairs pairs both)")
+  }
+
   private def lshLadder(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.LshIndex
     import graft.store.LakeCatalog
@@ -246,6 +294,11 @@ object ScaleProbe {
     }
     if (args.drop(1).headOption.contains("ivf")) {
       ivfLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("lshfrag")) {
+      lshFragProbe(spark, sfDir)
       spark.stop()
       return
     }
