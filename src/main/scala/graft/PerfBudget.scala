@@ -47,6 +47,7 @@ object PerfBudget {
     "d35_training_manifest",
     "d45_cluster_reps",
     "d51_lsh_index",
+    "d55_lsh_retract",
     "d53_split_leakage",
     "e07_knn_ivf_index",
     "e13_ann_recall",
