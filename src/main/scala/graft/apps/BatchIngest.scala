@@ -81,14 +81,24 @@ object BatchIngest {
   }
 
   /** Overwrite `outputPath` with `df` as parquet WITHOUT ever exposing a
-    * torn snapshot. The session runs committer v2 with _SUCCESS markers
+    * torn snapshot, and without ever holding FEWER than one complete
+    * copy. The session runs committer v2 with _SUCCESS markers
     * disabled — safe for the lake store (visibility = snapshot claim
     * over a fresh UUID dir) but not for a direct overwrite sink, where
     * a mid-job failure would leave partially-written part files visible
     * with no completion marker for parquetToLake to check. So: stage
-    * into a hidden sibling dir, swap it in only after the job finished.
-    * A failure leaves the previous complete snapshot untouched (the
-    * stage dir is cleaned up here, or by the next run if the JVM died).
+    * into a hidden sibling dir, move the live dir ASIDE (rename, never
+    * delete), swap the stage in, and only then drop the aside copy.
+    * Every crash window keeps a complete snapshot on disk:
+    *
+    *  - during/after the stage write: live dir untouched;
+    *  - after live→aside, before stage→live: the sweep on the NEXT run
+    *    restores the aside copy (the stage dir, which may be torn, is
+    *    the one that gets deleted);
+    *  - after stage→live, before the aside delete: next run sees the
+    *    new live dir and just drops the stale aside.
+    *
+    * A rename failure restores the aside copy in-process and rethrows.
     * rename() is atomic on HDFS/local; on an object store front this
     * with a rename-capable layer. */
   def atomicOverwriteParquet(
@@ -97,19 +107,35 @@ object BatchIngest {
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = Option(out.getParent).getOrElse(
       throw new java.io.IOException(s"no parent dir for $out"))
-    // sweep stage dirs a crashed previous run left behind
-    if (fs.exists(parent))
+    if (fs.exists(parent)) {
+      // restore-or-drop aside dirs first: if a previous run died between
+      // its live→aside and stage→live renames, the aside copy IS the
+      // last complete snapshot — put it back before sweeping anything
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(s".${out.getName}.old-"))
+        .foreach(old => if (fs.exists(out)) fs.delete(old, true) else fs.rename(old, out))
+      // then sweep stage dirs (possibly torn — never a last copy)
       fs.listStatus(parent).map(_.getPath)
         .filter(_.getName.startsWith(s".${out.getName}.staging-"))
         .foreach(fs.delete(_, true))
-    val tmp = new org.apache.hadoop.fs.Path(
-      parent, s".${out.getName}.staging-${java.util.UUID.randomUUID}")
-    try {
-      df.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(out)) fs.delete(out, true)
-      if (!fs.rename(tmp, out))
-        throw new java.io.IOException(s"rename $tmp -> $out failed")
-    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+    val uuid = java.util.UUID.randomUUID
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".${out.getName}.staging-$uuid")
+    val aside = new org.apache.hadoop.fs.Path(parent, s".${out.getName}.old-$uuid")
+    // a failed stage WRITE is the one failure where deleting the stage
+    // dir is safe (it is torn and the live dir was never touched)
+    try df.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    val hadLive = fs.exists(out)
+    if (hadLive && !fs.rename(out, aside))
+      throw new java.io.IOException(s"rename $out -> $aside failed")
+    if (!fs.rename(tmp, out)) {
+      // put the previous snapshot back before failing; the stage dir is
+      // complete (the write finished) but unreachable — next run sweeps it
+      if (hadLive) fs.rename(aside, out)
+      throw new java.io.IOException(s"rename $tmp -> $out failed")
+    }
+    if (hadLive) { fs.delete(aside, true); () }
   }
 
   /** Pipeline 3: raw-zone parquet → lake RTAS

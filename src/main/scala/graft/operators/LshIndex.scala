@@ -85,6 +85,13 @@ object LshIndex {
     // prune NOTHING for a probe — the per-file bloom is what lets a
     // probe's IN-list (see querySketched) drop index files at planning
     // time. Same for candidate doc_ids against the token-set table.
+    // _bands blooms BOTH keys: `band` serves probes, `doc_id` serves
+    // retraction ([[remove]]'s key-pruned delete) — after a compaction
+    // folds the per-batch generations (whose doc_id RANGES happened to
+    // prune) into wide hash-mixed files, the doc_id bloom is the only
+    // thing confining a removal's rewrite to the files that actually
+    // hold the removed documents. Sidecars are KB-sized; the second
+    // column rides the same build job.
     // Filters are sized for MICRO-BATCH appends (the generation count
     // is dominated by them — ~24 KB each instead of the 240 KB
     // default): the one bootstrap generation's filter ends up
@@ -104,7 +111,7 @@ object LshIndex {
         (GenProp -> gen) + ("write.bloom.columns" -> "doc_id"))
     cat.table(s"$db.${name}_bands").createOrReplace(banded,
       tableProperties = props ++ bloomProps +
-        (GenProp -> gen) + ("write.bloom.columns" -> "band"))
+        (GenProp -> gen) + ("write.bloom.columns" -> "band,doc_id"))
     banded.unpersist(false); staged.unpersist(false)
     ()
   }
@@ -285,11 +292,14 @@ object LshIndex {
   }
 
   /** Probe IN-lists above this cardinality fall back to the unpruned
-    * full-index scan: the key collect is a driver-side action, so it
-    * must stay bounded — a micro-batch probe is far below this; only a
-    * huge one-shot backfill batch trips it (and for that, the scan IS
-    * the right plan). */
-  private[graft] val DefaultMaxProbeKeys: Int = 1 << 20
+    * full-index scan: the key collect is a driver-side action, and the
+    * bloom walk downstream tests keys × surviving entries on the
+    * driver — both must stay bounded. 64k keys keeps the worst-case
+    * walk at ~64k tests per PRUNED entry (a kept entry short-circuits
+    * on its first hit) while still covering any sane micro-batch
+    * (≈16k docs at 4 bands); only a huge one-shot backfill batch
+    * trips it, and for that the full scan IS the right plan. */
+  private[graft] val DefaultMaxProbeKeys: Int = 1 << 16
 
   /** Indexes whose band AND token tables are each under this many data
     * bytes take the single-job unpruned probe plan: the pruned probe
@@ -303,16 +313,22 @@ object LshIndex {
   private[graft] val ProbePruneMinBytes: Long = 64L << 20
   private val TinyProbeMaxEntries = 64
 
-  /** (table location, snapshot version, cap) → tiny? — the byte probe
+  /** (table location, snapshot IDENTITY, cap) → tiny? — the byte probe
     * is O(entries) driver FS metadata and a stream probes every batch;
     * snapshots are immutable so a verdict is cacheable forever. The cap
     * is part of the key: the floor property lives on the BANDS table,
     * so changing it bumps only that table's version — the toks verdict
-    * must not survive under a stale cap. Entries are a few dozen bytes
-    * each — a week-long stream adds one per index commit, far under
-    * any memory concern. */
+    * must not survive under a stale cap. Snapshot identity is (version,
+    * first entry dir): version alone is NOT unique across a
+    * drop-and-rebuild at the same warehouse path (versions restart at
+    * 1), while data dirs are fresh UUIDs per write — the dir
+    * disambiguates the rebuilt index from its predecessor. Entries are
+    * a few dozen bytes each, but the map is cleared at a generous cap
+    * anyway so a long-lived session over many rebuilt indexes cannot
+    * grow it unboundedly. */
   private val tinyCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, Long), java.lang.Boolean]()
+  private val TinyCacheMaxEntries = 8192
 
   private def tinyIndex(
       bandsT: graft.store.LakeTable, toksT: graft.store.LakeTable): Boolean = {
@@ -320,9 +336,12 @@ object LshIndex {
       case Some(v) => scala.util.Try(v.toLong).getOrElse(ProbePruneMinBytes)
       case None => ProbePruneMinBytes
     }
+    if (tinyCache.size > TinyCacheMaxEntries) tinyCache.clear()
     cap > 0L && Seq(bandsT, toksT).forall(t => t.currentSnapshot.exists(s =>
       s.entries.size <= TinyProbeMaxEntries &&
-        tinyCache.computeIfAbsent((t.location, s.version, cap), _ => t.dataUnder(s, cap))))
+        tinyCache.computeIfAbsent(
+          (t.location, s.version, s.entries.headOption.fold("-")(_.dir), cap),
+          _ => t.dataUnder(s, cap))))
   }
 
   /** Planning stats of the most recent probe in this JVM — probe/test
@@ -373,6 +392,16 @@ object LshIndex {
       maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
     val bandsT = cat.table(s"$db.${name}_bands")
     val toksT = cat.table(s"$db.${name}_toks")
+    // index-side token sets MINUS the probe batch's own ids: in the
+    // crash-replay window (toks-first commit order — the batch's token
+    // sets landed, its bands did not, the stream re-executes the batch)
+    // the committed copy of a batch doc's token set would otherwise
+    // ride NEXT TO the in-batch copy and duplicate every verify row of
+    // that doc. The batch's sketch is deterministic, so dropping the
+    // committed copy is exact; the anti join broadcasts batch-sized ids
+    // — free at any index size.
+    def idxToksOnly(idx: DataFrame): DataFrame =
+      idx.join(broadcast(inToks.select("doc_id")), Seq("doc_id"), "left_anti")
     if (tinyIndex(bandsT, toksT)) {
       // under the size floor the full scan is cheaper than the pruned
       // probe's extra driver actions — the original one-job lazy plan
@@ -382,7 +411,7 @@ object LshIndex {
         .join(bandsT.read.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
         .select("doc_a", "doc_b")
         .distinct()
-      return Dedup.jaccardOnPairs(pairs, inToks.unionByName(toksT.read), threshold)
+      return Dedup.jaccardOnPairs(pairs, inToks.unionByName(idxToksOnly(toksT.read)), threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     }
     val probeBands = boundedDistinct(inBands, "band", maxProbeKeys)
@@ -410,8 +439,8 @@ object LshIndex {
       case Some(ids) =>
         val (idxToks, planned, total) =
           toksT.readWhereCounted(col("doc_id").isInCollection(ids))
-        (inToks.unionByName(idxToks), planned, total)
-      case None => (inToks.unionByName(toksT.read), -1, -1)
+        (inToks.unionByName(idxToksOnly(idxToks)), planned, total)
+      case None => (inToks.unionByName(idxToksOnly(toksT.read)), -1, -1)
     }
     lastProbeStats = Some(ProbeStats(
       probeBands.map(_.size).getOrElse(-1), bandPlanned, bandTotal,

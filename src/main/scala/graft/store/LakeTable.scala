@@ -592,8 +592,19 @@ class LakeTable(
         .parquet(abs)
     }
     val entries = StoreTiming.time("data.footer-stats") {
-      if (partitionCols.isEmpty)
-        Seq(ManifestEntry(dir, None, footerStats(new Path(abs), df.schema), StampAtCommit))
+      if (partitionCols.isEmpty) {
+        // an empty write (e.g. a delete that emptied its whole slice)
+        // commits NO entry: a zero-row entry has no stats and no
+        // sidecars, so it would survive every future prune walk as a
+        // permanent conservative keep — planned and "rewritten" by
+        // every later operation for no rows. The row count comes from
+        // the same footers the stats harvest already opens.
+        // Partitioned writes get this for free (no leaves → no
+        // entries).
+        val (stats, rows) = footerStatsAndRows(new Path(abs), df.schema)
+        if (rows == 0L) Nil
+        else Seq(ManifestEntry(dir, None, stats, StampAtCommit))
+      }
       else {
         // footer harvesting is metadata-sized but LATENCY-bound (one
         // driver-side open per file): overlap the per-leaf reads
@@ -718,19 +729,27 @@ class LakeTable(
     * floating, string). Values are stored as strings in the manifest;
     * pruning parses them back by column type. Columns whose chunks lack
     * usable stats are omitted (⇒ never pruned on). */
-  private def footerStats(path: Path, schema: StructType): Map[String, (String, String)] = {
+  private def footerStats(path: Path, schema: StructType): Map[String, (String, String)] =
+    footerStatsAndRows(path, schema)._1
+
+  /** [[footerStats]] plus the dirs' total parquet ROW count (from the
+    * same footers — no extra IO): the unpartitioned write path uses the
+    * count to skip committing an entry for an all-empty write. */
+  private def footerStatsAndRows(
+      path: Path, schema: StructType): (Map[String, (String, String)], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val prunable = schema.fields.map(f => f.name -> f.dataType).toMap
       .filter { case (_, t) => StatsPruning.supported(t) }
-    if (prunable.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
     val acc = scala.collection.mutable.Map[String, (Any, Any)]()
     val dropped = scala.collection.mutable.Set[String]()
+    var rows = 0L
     fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       try {
         reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
           block.getColumns.asScala.foreach { chunk =>
             val col = chunk.getPath.toDotString
             prunable.get(col).foreach { dt =>
@@ -757,7 +776,8 @@ class LakeTable(
         }
       } finally reader.close()
     }
-    (acc -- dropped).map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }.toMap
+    ((acc -- dropped).map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }.toMap,
+      rows)
   }
 
   private def listLeafPartitions(root: Path, depth: Int): Seq[String] = {
@@ -861,16 +881,23 @@ class LakeTable(
     * schema first — Spark 4 Columns carry lazy column nodes, and the
     * analyzer both converts them to catalyst expressions and inserts
     * the type-coercion casts the pruning logic must see through. */
-  private[graft] def prunedEntries(s: Snapshot, cond: Column): Seq[ManifestEntry] = {
+  private[graft] def prunedEntries(s: Snapshot, cond: Column): Seq[ManifestEntry] =
+    prunedAmong(s, cond, s.entries)
+
+  /** [[prunedEntries]] restricted to a pre-selected entry subset — the
+    * rewrite planner refines its range-pruned candidates through the
+    * same stats + bloom walk the read path uses. */
+  private def prunedAmong(
+      s: Snapshot, cond: Column, entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), s.schema)
     empty.filter(cond).queryExecution.analyzed
       .collectFirst { case f: Filter => f.condition }
       .map(expr => bloomPruned(s, expr,
-        s.entries.filter(e =>
+        entries.filter(e =>
           StatsPruning.mayMatch(withPartitionStats(e), s.schema, expr))))
-      .getOrElse(s.entries)
+      .getOrElse(entries)
   }
 
   /** Entry stats augmented with the entry's PARTITION VALUES as
@@ -1866,19 +1893,49 @@ class LakeTable(
               if (lo == null || hi == null) None else Some(k -> (lo, hi))
             }.toMap
           }
-        val (rangeDisjoint, candidates) = s.entries.partition(e =>
+        val (rangeDisjoint, candidates0) = s.entries.partition(e =>
           sourceRanges.exists { case (k, (lo, hi)) =>
             e.stats.get(k).exists { case (mnS, mxS) =>
               StatsPruning.rangesDisjoint(keyTypes(k), mnS, mxS, lo, hi)
             }
           })
+        // stage 1.5: BLOOM refinement — only when a candidate actually
+        // carries a sidecar for a key column (index-style tables opt in
+        // via write.bloom.columns; everything else skips the extra
+        // collect). This is the retraction shape the range prune cannot
+        // serve: after a compaction folds key-clustered generations
+        // into wide hash-mixed files, every entry's key RANGE overlaps
+        // any delete batch, but the per-file filters still prove which
+        // files hold the doomed keys. The source key set is collected
+        // bounded (cap = [[LakeTable.MaxRewriteBloomKeys]]; above it,
+        // or with null keys — which `<=>`-match null-keyed target rows
+        // no filter can witness — the refinement conservatively keeps
+        // all candidates).
+        val bloomKeys = keys.filter(k => source.columns.contains(k) &&
+          candidates0.exists(_.blooms.contains(k)))
+        val candidates =
+          if (bloomKeys.isEmpty) candidates0
+          else {
+            val rows = source.select(bloomKeys.map(col): _*).distinct()
+              .limit(LakeTable.MaxRewriteBloomKeys + 1).collect()
+            if (rows.length > LakeTable.MaxRewriteBloomKeys ||
+                rows.exists(r => bloomKeys.indices.exists(r.isNullAt)))
+              candidates0
+            else {
+              val inCond = bloomKeys.zipWithIndex.map { case (k, i) =>
+                col(k).isInCollection(rows.map(_.get(i)).distinct.toIndexedSeq)
+              }.reduce(_ && _)
+              prunedAmong(s, inCond, candidates0)
+            }
+          }
+        val bloomDropped = candidates0.diff(candidates)
         if (s.partitionCols.isEmpty) {
           // UNPARTITIONED: the range prune alone is already sound —
           // there is no layout a matched row could "move" across, and
           // range-disjoint entries provably hold no matching keys — so
           // skip the matches scan (its refinement would cost a scan per
           // merge to save at most some same-range dirs)
-          (candidates, rangeDisjoint, "key-range")
+          (candidates, rangeDisjoint ++ bloomDropped, "key-range")
         } else {
           // stage 2: the matches scan — key-projected, broadcast
           // semi-join against the distinct source keys; matched leaf
@@ -1919,7 +1976,7 @@ class LakeTable(
             val rel = s"/data/${e.partition.fold(e.dir)(p => s"${e.dir}/$p")}"
             matchedDirs.exists(_.endsWith(rel))
           }
-          (hit, rangeDisjoint ++ miss, "matches-scan")
+          (hit, rangeDisjoint ++ bloomDropped ++ miss, "matches-scan")
         }
       }
     // MoR deletes (if any) fold into the rewritten slice here — its
@@ -2816,6 +2873,15 @@ object LakeTable {
     * (`"0"` disables the short-circuit entirely). */
   private[graft] val TinyRewriteMaxBytes = 64L << 20
   private[graft] val TinyRewriteMaxBytesProp = "rewrite.tiny.max-bytes"
+
+  /** Cap on the distinct source key tuples a matching rewrite will
+    * collect for its bloom refinement (stage 1.5): the collect is a
+    * driver action and the downstream walk tests keys × candidate
+    * entries — both must stay bounded. Above the cap the refinement is
+    * skipped (candidates conservatively kept), which is also the right
+    * plan: a source touching >64k distinct keys rewrites most files
+    * anyway. Matches [[graft.operators.LshIndex.DefaultMaxProbeKeys]]. */
+  private[graft] val MaxRewriteBloomKeys = 1 << 16
 
   /** Driver-side LRU cache of bloom sidecar FILTERS, keyed by absolute
     * path and shared across table handles (handles are recreated per

@@ -85,4 +85,26 @@ class BatchIngestSpec extends SparkSpec {
     spark.read.parquet(out).select("id").head().getInt(0) shouldBe 7
     new java.io.File(dir.toString).listFiles().map(_.getName).toSeq shouldBe Seq("zone")
   }
+
+  test("atomicOverwriteParquet crash windows always keep one complete snapshot") {
+    val dir = Files.createTempDirectory("raw4")
+    val out = dir.resolve("zone").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BatchIngest.atomicOverwriteParquet(spark, Seq((1, "a")).toDF("id", "v"), out)
+    // crash window: a previous run died AFTER moving the live dir aside
+    // and BEFORE swapping its stage in — the aside copy is the only
+    // complete snapshot; the next run must RESTORE it, not sweep it
+    fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(dir.resolve(".zone.old-cafebabe").toString))
+    Files.createDirectory(dir.resolve(".zone.staging-cafebabe")) // its torn stage
+    BatchIngest.atomicOverwriteParquet(spark, Seq((2, "b")).toDF("id", "v"), out)
+    spark.read.parquet(out).select("id").head().getInt(0) shouldBe 2
+    // crash window: died AFTER the swap, BEFORE dropping the aside copy
+    // — live dir is newer; the stale aside is dropped, never restored
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir.resolve(".zone.old-deadbeef").toString))
+    BatchIngest.atomicOverwriteParquet(spark, Seq((3, "c")).toDF("id", "v"), out)
+    spark.read.parquet(out).select("id").head().getInt(0) shouldBe 3
+    new java.io.File(dir.toString).listFiles().map(_.getName).toSeq shouldBe Seq("zone")
+  }
 }

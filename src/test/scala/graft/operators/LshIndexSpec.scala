@@ -206,6 +206,41 @@ class LshIndexSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted shouldBe Array(1L)
   }
 
+  test("retraction after a fold prunes via doc_id blooms, never rewriting the wide entry") {
+    val cat = freshCatalog()
+    // sidecars ON from the start (floor 0), tiny-rewrite dispatch OFF:
+    // this pins the at-scale plan on a small fixture
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1), (2L, near2), (3L, other)),
+      pruneMinBytes = 0L)
+    LshIndex.appendBatch(cat, "ix", "nd",
+      docs((10L, "some fresh material in batch ten right here")), 1L)
+    Seq("ix.nd_bands", "ix.nd_toks").foreach(t =>
+      cat.table(t).setProperties(
+        Map(graft.store.LakeTable.TinyRewriteMaxBytesProp -> "0")))
+    LshIndex.compact(cat, "ix", "nd")
+    cat.table("ix.nd_bands").currentSnapshot.get.entries.size shouldBe 1
+    // a fresh generation lands AFTER the fold, its ids INSIDE the
+    // folded id range — key-range stats cannot separate the two
+    LshIndex.appendBatch(cat, "ix", "nd", docs((5L, near1)), 2L)
+    // retract the fresh doc: only ITS generation holds doc_id 5, and
+    // the folded entry's doc_id bloom proves that — the wide entry
+    // (the whole pre-fold corpus) is never rewritten
+    LshIndex.remove(cat, "ix", "nd", docs((5L, near1)).select("doc_id"))
+    val bandsSnap = cat.table("ix.nd_bands").currentSnapshot.get
+    bandsSnap.summary("rewritten-entries").toInt shouldBe 1
+    bandsSnap.summary("untouched-entries").toInt should be >= 1
+    cat.table("ix.nd_toks").currentSnapshot.get
+      .summary("rewritten-entries").toInt shouldBe 1
+    // retracting an id the index never held: every entry's bloom
+    // proves absence — nothing is rewritten at all
+    LshIndex.remove(cat, "ix", "nd", docs((7L, other)).select("doc_id"))
+    cat.table("ix.nd_bands").currentSnapshot.get
+      .summary("rewritten-entries").toInt shouldBe 0
+    // the retracted doc is gone from probes; the folded corpus serves
+    LshIndex.query(cat, "ix", "nd", docs((90L, near1)))
+      .collect().map(_.getLong(1)).sorted shouldBe Array(1L, 2L)
+  }
+
   test("a missing-parameter index fails fast instead of probing garbage") {
     val cat = freshCatalog()
     // a bands table created OUTSIDE build carries no lsh.* properties

@@ -122,6 +122,43 @@ class LakeTableSpec extends SparkSpec {
       Seq((1L, "A"), (2L, "B"), (3L, "c"))
   }
 
+  test("matching rewrites bloom-refine hash-mixed candidates (the retraction shape)") {
+    val t = freshCatalog().table("db.bl")
+    // 8 interleaved slices (ids ≡ i mod 16, i < 8): every entry spans
+    // ~the full id range, so the key-RANGE prune keeps all of them —
+    // the post-compaction shape where only the per-file blooms know
+    // which files hold a key. Residues 8–15 exist in NO slice, giving
+    // in-range keys the table provably never held.
+    def slice(i: Long): DataFrame = spark.range(1000).select(
+      (col("id") * 16 + i).as("id"), lit("x").as("status"), lit(1.0).as("amount"))
+    t.createOrReplace(slice(0), tableProperties = Map(
+      "write.bloom.columns" -> "id",
+      LakeTable.TinyRewriteMaxBytesProp -> "0"))
+    (1L until 8L).foreach(i => t.append(slice(i)))
+    // 4242 % 16 == 2: exactly one slice holds it
+    val snap = t.deleteWhereExists(
+      spark.range(4242, 4243).select(col("id")), Seq("id"))
+    snap.summary("prune-mode") shouldBe "key-range"
+    snap.summary("rewritten-entries").toInt shouldBe 1
+    t.read.filter(col("id") === 4242L).count() shouldBe 0
+    t.read.count() shouldBe 7999
+    // an in-range key the table never held (4249 % 16 == 9): blooms
+    // prove absence in EVERY file — nothing is rewritten at all
+    val snap2 = t.deleteWhereExists(
+      spark.range(4249, 4250).select(col("id")), Seq("id"))
+    snap2.summary("rewritten-entries").toInt shouldBe 0
+    t.read.count() shouldBe 7999
+    // a null source key `<=>`-matches null-keyed target rows, which no
+    // bloom can witness — the refinement must stand down (conservative
+    // keep), and the delete must still be correct
+    val withNull = spark.range(16, 17).select(col("id"))
+      .unionByName(spark.range(1).select(lit(null).cast("long").as("id")))
+    val snap3 = t.deleteWhereExists(withNull, Seq("id"))
+    snap3.summary("rewritten-entries").toInt shouldBe 8
+    t.read.filter(col("id") === 16L).count() shouldBe 0
+    t.read.count() shouldBe 7998
+  }
+
   test("deleteWhereExists removes matching keys only") {
     val t = freshCatalog().table("db.t")
     t.createOrReplace(df(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
