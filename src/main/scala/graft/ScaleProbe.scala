@@ -63,14 +63,18 @@ object ScaleProbe {
     import graft.store.LakeCatalog
     val par = spark.sparkContext.defaultParallelism
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // replica i: ids offset clear of every rung, vectors slightly
-    // scaled (near- but not exact duplicates of replica 0 — kNN stays
-    // meaningful), labels replica-unique so the label-trained coarse
-    // quantizer's nlist grows with the corpus
+    // replica i: ids offset clear of every rung, vectors ADDITIVELY
+    // perturbed on one component (near- but not exact duplicates of
+    // replica 0 under COSINE — a multiplicative scale would be
+    // cosine-invariant and make every replica an exact angular
+    // duplicate, degenerating top-k into a vec_id tie-break), labels
+    // replica-unique so the label-trained coarse quantizer's nlist
+    // grows with the corpus
     def replica(i: Int): DataFrame = base.select(
       (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
       (if (i == 0) col("embedding")
-       else transform(col("embedding"), x => x * lit(1.0f + i * 1e-4f))).as("embedding"),
+       else transform(col("embedding"),
+         (x, d) => x + when(d === 0, lit(i * 1e-3f)).otherwise(lit(0f)))).as("embedding"),
       (col("label") + lit(i * 10000)).as("label"))
     val probeBatch = base.filter(col("vec_id") < 200)
       .select((col("vec_id") + lit(2_000_000_000L)).as("vec_id"), col("embedding"))
@@ -95,12 +99,22 @@ object ScaleProbe {
       val t2 = System.nanoTime()
       IvfIndex.appendBatch(cat, "probe", "ann", probeBatch, 1L)
       val appendWall = (System.nanoTime() - t2) / 1e9
+      // rebalance rung: full re-train + reassign over the whole index —
+      // the maintenance pass whose N×nlist flat-assign term the
+      // hierarchical dispatch exists to kill; moved count is printed so
+      // the commit side (O(moved)) is visible separately from the
+      // reassign compute
+      val t3 = System.nanoTime()
+      val movedN = IvfIndex.rebalance(cat, "probe", "ann")
+      val rebalWall = (System.nanoTime() - t3) / 1e9
       println(f"PROBE ivf_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  " +
-        f"append $appendWall%8.2f s  ($vecs vecs, $nlist cells, $rows neighbor rows)")
-      mult -> probeWall
+        f"append $appendWall%8.2f s  rebalance $rebalWall%8.2f s ($movedN moved)  " +
+        f"($vecs vecs, $nlist cells, $rows neighbor rows)")
+      mult -> (buildWall, probeWall, rebalWall)
     }
-    walls.sliding(2).foreach { case Seq((m0, w0), (m1, w1)) =>
-      println(f"PROBE ivf probe ratio x$m0->x$m1: wall ${w1 / w0}%.2f for ${m1 / m0}x corpus")
+    walls.sliding(2).foreach { case Seq((m0, (b0, p0, r0)), (m1, (b1, p1, r1))) =>
+      println(f"PROBE ivf ratio x$m0->x$m1: build ${b1 / b0}%.2f  probe ${p1 / p0}%.2f  " +
+        f"rebalance ${r1 / r0}%.2f for ${m1 / m0}x corpus")
     }
   }
 
@@ -159,6 +173,85 @@ object ScaleProbe {
     println(f"PROBE lsh_frag 101 commits (append wall $appendWall%.1f s): " +
       f"probe@$eFrag-entries $fragWall%.2f/$fragWall2%.2f s -> compact $compactWall%.2f s " +
       f"-> probe@$eFolded-entries $foldWall%.2f/$foldWall2%.2f s  ($fragPairs pairs both)")
+  }
+
+  /** Decade ladder on the RETRACTION path (right-to-be-forgotten): at
+    * 1×/10×/100× indexed history, fold the history (compact), land one
+    * fixed ~500-doc recent batch, then `remove` half of it and time
+    * the deletes. The 100 TB claim under test: retraction cost tracks
+    * the entries that HOLD the removed documents, not the index — the
+    * folded history's wide entries are dropped at planning time by
+    * their doc_id bloom sidecars (r16: `_bands` blooms BOTH keys), so
+    * removing recent docs rewrites ~the recent generation at every
+    * rung. A second remove of ids the index never held isolates the
+    * pure planning cost (zero rewrite). Fragmented-state retraction
+    * cost is lshFragProbe's subject; this ladder pins the POST-FOLD
+    * state the r15 verdict called out.
+    * `runMain graft.ScaleProbe <sfDir> retract`. */
+  private def retractLadder(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.LshIndex
+    import graft.store.LakeCatalog
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    def replica(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", s"$$1q${i}x")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val recent = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(2_000_000_000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    recent.count()
+    val walls = Seq(1, 10, 100).map { mult =>
+      val history = (0 until mult).map(replica).reduce(_ unionByName _)
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = history.count()
+      val cat = new LakeCatalog(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_probe_retract_$mult")
+      cat.createDatabase("probe")
+      // prune machinery live at any size: sidecars from the first
+      // commit, tiny-rewrite short-circuit off
+      LshIndex.build(cat, "probe", "nd", history, pruneMinBytes = 0L)
+      Seq("probe.nd_bands", "probe.nd_toks").foreach(t =>
+        cat.table(t).setProperties(
+          Map(graft.store.LakeTable.TinyRewriteMaxBytesProp -> "0")))
+      LshIndex.compact(cat, "probe", "nd")
+      history.unpersist()
+      LshIndex.appendBatch(cat, "probe", "nd", recent, 1L)
+      val bandsT = cat.table("probe.nd_bands")
+      val entriesTotal = bandsT.currentSnapshot.get.entries.size
+      val t0 = System.nanoTime()
+      LshIndex.remove(cat, "probe", "nd",
+        recent.filter(col("doc_id") % 2 === 0).select("doc_id"))
+      val removeWall = (System.nanoTime() - t0) / 1e9
+      val rewritten = bandsT.currentSnapshot.get.summary("rewritten-entries").toInt
+      val untouched = bandsT.currentSnapshot.get.summary("untouched-entries").toInt
+      // replayed retraction of the SAME ids (idempotent GDPR replay):
+      // the ids are INSIDE every entry's key range now, so only the
+      // doc_id blooms can prove them gone — planning-only, zero rewrite
+      val t1 = System.nanoTime()
+      LshIndex.remove(cat, "probe", "nd",
+        recent.filter(col("doc_id") % 2 === 0).select("doc_id"))
+      val absentWall = (System.nanoTime() - t1) / 1e9
+      val absentRewritten = bandsT.currentSnapshot.get.summary("rewritten-entries").toInt
+      // the retracted docs are invisible to a follow-up probe
+      val pairs = LshIndex.query(cat, "probe", "nd",
+        base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + lit(2_100_000_000L)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")))
+      require(pairs.filter(col("doc_b") % 2 === 0 && col("doc_b") >= 2_000_000_000L)
+        .isEmpty, "removed docs resurfaced in a probe")
+      println(f"PROBE lsh_retract x$mult%-4d remove $removeWall%8.2f s " +
+        f"(bands rewrote $rewritten/$entriesTotal, untouched $untouched)  " +
+        f"replay-remove $absentWall%8.2f s (rewrote $absentRewritten)  ($docs docs)")
+      mult -> (removeWall, absentWall)
+    }
+    walls.sliding(2).foreach { case Seq((m0, (r0, a0)), (m1, (r1, a1))) =>
+      println(f"PROBE retract ratio x$m0->x$m1: remove ${r1 / r0}%.2f  " +
+        f"replay ${a1 / a0}%.2f for ${m1 / m0}x history")
+    }
   }
 
   private def lshLadder(spark: SparkSession, sfDir: String): Unit = {
@@ -299,6 +392,11 @@ object ScaleProbe {
     }
     if (args.drop(1).headOption.contains("lshfrag")) {
       lshFragProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("retract")) {
+      retractLadder(spark, sfDir)
       spark.stop()
       return
     }

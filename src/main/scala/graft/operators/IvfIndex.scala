@@ -9,9 +9,12 @@ import graft.store.LakeCatalog
 
 /** Persistent IVF index over the LakeTable store: build once, query many.
   *
-  * `build` trains the coarse quantizer (per-label centroids — at scale a
-  * k-means loop over the same aggregation), assigns every corpus vector
-  * to its nearest cell map-side, and persists BOTH as tables:
+  * `build` trains the coarse quantizer (per-label centroids over a
+  * SAMPLE-BOUNDED training set — at scale a k-means loop over the same
+  * aggregation), assigns every corpus vector to its nearest cell
+  * map-side (exact flat argmax up to [[IvfIndex.DefaultFlatMaxCells]]
+  * cells, the hierarchical two-level assign above — the fix for the
+  * N×nlist flat-assign scale term), and persists BOTH as tables:
   *
   *  - `<name>_centroids`: nlist rows — tiny, broadcast at query time;
   *  - `<name>_cells`: the corpus PARTITIONED BY cell, so probing is a
@@ -28,6 +31,32 @@ import graft.store.LakeCatalog
   */
 object IvfIndex {
 
+  /** Assignment dispatch floor, pinned on the centroids table at build
+    * time: at or under this many cells, corpus vectors assign by the
+    * EXACT flat argmax (one broadcast crossJoin — N×nlist distances);
+    * above it, the hierarchical two-level assign runs (N×~2√nlist).
+    * The flat regime is the oracle-checked one; the hierarchical
+    * algorithm is itself deterministic and spec-pinned (equal to flat
+    * on separated clusters, recall-bounded on mixed data). */
+  private[graft] val FlatMaxCellsProp = "ivf.assign.flat-max-cells"
+  private[graft] val DefaultFlatMaxCells = 64
+
+  /** Super-groups each vector probes during hierarchical assign: 1
+    * would mis-assign every vector near a group boundary; 2 keeps the
+    * cost at N×(√nlist + 2·√nlist) while restoring almost all of the
+    * flat argmax (the standard multi-probe trade). */
+  private val AssignGroupProbes = 2
+
+  /** Coarse-quantizer training-sample cap: past this many corpus rows,
+    * training reads a deterministic 1-in-⌈N/cap⌉ hash sample of the
+    * corpus instead of all of it. Per-cell means converge long before
+    * 100k samples spread over any sane nlist, and the cap bounds the
+    * training aggregation's input no matter how large the corpus —
+    * the "sampled k-means training" every production IVF builder runs.
+    * Under the cap (every oracle-gate dataset) the sample IS the
+    * corpus, bit-for-bit. */
+  private[graft] val DefaultTrainCap = 100000L
+
   private def nearestCells(vectors: DataFrame, cents: DataFrame, n: Int,
       idAs: String, vecAs: String): DataFrame = {
     val byCos = Window.partitionBy(idAs).orderBy(desc("cos_c"), col("label"))
@@ -39,15 +68,125 @@ object IvfIndex {
       .select(col("label").as("cell"), col(idAs), col(vecAs))
   }
 
-  /** Train + assign + persist. Idempotent (createOrReplace). */
-  def build(cat: LakeCatalog, db: String, name: String, corpus: DataFrame): Unit = {
-    val cents = Similarity.labelCentroidVectors(corpus)
-    cat.table(s"$db.${name}_centroids").createOrReplace(cents)
-    val assigned = nearestCells(
-      corpus.select(col("vec_id"), col("embedding")), cents, n = 1,
-      idAs = "vec_id", vecAs = "embedding")
+  /** Per-group element-wise mean of centroid vectors, components
+    * rounded to 6dp (the [[Similarity.labelCentroidVectors]] rounding
+    * discipline — cross-row double-sum order must not leak). Input and
+    * output are nlist-and-smaller frames; everything here is broadcast
+    * metadata, never corpus-sized. */
+  private def groupMeans(centsWithGrp: DataFrame, grpCol: String): DataFrame =
+    centsWithGrp
+      .select(col(grpCol).as("grp"), posexplode(col("centroid")).as(Seq("dim", "x")))
+      .groupBy("grp", "dim")
+      .agg(avg(col("x")).as("c"))
+      .groupBy("grp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => round(s("c"), 6)).as("gcent"))
+
+  /** HIERARCHICAL (two-level) nearest-cell assignment — the flat-IVF
+    * scale fix: the flat argmax is N×nlist distance evaluations, which
+    * at the standard nlist≈√N sizing is N^1.5 — the one superlinear
+    * term in the index lifecycle (the r15 ladder measured it: ×100
+    * work per corpus decade). Instead:
+    *
+    *  1. the nlist centroids are clustered into √nlist SUPER-GROUPS
+    *     (deterministic label-hash seeding + one Lloyd step — all
+    *     nlist-sized metadata work);
+    *  2. each vector finds its [[AssignGroupProbes]] nearest
+    *     super-groups (N×√nlist distances, broadcast map-side);
+    *  3. the exact argmax runs over ONLY those groups' member cells
+    *     (N×~2√nlist distances).
+    *
+    * Total N×~3√nlist — the per-decade work ratio drops from ×100 to
+    * ×~31 at nlist∝N, ×~18 at nlist∝√N. Deterministic end-to-end
+    * (hash seeding, 6dp-rounded means, label tie-breaks); approximate
+    * only in that a vector whose true nearest cell lives outside its
+    * probed groups lands in its best probed cell instead — the
+    * assignment-quality trade every two-level coarse quantizer
+    * (IMI-style) makes, and assignment quality is IVF recall, not
+    * correctness. On well-separated clusters the result EQUALS the
+    * flat argmax (spec-pinned). */
+  private def twoLevelAssign(
+      vectors: DataFrame, cents: DataFrame, nlist: Long): DataFrame = {
+    val g = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val seeds = groupMeans(
+      cents.withColumn("grp0", pmod(xxhash64(col("label")), lit(g.toLong))), "grp0")
+    // one Lloyd step over the CENTROIDS (nlist×√nlist — metadata-sized):
+    // hash seeding alone would scatter spatial neighbors across groups
+    val byG = (idCol: String) =>
+      Window.partitionBy(idCol).orderBy(desc("gcos"), col("grp"))
+    val centsG = cents
+      .crossJoin(broadcast(seeds))
+      .withColumn("gcos", cosine(col("centroid"), col("gcent")))
+      .withColumn("rn", row_number().over(byG("label")))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("label"), col("centroid"))
+    val gcents = groupMeans(centsG.withColumn("grp0", col("grp")), "grp0")
+    val probed = vectors
+      .crossJoin(broadcast(gcents))
+      .withColumn("gcos", cosine(col("embedding"), col("gcent")))
+      .withColumn("rn", row_number().over(byG("vec_id")))
+      .filter(col("rn") <= AssignGroupProbes)
+      .select(col("grp"), col("vec_id"), col("embedding"))
+    val byCell = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("label"))
+    probed
+      .join(broadcast(centsG), Seq("grp"))
+      .withColumn("cos_c", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cell"), col("vec_id"), col("embedding"))
+  }
+
+  /** Corpus-side cell assignment with the size dispatch: exact flat
+    * argmax at or under `flatMaxCells` cells, [[twoLevelAssign]] above.
+    * `vectors` must carry (vec_id, embedding). */
+  private def assignCells(
+      vectors: DataFrame, cents: DataFrame, flatMaxCells: Int): DataFrame = {
+    val nlist = cents.count()
+    if (nlist <= flatMaxCells)
+      nearestCells(vectors, cents, n = 1, idAs = "vec_id", vecAs = "embedding")
+    else twoLevelAssign(vectors, cents, nlist)
+  }
+
+  private def flatMaxCellsOf(cat: LakeCatalog, db: String, name: String): Int =
+    cat.table(s"$db.${name}_centroids").properties.get(FlatMaxCellsProp)
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(DefaultFlatMaxCells)
+
+  /** Train + assign + persist. Idempotent (createOrReplace).
+    *
+    * Training is SAMPLE-BOUNDED (see [[DefaultTrainCap]]): one count
+    * job sizes the corpus, and past the cap the per-label centroid
+    * aggregation reads a deterministic `pmod(xxhash64(vec_id), m)==0`
+    * sample — O(cap) training input at any corpus size. A label so
+    * rare the sample misses it entirely gets no cell (its vectors
+    * assign to their nearest surviving centroid) — the standard
+    * empty-cluster outcome, gone at the next retrain. Assignment
+    * dispatches per [[FlatMaxCellsProp]], which this build pins on the
+    * centroids table so append/rebalance reuse the same algorithm. */
+  def build(
+      cat: LakeCatalog,
+      db: String,
+      name: String,
+      corpus: DataFrame,
+      flatMaxCells: Int = DefaultFlatMaxCells,
+      trainCap: Long = DefaultTrainCap): Unit = {
+    val n = corpus.count()
+    val trainSet =
+      if (n <= trainCap) corpus
+      else {
+        val m = math.ceil(n.toDouble / trainCap).toLong
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+      }
+    val cents = Similarity.labelCentroidVectors(trainSet)
+    cat.table(s"$db.${name}_centroids").createOrReplace(cents,
+      tableProperties = Map(FlatMaxCellsProp -> flatMaxCells.toString))
+    val assigned = assignCells(
+      corpus.select(col("vec_id"), col("embedding")),
+      cat.table(s"$db.${name}_centroids").read, flatMaxCells)
     cat.table(s"$db.${name}_cells")
       .createOrReplace(assigned, partitionBy = Seq("cell"))
+    ()
   }
 
   /** Incremental ADD: assign new vectors to the EXISTING (frozen) coarse
@@ -58,9 +197,9 @@ object IvfIndex {
     * periodic `build` re-trains (the compaction analog). */
   def append(cat: LakeCatalog, db: String, name: String, newVectors: DataFrame): Unit = {
     val cents = cat.table(s"$db.${name}_centroids").read
-    val assigned = nearestCells(
-      newVectors.select(col("vec_id"), col("embedding")), cents, n = 1,
-      idAs = "vec_id", vecAs = "embedding")
+    val assigned = assignCells(
+      newVectors.select(col("vec_id"), col("embedding")), cents,
+      flatMaxCellsOf(cat, db, name))
     cat.table(s"$db.${name}_cells").append(assigned)
     ()
   }
@@ -87,9 +226,9 @@ object IvfIndex {
     val cells = cat.table(s"$db.${name}_cells")
     if (cells.properties.get(BatchProp).exists(_.toLong >= batchId)) return false
     val cents = cat.table(s"$db.${name}_centroids").read
-    val assigned = nearestCells(
-      newVectors.select(col("vec_id"), col("embedding")), cents, n = 1,
-      idAs = "vec_id", vecAs = "embedding")
+    val assigned = assignCells(
+      newVectors.select(col("vec_id"), col("embedding")), cents,
+      flatMaxCellsOf(cat, db, name))
     cells.append(assigned, Map(BatchProp -> batchId.toString))
     true
   }
@@ -153,6 +292,7 @@ object IvfIndex {
     */
   def rebalance(cat: LakeCatalog, db: String, name: String): Long = {
     val cells = cat.table(s"$db.${name}_cells")
+    val flatMaxCells = flatMaxCellsOf(cat, db, name)
     val current = cells.read.select("cell", "vec_id", "embedding")
     val newCents = current
       .select(col("cell").as("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -162,11 +302,13 @@ object IvfIndex {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("c")))),
         s => round(s("c"), 6)).as("centroid"))
-    cat.table(s"$db.${name}_centroids").createOrReplace(newCents)
-    val reassigned = nearestCells(
+    // the replace re-pins the assignment dispatch floor — the algorithm
+    // must not silently change across a re-train
+    cat.table(s"$db.${name}_centroids").createOrReplace(newCents,
+      tableProperties = Map(FlatMaxCellsProp -> flatMaxCells.toString))
+    val reassigned = assignCells(
       current.select(col("vec_id"), col("embedding")),
-      cat.table(s"$db.${name}_centroids").read, n = 1,
-      idAs = "vec_id", vecAs = "embedding")
+      cat.table(s"$db.${name}_centroids").read, flatMaxCells)
     val moved = reassigned
       .join(current.select(col("vec_id"), col("cell").as("old_cell")), Seq("vec_id"))
       .filter(col("cell") =!= col("old_cell"))
@@ -183,7 +325,12 @@ object IvfIndex {
     } finally { moved.unpersist(); () }
   }
 
-  /** ANN top-k against the persisted index. */
+  /** ANN top-k against the persisted index. Query-side cell probing
+    * stays the exact flat argmax at any nlist: it costs batch×nlist
+    * (the BATCH is small — this is the one place the corpus size never
+    * enters), and probe selection drives recall directly, so it gets
+    * the exact ranking even when corpus-side assignment dispatched
+    * hierarchical. */
   def query(
       cat: LakeCatalog,
       db: String,

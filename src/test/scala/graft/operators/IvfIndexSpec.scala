@@ -167,6 +167,72 @@ class IvfIndexSpec extends SparkSpec {
     argmax.count() shouldBe 0L
   }
 
+  // 8 tight orthogonal clusters in 8-d space: enough cells that the
+  // hierarchical assign's super-grouping (g = ⌈√8⌉ = 3, 2 probed)
+  // actually prunes, and separated enough that its argmax must equal
+  // the flat one
+  private def emb8 = (0L until 64L).map { i =>
+    val label = (i % 8).toString
+    val base = Array.tabulate(8)(j => if (j == i % 8) 10f else 0f)
+    base((i.toInt % 8 + 1) % 8) = (i % 5).toFloat * 0.1f
+    (i, base, label)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("hierarchical assign equals the flat argmax on separated clusters") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    // same corpus, both dispatches: default floor (8 cells ≤ 64 ⇒ flat)
+    // vs floor 0 (⇒ two-level for any nlist)
+    IvfIndex.build(cat, "lake", "flat", emb8)
+    IvfIndex.build(cat, "lake", "hier", emb8, flatMaxCells = 0)
+    def assignments(name: String) = cat.table(s"lake.${name}_cells").read
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    assignments("hier") shouldBe assignments("flat")
+    // and the full lifecycle stays sane under the hierarchical path:
+    // append + rebalance + query, every neighbor from the query's cluster
+    IvfIndex.append(cat, "lake", "hier",
+      emb8.filter($"vec_id" < 8)
+        .select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    IvfIndex.rebalance(cat, "lake", "hier") // floor survives the re-train
+    cat.table("lake.hier_centroids").properties(
+      "ivf.assign.flat-max-cells") shouldBe "0"
+    val q = Seq((5000L, Array.tabulate(8)(j => if (j == 2) 10f else 0f)))
+      .toDF("vec_id", "embedding")
+    val top = IvfIndex.query(cat, "lake", "hier", q, k = 4, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    top should not be empty
+    // cluster 2's members are ids ≡ 2 (mod 8), plus the appended +1000s
+    all(top.map(id => (id % 1000L) % 8L)) shouldBe 2L
+  }
+
+  test("training is sample-bounded, deterministic, and every vector still assigns") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    // cap 8 over 64 rows ⇒ a 1-in-8 hash sample trains the quantizer
+    IvfIndex.build(cat, "lake", "samp", emb8, trainCap = 8L)
+    val cents1 = cat.table("lake.samp_centroids").read
+      .orderBy("label").collect().map(_.toString).toSeq
+    cents1.size should be <= 8
+    // a label the sample missed gets no cell — but EVERY corpus vector
+    // is assigned to some surviving cell
+    cat.table("lake.samp_cells").read.count() shouldBe 64
+    // deterministic: an identical rebuild trains the identical quantizer
+    IvfIndex.build(cat, "lake", "samp", emb8, trainCap = 8L)
+    cat.table("lake.samp_centroids").read
+      .orderBy("label").collect().map(_.toString).toSeq shouldBe cents1
+    // under the cap, training reads the whole corpus: bit-identical to
+    // the uncapped build — and different from the sampled quantizer
+    // (proof the cap actually restricted the training input)
+    IvfIndex.build(cat, "lake", "full", emb8, trainCap = 1000000L)
+    IvfIndex.build(cat, "lake", "deflt", emb8)
+    val centsFull = cat.table("lake.full_centroids").read
+      .orderBy("label").collect().map(_.toString).toSeq
+    centsFull shouldBe cat.table("lake.deflt_centroids").read
+      .orderBy("label").collect().map(_.toString).toSeq
+    cents1 should not equal centsFull
+  }
+
   test("nprobe=1 restricts candidates to one cell per query") {
     val cat = freshCat
     cat.createDatabase("lake")
