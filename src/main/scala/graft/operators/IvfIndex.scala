@@ -137,13 +137,28 @@ object IvfIndex {
       .select(col("label").as("cell"), col("vec_id"), col("embedding"))
   }
 
-  /** Corpus-side cell assignment with the size dispatch: exact flat
-    * argmax at or under `flatMaxCells` cells, [[twoLevelAssign]] above.
-    * `vectors` must carry (vec_id, embedding). */
+  /** Work floor for the hierarchical dispatch: below this many flat
+    * distance evaluations (vectors × cells) the exact argmax is cheaper
+    * than the two-level pipeline's ~half-dozen extra metadata jobs —
+    * the micro-batch-append shape (hundreds of vectors against
+    * thousands of cells is ~10^5 evals, far under any job floor). The
+    * same measured-break-even pattern as the LSH probe's size floor. */
+  private[graft] val FlatMaxAssignWork = 1L << 22
+
+  /** Corpus-side cell assignment with the two-sided dispatch: the exact
+    * flat argmax at or under `flatMaxCells` cells OR under the
+    * [[FlatMaxAssignWork]] work floor (vectors × cells — small batches
+    * stay flat even against a large quantizer); [[twoLevelAssign]]
+    * above both. `vectors` must carry (vec_id, embedding); `vecCount`
+    * is the caller's row count for the work floor. */
   private def assignCells(
-      vectors: DataFrame, cents: DataFrame, flatMaxCells: Int): DataFrame = {
+      vectors: DataFrame, cents: DataFrame, flatMaxCells: Int,
+      vecCount: Long): DataFrame = {
     val nlist = cents.count()
-    if (nlist <= flatMaxCells)
+    // flatMaxCells == 0 is the explicit "always hierarchical" override
+    // (the prune-contract spec hook) — it bypasses the work floor too
+    if (nlist <= flatMaxCells ||
+        (flatMaxCells > 0 && vecCount * nlist <= FlatMaxAssignWork))
       nearestCells(vectors, cents, n = 1, idAs = "vec_id", vecAs = "embedding")
     else twoLevelAssign(vectors, cents, nlist)
   }
@@ -183,7 +198,7 @@ object IvfIndex {
       tableProperties = Map(FlatMaxCellsProp -> flatMaxCells.toString))
     val assigned = assignCells(
       corpus.select(col("vec_id"), col("embedding")),
-      cat.table(s"$db.${name}_centroids").read, flatMaxCells)
+      cat.table(s"$db.${name}_centroids").read, flatMaxCells, vecCount = n)
     cat.table(s"$db.${name}_cells")
       .createOrReplace(assigned, partitionBy = Seq("cell"))
     ()
@@ -197,9 +212,9 @@ object IvfIndex {
     * periodic `build` re-trains (the compaction analog). */
   def append(cat: LakeCatalog, db: String, name: String, newVectors: DataFrame): Unit = {
     val cents = cat.table(s"$db.${name}_centroids").read
-    val assigned = assignCells(
-      newVectors.select(col("vec_id"), col("embedding")), cents,
-      flatMaxCellsOf(cat, db, name))
+    val batch = newVectors.select(col("vec_id"), col("embedding"))
+    val assigned = assignCells(batch, cents,
+      flatMaxCellsOf(cat, db, name), vecCount = batch.count())
     cat.table(s"$db.${name}_cells").append(assigned)
     ()
   }
@@ -226,9 +241,9 @@ object IvfIndex {
     val cells = cat.table(s"$db.${name}_cells")
     if (cells.properties.get(BatchProp).exists(_.toLong >= batchId)) return false
     val cents = cat.table(s"$db.${name}_centroids").read
-    val assigned = assignCells(
-      newVectors.select(col("vec_id"), col("embedding")), cents,
-      flatMaxCellsOf(cat, db, name))
+    val batch = newVectors.select(col("vec_id"), col("embedding"))
+    val assigned = assignCells(batch, cents,
+      flatMaxCellsOf(cat, db, name), vecCount = batch.count())
     cells.append(assigned, Map(BatchProp -> batchId.toString))
     true
   }
@@ -308,7 +323,8 @@ object IvfIndex {
       tableProperties = Map(FlatMaxCellsProp -> flatMaxCells.toString))
     val reassigned = assignCells(
       current.select(col("vec_id"), col("embedding")),
-      cat.table(s"$db.${name}_centroids").read, flatMaxCells)
+      cat.table(s"$db.${name}_centroids").read, flatMaxCells,
+      vecCount = current.count())
     val moved = reassigned
       .join(current.select(col("vec_id"), col("cell").as("old_cell")), Seq("vec_id"))
       .filter(col("cell") =!= col("old_cell"))
