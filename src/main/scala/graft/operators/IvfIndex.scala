@@ -150,10 +150,12 @@ object IvfIndex {
     * [[FlatMaxAssignWork]] work floor (vectors × cells — small batches
     * stay flat even against a large quantizer); [[twoLevelAssign]]
     * above both. `vectors` must carry (vec_id, embedding); `vecCount`
-    * is the caller's row count for the work floor. */
+    * is the caller's row count for the work floor — BY NAME, so the
+    * count job only runs once the cell floor is already exceeded (the
+    * oracle-scale and micro-index paths never pay it). */
   private def assignCells(
       vectors: DataFrame, cents: DataFrame, flatMaxCells: Int,
-      vecCount: Long): DataFrame = {
+      vecCount: => Long): DataFrame = {
     val nlist = cents.count()
     // flatMaxCells == 0 is the explicit "always hierarchical" override
     // (the prune-contract spec hook) — it bypasses the work floor too
