@@ -181,13 +181,24 @@ object IvfIndex {
     * empty-cluster outcome, gone at the next retrain. Assignment
     * dispatches per [[FlatMaxCellsProp]], which this build pins on the
     * centroids table so append/rebalance reuse the same algorithm. */
+  /** Size floor for the cells table's vec_id bloom sidecars — the
+    * retraction prune: cell PARTITION pruning confines a removal only
+    * until a compaction folds each cell into one wide entry whose key
+    * range spans everything; past that, the per-leaf vec_id filters
+    * are what keep a removal's matches scan and rewrite confined to
+    * the cells that actually hold the removed vectors (the LSH
+    * `_bands` doc_id-bloom story, cell-partitioned). Under the floor
+    * commits skip the sidecar job — tiny indexes never consult them. */
+  private[graft] val BloomMinTableBytes = 64L << 20
+
   def build(
       cat: LakeCatalog,
       db: String,
       name: String,
       corpus: DataFrame,
       flatMaxCells: Int = DefaultFlatMaxCells,
-      trainCap: Long = DefaultTrainCap): Unit = {
+      trainCap: Long = DefaultTrainCap,
+      bloomMinBytes: Long = BloomMinTableBytes): Unit = {
     val n = corpus.count()
     val trainSet =
       if (n <= trainCap) corpus
@@ -202,7 +213,10 @@ object IvfIndex {
       corpus.select(col("vec_id"), col("embedding")),
       cat.table(s"$db.${name}_centroids").read, flatMaxCells, vecCount = n)
     cat.table(s"$db.${name}_cells")
-      .createOrReplace(assigned, partitionBy = Seq("cell"))
+      .createOrReplace(assigned, partitionBy = Seq("cell"),
+        tableProperties = Map(
+          "write.bloom.columns" -> "vec_id",
+          "write.bloom.min-table-bytes" -> bloomMinBytes.toString))
     ()
   }
 
@@ -256,8 +270,11 @@ object IvfIndex {
     * table is untouched (the frozen quantizer is statistics, not
     * content — the next `rebalance`/`build` re-trains without the
     * removed vectors). Exact: a removed vector can never surface as a
-    * neighbor, and cell partition pruning confines the rewrite to the
-    * cells that actually held it. */
+    * neighbor, and the rewrite stays confined to the cells that
+    * actually held it — by key-range stats while appends keep leaves
+    * key-clustered, and by the per-leaf vec_id bloom sidecars
+    * ([[BloomMinTableBytes]]) once a compaction has folded each cell
+    * into one wide, range-useless entry. */
   def remove(
       cat: LakeCatalog,
       db: String,

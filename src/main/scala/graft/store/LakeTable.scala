@@ -621,7 +621,9 @@ class LakeTable(
     val bloomCols0 = bloomColumnsFor(df.schema, partitionCols, props)
     val bloomCols =
       if (bloomCols0.isEmpty || pastBloomFloor(abs, props)) bloomCols0 else Nil
-    if (bloomCols.isEmpty) (dir, entries)
+    // entries.isEmpty: an all-empty write commits nothing (see above) —
+    // and its dir has no files for the sidecar read-back to infer from
+    if (bloomCols.isEmpty || entries.isEmpty) (dir, entries)
     else {
       val written = StoreTiming.time("data.bloom-sidecars")(
         writeBloomSidecars(dir, abs, bloomCols, props))

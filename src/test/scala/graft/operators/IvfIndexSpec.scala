@@ -233,6 +233,36 @@ class IvfIndexSpec extends SparkSpec {
     cents1 should not equal centsFull
   }
 
+  test("retraction after a fold prunes via vec_id blooms to the cells that hold the ids") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    // sidecars ON (floor 0), tiny-rewrite dispatch OFF: the at-scale plan
+    IvfIndex.build(cat, "lake", "ret", emb8, bloomMinBytes = 0L)
+    val cells = cat.table("lake.ret_cells")
+    cells.setProperties(
+      Map(graft.store.LakeTable.TinyRewriteMaxBytesProp -> "0"))
+    // fold: one wide entry per cell, each spanning ~the whole id range
+    // (ids i ≡ cell mod 8 ⇒ every cell's range covers any small id)
+    IvfIndex.compact(cat, "lake", "ret")
+    val folded = cells.currentSnapshot.get.entries.size
+    // a later generation lands inside the folded id range too
+    IvfIndex.append(cat, "lake", "ret",
+      emb8.filter($"vec_id" < 8)
+        .select(($"vec_id" + 100L).as("vec_id"), $"embedding"))
+    // retract ONE vector: key-range stats cannot separate the cells
+    // (all ranges cover id 2) — only the per-leaf vec_id blooms can,
+    // and they confine the rewrite to the single folded cell=2 entry
+    IvfIndex.remove(cat, "lake", "ret", Seq(2L).toDF("vec_id"))
+    val snap = cells.currentSnapshot.get
+    snap.summary("rewritten-entries").toInt shouldBe 1
+    snap.summary("untouched-entries").toInt should be >= folded
+    // a replayed retraction of the same id rewrites nothing at all
+    IvfIndex.remove(cat, "lake", "ret", Seq(2L).toDF("vec_id"))
+    cells.currentSnapshot.get.summary("rewritten-entries").toInt shouldBe 0
+    cells.read.filter($"vec_id" === 2L).count() shouldBe 0
+    cells.read.count() shouldBe 71 // 64 built + 8 appended - 1 removed
+  }
+
   test("nprobe=1 restricts candidates to one cell per query") {
     val cat = freshCat
     cat.createDatabase("lake")
