@@ -110,6 +110,32 @@ object ScaleProbe {
       println(f"PROBE ivf_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  " +
         f"append $appendWall%8.2f s  rebalance $rebalWall%8.2f s ($movedN moved)  " +
         f"($vecs vecs, $nlist cells, $rows neighbor rows)")
+      // quality audit at the x10 rung: the same corpus indexed through
+      // the EXACT flat assign (dispatch floor lifted), probed with the
+      // same batch — neighbor-set recall of the hierarchical index
+      // against the flat one measures, on MIXED ladder data (not the
+      // spec's separated clusters), what the two-level approximation
+      // actually costs. Run once, at the smallest rung where the
+      // hierarchical path is live (x1's 10 cells stay flat).
+      if (mult == 10) {
+        // fresh indexes over the same corpus ("ann" was appended to and
+        // rebalanced above, no longer comparable)
+        val corpus2 = (0 until mult).map(replica).reduce(_ unionByName _)
+          .repartition(par)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        IvfIndex.build(cat, "probe", "annflat", corpus2,
+          flatMaxCells = Int.MaxValue)
+        IvfIndex.build(cat, "probe", "annhier", corpus2, flatMaxCells = 0)
+        corpus2.unpersist()
+        val h = IvfIndex.query(cat, "probe", "annhier", probeBatch, k = 5, nprobe = 3)
+          .select("query_id", "neighbor_id")
+        val f = IvfIndex.query(cat, "probe", "annflat", probeBatch, k = 5, nprobe = 3)
+          .select("query_id", "neighbor_id")
+        val common = h.join(f, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val total = f.count()
+        println(f"PROBE ivf two-level vs flat assign: top-5 recall " +
+          f"${common.toDouble / total}%.3f ($common/$total neighbor slots)")
+      }
       mult -> (buildWall, probeWall, rebalWall)
     }
     walls.sliding(2).foreach { case Seq((m0, (b0, p0, r0)), (m1, (b1, p1, r1))) =>
