@@ -263,6 +263,19 @@ class IvfIndexSpec extends SparkSpec {
     cells.read.count() shouldBe 71 // 64 built + 8 appended - 1 removed
   }
 
+  test("an index built on an EMPTY corpus serves probes and appends") {
+    val cat = freshCat
+    cat.createDatabase("lake")
+    IvfIndex.build(cat, "lake", "ann0", emb.filter($"vec_id" < 0))
+    cat.table("lake.ann0_cells").currentSnapshot.get.entries shouldBe empty
+    val q = Seq((100L, Array(10f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    IvfIndex.query(cat, "lake", "ann0", q, k = 3, nprobe = 2).count() shouldBe 0
+    // appends against an empty (centroid-less) quantizer assign nothing
+    // but keep the index consistent; a later rebuild brings it live
+    IvfIndex.build(cat, "lake", "ann0", emb.filter($"vec_id" >= 6))
+    IvfIndex.query(cat, "lake", "ann0", q, k = 3, nprobe = 2).count() shouldBe 3
+  }
+
   test("nprobe=1 restricts candidates to one cell per query") {
     val cat = freshCat
     cat.createDatabase("lake")

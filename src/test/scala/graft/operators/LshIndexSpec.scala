@@ -241,6 +241,19 @@ class LshIndexSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted shouldBe Array(1L, 2L)
   }
 
+  test("an index bootstrapped on an EMPTY corpus serves probes and appends") {
+    // the IndexedDocStreams contract allows an empty bootstrap; since
+    // r16 an all-empty write commits NO manifest entry, so this pins
+    // that a zero-entry index is fully operational
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", docs())
+    cat.table("ix.nd_bands").currentSnapshot.get.entries shouldBe empty
+    LshIndex.query(cat, "ix", "nd", docs((1L, near1))).count() shouldBe 0
+    LshIndex.appendBatch(cat, "ix", "nd", docs((1L, near1)), 1L) shouldBe true
+    LshIndex.query(cat, "ix", "nd", docs((2L, near2)))
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(1L)
+  }
+
   test("a missing-parameter index fails fast instead of probing garbage") {
     val cat = freshCatalog()
     // a bands table created OUTSIDE build carries no lsh.* properties
