@@ -113,7 +113,14 @@ object BatchIngest {
       // last complete snapshot — put it back before sweeping anything
       fs.listStatus(parent).map(_.getPath)
         .filter(_.getName.startsWith(s".${out.getName}.old-"))
-        .foreach(old => if (fs.exists(out)) fs.delete(old, true) else fs.rename(old, out))
+        .foreach { old =>
+          if (fs.exists(out)) { fs.delete(old, true); () }
+          // a failed restore must STOP the run: proceeding would sweep
+          // the (torn) stage dirs and later delete this aside copy —
+          // the only complete snapshot — as stale
+          else if (!fs.rename(old, out))
+            throw new java.io.IOException(s"restore $old -> $out failed")
+        }
       // then sweep stage dirs (possibly torn — never a last copy)
       fs.listStatus(parent).map(_.getPath)
         .filter(_.getName.startsWith(s".${out.getName}.staging-"))

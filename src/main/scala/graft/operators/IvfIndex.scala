@@ -68,20 +68,16 @@ object IvfIndex {
       .select(col("label").as("cell"), col(idAs), col(vecAs))
   }
 
-  /** Per-group element-wise mean of centroid vectors, components
-    * rounded to 6dp (the [[Similarity.labelCentroidVectors]] rounding
-    * discipline — cross-row double-sum order must not leak). Input and
-    * output are nlist-and-smaller frames; everything here is broadcast
-    * metadata, never corpus-sized. */
+  /** Per-group element-wise mean of centroid vectors — ONE delegation
+    * to [[Similarity.labelCentroidVectors]] so the 6dp rounding
+    * discipline (cross-row double-sum order must not leak into
+    * comparisons) lives in exactly one place. Input and output are
+    * nlist-and-smaller frames; everything here is broadcast metadata,
+    * never corpus-sized. */
   private def groupMeans(centsWithGrp: DataFrame, grpCol: String): DataFrame =
-    centsWithGrp
-      .select(col(grpCol).as("grp"), posexplode(col("centroid")).as(Seq("dim", "x")))
-      .groupBy("grp", "dim")
-      .agg(avg(col("x")).as("c"))
-      .groupBy("grp")
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => round(s("c"), 6)).as("gcent"))
+    Similarity.labelCentroidVectors(
+      centsWithGrp.select(col(grpCol).as("label"), col("centroid").as("embedding")))
+      .select(col("label").as("grp"), col("centroid").as("gcent"))
 
   /** HIERARCHICAL (two-level) nearest-cell assignment — the flat-IVF
     * scale fix: the flat argmax is N×nlist distance evaluations, which
@@ -170,6 +166,16 @@ object IvfIndex {
       .flatMap(v => scala.util.Try(v.toInt).toOption)
       .getOrElse(DefaultFlatMaxCells)
 
+  /** Size floor for the cells table's vec_id bloom sidecars — the
+    * retraction prune: cell PARTITION pruning confines a removal only
+    * until a compaction folds each cell into one wide entry whose key
+    * range spans everything; past that, the per-leaf vec_id filters
+    * are what keep a removal's matches scan and rewrite confined to
+    * the cells that actually hold the removed vectors (the LSH
+    * `_bands` doc_id-bloom story, cell-partitioned). Under the floor
+    * commits skip the sidecar job — tiny indexes never consult them. */
+  private[graft] val BloomMinTableBytes = 64L << 20
+
   /** Train + assign + persist. Idempotent (createOrReplace).
     *
     * Training is SAMPLE-BOUNDED (see [[DefaultTrainCap]]): one count
@@ -181,16 +187,6 @@ object IvfIndex {
     * empty-cluster outcome, gone at the next retrain. Assignment
     * dispatches per [[FlatMaxCellsProp]], which this build pins on the
     * centroids table so append/rebalance reuse the same algorithm. */
-  /** Size floor for the cells table's vec_id bloom sidecars — the
-    * retraction prune: cell PARTITION pruning confines a removal only
-    * until a compaction folds each cell into one wide entry whose key
-    * range spans everything; past that, the per-leaf vec_id filters
-    * are what keep a removal's matches scan and rewrite confined to
-    * the cells that actually hold the removed vectors (the LSH
-    * `_bands` doc_id-bloom story, cell-partitioned). Under the floor
-    * commits skip the sidecar job — tiny indexes never consult them. */
-  private[graft] val BloomMinTableBytes = 64L << 20
-
   def build(
       cat: LakeCatalog,
       db: String,
@@ -328,14 +324,9 @@ object IvfIndex {
     val cells = cat.table(s"$db.${name}_cells")
     val flatMaxCells = flatMaxCellsOf(cat, db, name)
     val current = cells.read.select("cell", "vec_id", "embedding")
-    val newCents = current
-      .select(col("cell").as("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(avg(col("x").cast("double")).as("c"))
-      .groupBy("label")
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => round(s("c"), 6)).as("centroid"))
+    // same one-true aggregation as build's training (6dp discipline)
+    val newCents = Similarity.labelCentroidVectors(
+      current.select(col("cell").as("label"), col("embedding")))
     // the replace re-pins the assignment dispatch floor — the algorithm
     // must not silently change across a re-train
     cat.table(s"$db.${name}_centroids").createOrReplace(newCents,

@@ -276,7 +276,13 @@ object LshIndex {
 
   /** Probe: near-dup pairs (incoming doc_a × indexed doc_b) with exact
     * Jaccard ≥ threshold. One band-equality join generates candidates
-    * (ids only), then ONLY candidates join their token sets back. */
+    * (ids only), then ONLY candidates join their token sets back.
+    *
+    * ID contract: probe doc_ids must be DISJOINT from indexed ids —
+    * except for a crash-replay of the identical batch (the one case
+    * the index contract produces, handled exactly). A probe that
+    * reuses an indexed id with DIFFERENT text would be verified
+    * against its own token set instead of the indexed document's. */
   def query(
       cat: LakeCatalog,
       db: String,

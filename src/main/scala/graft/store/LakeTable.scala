@@ -731,8 +731,13 @@ class LakeTable(
     * floating, string). Values are stored as strings in the manifest;
     * pruning parses them back by column type. Columns whose chunks lack
     * usable stats are omitted (⇒ never pruned on). */
-  private def footerStats(path: Path, schema: StructType): Map[String, (String, String)] =
-    footerStatsAndRows(path, schema)._1
+  private def footerStats(path: Path, schema: StructType): Map[String, (String, String)] = {
+    // zero-IO fast path for callers that don't need the row count
+    // (partitioned leaf harvest, delete files): with no prunable
+    // column there is nothing to read footers FOR
+    val anyPrunable = schema.fields.exists(f => StatsPruning.supported(f.dataType))
+    if (!anyPrunable) Map.empty else footerStatsAndRows(path, schema)._1
+  }
 
   /** [[footerStats]] plus the dirs' total parquet ROW count (from the
     * same footers — no extra IO): the unpartitioned write path uses the

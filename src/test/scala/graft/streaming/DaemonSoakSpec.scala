@@ -55,19 +55,29 @@ class DaemonSoakSpec extends SparkSpec {
 
   /** TPS-paced feeder (the Datagen pacing rule): batch i waits for its
     * schedule slot `start + i/tps` — a slow write eats into the next
-    * slot, never shifts the schedule. */
-  private def pacedFeed(src: String, ks: Seq[Int], tps: Double): Thread = {
-    val t = new Thread(() => {
-      val start = System.nanoTime()
-      ks.zipWithIndex.foreach { case (k, i) =>
-        val slot = start + (i * 1e9 / tps).toLong
-        val waitNs = slot - System.nanoTime()
-        if (waitNs > 0) Thread.sleep(waitNs / 1000000L)
-        writeBatch(batchDf(k), src, k)
-      }
+    * slot, never shifts the schedule. A feed failure is captured and
+    * rethrown by `join()` — a silently dead feeder would otherwise
+    * leave the daemon loop waiting forever for a batch that never
+    * lands (an unbounded CI hang instead of a failure). */
+  private final class Feeder(src: String, ks: Seq[Int], tps: Double) {
+    @volatile private var error: Throwable = _
+    private val t = new Thread(() => {
+      try {
+        val start = System.nanoTime()
+        ks.zipWithIndex.foreach { case (k, i) =>
+          val slot = start + (i * 1e9 / tps).toLong
+          val waitNs = slot - System.nanoTime()
+          if (waitNs > 0) Thread.sleep(waitNs / 1000000L)
+          writeBatch(batchDf(k), src, k)
+        }
+      } catch { case e: Throwable => error = e }
     }, "soak-feeder")
     t.start()
-    t
+    def dead: Boolean = error != null
+    def join(): Unit = {
+      t.join()
+      if (error != null) throw error
+    }
   }
 
   test("daemon soak: paced feed, interval compaction, signal stop, mid-soak kill/restart — converged") {
@@ -87,8 +97,9 @@ class DaemonSoakSpec extends SparkSpec {
 
     // one daemon lifetime: availableNow rounds drain whatever the
     // feeder has landed; the round loop stops (signal) once the index's
-    // replay high-water mark shows batch `target` applied
-    def daemonLifetime(target: Long): (Int, Boolean) = {
+    // replay high-water mark shows batch `target` applied — or the
+    // feeder died (its join below rethrows the cause)
+    def daemonLifetime(target: Long, feeder: Feeder): (Int, Boolean) = {
       val daemon = new StreamDaemon(spark, cat, Seq("docs"), "soak",
         concurrency = 1, roundIntervalSec = 0, compactionIntervalSec = 86400,
         signalPath = signal, sleepPollSec = 0.05)
@@ -98,13 +109,13 @@ class DaemonSoakSpec extends SparkSpec {
             .option("maxFilesPerTrigger", "1").parquet(src),
           cat, "db", "nd", out, ckpt, compactEveryBatches = 2)
           .awaitTermination()
-        if (lastBatch >= target) Signal.requestStop(spark, signal)
+        if (lastBatch >= target || feeder.dead) Signal.requestStop(spark, signal)
       }
     }
 
     // ---- lifetime 1: batches 0..3 (files 1..4), paced at 10 TPS ----
-    val feeder1 = pacedFeed(src, 1 to 4, tps = 10.0)
-    val (rounds1, clean1) = daemonLifetime(target = 3L)
+    val feeder1 = new Feeder(src, 1 to 4, tps = 10.0)
+    val (rounds1, clean1) = daemonLifetime(target = 3L, feeder1)
     feeder1.join()
     clean1 shouldBe true
     rounds1 should be >= 1
@@ -125,8 +136,8 @@ class DaemonSoakSpec extends SparkSpec {
     new File(s"$ckpt/commits/.3.crc").delete()
 
     // ---- lifetime 2: replay of 3, then batches 4..7 (files 5..8) ----
-    val feeder2 = pacedFeed(src, 5 to 8, tps = 10.0)
-    val (_, clean2) = daemonLifetime(target = 7L)
+    val feeder2 = new Feeder(src, 5 to 8, tps = 10.0)
+    val (_, clean2) = daemonLifetime(target = 7L, feeder2)
     feeder2.join()
     clean2 shouldBe true
     lastBatch shouldBe 7L
