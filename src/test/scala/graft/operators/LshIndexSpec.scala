@@ -241,6 +241,32 @@ class LshIndexSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sorted shouldBe Array(1L, 2L)
   }
 
+  test("a crash BETWEEN compact's two table rewrites leaves a fully serving index") {
+    val cat = freshCatalog()
+    LshIndex.build(cat, "ix", "nd", docs((1L, near1), (2L, other)))
+    LshIndex.appendBatch(cat, "ix", "nd", docs((10L, near2)), 1L)
+    LshIndex.appendBatch(cat, "ix", "nd", docs((11L, near1)), 2L)
+    val probe = docs((500L, near2))
+    val before = LshIndex.query(cat, "ix", "nd", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // simulate compact dying after the toks rewrite, before the bands
+    // rewrite (compact's documented order): contents are identical
+    // either way, so the half-compacted index must answer identically,
+    // the generation pin must not skew, and a re-run must finish the fold
+    cat.table("ix.nd_toks").rewriteDataFiles()
+    cat.table("ix.nd_toks").currentSnapshot.get.entries.size shouldBe 1
+    cat.table("ix.nd_bands").currentSnapshot.get.entries.size should be >= 3
+    LshIndex.query(cat, "ix", "nd", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted shouldBe before
+    LshIndex.appendBatch(cat, "ix", "nd", docs((11L, near1)), 2L) shouldBe false
+    LshIndex.compact(cat, "ix", "nd") // the recovery: re-run the fold
+    cat.table("ix.nd_bands").currentSnapshot.get.entries.size shouldBe 1
+    LshIndex.query(cat, "ix", "nd", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted shouldBe before
+  }
+
   test("an index bootstrapped on an EMPTY corpus serves probes and appends") {
     // the IndexedDocStreams contract allows an empty bootstrap; since
     // r16 an all-empty write commits NO manifest entry, so this pins
