@@ -571,6 +571,10 @@ object ScaleProbe {
       val ruSrc = storeCat.table("probe.docs_rusrc")
       ruSrc.createOrReplace(docReplica(0))
       (1 until mult).foreach(i => ruSrc.append(docReplica(i)))
+      // drop a previous run's rollup: its watermark predates this
+      // run's createOrReplace of the source (non-append ⇒ refresh
+      // correctly refuses) — re-runs on a dirty tmp dir must bootstrap
+      storeCat.dropTable("probe.docs_rollup")
       val ruDst = storeCat.table("probe.docs_rollup")
       timed("rollup_bootstrap")(
         Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars")))
@@ -603,6 +607,7 @@ object ScaleProbe {
       val exSrc = storeCat.table("probe.docs_exsrc")
       exSrc.createOrReplace(grpReplica(0))
       (1 until mult).foreach(i => exSrc.append(grpReplica(i)))
+      storeCat.dropTable("probe.docs_exrollup")
       val exDst = storeCat.table("probe.docs_exrollup")
       timed("extrema_bootstrap")(
         Rollup.refresh(exSrc, exDst, Seq("grp"), Seq("n_chars"),
