@@ -95,6 +95,10 @@ object CommitProbe {
       val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_rladder_$label"
       val cat = new LakeCatalog(spark, wh)
       cat.createDatabase("lake")
+      // a previous run's rollup watermark predates this run's
+      // createOrReplace of the source — drop it so dirty-tmp re-runs
+      // bootstrap fresh (the ScaleProbe/c35 pattern)
+      cat.dropTable("lake.orders_rladder_rollup")
       val t = cat.table("lake.orders_rladder")
       val dst = cat.table("lake.orders_rladder_rollup")
       def refresh() =
