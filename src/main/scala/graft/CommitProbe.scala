@@ -14,6 +14,21 @@ import graft.store.{LakeCatalog, StoreTiming}
   * ManifestProbe: run before and after commit-path changes. */
 object CommitProbe {
 
+  /** A probe-run catalog over a WIPED warehouse dir: every probe rung
+    * builds its tables from scratch, and a leftover warehouse from a
+    * previous run would otherwise (a) trip watermark guards on
+    * maintained tables (a re-run's createOrReplace is a non-append
+    * commit under the old watermark) and (b) accumulate pre-replace
+    * data files in /tmp forever (createOrReplace never GCs prior
+    * versions). Wiping at the source fixes the whole class — no
+    * per-table dropTable bookkeeping to forget. */
+  private def freshCatalog(spark: org.apache.spark.sql.SparkSession, path: String): graft.store.LakeCatalog = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    new graft.store.LakeCatalog(spark, path)
+  }
+
   /** Volume ladder over the bench-top-5 lifecycle shape: the SAME 13
     * sequential commits (createOrReplace + 11 appends + MoR merge +
     * MoR delete) at ×1 / ×10 / ×100 rows per commit. The 100 TB claim
@@ -44,7 +59,7 @@ object CommitProbe {
     // absorb JIT/plan-compile warmup so rung x1 isn't first-run-inflated
     locally {
       val whW = s"${sys.props("java.io.tmpdir")}/graft_cprobe_ladder_warm"
-      val catW = new LakeCatalog(spark, whW)
+      val catW = freshCatalog(spark, whW)
       catW.createDatabase("lake")
       val tw = catW.table("lake.warm")
       val w = base.filter(col("o_orderkey") % 100 === 0)
@@ -60,7 +75,7 @@ object CommitProbe {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rows = cached.count()
       val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_ladder_$label"
-      val cat = new LakeCatalog(spark, wh)
+      val cat = freshCatalog(spark, wh)
       cat.createDatabase("lake")
       val t = cat.table("lake.orders_ladder")
       val t0 = System.nanoTime()
@@ -93,12 +108,8 @@ object CommitProbe {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count()
       val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_rladder_$label"
-      val cat = new LakeCatalog(spark, wh)
+      val cat = freshCatalog(spark, wh)
       cat.createDatabase("lake")
-      // a previous run's rollup watermark predates this run's
-      // createOrReplace of the source — drop it so dirty-tmp re-runs
-      // bootstrap fresh (the ScaleProbe/c35 pattern)
-      cat.dropTable("lake.orders_rladder_rollup")
       val t = cat.table("lake.orders_rladder")
       val dst = cat.table("lake.orders_rladder_rollup")
       def refresh() =
@@ -154,7 +165,7 @@ object CommitProbe {
     (1 to iters).foreach { it =>
       println(s"== c07 shape (partitioned COW), iter $it ==")
       val wh = s"${sys.props("java.io.tmpdir")}/graft_cprobe_p$it"
-      val cat = new LakeCatalog(spark, wh)
+      val cat = freshCatalog(spark, wh)
       cat.createDatabase("lake")
       val t = cat.table("lake.orders_part")
       val part = base.select(
@@ -175,7 +186,7 @@ object CommitProbe {
 
       println(s"== c12 shape (bucketed COW), iter $it ==")
       val wh2 = s"${sys.props("java.io.tmpdir")}/graft_cprobe_b$it"
-      val cat2 = new LakeCatalog(spark, wh2)
+      val cat2 = freshCatalog(spark, wh2)
       cat2.createDatabase("lake")
       val tb = cat2.table("lake.orders_bucketed")
       val nb = base.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -196,7 +207,7 @@ object CommitProbe {
       // data volume, dominates these. 12 small appends + 2 MoR ops.
       println(s"== lifecycle shape (13 tiny sequential commits), iter $it ==")
       val wh3 = s"${sys.props("java.io.tmpdir")}/graft_cprobe_l$it"
-      val cat3 = new LakeCatalog(spark, wh3)
+      val cat3 = freshCatalog(spark, wh3)
       cat3.createDatabase("lake")
       val tl = cat3.table("lake.orders_lifecycle")
       val tiny = base.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -224,7 +235,7 @@ object CommitProbe {
       .limit(1000).cache()
     tinyDf.count()
     val whF = s"${sys.props("java.io.tmpdir")}/graft_cprobe_f"
-    val catF = new LakeCatalog(spark, whF)
+    val catF = freshCatalog(spark, whF)
     catF.createDatabase("lake")
     val tf = catF.table("lake.floor_probe")
     tf.createOrReplace(tinyDf)

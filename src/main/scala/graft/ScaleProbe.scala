@@ -16,6 +16,21 @@ import graft.operators.Dedup
   * corpus. `runMain graft.ScaleProbe [sfDir] [mult]`. */
 object ScaleProbe {
 
+  /** A probe-run catalog over a WIPED warehouse dir: every probe rung
+    * builds its tables from scratch, and a leftover warehouse from a
+    * previous run would otherwise (a) trip watermark guards on
+    * maintained tables (a re-run's createOrReplace is a non-append
+    * commit under the old watermark) and (b) accumulate pre-replace
+    * data files in /tmp forever (createOrReplace never GCs prior
+    * versions). Wiping at the source fixes the whole class — no
+    * per-table dropTable bookkeeping to forget. */
+  private def freshCatalog(spark: SparkSession, path: String): graft.store.LakeCatalog = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    new graft.store.LakeCatalog(spark, path)
+  }
+
   /** Three-point decade ladder on the d35 flagship (the full
     * training-manifest composition): 1× / 10× / 100× the sf corpus,
     * same replica construction as the main probe. Two points (1×/10×)
@@ -85,7 +100,7 @@ object ScaleProbe {
         .repartition(par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vecs = corpus.count()
-      val cat = new LakeCatalog(spark,
+      val cat = freshCatalog(spark,
         s"${sys.props("java.io.tmpdir")}/graft_probe_ivf_$mult")
       cat.createDatabase("probe")
       val t0 = System.nanoTime()
@@ -166,7 +181,7 @@ object ScaleProbe {
     import graft.operators.LshIndex
     import graft.store.LakeCatalog
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
-    val cat = new LakeCatalog(spark,
+    val cat = freshCatalog(spark,
       s"${sys.props("java.io.tmpdir")}/graft_probe_lshfrag")
     cat.createDatabase("probe")
     LshIndex.build(cat, "probe", "nd", base.filter(col("doc_id") < 100))
@@ -234,7 +249,7 @@ object ScaleProbe {
         .repartition(par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docs = history.count()
-      val cat = new LakeCatalog(spark,
+      val cat = freshCatalog(spark,
         s"${sys.props("java.io.tmpdir")}/graft_probe_retract_$mult")
       cat.createDatabase("probe")
       // prune machinery live at any size: sidecars from the first
@@ -303,7 +318,7 @@ object ScaleProbe {
         .repartition(par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docs = history.count()
-      val cat = new LakeCatalog(spark,
+      val cat = freshCatalog(spark,
         s"${sys.props("java.io.tmpdir")}/graft_probe_lsh_$mult")
       cat.createDatabase("probe")
       val t0 = System.nanoTime()
@@ -370,7 +385,7 @@ object ScaleProbe {
         .repartition(par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docs = history.count()
-      val cat = new LakeCatalog(spark,
+      val cat = freshCatalog(spark,
         s"${sys.props("java.io.tmpdir")}/graft_probe_stream_$mult")
       cat.createDatabase("probe")
       val outDir = s"${sys.props("java.io.tmpdir")}/graft_probe_stream_out_$mult"
@@ -493,7 +508,7 @@ object ScaleProbe {
 
     time("ivf_knn_derive (e04)")(
       Similarity.ivfKnn(queries, embBig, k = 5, nprobe = 3))
-    val cat = new LakeCatalog(spark,
+    val cat = freshCatalog(spark,
       s"${sys.props("java.io.tmpdir")}/graft_probe_ivf_$mult")
     cat.createDatabase("probe")
     time("ivf_index_build (e07)") {
@@ -523,7 +538,7 @@ object ScaleProbe {
     // rewrites, MoR commit cost tracks only the batch — the gap is what
     // a heavy-update CDC table buys at 100 TB. Compaction then pays the
     // folded cost once, off the ingest path.
-    val storeCat = new LakeCatalog(spark,
+    val storeCat = freshCatalog(spark,
       s"${sys.props("java.io.tmpdir")}/graft_probe_store_$mult")
     storeCat.createDatabase("probe")
     val docTable = big.select(col("doc_id"), col("source"), col("n_chars"))
@@ -571,10 +586,6 @@ object ScaleProbe {
       val ruSrc = storeCat.table("probe.docs_rusrc")
       ruSrc.createOrReplace(docReplica(0))
       (1 until mult).foreach(i => ruSrc.append(docReplica(i)))
-      // drop a previous run's rollup: its watermark predates this
-      // run's createOrReplace of the source (non-append ⇒ refresh
-      // correctly refuses) — re-runs on a dirty tmp dir must bootstrap
-      storeCat.dropTable("probe.docs_rollup")
       val ruDst = storeCat.table("probe.docs_rollup")
       timed("rollup_bootstrap")(
         Rollup.refresh(ruSrc, ruDst, Seq("source"), Seq("n_chars")))
@@ -607,7 +618,6 @@ object ScaleProbe {
       val exSrc = storeCat.table("probe.docs_exsrc")
       exSrc.createOrReplace(grpReplica(0))
       (1 until mult).foreach(i => exSrc.append(grpReplica(i)))
-      storeCat.dropTable("probe.docs_exrollup")
       val exDst = storeCat.table("probe.docs_exrollup")
       timed("extrema_bootstrap")(
         Rollup.refresh(exSrc, exDst, Seq("grp"), Seq("n_chars"),
