@@ -138,9 +138,14 @@ object BatchIngest {
       throw new java.io.IOException(s"rename $out -> $aside failed")
     if (!fs.rename(tmp, out)) {
       // put the previous snapshot back before failing; the stage dir is
-      // complete (the write finished) but unreachable — next run sweeps it
-      if (hadLive) fs.rename(aside, out)
-      throw new java.io.IOException(s"rename $tmp -> $out failed")
+      // complete (the write finished) but unreachable — next run sweeps it.
+      // If the restore ALSO fails, say so loudly: until the next run's
+      // sweep restores the aside copy, readers see NO live dir at all.
+      val restored = !hadLive || fs.rename(aside, out)
+      throw new java.io.IOException(s"rename $tmp -> $out failed" +
+        (if (restored) ""
+         else s"; restoring the previous snapshot also failed — no live " +
+           s"dir until the next run's sweep restores the copy at $aside"))
     }
     if (hadLive) { fs.delete(aside, true); () }
   }

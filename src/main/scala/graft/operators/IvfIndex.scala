@@ -154,9 +154,12 @@ object IvfIndex {
       vecCount: => Long): DataFrame = {
     val nlist = cents.count()
     // flatMaxCells == 0 is the explicit "always hierarchical" override
-    // (the prune-contract spec hook) — it bypasses the work floor too
+    // (the prune-contract spec hook) — it bypasses the work floor too.
+    // The work floor compares by DIVISION: vecCount * nlist can overflow
+    // Long at extreme sizes and would then select the flat path exactly
+    // where it is most catastrophic.
     if (nlist <= flatMaxCells ||
-        (flatMaxCells > 0 && vecCount * nlist <= FlatMaxAssignWork))
+        (flatMaxCells > 0 && vecCount <= FlatMaxAssignWork / math.max(1L, nlist)))
       nearestCells(vectors, cents, n = 1, idAs = "vec_id", vecAs = "embedding")
     else twoLevelAssign(vectors, cents, nlist)
   }

@@ -332,9 +332,32 @@ object LshIndex {
     * a few dozen bytes each, but the map is cleared at a generous cap
     * anyway so a long-lived session over many rebuilt indexes cannot
     * grow it unboundedly. */
-  private val tinyCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String, Long), java.lang.Boolean]()
   private val TinyCacheMaxEntries = 8192
+  private val tinyCache =
+    new java.util.LinkedHashMap[(String, Long, String, Long), java.lang.Boolean](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String, Long), java.lang.Boolean])
+          : Boolean = size() > TinyCacheMaxEntries
+    }
+
+  /** Cache-through tiny-index verdict: a bounded LRU (evicting one
+    * eldest entry past the cap) instead of a wipe-everything reset —
+    * a full clear would force every active stream to re-probe its
+    * tables' sizes on the next batch. The size probe (fs listings)
+    * runs OUTSIDE the lock, like [[graft.store.LakeTable.cachedBloom]];
+    * two racing probes of the same key both compute and one wins — the
+    * verdict is a pure function of the immutable (snapshot, cap) key,
+    * so the race is benign. */
+  private def tinyCached(key: (String, Long, String, Long))(
+      compute: => Boolean): Boolean =
+    tinyCache.synchronized(Option(tinyCache.get(key))) match {
+      case Some(v) => v.booleanValue()
+      case None =>
+        val v = compute
+        tinyCache.synchronized(tinyCache.put(key, java.lang.Boolean.valueOf(v)))
+        v
+    }
 
   private def tinyIndex(
       bandsT: graft.store.LakeTable, toksT: graft.store.LakeTable): Boolean = {
@@ -342,12 +365,11 @@ object LshIndex {
       case Some(v) => scala.util.Try(v.toLong).getOrElse(ProbePruneMinBytes)
       case None => ProbePruneMinBytes
     }
-    if (tinyCache.size > TinyCacheMaxEntries) tinyCache.clear()
     cap > 0L && Seq(bandsT, toksT).forall(t => t.currentSnapshot.exists(s =>
       s.entries.size <= TinyProbeMaxEntries &&
-        tinyCache.computeIfAbsent(
-          (t.location, s.version, s.entries.headOption.fold("-")(_.dir), cap),
-          _ => t.dataUnder(s, cap))))
+        tinyCached(
+          (t.location, s.version, s.entries.headOption.fold("-")(_.dir), cap))(
+          t.dataUnder(s, cap))))
   }
 
   /** Planning stats of the most recent probe in this JVM — probe/test
@@ -405,7 +427,11 @@ object LshIndex {
     // ride NEXT TO the in-batch copy and duplicate every verify row of
     // that doc. The batch's sketch is deterministic, so dropping the
     // committed copy is exact; the anti join broadcasts batch-sized ids
-    // — free at any index size.
+    // — free at any index size. The pair generation below also drops
+    // doc_a == doc_b rows, so a caller that violates the probe-id /
+    // indexed-id disjointness contract (replaying an already-indexed id)
+    // can mis-verify that id against its in-batch token set, but never
+    // emits a degenerate (x, x, 1.0) self-pair.
     def idxToksOnly(idx: DataFrame): DataFrame =
       idx.join(broadcast(inToks.select("doc_id")), Seq("doc_id"), "left_anti")
     if (tinyIndex(bandsT, toksT)) {
@@ -415,6 +441,7 @@ object LshIndex {
         bandFallback = true, toksFallback = true, tinyBypass = true))
       val pairs = inBands.select(col("band"), col("doc_id").as("doc_a"))
         .join(bandsT.read.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+        .filter(col("doc_a") =!= col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
       return Dedup.jaccardOnPairs(pairs, inToks.unionByName(idxToksOnly(toksT.read)), threshold)
@@ -434,6 +461,7 @@ object LshIndex {
         }
         val p = inBands.select(col("band"), col("doc_id").as("doc_a"))
           .join(idxBands.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+          .filter(col("doc_a") =!= col("doc_b"))
           .select("doc_a", "doc_b")
           .distinct()
         (p, planned, total)

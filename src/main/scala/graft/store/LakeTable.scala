@@ -1823,7 +1823,16 @@ class LakeTable(
     *     candidates ARE the recent entries.
     *
     * Every tier rewrites with the CURRENT spec, so touching a
-    * legacy-layout entry migrates it. */
+    * legacy-layout entry migrates it.
+    *
+    * `source` must be DETERMINISTIC across re-evaluation: every prune
+    * tier runs its own action over it (layout-value collect, key-range
+    * agg, bloom-key collect, matches scan) and the rewrite closure
+    * evaluates it once more — a source whose rows change between
+    * actions can leave matches unpruned-for but also unrewritten. All
+    * engine callers (merge/delete/upsert) pass deterministic frames;
+    * a caller holding a non-deterministic source must localCheckpoint
+    * it first. */
   private def rewriteMatching(
       source: DataFrame,
       keys: Seq[String],
