@@ -125,14 +125,25 @@ object ScaleProbe {
       println(f"PROBE ivf_index x$mult%-4d build $buildWall%8.2f s  probe $probeWall%8.2f s  " +
         f"append $appendWall%8.2f s  rebalance $rebalWall%8.2f s ($movedN moved)  " +
         f"($vecs vecs, $nlist cells, $rows neighbor rows)")
-      // quality audit at the x10 rung: the same corpus indexed through
-      // the EXACT flat assign (dispatch floor lifted), probed with the
-      // same batch — neighbor-set recall of the hierarchical index
-      // against the flat one measures, on MIXED ladder data (not the
-      // spec's separated clusters), what the two-level approximation
-      // actually costs. Run once, at the smallest rung where the
-      // hierarchical path is live (x1's 10 cells stay flat).
-      if (mult == 10) {
+      // quality audit at the x10 AND x100 rungs: the same corpus
+      // indexed through the EXACT flat assign (dispatch floor lifted),
+      // probed with the same batch — neighbor-set recall of the
+      // hierarchical index against the flat one measures, on MIXED
+      // ladder data (not the spec's separated clusters), what the
+      // two-level approximation actually costs, and x100 is where the
+      // hierarchical path matters most (x1's 10 cells stay flat). The
+      // super-group balance print alongside it guards the cost claim:
+      // hash seeding + one Lloyd step can leave skewed groups, and a
+      // dominant group degrades the assign back toward flat.
+      if (mult == 10 || mult == 100) {
+        val sizes = IvfIndex.assignGroupSizes(
+          cat.table("probe.ann_centroids").read)
+        println(f"PROBE ivf super-group balance x$mult: " +
+          f"groups ${sizes.size}  max ${sizes.last}  " +
+          f"median ${sizes(sizes.size / 2)}  " +
+          f"skew ${sizes.last.toDouble / math.max(1L, sizes(sizes.size / 2))}%.1f")
+      }
+      if (mult == 10 || mult == 100) {
         // fresh indexes over the same corpus ("ann" was appended to and
         // rebalanced above, no longer comparable)
         val corpus2 = (0 until mult).map(replica).reduce(_ unionByName _)

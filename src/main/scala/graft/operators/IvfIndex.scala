@@ -101,36 +101,71 @@ object IvfIndex {
     * assignment-quality trade every two-level coarse quantizer
     * (IMI-style) makes, and assignment quality is IVF recall, not
     * correctness. On well-separated clusters the result EQUALS the
-    * flat argmax (spec-pinned). */
-  private def twoLevelAssign(
-      vectors: DataFrame, cents: DataFrame, nlist: Long): DataFrame = {
+    * flat argmax (spec-pinned).
+    *
+    * The vector-side stages are partial AGGREGATES, not windows: a
+    * `row_number over (partition by vec_id)` rank would shuffle every
+    * scored (vector, candidate) row — N×~3√nlist rows, each dragging
+    * its embedding through the exchange — just to keep the best few.
+    * The bounded top-k aggregate ([[graft.expressions.TopKByScore]],
+    * group probe) and a `min(struct(-cos, label))` argmax (cell pick)
+    * both reduce map-side, so ONE exchange carries ~N combined rows;
+    * the second aggregate reuses the first's hash(vec_id) partitioning
+    * and shuffles nothing. Orderings reproduce the window ranks
+    * exactly: top-k keeps (score desc, id asc) and the lexicographic
+    * struct-min is (cos desc, label asc) — same tie-breaks as
+    * [[nearestCells]]. (Sole divergence: a zero-norm vector's NaN
+    * cosine ranks FIRST under a desc window but loses a struct-min —
+    * no trained centroid or sane embedding is zero-norm, and either
+    * way is an arbitrary cell for a direction-free vector.) */
+  /** The centroid→super-group map [[twoLevelAssign]] probes through:
+    * deterministic label-hash seeding into √nlist groups, then one
+    * Lloyd step (hash seeding alone would scatter spatial neighbors
+    * across groups). All nlist-sized metadata work; the windows here
+    * never see corpus rows. Exposed to the scale probe so ladder runs
+    * can audit group-size balance — a dominant super-group would
+    * quietly degrade the two-level assign back toward flat cost. */
+  private[graft] def centroidGroups(cents: DataFrame, nlist: Long): DataFrame = {
     val g = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
     val seeds = groupMeans(
       cents.withColumn("grp0", pmod(xxhash64(col("label")), lit(g.toLong))), "grp0")
-    // one Lloyd step over the CENTROIDS (nlist×√nlist — metadata-sized):
-    // hash seeding alone would scatter spatial neighbors across groups
     val byG = (idCol: String) =>
       Window.partitionBy(idCol).orderBy(desc("gcos"), col("grp"))
-    val centsG = cents
+    cents
       .crossJoin(broadcast(seeds))
       .withColumn("gcos", cosine(col("centroid"), col("gcent")))
       .withColumn("rn", row_number().over(byG("label")))
       .filter(col("rn") === 1)
       .select(col("grp"), col("label"), col("centroid"))
+  }
+
+  /** Sorted member counts of the super-groups (ladder balance audit). */
+  private[graft] def assignGroupSizes(cents: DataFrame): Seq[Long] = {
+    val nlist = cents.count()
+    centroidGroups(cents, nlist).groupBy("grp").count()
+      .collect().map(_.getLong(1)).toSeq.sorted
+  }
+
+  private[graft] def twoLevelAssign(
+      vectors: DataFrame, cents: DataFrame, nlist: Long): DataFrame = {
+    val centsG = centroidGroups(cents, nlist)
     val gcents = groupMeans(centsG.withColumn("grp0", col("grp")), "grp0")
     val probed = vectors
       .crossJoin(broadcast(gcents))
       .withColumn("gcos", cosine(col("embedding"), col("gcent")))
-      .withColumn("rn", row_number().over(byG("vec_id")))
-      .filter(col("rn") <= AssignGroupProbes)
-      .select(col("grp"), col("vec_id"), col("embedding"))
-    val byCell = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("label"))
+      .groupBy("vec_id")
+      .agg(
+        topKByScore(col("gcos"), col("grp"), AssignGroupProbes).as("top"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), explode(col("top.id")).as("grp"))
     probed
       .join(broadcast(centsG), Seq("grp"))
       .withColumn("cos_c", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(byCell))
-      .filter(col("rn") === 1)
-      .select(col("label").as("cell"), col("vec_id"), col("embedding"))
+      .groupBy("vec_id")
+      .agg(
+        min(struct((-col("cos_c")).as("nc"), col("label").as("l"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("best.l").as("cell"), col("vec_id"), col("embedding"))
   }
 
   /** Work floor for the hierarchical dispatch: below this many flat

@@ -206,6 +206,30 @@ class IvfIndexSpec extends SparkSpec {
     all(top.map(id => (id % 1000L) % 8L)) shouldBe 2L
   }
 
+  test("two-level assign ranks corpus rows with aggregates, not windows") {
+    // the vector-side stages must be partial AGGREGATES: a window rank
+    // over vec_id would shuffle every scored (vector, candidate) row —
+    // N×~3√nlist embedding-dragging rows through the exchange instead
+    // of ~N. The only windows allowed are the centroid-side metadata
+    // ones (partitioned by label/grp, never by vec_id).
+    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val cents = graft.operators.Similarity.labelCentroidVectors(
+      emb8.select($"label", $"embedding"))
+    val assigned = IvfIndex.twoLevelAssign(
+      emb8.select($"vec_id", $"embedding"), cents, nlist = 8L)
+    val vecIdWindows = assigned.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.exists(_.references.exists(
+        _.name == "vec_id")) => w
+    }
+    vecIdWindows shouldBe empty
+    // and the aggregates really partial-aggregate: the physical plan
+    // carries a partial topK/min stage before any exchange
+    val phys = assigned.queryExecution.executedPlan.toString
+    phys should include("partial_graft_top_k")
+    assigned.count() shouldBe 64L
+  }
+
   test("training is sample-bounded, deterministic, and every vector still assigns") {
     val cat = freshCat
     cat.createDatabase("lake")
