@@ -111,9 +111,18 @@ object ScaleProbe {
       val t1 = System.nanoTime()
       val rows = IvfIndex.query(cat, "probe", "ann", probeBatch, k = 5, nprobe = 3).count()
       val probeWall = (System.nanoTime() - t1) / 1e9
+      // phase-attributed append: the wide-batch append touches ~min(batch,
+      // nlist) cell leaves — one entry each — and the phase split below
+      // shows where its wall goes (parquet write vs footer harvest vs
+      // commit) at each rung
+      graft.store.StoreTiming.enable()
+      graft.store.StoreTiming.reset()
       val t2 = System.nanoTime()
       IvfIndex.appendBatch(cat, "probe", "ann", probeBatch, 1L)
       val appendWall = (System.nanoTime() - t2) / 1e9
+      val phases = graft.store.StoreTiming.report().take(5)
+        .map { case (p, n, sec) => f"$p $sec%.2f s×$n" }.mkString("  ")
+      println(s"PROBE ivf append phases x$mult: $phases")
       // rebalance rung: full re-train + reassign over the whole index —
       // the maintenance pass whose N×nlist flat-assign term the
       // hierarchical dispatch exists to kill; moved count is printed so

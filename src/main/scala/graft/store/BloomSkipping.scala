@@ -52,7 +52,10 @@ object BloomSkipping {
     case BytesKey(v) => bf.mightContainBinary(v)
   }
 
-  private def keyOf(raw: Any): Option[Key] = raw match {
+  /** Normalize an EXTERNAL-typed value (collect() output) to a probe
+    * key — shared with the MoR delete-reach refinement, which probes
+    * collected delete-file key values against data-entry sidecars. */
+  private[store] def keyOf(raw: Any): Option[Key] = raw match {
     case null => None
     case n: Byte => Some(LongKey(n.toLong))
     case n: Short => Some(LongKey(n.toLong))

@@ -587,7 +587,18 @@ class LakeTable(
         // sort(sortCols) would be re-sorted by the writer
         distributed.sortWithinPartitions(partitionCols.map(col) ++ sortExprs: _*)
     StoreTiming.time("data.parquet-write") {
+      // committer algorithm v2: task outputs land in the destination at
+      // TASK commit (parallel, executor-side) instead of the driver
+      // serially merging every leaf dir at job commit — on a wide
+      // multi-leaf write (an IVF batch append touches ~min(batch, nlist)
+      // cell leaves) the v1 driver merge is O(leaves) of FS latency.
+      // v2's known risk — partial files visible in the destination after
+      // a mid-job failure — is isolated by this store's design: `abs` is
+      // a fresh UUID dir no reader can reach until the MANIFEST commit
+      // references it, and a failed write leaves only an orphan dir for
+      // the sweep.
       val writer = out.write.mode("errorifexists")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(abs)
     }
@@ -1707,10 +1718,11 @@ class LakeTable(
     * snapshot's outstanding delete files: a delete can mask a row of an
     * entry only when the sequence ordering allows it AND no manifest
     * key-range proves disjointness on any key (an equality delete must
-    * match ALL keys); conservative reachable on missing stats. The
-    * schema type map and key list are hoisted once — the predicate runs
-    * O(entries × deletes) times per planning pass. Shared by the read
-    * path and the compactor. */
+    * match ALL keys) AND no key-column bloom sidecar proves every
+    * delete key absent (see [[deleteReach]]); conservative reachable on
+    * missing stats/sidecars. The schema type map and key list are
+    * hoisted once — the predicate runs O(entries × deletes) times per
+    * planning pass. Shared by the read path and the compactor. */
   private def splitByDeleteReach(
       s: Snapshot, entries: Seq[ManifestEntry]): (Seq[ManifestEntry], Seq[ManifestEntry]) =
     entries.partition(deleteReach(s, s.deleteEntries))
@@ -1718,11 +1730,50 @@ class LakeTable(
   /** Predicate: can any of `dels` mask a row of this entry? Types and
     * keys hoisted once — the test runs O(entries × deletes) times per
     * planning pass. Shared by [[splitByDeleteReach]] (all outstanding
-    * deletes) and [[removedChanges]] (the new-in-range subset). */
+    * deletes) and [[removedChanges]] (the new-in-range subset).
+    *
+    * Two stages per (entry, delete) pair, both conservative:
+    *
+    *  1. KEY-RANGE: manifest stats prove disjointness on some key —
+    *     free, and sufficient while batches stay key-clustered.
+    *  2. BLOOM (sidecar-carrying entries only): once a compaction folds
+    *     key-clustered generations into wide hash-mixed files, every
+    *     entry's range overlaps every delete and stage 1 keeps the
+    *     WHOLE table maskable until the next position-delete rewrite —
+    *     post-fold reads paid the anti-join table-wide. When the entry
+    *     carries a `write.bloom.columns` sidecar for a key column and
+    *     the (micro-batch-sized, cap-bounded, cached — delete files are
+    *     write-once) delete key values are ALL provably absent from it,
+    *     no delete tuple can match any row of the entry and it reads
+    *     PLAIN. A key column containing a null proves nothing for that
+    *     delete (a null-keyed tuple `<=>`-matches null rows no filter
+    *     can witness); cap overflow or an unreadable file keeps the
+    *     entry maskable. Ordinary tables (no sidecars) never load a
+    *     delete file here. */
   private def deleteReach(
       s: Snapshot, dels: Seq[ManifestEntry]): ManifestEntry => Boolean = {
     val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
     val keys = morKeys(s)
+    val bloomable = keys.filter(k =>
+      types.get(k).exists(BloomSkipping.supportedType))
+    def bloomDisjoint(e: ManifestEntry, d: ManifestEntry): Boolean = {
+      val cols = bloomable.filter(e.blooms.contains)
+      cols.nonEmpty && {
+        // a FAILED load degrades to "maskable" without caching (the
+        // cachedBloom loud-re-probe rule); cap-overflow / null verdicts
+        // are real computations over a write-once file and do cache
+        val vals =
+          try LakeTable.cachedDeleteKeys(s"$location/data/${d.dir}")(
+            loadDeleteKeyVals(d, bloomable))
+          catch { case scala.util.control.NonFatal(_) =>
+            Map.empty[String, Option[IndexedSeq[BloomSkipping.Key]]] }
+        cols.exists(k => vals.getOrElse(k, None).exists { vs =>
+          val p = bloomPath(e, k).toString
+          LakeTable.cachedBloom(p)(loadBloom(p)).exists(bf =>
+            vs.forall(v => !BloomSkipping.mightContain(bf, v)))
+        })
+      }
+    }
     e => dels.exists(d =>
       e.seq < d.seq && keys.forall { k =>
         (e.stats.get(k), d.stats.get(k)) match {
@@ -1730,7 +1781,40 @@ class LakeTable(
             !StatsPruning.rangesDisjointStr(types(k), emn, emx, dmn, dmx)
           case _ => true
         }
-      })
+      } && !bloomDisjoint(e, d))
+  }
+
+  /** The cap-bounded per-column distinct key values of one equality-
+    * delete file, normalized to sidecar probe keys. A column maps to
+    * None — proves nothing — when the file holds more than
+    * [[LakeTable.MaxDeleteReachKeys]] distinct tuples, the column
+    * contains a null, or a value fails normalization. A read failure
+    * THROWS (the caller degrades to maskable without caching it). */
+  private def loadDeleteKeyVals(
+      d: ManifestEntry, cols: Seq[String])
+      : Map[String, Option[IndexedSeq[BloomSkipping.Key]]] =
+    if (cols.isEmpty) Map.empty
+    else {
+      val rows = spark.read.parquet(s"$location/data/${d.dir}")
+        .select(cols.map(col): _*).distinct()
+        .limit(LakeTable.MaxDeleteReachKeys + 1).collect()
+      if (rows.length > LakeTable.MaxDeleteReachKeys)
+        cols.map(_ -> None).toMap
+      else cols.zipWithIndex.map { case (c, i) =>
+        val ks = rows.toIndexedSeq.map(r => BloomSkipping.keyOf(r.get(i)))
+        c -> (if (ks.forall(_.isDefined)) Some(ks.map(_.get).distinct) else None)
+      }.toMap
+    }
+
+  /** (maskable, total) data-entry counts of the current snapshot under
+    * [[splitByDeleteReach]] — planning introspection for specs/probes. */
+  private[graft] def morMaskableCounts: (Int, Int) = {
+    val s = requireExists()
+    if (s.deleteEntries.isEmpty) (0, s.entries.size)
+    else {
+      val (maskable, _) = splitByDeleteReach(s, s.entries)
+      (maskable.size, s.entries.size)
+    }
   }
 
   /** The key tuples of `dels` (equality-delete files) as one DataFrame
@@ -2942,6 +3026,40 @@ object LakeTable {
       val bf = load
       bf.foreach(bloomCachePut(path, _))
       bf
+    }
+
+  /** Distinct-tuple cap per equality-delete file for the delete-reach
+    * bloom refinement: above it the file's keys prove nothing (the
+    * entry stays maskable) — bounds both the driver-side collect and
+    * the per-entry probe walk, same budget as [[MaxRewriteBloomKeys]]. */
+  private[graft] val MaxDeleteReachKeys = 1 << 16
+
+  /** Normalized key values of equality-delete files, keyed by absolute
+    * data path — safe because delete files are write-once. Bounded LRU
+    * by file count; each value is itself bounded by
+    * [[MaxDeleteReachKeys]]. Loaded through [[cachedDeleteKeys]] so a
+    * MoR read plans each outstanding delete's collect job once per JVM,
+    * not once per query. */
+  private val DeleteKeyCacheMaxFiles = 256
+  private val deleteKeyCache = new java.util.LinkedHashMap[
+    String, Map[String, Option[IndexedSeq[BloomSkipping.Key]]]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Map[String, Option[IndexedSeq[BloomSkipping.Key]]]])
+        : Boolean = size() > DeleteKeyCacheMaxFiles
+  }
+
+  /** Cache-through delete-key load; the collect runs OUTSIDE the lock
+    * (it is a Spark job), and racing loads of the same write-once file
+    * both compute the same value — benign. */
+  private[store] def cachedDeleteKeys(path: String)(
+      load: => Map[String, Option[IndexedSeq[BloomSkipping.Key]]])
+      : Map[String, Option[IndexedSeq[BloomSkipping.Key]]] =
+    deleteKeyCache.synchronized(Option(deleteKeyCache.get(path))) match {
+      case Some(v) => v
+      case None =>
+        val v = load
+        deleteKeyCache.synchronized(deleteKeyCache.put(path, v))
+        v
     }
 
   /** Superseded `tags-v<n>.json` generations kept on each successful

@@ -182,6 +182,47 @@ class MergeOnReadSpec extends SparkSpec {
     joins(u.read.queryExecution.executedPlan) shouldBe 0
   }
 
+  test("post-fold reads: bloom sidecars release entries the delete provably misses") {
+    import spark.implicits._
+    val t = freshCatalog().table("db.bl")
+    def gen(ids: Seq[Long]): DataFrame =
+      ids.toDF("id").withColumn("grp", pmod(col("id"), lit(3L)))
+    // three key-clustered generations across three partitions, sidecars
+    // forced on (floor 0)
+    t.createOrReplace(gen(0L until 30L), partitionBy = Seq("grp"),
+      tableProperties = Map(
+        "write.bloom.columns" -> "id",
+        "write.bloom.min-table-bytes" -> "0"))
+    t.append(gen(100L until 130L))
+    t.append(gen(200L until 230L))
+    // fold: one wide entry per partition, every id RANGE now spans
+    // ~the whole keyspace — range stats alone can separate nothing
+    t.rewriteDataFiles()
+    val folded = t.currentSnapshot.get
+    folded.entries should have size 3
+    all(folded.entries.map(_.blooms)) should contain("id")
+    // fresh MoR delete of one key: only the folded entry whose sidecar
+    // holds id 5 stays maskable; the other two read PLAIN instead of
+    // paying the anti-join table-wide until the next delete rewrite
+    t.deleteWhereExistsMoR(Seq(5L).toDF("id"), Seq("id"))
+    val (maskable, total) = t.morMaskableCounts
+    total shouldBe 3
+    maskable shouldBe 1
+    t.read.count() shouldBe 89
+    t.read.filter($"id" === 5L).count() shouldBe 0
+    // a second delete landing in a DIFFERENT partition widens the
+    // maskable slice to exactly the two entries that hold doomed keys
+    t.deleteWhereExistsMoR(Seq(103L).toDF("id"), Seq("id"))
+    t.morMaskableCounts shouldBe ((2, 3))
+    t.read.count() shouldBe 88
+    // and the position-delete fold rewrites ONLY the maskable slice
+    val (delsRemoved, rewritten) = t.rewritePositionDeleteFiles()
+    delsRemoved shouldBe 2
+    rewritten shouldBe 2
+    t.read.count() shouldBe 88
+    t.morMaskableCounts shouldBe ((0, 3))
+  }
+
   test("MoR deletes survive schema evolution; compaction folds under the widened schema") {
     import spark.implicits._
     val t = freshCatalog().table("db.t")
