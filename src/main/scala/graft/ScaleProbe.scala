@@ -249,6 +249,70 @@ object ScaleProbe {
     * cost is lshFragProbe's subject; this ladder pins the POST-FOLD
     * state the r15 verdict called out.
     * `runMain graft.ScaleProbe <sfDir> retract`. */
+  /** Three-point decade ladder on the MoR READ path's delete reach:
+    * a hash-mixed table (partition = doc_id mod 8 — every entry's key
+    * RANGE spans the whole keyspace, the post-compaction shape) takes a
+    * fresh equality delete confined to ONE partition's keys, and the
+    * probe measures what the read pays, with a bloom-sidecar'd table
+    * against a sidecar-less twin. The 100 TB claim under test: range
+    * stats prove nothing here, so without sidecars EVERY entry pays the
+    * masking anti-join until the next position-delete rewrite (and that
+    * rewrite rewrites everything); with them, the maskable slice — and
+    * the fold — is exactly the entries that hold doomed keys.
+    * `runMain graft.ScaleProbe <sfDir> mor`. */
+  private def morLadder(spark: SparkSession, sfDir: String): Unit = {
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    def replica(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      col("lang"), col("source"), col("n_chars"))
+    val doomed = base.filter(col("doc_id") < 800 && pmod(col("doc_id"), lit(8L)) === 3L)
+      .select("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    doomed.count()
+    Seq(1, 10, 100).foreach { mult =>
+      val rows = (0 until mult).map(replica).reduce(_ unionByName _)
+        .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rows.count()
+      val cat = freshCatalog(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_probe_mor_$mult")
+      cat.createDatabase("probe")
+      val out = Seq(true, false).map { blooms =>
+        val t = cat.table(if (blooms) "probe.m_bloom" else "probe.m_plain")
+        t.createOrReplace(rows, partitionBy = Seq("grp"),
+          tableProperties =
+            if (blooms) Map(
+              "write.bloom.columns" -> "doc_id",
+              "write.bloom.min-table-bytes" -> "0")
+            else Map.empty)
+        // fold to exactly one wide entry per partition (the shape a
+        // compaction leaves behind)
+        t.rewriteDataFiles()
+        t.deleteWhereExistsMoR(doomed, Seq("doc_id"))
+        val (maskable, total) = t.morMaskableCounts
+        val t0 = System.nanoTime()
+        val cnt = t.read.count()
+        val readWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (_, rewritten) = t.rewritePositionDeleteFiles()
+        val foldWall = (System.nanoTime() - t1) / 1e9
+        require(cnt == n - doomed.count(), s"MoR read lost rows: $cnt")
+        (maskable, total, readWall, rewritten, foldWall)
+      }
+      rows.unpersist()
+      val (Seq(b, p)) = (out: @unchecked)
+      println(f"PROBE mor_read x$mult%-4d bloom: maskable ${b._1}/${b._2} " +
+        f"read ${b._3}%6.2f s  fold-rewrote ${b._4} in ${b._5}%6.2f s   " +
+        f"plain: maskable ${p._1}/${p._2} read ${p._3}%6.2f s  " +
+        f"fold-rewrote ${p._4} in ${p._5}%6.2f s  ($n rows)")
+    }
+    doomed.unpersist()
+    ()
+  }
+
   private def retractLadder(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.LshIndex
     import graft.store.LakeCatalog
@@ -458,6 +522,11 @@ object ScaleProbe {
     }
     if (args.drop(1).headOption.contains("retract")) {
       retractLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("mor")) {
+      morLadder(spark, sfDir)
       spark.stop()
       return
     }
