@@ -154,22 +154,28 @@ object ScaleProbe {
       }
       if (mult == 10 || mult == 100) {
         // fresh indexes over the same corpus ("ann" was appended to and
-        // rebalanced above, no longer comparable)
+        // rebalanced above, no longer comparable); one flat-assigned
+        // reference, one hierarchical twin per probe width under audit
         val corpus2 = (0 until mult).map(replica).reduce(_ unionByName _)
           .repartition(par)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         IvfIndex.build(cat, "probe", "annflat", corpus2,
           flatMaxCells = Int.MaxValue)
-        IvfIndex.build(cat, "probe", "annhier", corpus2, flatMaxCells = 0)
+        val probesAudit = Seq(2, 3)
+        probesAudit.foreach(p =>
+          IvfIndex.build(cat, "probe", s"annhier$p", corpus2,
+            flatMaxCells = 0, groupProbes = p))
         corpus2.unpersist()
-        val h = IvfIndex.query(cat, "probe", "annhier", probeBatch, k = 5, nprobe = 3)
-          .select("query_id", "neighbor_id")
         val f = IvfIndex.query(cat, "probe", "annflat", probeBatch, k = 5, nprobe = 3)
           .select("query_id", "neighbor_id")
-        val common = h.join(f, Seq("query_id", "neighbor_id"), "left_semi").count()
         val total = f.count()
-        println(f"PROBE ivf two-level vs flat assign: top-5 recall " +
-          f"${common.toDouble / total}%.3f ($common/$total neighbor slots)")
+        probesAudit.foreach { p =>
+          val h = IvfIndex.query(cat, "probe", s"annhier$p", probeBatch, k = 5, nprobe = 3)
+            .select("query_id", "neighbor_id")
+          val common = h.join(f, Seq("query_id", "neighbor_id"), "left_semi").count()
+          println(f"PROBE ivf two-level vs flat assign x$mult (groupProbes=$p): " +
+            f"top-5 recall ${common.toDouble / total}%.3f ($common/$total neighbor slots)")
+        }
       }
       mult -> (buildWall, probeWall, rebalWall)
     }

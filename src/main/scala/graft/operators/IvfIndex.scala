@@ -42,10 +42,19 @@ object IvfIndex {
   private[graft] val DefaultFlatMaxCells = 64
 
   /** Super-groups each vector probes during hierarchical assign: 1
-    * would mis-assign every vector near a group boundary; 2 keeps the
-    * cost at N×(√nlist + 2·√nlist) while restoring almost all of the
-    * flat argmax (the standard multi-probe trade). */
-  private val AssignGroupProbes = 2
+    * would mis-assign every vector near a group boundary; more probes
+    * restore more of the flat argmax at N×(√nlist + p·√nlist) cost —
+    * the standard multi-probe trade, and at p ≥ √nlist the result IS
+    * the flat argmax on any data (every group probed). Pinned on the
+    * centroids table at build time (like the dispatch floor) so
+    * append/rebalance keep the build's assignment quality. Default 3:
+    * the ladder's top-5 recall vs a flat-assigned twin on adversarial
+    * near-duplicate mixed data measured 0.925 → 0.975 at the x10 rung
+    * and 0.750 → 0.821 at x100 (nlist=1000, ~30 groups) going from 2
+    * to 3 probes, with no measurable build-wall cost at either rung —
+    * assign work stays N×~4√nlist, far off the N×nlist flat cliff. */
+  private[graft] val GroupProbesProp = "ivf.assign.group-probes"
+  private[graft] val DefaultAssignGroupProbes = 3
 
   /** Coarse-quantizer training-sample cap: past this many corpus rows,
     * training reads a deterministic 1-in-⌈N/cap⌉ hash sample of the
@@ -88,13 +97,15 @@ object IvfIndex {
     *  1. the nlist centroids are clustered into √nlist SUPER-GROUPS
     *     (deterministic label-hash seeding + one Lloyd step — all
     *     nlist-sized metadata work);
-    *  2. each vector finds its [[AssignGroupProbes]] nearest
-    *     super-groups (N×√nlist distances, broadcast map-side);
+    *  2. each vector finds its `groupProbes` nearest super-groups
+    *     ([[GroupProbesProp]], default [[DefaultAssignGroupProbes]] —
+    *     N×√nlist distances, broadcast map-side);
     *  3. the exact argmax runs over ONLY those groups' member cells
-    *     (N×~2√nlist distances).
+    *     (N×~p·√nlist distances).
     *
-    * Total N×~3√nlist — the per-decade work ratio drops from ×100 to
-    * ×~31 at nlist∝N, ×~18 at nlist∝√N. Deterministic end-to-end
+    * Total N×~(1+p)√nlist — at the default p the per-decade work ratio
+    * drops from ×100 to ×~31 at nlist∝N, ×~18 at nlist∝√N (the √nlist
+    * term dominates both). Deterministic end-to-end
     * (hash seeding, 6dp-rounded means, label tie-breaks); approximate
     * only in that a vector whose true nearest cell lives outside its
     * probed groups lands in its best probed cell instead — the
@@ -147,7 +158,8 @@ object IvfIndex {
   }
 
   private[graft] def twoLevelAssign(
-      vectors: DataFrame, cents: DataFrame, nlist: Long): DataFrame = {
+      vectors: DataFrame, cents: DataFrame, nlist: Long,
+      groupProbes: Int = DefaultAssignGroupProbes): DataFrame = {
     val centsG = centroidGroups(cents, nlist)
     val gcents = groupMeans(centsG.withColumn("grp0", col("grp")), "grp0")
     val probed = vectors
@@ -155,7 +167,7 @@ object IvfIndex {
       .withColumn("gcos", cosine(col("embedding"), col("gcent")))
       .groupBy("vec_id")
       .agg(
-        topKByScore(col("gcos"), col("grp"), AssignGroupProbes).as("top"),
+        topKByScore(col("gcos"), col("grp"), groupProbes).as("top"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), explode(col("top.id")).as("grp"))
     probed
@@ -186,7 +198,8 @@ object IvfIndex {
     * oracle-scale and micro-index paths never pay it). */
   private def assignCells(
       vectors: DataFrame, cents: DataFrame, flatMaxCells: Int,
-      vecCount: => Long): DataFrame = {
+      vecCount: => Long,
+      groupProbes: Int = DefaultAssignGroupProbes): DataFrame = {
     val nlist = cents.count()
     // flatMaxCells == 0 is the explicit "always hierarchical" override
     // (the prune-contract spec hook) — it bypasses the work floor too.
@@ -196,13 +209,18 @@ object IvfIndex {
     if (nlist <= flatMaxCells ||
         (flatMaxCells > 0 && vecCount <= FlatMaxAssignWork / math.max(1L, nlist)))
       nearestCells(vectors, cents, n = 1, idAs = "vec_id", vecAs = "embedding")
-    else twoLevelAssign(vectors, cents, nlist)
+    else twoLevelAssign(vectors, cents, nlist, groupProbes)
   }
 
   private def flatMaxCellsOf(cat: LakeCatalog, db: String, name: String): Int =
     cat.table(s"$db.${name}_centroids").properties.get(FlatMaxCellsProp)
       .flatMap(v => scala.util.Try(v.toInt).toOption)
       .getOrElse(DefaultFlatMaxCells)
+
+  private def groupProbesOf(cat: LakeCatalog, db: String, name: String): Int =
+    cat.table(s"$db.${name}_centroids").properties.get(GroupProbesProp)
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(DefaultAssignGroupProbes)
 
   /** Size floor for the cells table's vec_id bloom sidecars — the
     * retraction prune: cell PARTITION pruning confines a removal only
@@ -223,8 +241,10 @@ object IvfIndex {
     * rare the sample misses it entirely gets no cell (its vectors
     * assign to their nearest surviving centroid) — the standard
     * empty-cluster outcome, gone at the next retrain. Assignment
-    * dispatches per [[FlatMaxCellsProp]], which this build pins on the
-    * centroids table so append/rebalance reuse the same algorithm. */
+    * dispatches per [[FlatMaxCellsProp]] and probes [[GroupProbesProp]]
+    * super-groups when hierarchical — both pinned on the centroids
+    * table by this build so append/rebalance reuse the same algorithm
+    * at the same quality. */
   def build(
       cat: LakeCatalog,
       db: String,
@@ -232,7 +252,8 @@ object IvfIndex {
       corpus: DataFrame,
       flatMaxCells: Int = DefaultFlatMaxCells,
       trainCap: Long = DefaultTrainCap,
-      bloomMinBytes: Long = BloomMinTableBytes): Unit = {
+      bloomMinBytes: Long = BloomMinTableBytes,
+      groupProbes: Int = DefaultAssignGroupProbes): Unit = {
     val n = corpus.count()
     val trainSet =
       if (n <= trainCap) corpus
@@ -242,10 +263,13 @@ object IvfIndex {
       }
     val cents = Similarity.labelCentroidVectors(trainSet)
     cat.table(s"$db.${name}_centroids").createOrReplace(cents,
-      tableProperties = Map(FlatMaxCellsProp -> flatMaxCells.toString))
+      tableProperties = Map(
+        FlatMaxCellsProp -> flatMaxCells.toString,
+        GroupProbesProp -> groupProbes.toString))
     val assigned = assignCells(
       corpus.select(col("vec_id"), col("embedding")),
-      cat.table(s"$db.${name}_centroids").read, flatMaxCells, vecCount = n)
+      cat.table(s"$db.${name}_centroids").read, flatMaxCells, vecCount = n,
+      groupProbes = groupProbes)
     cat.table(s"$db.${name}_cells")
       .createOrReplace(assigned, partitionBy = Seq("cell"),
         tableProperties = Map(
@@ -264,7 +288,8 @@ object IvfIndex {
     val cents = cat.table(s"$db.${name}_centroids").read
     val batch = newVectors.select(col("vec_id"), col("embedding"))
     val assigned = assignCells(batch, cents,
-      flatMaxCellsOf(cat, db, name), vecCount = batch.count())
+      flatMaxCellsOf(cat, db, name), vecCount = batch.count(),
+      groupProbes = groupProbesOf(cat, db, name))
     cat.table(s"$db.${name}_cells").append(assigned)
     ()
   }
@@ -293,7 +318,8 @@ object IvfIndex {
     val cents = cat.table(s"$db.${name}_centroids").read
     val batch = newVectors.select(col("vec_id"), col("embedding"))
     val assigned = assignCells(batch, cents,
-      flatMaxCellsOf(cat, db, name), vecCount = batch.count())
+      flatMaxCellsOf(cat, db, name), vecCount = batch.count(),
+      groupProbes = groupProbesOf(cat, db, name))
     cells.append(assigned, Map(BatchProp -> batchId.toString))
     true
   }
@@ -361,18 +387,21 @@ object IvfIndex {
   def rebalance(cat: LakeCatalog, db: String, name: String): Long = {
     val cells = cat.table(s"$db.${name}_cells")
     val flatMaxCells = flatMaxCellsOf(cat, db, name)
+    val groupProbes = groupProbesOf(cat, db, name)
     val current = cells.read.select("cell", "vec_id", "embedding")
     // same one-true aggregation as build's training (6dp discipline)
     val newCents = Similarity.labelCentroidVectors(
       current.select(col("cell").as("label"), col("embedding")))
-    // the replace re-pins the assignment dispatch floor — the algorithm
-    // must not silently change across a re-train
+    // the replace re-pins the assignment dispatch floor and probe width
+    // — the algorithm must not silently change across a re-train
     cat.table(s"$db.${name}_centroids").createOrReplace(newCents,
-      tableProperties = Map(FlatMaxCellsProp -> flatMaxCells.toString))
+      tableProperties = Map(
+        FlatMaxCellsProp -> flatMaxCells.toString,
+        GroupProbesProp -> groupProbes.toString))
     val reassigned = assignCells(
       current.select(col("vec_id"), col("embedding")),
       cat.table(s"$db.${name}_centroids").read, flatMaxCells,
-      vecCount = current.count())
+      vecCount = current.count(), groupProbes = groupProbes)
     val moved = reassigned
       .join(current.select(col("vec_id"), col("cell").as("old_cell")), Seq("vec_id"))
       .filter(col("cell") =!= col("old_cell"))

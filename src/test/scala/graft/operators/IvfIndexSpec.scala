@@ -206,6 +206,36 @@ class IvfIndexSpec extends SparkSpec {
     all(top.map(id => (id % 1000L) % 8L)) shouldBe 2L
   }
 
+  test("probing every super-group makes the two-level assign exactly flat on ANY data") {
+    // groupProbes >= group count degenerates the hierarchy into the
+    // exact argmax even on overlapping clusters — the knob's upper
+    // anchor (the separated-cluster test pins the default width's
+    // equality; this pins that quality loss comes ONLY from unprobed
+    // groups). Mixed data: every vector leans toward two clusters.
+    import org.apache.spark.sql.functions.{col => c}
+    val mixed = (0L until 48L).map { i =>
+      val a = Array.tabulate(8)(j =>
+        if (j == i % 8) 10f else if (j == (i % 8 + 1) % 8) 6f else 0.3f * (i % 3))
+      (i, a, (i % 8).toString)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.labelCentroidVectors(
+      mixed.select($"label", $"embedding"))
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    val flat = assign(IvfIndex.twoLevelAssign(
+      mixed.select($"vec_id", $"embedding"), cents, nlist = 8L, groupProbes = 64))
+    val exact = assign(
+      mixed.select($"vec_id", $"embedding")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+        .withColumn("cos_c", graft.functions.VectorFunctions.cosine($"embedding", $"centroid"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy(org.apache.spark.sql.functions.desc("cos_c"), c("label"))))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"label".as("cell")))
+    flat shouldBe exact
+  }
+
   test("two-level assign ranks corpus rows with aggregates, not windows") {
     // the vector-side stages must be partial AGGREGATES: a window rank
     // over vec_id would shuffle every scored (vector, candidate) row —
