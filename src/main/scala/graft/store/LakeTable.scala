@@ -1756,22 +1756,33 @@ class LakeTable(
     val keys = morKeys(s)
     val bloomable = keys.filter(k =>
       types.get(k).exists(BloomSkipping.supportedType))
+    def bloomDisjointUncached(e: ManifestEntry, d: ManifestEntry,
+        cols: Seq[String]): Boolean = {
+      // a delete-key load failure THROWS through the verdict cache (so
+      // nothing sticks — the cachedBloom loud-re-probe rule) and the
+      // caller degrades to "maskable"; cap-overflow / null verdicts are
+      // real computations over a write-once file and do cache
+      val vals = LakeTable.cachedDeleteKeys(s"$location/data/${d.dir}")(
+        loadDeleteKeyVals(d, bloomable))
+      cols.exists(k => vals.getOrElse(k, None).exists { vs =>
+        val p = bloomPath(e, k).toString
+        LakeTable.cachedBloom(p)(loadBloom(p)).exists(bf =>
+          vs.forall(v => !BloomSkipping.mightContain(bf, v)))
+      })
+    }
     def bloomDisjoint(e: ManifestEntry, d: ManifestEntry): Boolean = {
       val cols = bloomable.filter(e.blooms.contains)
+      // the verdict is a pure function of two WRITE-ONCE files (the
+      // entry's sidecars, the delete's keys), so it caches across
+      // planning passes: the winning (disjoint) case must prove every
+      // delete key absent — up to the cap × columns probes per pair —
+      // and a hot MoR table plans splitByDeleteReach on EVERY read
       cols.nonEmpty && {
-        // a FAILED load degrades to "maskable" without caching (the
-        // cachedBloom loud-re-probe rule); cap-overflow / null verdicts
-        // are real computations over a write-once file and do cache
-        val vals =
-          try LakeTable.cachedDeleteKeys(s"$location/data/${d.dir}")(
-            loadDeleteKeyVals(d, bloomable))
-          catch { case scala.util.control.NonFatal(_) =>
-            Map.empty[String, Option[IndexedSeq[BloomSkipping.Key]]] }
-        cols.exists(k => vals.getOrElse(k, None).exists { vs =>
-          val p = bloomPath(e, k).toString
-          LakeTable.cachedBloom(p)(loadBloom(p)).exists(bf =>
-            vs.forall(v => !BloomSkipping.mightContain(bf, v)))
-        })
+        try LakeTable.cachedReachVerdict(
+          s"$location/blooms/${e.dir}/${e.partition.getOrElse("")}",
+          s"$location/data/${d.dir}", cols.mkString(","))(
+          bloomDisjointUncached(e, d, cols))
+        catch { case scala.util.control.NonFatal(_) => false }
       }
     }
     e => dels.exists(d =>
@@ -3061,6 +3072,35 @@ object LakeTable {
         deleteKeyCache.synchronized(deleteKeyCache.put(path, v))
         v
     }
+
+  /** Delete-reach bloom VERDICTS, keyed by (entry sidecar dir, delete
+    * data path, probed columns) — all three name write-once content, so
+    * a verdict never goes stale. Bounds the per-read probe walk: the
+    * disjoint (winning) verdict costs up to cap × columns bloom probes
+    * to establish, and a hot MoR table re-plans reach on every read.
+    * Booleans — a generous entry cap costs nothing. A compute that
+    * throws (delete-key load failure) caches nothing. */
+  private val ReachVerdictCacheMaxEntries = 1 << 16
+  private val reachVerdictCache = new java.util.LinkedHashMap[
+    (String, String, String), java.lang.Boolean](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, String), java.lang.Boolean])
+        : Boolean = size() > ReachVerdictCacheMaxEntries
+  }
+
+  private[store] def cachedReachVerdict(
+      entrySidecarDir: String, deletePath: String, cols: String)(
+      compute: => Boolean): Boolean = {
+    val key = (entrySidecarDir, deletePath, cols)
+    reachVerdictCache.synchronized(Option(reachVerdictCache.get(key))) match {
+      case Some(v) => v.booleanValue()
+      case None =>
+        val v = compute
+        reachVerdictCache.synchronized(
+          reachVerdictCache.put(key, java.lang.Boolean.valueOf(v)))
+        v
+    }
+  }
 
   /** Superseded `tags-v<n>.json` generations kept on each successful
     * claim. Sized so a reader's bounded re-list retries cannot be
