@@ -329,9 +329,9 @@ object LshIndex {
     * drop-and-rebuild at the same warehouse path (versions restart at
     * 1), while data dirs are fresh UUIDs per write — the dir
     * disambiguates the rebuilt index from its predecessor. Entries are
-    * a few dozen bytes each, but the map is cleared at a generous cap
-    * anyway so a long-lived session over many rebuilt indexes cannot
-    * grow it unboundedly. */
+    * a few dozen bytes each, but the map still LRU-evicts past a
+    * generous cap so a long-lived session over many rebuilt indexes
+    * cannot grow it unboundedly. */
   private val TinyCacheMaxEntries = 8192
   private val tinyCache =
     new java.util.LinkedHashMap[(String, Long, String, Long), java.lang.Boolean](
