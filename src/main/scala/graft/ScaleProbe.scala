@@ -299,21 +299,27 @@ object ScaleProbe {
         t.rewriteDataFiles()
         t.deleteWhereExistsMoR(doomed, Seq("doc_id"))
         val (maskable, total) = t.morMaskableCounts
+        // first read pays the one-off delete-key collect + sidecar
+        // loads; the repeat read plans from the verdict/key caches —
+        // the steady state of a hot MoR table
         val t0 = System.nanoTime()
         val cnt = t.read.count()
         val readWall = (System.nanoTime() - t0) / 1e9
+        val t0b = System.nanoTime()
+        t.read.count()
+        val rereadWall = (System.nanoTime() - t0b) / 1e9
         val t1 = System.nanoTime()
         val (_, rewritten) = t.rewritePositionDeleteFiles()
         val foldWall = (System.nanoTime() - t1) / 1e9
         require(cnt == n - doomed.count(), s"MoR read lost rows: $cnt")
-        (maskable, total, readWall, rewritten, foldWall)
+        (maskable, total, readWall, rereadWall, rewritten, foldWall)
       }
       rows.unpersist()
       val (Seq(b, p)) = (out: @unchecked)
       println(f"PROBE mor_read x$mult%-4d bloom: maskable ${b._1}/${b._2} " +
-        f"read ${b._3}%6.2f s  fold-rewrote ${b._4} in ${b._5}%6.2f s   " +
-        f"plain: maskable ${p._1}/${p._2} read ${p._3}%6.2f s  " +
-        f"fold-rewrote ${p._4} in ${p._5}%6.2f s  ($n rows)")
+        f"read ${b._3}%6.2f/${b._4}%.2f s  fold-rewrote ${b._5} in ${b._6}%6.2f s   " +
+        f"plain: maskable ${p._1}/${p._2} read ${p._3}%6.2f/${p._4}%.2f s  " +
+        f"fold-rewrote ${p._5} in ${p._6}%6.2f s  ($n rows)")
     }
     doomed.unpersist()
     ()

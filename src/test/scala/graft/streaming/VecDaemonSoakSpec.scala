@@ -13,16 +13,19 @@ import graft.store.LakeCatalog
 /** The VECTOR-index counterpart of [[DaemonSoakSpec]]: [[StreamDaemon]]
   * rounds driving [[IndexedVecStreams.run]] (probe → neighbors
   * partition → cells append, with in-stream interval compaction), fed
-  * by a TPS-paced writer, KILLED once mid-soak inside the vector path's
-  * crash window — the neighbors partition landed but the cells-table
-  * append (which carries the replay high-water mark) did not, and the
-  * stream never confirmed the batch — then restarted, with one
-  * [[IvfIndex.rebalance]] run in-soak between rounds of the second
-  * lifetime. Every piece is individually spec'd
+  * by a TPS-paced writer, KILLED twice mid-soak — once in each crash
+  * window of the vector path: (1) the neighbors partition landed but
+  * the cells-table append (which carries the replay high-water mark)
+  * did not and the stream never confirmed the batch (replay re-probes
+  * and re-appends against the restored snapshot); (2) the append
+  * COMMITTED but the checkpoint was never confirmed (replay must no-op
+  * on the high-water guard, duplicating nothing) — each followed by a
+  * restart, with one [[IvfIndex.rebalance]] run in-soak between rounds
+  * of the second lifetime. Every piece is individually spec'd
   * ([[IndexedVecStreamsSpec]], IvfIndexSpec); this proves they compose:
-  * after two daemon lifetimes the neighbors output is exactly-once, the
-  * index holds every fed vector exactly once, the high-water mark sits
-  * at the last batch, and compaction kept the manifest bounded. */
+  * after three daemon lifetimes the neighbors output is exactly-once,
+  * the index holds every fed vector exactly once, the high-water mark
+  * sits at the last batch, and compaction kept the manifest bounded. */
 class VecDaemonSoakSpec extends SparkSpec {
 
   import spark.implicits._
@@ -87,7 +90,7 @@ class VecDaemonSoakSpec extends SparkSpec {
     }
   }
 
-  test("vector daemon soak: paced feed, in-stream compaction, kill in the cells-commit window, in-soak rebalance — converged") {
+  test("vector daemon soak: paced feed, in-stream compaction, kills in BOTH crash windows, in-soak rebalance — converged") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("vsoak-wh").toString)
     cat.createDatabase("db")
     IvfIndex.build(cat, "db", "ann", bootstrap)
@@ -158,12 +161,28 @@ class VecDaemonSoakSpec extends SparkSpec {
     rebalanced shouldBe true
     lastBatch shouldBe 7L
 
+    // ---- the OTHER crash window: batch 7's cells append COMMITTED but
+    // the stream died before confirming the checkpoint — the restarted
+    // stream re-executes batch 7, the append must NO-OP on the
+    // BatchProp guard (no duplicate vectors) while the re-probe
+    // overwrites the batch_id=7 partition wholesale (identical content:
+    // the guard also means the probe would see the batch's own vectors,
+    // so screenBatch skips the whole re-screen when the mark is ahead)
+    val cellsVersionBeforeKill2 = cells.currentSnapshot.get.version
+    new File(s"$ckpt/commits/7").delete() shouldBe true
+    new File(s"$ckpt/commits/.7.crc").delete()
+    val feeder3 = new Feeder(src, 9 to 10, tps = 10.0)
+    val (_, clean3) = daemonLifetime(target = 9L, feeder3)
+    feeder3.join()
+    clean3 shouldBe true
+    lastBatch shouldBe 9L
+
     // ---- convergence: neighbors are exactly-once, exactly right ----
     val got = spark.read.parquet(out)
       .select("query_id", "neighbor_id", "batch_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong))
-    // every batch 0..7 produced output; each query id in exactly one batch
-    got.map(_._3).toSet shouldBe (0L to 7L).toSet
+    // every batch 0..9 produced output; each query id in exactly one batch
+    got.map(_._3).toSet shouldBe (0L to 9L).toSet
     // exactly-once across the kill/replay: no duplicate (query, neighbor)
     withClue(s"dup rows: ${got.groupBy(identity).filter(_._2.length > 1).keys}") {
       got.length shouldBe got.distinct.length
@@ -174,18 +193,21 @@ class VecDaemonSoakSpec extends SparkSpec {
     // cluster-A followers rank ONLY within the A universe (bootstrap A
     // members + earlier followers): 5 neighbors each, none from B, none
     // from the orthogonal uniques
-    val aUniverse = (1L to 6L).toSet ++ (1 to 8).map(1000L + _).toSet
-    (1 to 8).foreach { k =>
+    val aUniverse = (1L to 6L).toSet ++ (1 to 10).map(1000L + _).toSet
+    (1 to 10).foreach { k =>
       val ns = got.filter(_._1 == 1000L + k).map(_._2)
       ns should have length 5
       ns.toSet.subsetOf(aUniverse) shouldBe true
     }
 
     // the index holds bootstrap + every fed vector EXACTLY once, across
-    // the replay, the interval compactions, and the rebalance
-    cells.read.count() shouldBe 28
-    cells.read.select("vec_id").distinct().count() shouldBe 28
-    cells.properties(IvfIndex.BatchProp) shouldBe "7"
+    // both crash replays, the interval compactions, and the rebalance
+    // (the second window's replayed append no-op'd on the guard: the
+    // only cells commits after the kill are batches 8 and 9 + compact@8)
+    cells.read.count() shouldBe 32
+    cells.read.select("vec_id").distinct().count() shouldBe 32
+    cells.properties(IvfIndex.BatchProp) shouldBe "9"
+    cells.currentSnapshot.get.version should be > cellsVersionBeforeKill2
     // compaction + O(moved) rebalance kept the manifest bounded
     cells.currentSnapshot.get.entries.size should be <= 10
     // and the final index serves probes over everything
