@@ -15,10 +15,13 @@ import graft.store.LakeCatalog
   * near-dup screen ([[IndexedDocStreams.run]] with in-stream interval
   * compaction), fed by a TPS-paced writer (the Datagen pacing
   * discipline: each batch waits for its schedule slot), stopped by the
-  * signal file, KILLED once mid-soak inside the classic crash window
-  * (toks committed, bands not, stream checkpoint unconfirmed) and
-  * restarted. Every piece is individually spec'd elsewhere; this spec
-  * proves they compose: after two daemon lifetimes the pairs output is
+  * signal file, KILLED twice mid-soak — once in each crash window:
+  * (1) toks committed, bands not, stream checkpoint unconfirmed
+  * (replay repairs the bands without duplicating token sets); (2) BOTH
+  * index commits landed, checkpoint unconfirmed (replay must no-op
+  * wholesale on the high-water guard) — each followed by a restart.
+  * Every piece is individually spec'd elsewhere; this spec proves they
+  * compose: after three daemon lifetimes the pairs output is
   * exactly-once, the index holds every fed document exactly once, the
   * replay high-water mark is at the last batch, and compaction kept the
   * manifest bounded. */
@@ -80,7 +83,7 @@ class DaemonSoakSpec extends SparkSpec {
     }
   }
 
-  test("daemon soak: paced feed, interval compaction, signal stop, mid-soak kill/restart — converged") {
+  test("daemon soak: paced feed, interval compaction, signal stop, kills in BOTH crash windows — converged") {
     val cat = new LakeCatalog(spark, Files.createTempDirectory("soak-wh").toString)
     cat.createDatabase("db")
     LshIndex.build(cat, "db", "nd", docs((1L, near)))
@@ -143,12 +146,28 @@ class DaemonSoakSpec extends SparkSpec {
     lastBatch shouldBe 7L
     toksT.properties(LshIndex.BatchProp) shouldBe "7"
 
+    // ---- the OTHER crash window: batch 7's BOTH index commits landed
+    // but the stream died before confirming the checkpoint — the
+    // restarted stream re-executes batch 7 and the screen must no-op
+    // wholesale on the high-water guard (no duplicate bands, toks, or
+    // pair rows), then proceed to fresh batches ----
+    val toksCountBeforeKill2 = toksT.read.count()
+    new File(s"$ckpt/commits/7").delete() shouldBe true
+    new File(s"$ckpt/commits/.7.crc").delete()
+    val feeder3 = new Feeder(src, 9 to 10, tps = 10.0)
+    val (_, clean3) = daemonLifetime(target = 9L, feeder3)
+    feeder3.join()
+    clean3 shouldBe true
+    lastBatch shouldBe 9L
+    toksT.properties(LshIndex.BatchProp) shouldBe "9"
+    toksT.read.count() shouldBe toksCountBeforeKill2 + 4 // batches 8,9 only
+
     // ---- convergence: pairs are exactly-once, exactly right ----
     // batch k's near-doc pairs with the bootstrap doc AND every earlier
-    // near-doc (one signature space across both daemon lifetimes and
-    // the replay); unique docs pair with nothing
+    // near-doc (one signature space across all three daemon lifetimes
+    // and both replays); unique docs pair with nothing
     val expected = (for {
-      k <- 1 to 8
+      k <- 1 to 10
       b <- 1L +: (1 until k).map(j => 1000L + j)
     } yield (1000L + k, b)).toSet
     val got = spark.read.parquet(out).select("doc_a", "doc_b", "batch_id")
@@ -159,15 +178,15 @@ class DaemonSoakSpec extends SparkSpec {
       got.length shouldBe expected.size
     }
 
-    // the index holds bootstrap + every fed doc EXACTLY once (the
-    // replay repaired bands without duplicating token sets)
-    toksT.read.count() shouldBe 17
-    toksT.read.select("doc_id").distinct().count() shouldBe 17
+    // the index holds bootstrap + every fed doc EXACTLY once (replay 1
+    // repaired bands without duplicating token sets; replay 2 no-op'd)
+    toksT.read.count() shouldBe 21
+    toksT.read.select("doc_id").distinct().count() shouldBe 21
     // interval compaction kept the manifest bounded across the soak
     bandsT.currentSnapshot.get.entries.size should be <= 4
     // and the final index serves probes over everything
     LshIndex.query(cat, "db", "nd", docs((9999L, near)))
       .collect().map(_.getLong(1)).sorted shouldBe
-      (1L +: (1 to 8).map(1000L + _)).sorted
+      (1L +: (1 to 10).map(1000L + _)).sorted
   }
 }
