@@ -223,6 +223,46 @@ class MergeOnReadSpec extends SparkSpec {
     t.morMaskableCounts shouldBe ((0, 3))
   }
 
+  test("delete-reach bloom stage stays conservative on null keys and cap overflow") {
+    import spark.implicits._
+    // sidecar'd two-entry table whose id ranges overlap (so only the
+    // bloom stage could ever release an entry)
+    val t = freshCatalog().table("db.nl")
+    def rows(ids: Seq[java.lang.Long]): DataFrame =
+      ids.toDF("id").withColumn("v", coalesce(col("id"), lit(-1L)) * 10)
+    t.createOrReplace(rows(Seq(1L, 100L)),
+      tableProperties = Map(
+        "write.bloom.columns" -> "id",
+        "write.bloom.min-table-bytes" -> "0"))
+    t.append(rows(Seq[java.lang.Long](2L, null, 101L)))
+    // a delete batch CONTAINING A NULL key: a null-keyed tuple
+    // <=>-matches null rows that no bloom can witness, so the column
+    // must prove nothing — both entries stay maskable even though the
+    // first entry's sidecar would report the null "absent"
+    t.deleteWhereExistsMoR(Seq[java.lang.Long](null, 100L).toDF("id"), Seq("id"))
+    t.morMaskableCounts shouldBe ((2, 2))
+    // the null row and id 100 are masked; everything else survives
+    t.read.select("id").collect().map(Option(_).map(r =>
+      if (r.isNullAt(0)) -999L else r.getLong(0)).get).sorted shouldBe
+      Seq(1L, 2L, 101L)
+
+    // cap overflow: a delete file with more distinct keys than
+    // MaxDeleteReachKeys proves nothing (bounded collect, conservative
+    // keep) — but the masking itself still applies exactly
+    val u = freshCatalog().table("db.cap")
+    u.createOrReplace(rows(Seq(1L, 500000L)),
+      tableProperties = Map(
+        "write.bloom.columns" -> "id",
+        "write.bloom.min-table-bytes" -> "0"))
+    u.append(rows(Seq(2L, 500001L)))
+    val wide = spark.range(2_000_000L, 2_000_000L + LakeTable.MaxDeleteReachKeys + 10L)
+      .select(col("id")).unionByName(Seq(1L).toDF("id"))
+    u.deleteWhereExistsMoR(wide, Seq("id"))
+    u.morMaskableCounts shouldBe ((2, 2))
+    u.read.select("id").collect().map(_.getLong(0)).sorted shouldBe
+      Seq(2L, 500000L, 500001L)
+  }
+
   test("MoR deletes survive schema evolution; compaction folds under the widened schema") {
     import spark.implicits._
     val t = freshCatalog().table("db.t")
