@@ -161,10 +161,16 @@ object ScaleProbe {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         IvfIndex.build(cat, "probe", "annflat", corpus2,
           flatMaxCells = Int.MaxValue)
-        val probesAudit = Seq(2, 3)
-        probesAudit.foreach(p =>
+        // p=4 rides the audit so a default bump past 3 stays a MEASURED
+        // decision (the p=2→3 pattern: adopt only if recall rises at
+        // zero build-wall cost) — per-width build walls printed
+        val probesAudit = Seq(2, 3, 4)
+        val hierWalls = probesAudit.map { p =>
+          val tB = System.nanoTime()
           IvfIndex.build(cat, "probe", s"annhier$p", corpus2,
-            flatMaxCells = 0, groupProbes = p))
+            flatMaxCells = 0, groupProbes = p)
+          p -> (System.nanoTime() - tB) / 1e9
+        }.toMap
         corpus2.unpersist()
         val f = IvfIndex.query(cat, "probe", "annflat", probeBatch, k = 5, nprobe = 3)
           .select("query_id", "neighbor_id")
@@ -174,7 +180,8 @@ object ScaleProbe {
             .select("query_id", "neighbor_id")
           val common = h.join(f, Seq("query_id", "neighbor_id"), "left_semi").count()
           println(f"PROBE ivf two-level vs flat assign x$mult (groupProbes=$p): " +
-            f"top-5 recall ${common.toDouble / total}%.3f ($common/$total neighbor slots)")
+            f"top-5 recall ${common.toDouble / total}%.3f ($common/$total neighbor slots)  " +
+            f"build ${hierWalls(p)}%.2f s")
         }
       }
       mult -> (buildWall, probeWall, rebalWall)
@@ -277,14 +284,24 @@ object ScaleProbe {
       .select("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     doomed.count()
-    Seq(1, 10, 100).foreach { mult =>
-      val rows = (0 until mult).map(replica).reduce(_ unionByName _)
+    // the WIDE rung (x10 with a ~1 KB high-entropy payload per row):
+    // at catalog-row widths the masked read's anti-join delta is noise
+    // (~tens of ms), because the narrow columns decode for ~free — the
+    // payload makes the scan the cost, so the bloom release (7/8 of the
+    // data reading PLAIN instead of through the anti-join) shows in
+    // seconds, the number a 100 TB design review asks for. 32 chained
+    // md5 hexes ≈ 1 KB that parquet cannot compress away.
+    val payload = concat_ws("", (0 until 32).map(i =>
+      md5(concat(col("doc_id").cast("string"), lit(i.toString)))): _*)
+    Seq((1, false), (10, false), (100, false), (10, true)).foreach { case (mult, wide) =>
+      val narrow = (0 until mult).map(replica).reduce(_ unionByName _)
         .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+      val rows = (if (wide) narrow.withColumn("payload", payload) else narrow)
         .repartition(par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = rows.count()
       val cat = freshCatalog(spark,
-        s"${sys.props("java.io.tmpdir")}/graft_probe_mor_$mult")
+        s"${sys.props("java.io.tmpdir")}/graft_probe_mor_$mult${if (wide) "w" else ""}")
       cat.createDatabase("probe")
       val out = Seq(true, false).map { blooms =>
         val t = cat.table(if (blooms) "probe.m_bloom" else "probe.m_plain")
@@ -301,12 +318,18 @@ object ScaleProbe {
         val (maskable, total) = t.morMaskableCounts
         // first read pays the one-off delete-key collect + sidecar
         // loads; the repeat read plans from the verdict/key caches —
-        // the steady state of a hot MoR table
+        // the steady state of a hot MoR table. The wide rung's scan
+        // must DECODE the payload (a count() would prune it and hide
+        // the whole point); sum(length) forces the column through.
+        def scan(): Long =
+          if (wide) t.read.agg(count(lit(1)), sum(length(col("payload"))))
+            .head().getLong(0)
+          else t.read.count()
         val t0 = System.nanoTime()
-        val cnt = t.read.count()
+        val cnt = scan()
         val readWall = (System.nanoTime() - t0) / 1e9
         val t0b = System.nanoTime()
-        t.read.count()
+        scan()
         val rereadWall = (System.nanoTime() - t0b) / 1e9
         val t1 = System.nanoTime()
         val (_, rewritten) = t.rewritePositionDeleteFiles()
@@ -316,7 +339,7 @@ object ScaleProbe {
       }
       rows.unpersist()
       val (Seq(b, p)) = (out: @unchecked)
-      println(f"PROBE mor_read x$mult%-4d bloom: maskable ${b._1}/${b._2} " +
+      println(f"PROBE mor_read${if (wide) "_WIDE" else ""} x$mult%-4d bloom: maskable ${b._1}/${b._2} " +
         f"read ${b._3}%6.2f/${b._4}%.2f s  fold-rewrote ${b._5} in ${b._6}%6.2f s   " +
         f"plain: maskable ${p._1}/${p._2} read ${p._3}%6.2f/${p._4}%.2f s  " +
         f"fold-rewrote ${p._5} in ${p._6}%6.2f s  ($n rows)")

@@ -174,6 +174,19 @@ object CdcPipeline {
     val startNs = System.nanoTime()
     val table = ctx.catalog.table(ctx.fullTableName)
 
+    // replay high-water guard ([[Watermark.lastCdcBatch]]): a batch
+    // whose watermark commit landed is proven fully applied on both
+    // the data table and the ledger — a checkpoint-unconfirmed replay
+    // must no-op WHOLESALE (the MERGE would converge anyway, but the
+    // ledger append would double-count the batch and the re-merge
+    // would burn table commits for nothing)
+    if (Watermark.lastCdcBatch(ctx.catalog, ctx.dagId,
+        ctx.icebergSchema, ctx.icebergTable).exists(_ >= batchId)) {
+      logger.info(s"<batch-$batchId> replay of a fully-committed batch " +
+        s"for ${ctx.topic}; no-op on the high-water guard")
+      return
+    }
+
     logger.info(s"<batch-$batchId> Processing ${ctx.topic}")
     batchDf.persist(StorageLevel.MEMORY_AND_DISK)
     val stats =

@@ -128,11 +128,42 @@ object Watermark {
       batchId: Option[Long] = None,
       processingDurationSec: Option[Double] = None,
       scheduledAt: Option[Timestamp] = None): Unit = cdcLock.synchronized {
-    cat.table(CdcTable).append(cdcRow(cat.spark, dagId, icebergSchema, tableName,
-      eventCount, maxEventTs, minOffset, maxOffset, batchId,
-      processingDurationSec, scheduledAt))
+    // batch-id rows carry the stream's replay high-water mark ON the
+    // same append commit (see [[lastCdcBatch]]) — heartbeats
+    // (batchId = None) never move it
+    cat.table(CdcTable).append(
+      cdcRow(cat.spark, dagId, icebergSchema, tableName,
+        eventCount, maxEventTs, minOffset, maxOffset, batchId,
+        processingDurationSec, scheduledAt),
+      batchId.map(b =>
+        cdcBatchProp(dagId, icebergSchema, tableName) -> b.toString).toMap)
     ()
   }
+
+  /** Replay high-water mark of one (dag, schema, table) CDC stream —
+    * the two-sink exactly-once guard (the index families' `BatchProp`
+    * pattern, `cdc_pipeline.py`'s missing half): the mark rides the
+    * watermark APPEND commit, which `processBatch` runs LAST, after
+    * the MERGE/DELETE landed on the data table. So a batch whose mark
+    * is visible is proven fully applied on BOTH tables and a replayed
+    * foreachBatch no-ops wholesale (no duplicate ledger row, no
+    * re-merge); a crash BETWEEN the data commit and the ledger append
+    * leaves the mark unset, and the replay re-applies the batch — the
+    * MERGE/DELETE converge idempotently and the ledger row lands once.
+    * Single sequential writer per key assumed (a streaming query's
+    * foreachBatch contract): batch ids arrive monotonically — wiping a
+    * checkpoint without clearing the mark (or changing the dag id)
+    * replays nothing until fresh ids pass the old high-water. */
+  def lastCdcBatch(
+      cat: LakeCatalog, dagId: String,
+      icebergSchema: String, tableName: String): Option[Long] =
+    cat.table(CdcTable).properties
+      .get(cdcBatchProp(dagId, icebergSchema, tableName))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+
+  private def cdcBatchProp(
+      dagId: String, icebergSchema: String, tableName: String): String =
+    s"cdc.last-batch.$dagId.$icebergSchema.$tableName"
 
   /** Upsert variant keyed on (dag_id, iceberg_schema, table_name) —
     * single-writer environments only (`watermark.py:198-247`). */

@@ -201,6 +201,16 @@ object IvfIndex {
       vecCount: => Long,
       groupProbes: Int = DefaultAssignGroupProbes): DataFrame = {
     val nlist = cents.count()
+    // NULL embeddings are dropped UNIFORMLY, before the dispatch: a
+    // null vector has no direction — no probe can ever match it, and
+    // every cell is equally (non-)near. Without this filter the two
+    // paths diverged silently: the aggregate-based twoLevelAssign
+    // eliminated nulls (TopKByScore skips null scores → empty array →
+    // explode drops the row) while the flat window path parked them in
+    // an arbitrary cell — so whether a null-embedding vector appeared
+    // in the cells table depended on the SIZE dispatch. The dispatch-
+    // equivalence spec pins both paths dropping identically.
+    val vecs = vectors.filter(col("embedding").isNotNull)
     // flatMaxCells == 0 is the explicit "always hierarchical" override
     // (the prune-contract spec hook) — it bypasses the work floor too.
     // The work floor compares by DIVISION: vecCount * nlist can overflow
@@ -208,8 +218,8 @@ object IvfIndex {
     // where it is most catastrophic.
     if (nlist <= flatMaxCells ||
         (flatMaxCells > 0 && vecCount <= FlatMaxAssignWork / math.max(1L, nlist)))
-      nearestCells(vectors, cents, n = 1, idAs = "vec_id", vecAs = "embedding")
-    else twoLevelAssign(vectors, cents, nlist, groupProbes)
+      nearestCells(vecs, cents, n = 1, idAs = "vec_id", vecAs = "embedding")
+    else twoLevelAssign(vecs, cents, nlist, groupProbes)
   }
 
   private def flatMaxCellsOf(cat: LakeCatalog, db: String, name: String): Int =

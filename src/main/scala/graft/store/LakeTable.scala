@@ -586,22 +586,42 @@ class LakeTable(
         // the key order inside each leaf file survives; a bare
         // sort(sortCols) would be re-sorted by the writer
         distributed.sortWithinPartitions(partitionCols.map(col) ++ sortExprs: _*)
-    StoreTiming.time("data.parquet-write") {
+    val reportedFiles = StoreTiming.time("data.parquet-write") {
       // committer algorithm v2: task outputs land in the destination at
       // TASK commit (parallel, executor-side) instead of the driver
       // serially merging every leaf dir at job commit — on a wide
       // multi-leaf write (an IVF batch append touches ~min(batch, nlist)
       // cell leaves) the v1 driver merge is O(leaves) of FS latency.
-      // v2's known risk — partial files visible in the destination after
-      // a mid-job failure — is isolated by this store's design: `abs` is
-      // a fresh UUID dir no reader can reach until the MANIFEST commit
-      // references it, and a failed write leaves only an orphan dir for
-      // the sweep.
-      val writer = out.write.mode("errorifexists")
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(abs)
+      // v2's risks, case by case:
+      //  - mid-JOB failure (partial files in the destination): isolated
+      //    by the store's design — `abs` is a fresh UUID dir no reader
+      //    can reach until the MANIFEST commit references it; a failed
+      //    write leaves only an orphan dir for the sweep.
+      //  - partial TASK commit then task retry (the MAPREDUCE-7282
+      //    class — the harvest below lists the dir, so a stray file
+      //    from an abandoned attempt would be committed as live rows):
+      //    file names are deterministic per (split, job UUID), so a
+      //    retried attempt OVERWRITES its predecessor's partials
+      //    (v2's mergePaths deletes an existing destination file
+      //    before renaming); strays survive only when the retry
+      //    produces a DIFFERENT file set, which takes nondeterministic
+      //    input placement — and Spark itself fails the job when an
+      //    indeterminate stage would retry past already-committed
+      //    tasks (SPARK-23207).
+      //  - the residue (e.g. a lost task-commit RPC leaving the
+      //    coordinator and the FS disagreeing): caught by the
+      //    validation below — the dir's file count is checked against
+      //    the commit protocol's OWN report (`numFiles`, summed from
+      //    coordinator-accepted attempts only) and a surplus fails the
+      //    write BEFORE the manifest commit, leaving an orphan dir.
+      LakeTable.committedFileCount(spark, LakeTable.schemelessPath(abs)) {
+        val writer = out.write.mode("errorifexists")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+          .parquet(abs)
+      }
     }
+    validateHarvest(abs, reportedFiles)
     val entries = StoreTiming.time("data.footer-stats") {
       if (partitionCols.isEmpty) {
         // an empty write (e.g. a delete that emptied its whole slice)
@@ -796,6 +816,50 @@ class LakeTable(
     }
     ((acc -- dropped).map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }.toMap,
       rows)
+  }
+
+  /** Harvest validation (see the committer-v2 comment in [[writeData]]):
+    * the manifest harvest trusts a DIRECTORY LISTING of the written
+    * dir, so a stray data file left by an abandoned task attempt would
+    * be committed as live rows. When the commit protocol's own report
+    * was captured, a surplus file FAILS the write here — before the
+    * manifest commit, so no reader ever sees the dir and it becomes an
+    * orphan for the sweep. A deficit only warns: `numFiles` counts
+    * empty schema-preserving files some layouts elide from listings,
+    * and aborting a good commit is worse than harvesting a short dir
+    * the footer reads would trip over anyway. One recursive driver
+    * listing — the same order of FS work the harvest itself does. */
+  private[graft] def validateHarvest(abs: String, reported: Option[Long]): Unit =
+    for {
+      expected <- reported
+      // the count is a NET, not a gate: a dir the wrapper FS cannot
+      // re-list here would fail the harvest's own listing loudly
+      // anyway — never turn a listing quirk into a false abort
+      found <- scala.util.Try(dirDataFileCount(abs)).toOption
+    } {
+      if (found > expected)
+        throw new IllegalStateException(
+          s"write to $abs left $found data files but its commit protocol " +
+            s"reported $expected: stray task-attempt output would be " +
+            "harvested as committed rows; failing before the manifest " +
+            "commit (the dir is an orphan for the sweep)")
+      else if (found < expected)
+        logger.warn(s"write to $abs: $found data files on disk vs " +
+          s"$expected reported by the commit protocol")
+    }
+
+  // listStatus recursion, NOT fs.listFiles: the located-status variant
+  // resolves block locations/permissions per file and chokes on the
+  // wrapper-scheme filesystems the race specs exercise
+  private def dirDataFileCount(abs: String): Long = {
+    def walk(p: Path): Long = fs.listStatus(p).map { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) { if (name == "_temporary") 0L else walk(st.getPath) }
+      else if (name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith(".")) 1L
+      else 0L
+    }.sum
+    walk(new Path(abs))
   }
 
   private def listLeafPartitions(root: Path, depth: Int): Seq[String] = {
@@ -1661,7 +1725,13 @@ class LakeTable(
     // automatically, while morRead's explicit-path reads still see them
     val dir = "_del-" + UUID.randomUUID().toString.take(14)
     val abs = s"$location/data/$dir"
-    keyDf.write.mode("errorifexists").parquet(abs)
+    // same harvest-validation net as writeData: a stray file here would
+    // PHANTOM-DELETE rows (every key tuple in the dir masks), strictly
+    // worse than stray data rows
+    val reported = LakeTable.committedFileCount(spark, LakeTable.schemelessPath(abs)) {
+      keyDf.write.mode("errorifexists").parquet(abs)
+    }
+    validateHarvest(abs, reported)
     ManifestEntry(dir, None,
       footerStats(new Path(abs), StructType(s.schema.fields.filter(f => keys.contains(f.name)))),
       StampAtCommit)
@@ -1758,16 +1828,22 @@ class LakeTable(
       types.get(k).exists(BloomSkipping.supportedType))
     def bloomDisjointUncached(e: ManifestEntry, d: ManifestEntry,
         cols: Seq[String]): Boolean = {
-      // a delete-key load failure THROWS through the verdict cache (so
-      // nothing sticks — the cachedBloom loud-re-probe rule) and the
-      // caller degrades to "maskable"; cap-overflow / null verdicts are
-      // real computations over a write-once file and do cache
+      // LOAD FAILURES THROW through the verdict cache (so nothing
+      // sticks — the cachedBloom loud-re-probe rule) and the caller
+      // degrades to "maskable" for THIS pass only: both the delete-key
+      // collect and a sidecar the entry CLAIMS (k ∈ e.blooms) that
+      // fails to read are transient "proof unavailable", not computed
+      // verdicts — caching either would pin the entry maskable (paying
+      // the anti-join on every read) until LRU eviction even after the
+      // file becomes readable again. Cap-overflow / null-key verdicts
+      // ARE real computations over a write-once file and do cache.
       val vals = LakeTable.cachedDeleteKeys(s"$location/data/${d.dir}")(
         loadDeleteKeyVals(d, bloomable))
       cols.exists(k => vals.getOrElse(k, None).exists { vs =>
         val p = bloomPath(e, k).toString
-        LakeTable.cachedBloom(p)(loadBloom(p)).exists(bf =>
-          vs.forall(v => !BloomSkipping.mightContain(bf, v)))
+        val bf = LakeTable.cachedBloom(p)(loadBloom(p)).getOrElse(
+          throw new java.io.IOException(s"bloom sidecar unreadable: $p"))
+        vs.forall(v => !BloomSkipping.mightContain(bf, v))
       })
     }
     def bloomDisjoint(e: ManifestEntry, d: ManifestEntry): Boolean = {
@@ -2961,6 +3037,83 @@ class CommitConflictException(msg: String, cause: Throwable)
 
 object LakeTable {
   private val VersionFileRe = "v(\\d+)\\.json".r
+
+  /** Wait cap for the write-stats report (normally it arrives
+    * milliseconds after the write returns — the stats are set
+    * driver-side before the listener event is even posted). */
+  private val WriteStatsWaitMs = 5000L
+
+  /** Fail-open switch for harvest validation: the report rides the
+    * session listener bus, which can lag or drop events under storm
+    * load. The FIRST timeout disables future capture attempts for the
+    * JVM (every write would otherwise pay the full wait cap), logged
+    * once; validation is a hardening net, absence of the report must
+    * never cost more than the pre-validation behavior. */
+  @volatile private[store] var writeStatsDisabled = false
+
+  /** The per-node metric name Spark's BasicWriteJobStatsTracker
+    * publishes committed-file counts under (pinned by spec). */
+  private val WrittenFilesMetric = "number of written files"
+
+  /** Committed-file count of ONE file-write command, as reported by the
+    * commit protocol itself: Spark's `BasicWriteJobStatsTracker` sums
+    * per-task stats returned only by task attempts whose commit the
+    * OutputCommitCoordinator accepted, and publishes them as the write
+    * node's "number of written files" metric. The metric is read from
+    * the driver's SQL status store (the physical plan tree is useless
+    * here — AQE and query-stage wrappers hide the write node from a
+    * tree walk): runs `body` (which must execute exactly one write
+    * whose resolved output path contains `path` — fresh-UUID dirs make
+    * that match unambiguous), then polls the store for a COMPLETED
+    * execution matching the path among those that started after the
+    * recorded watermark. Returns None when no report arrived within
+    * [[WriteStatsWaitMs]] (the store rides the listener bus, which can
+    * lag or drop under storm load) — callers must degrade to their
+    * unvalidated behavior on None, never abort. */
+  private[store] def committedFileCount(
+      spark: SparkSession, path: String)(body: => Unit): Option[Long] = {
+    if (writeStatsDisabled) { body; return None }
+    val store = spark.sharedState.statusStore
+    // id watermark: only executions the body itself starts are
+    // candidates — keeps the per-write scan O(1) however many
+    // executions the session has run
+    val beforeMax =
+      scala.util.Try(store.executionsList(
+        math.max(0, store.executionsCount().toInt - 1), 1)
+        .lastOption.map(_.executionId).getOrElse(-1L)).getOrElse(-1L)
+    body
+    val deadline = System.nanoTime() + WriteStatsWaitMs * 1000000L
+    var backoffMs = 1L // the end event is usually a bus-hop behind `body`
+    while (System.nanoTime() < deadline) {
+      val hit = scala.util.Try {
+        val n = store.executionsCount().toInt
+        store.executionsList(math.max(0, n - 20), 20)
+          .filter(e => e.executionId > beforeMax && e.completionTime.isDefined &&
+            e.physicalPlanDescription.contains(path))
+          .flatMap { e =>
+            val values = store.executionMetrics(e.executionId)
+            e.metrics.filter(_.name == WrittenFilesMetric)
+              .flatMap(m => values.get(m.accumulatorId))
+              .flatMap(v => scala.util.Try(v.replaceAll("[^0-9]", "").toLong).toOption)
+          }.maxOption
+      }.toOption.flatten
+      if (hit.isDefined) return hit
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 25L)
+    }
+    writeStatsDisabled = true
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      "write-stats report did not arrive within " + WriteStatsWaitMs +
+        " ms; disabling harvest validation for this JVM (fail-open)")
+    None
+  }
+
+  /** `path` with any URI scheme collapsed to a bare absolute path
+    * ("file:///tmp/x" / "file:/tmp/x" → "/tmp/x") — the form Spark's
+    * plan print renders resolved output locations in. */
+  private[store] def schemelessPath(path: String): String =
+    path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
   private val StatsFileRe = "v(\\d+)\\.stats\\.json".r
   private val TagsFileRe = "tags-v(\\d+)\\.json".r
 
@@ -3079,7 +3232,8 @@ object LakeTable {
     * disjoint (winning) verdict costs up to cap × columns bloom probes
     * to establish, and a hot MoR table re-plans reach on every read.
     * Booleans — a generous entry cap costs nothing. A compute that
-    * throws (delete-key load failure) caches nothing. */
+    * throws (delete-key OR sidecar load failure — both transient
+    * "proof unavailable", not verdicts) caches nothing. */
   private val ReachVerdictCacheMaxEntries = 1 << 16
   private val reachVerdictCache = new java.util.LinkedHashMap[
     (String, String, String), java.lang.Boolean](64, 0.75f, true) {

@@ -236,6 +236,32 @@ class IvfIndexSpec extends SparkSpec {
     flat shouldBe exact
   }
 
+  test("null embeddings are dropped uniformly by BOTH assign dispatches") {
+    // a null vector has no direction — no probe can ever match it. The
+    // hazard this pins: the aggregate-based twoLevelAssign eliminates
+    // nulls structurally (TopKByScore skips null scores → empty array →
+    // explode drops the row) while the flat window path would park them
+    // in an arbitrary cell — whether a null-embedding vector appeared
+    // in the cells table would then depend on the SIZE dispatch.
+    val cat = freshCat
+    cat.createDatabase("lake")
+    IvfIndex.build(cat, "lake", "nflat", emb8)
+    IvfIndex.build(cat, "lake", "nhier", emb8, flatMaxCells = 0)
+    val batch = Seq(
+      (9001L, Array.tabulate(8)(j => if (j == 3) 9f else 0f)),
+      (9002L, null.asInstanceOf[Array[Float]]),
+      (9003L, Array.tabulate(8)(j => if (j == 5) 9f else 0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(cat, "lake", "nflat", batch)
+    IvfIndex.append(cat, "lake", "nhier", batch)
+    def appended(name: String) = cat.table(s"lake.${name}_cells").read
+      .filter($"vec_id" >= 9000L).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    val flat = appended("nflat")
+    appended("nhier") shouldBe flat
+    flat.map(_._1) shouldBe Seq(9001L, 9003L) // 9002 dropped by BOTH paths
+  }
+
   test("two-level assign ranks corpus rows with aggregates, not windows") {
     // the vector-side stages must be partial AGGREGATES: a window rank
     // over vec_id would shuffle every scored (vector, candidate) row —

@@ -263,6 +263,37 @@ class MergeOnReadSpec extends SparkSpec {
       Seq(2L, 500000L, 500001L)
   }
 
+  test("a transient sidecar read failure degrades one pass and never sticks") {
+    import spark.implicits._
+    // interleaved ids: the two entries' RANGES overlap fully, so only
+    // the bloom stage can release either from "maskable"
+    val t = freshCatalog().table("db.tr")
+    t.createOrReplace(Seq(0L, 2L, 4L, 6L, 8L).toDF("id"),
+      tableProperties = Map(
+        "write.bloom.columns" -> "id",
+        "write.bloom.min-table-bytes" -> "0"))
+    t.append(Seq(1L, 3L, 5L, 7L, 9L).toDF("id"))
+    t.deleteWhereExistsMoR(Seq(6L).toDF("id"), Seq("id"))
+    // hide the ODD entry's sidecar BEFORE the first reach probe (the
+    // bloom cache is path-keyed and cold for a fresh warehouse): the
+    // entry must degrade to maskable — but as a LOUD re-probe, not a
+    // cached verdict
+    val odd = t.currentSnapshot.get.entries.find(e =>
+      spark.read.parquet(s"${t.location}/data/${e.dir}")
+        .collect().exists(_.getLong(0) == 1L)).get
+    val sidecar = new java.io.File(s"${t.location}/blooms/${odd.dir}/id.bloom")
+    val hidden = new java.io.File(sidecar.getPath + ".hidden")
+    assert(sidecar.renameTo(hidden), s"no sidecar at $sidecar")
+    t.morMaskableCounts shouldBe ((2, 2)) // proof unavailable → conservative
+    t.read.count() shouldBe 9 // and the read is still correct
+    // the sidecar becomes readable again: the release must happen NOW —
+    // a cached "maskable" verdict would pin the anti-join on this entry
+    // until LRU eviction (the pre-r18 bug)
+    assert(hidden.renameTo(sidecar))
+    t.morMaskableCounts shouldBe ((1, 2)) // odd entry released by its bloom
+    t.read.count() shouldBe 9
+  }
+
   test("MoR deletes survive schema evolution; compaction folds under the widened schema") {
     import spark.implicits._
     val t = freshCatalog().table("db.t")
