@@ -284,7 +284,8 @@ object ScaleProbe {
       .select("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     doomed.count()
-    // the WIDE rung (x10 with a ~1 KB high-entropy payload per row):
+    // the WIDE rung (x100 with a ~1 KB high-entropy payload per row —
+    // ~0.5 GB of payload; the x10 width was still job-floor-bound):
     // at catalog-row widths the masked read's anti-join delta is noise
     // (~tens of ms), because the narrow columns decode for ~free — the
     // payload makes the scan the cost, so the bloom release (7/8 of the
@@ -293,16 +294,26 @@ object ScaleProbe {
     // md5 hexes ≈ 1 KB that parquet cannot compress away.
     val payload = concat_ws("", (0 until 32).map(i =>
       md5(concat(col("doc_id").cast("string"), lit(i.toString)))): _*)
-    Seq((1, false), (10, false), (100, false), (10, true)).foreach { case (mult, wide) =>
+    Seq((1, false), (10, false), (100, false), (100, true)).foreach { case (mult, wide) =>
       val narrow = (0 until mult).map(replica).reduce(_ unionByName _)
         .withColumn("grp", pmod(col("doc_id"), lit(8L)))
       val rows = (if (wide) narrow.withColumn("payload", payload) else narrow)
         .repartition(par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = rows.count()
-      val cat = freshCatalog(spark,
-        s"${sys.props("java.io.tmpdir")}/graft_probe_mor_$mult${if (wide) "w" else ""}")
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_probe_mor_$mult${if (wide) "w" else ""}"
+      val cat = freshCatalog(spark, wh)
       cat.createDatabase("probe")
+      // bytes under one table's data root — the fold's REWRITTEN bytes
+      // (dir growth across the fold: a rewrite lands new dirs, expiry
+      // hasn't swept the old) are the hardware-independent number the
+      // wall cannot show at NVMe-parallel sizes: the plain twin
+      // rewrites the whole table, the sidecar'd twin the doomed slice
+      def dataBytes(tbl: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/probe/$tbl/data")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
       val out = Seq(true, false).map { blooms =>
         val t = cat.table(if (blooms) "probe.m_bloom" else "probe.m_plain")
         t.createOrReplace(rows, partitionBy = Seq("grp"),
@@ -331,18 +342,21 @@ object ScaleProbe {
         val t0b = System.nanoTime()
         scan()
         val rereadWall = (System.nanoTime() - t0b) / 1e9
+        val tblName = if (blooms) "m_bloom" else "m_plain"
+        val bytesBefore = dataBytes(tblName)
         val t1 = System.nanoTime()
         val (_, rewritten) = t.rewritePositionDeleteFiles()
         val foldWall = (System.nanoTime() - t1) / 1e9
+        val foldMB = (dataBytes(tblName) - bytesBefore) / 1e6
         require(cnt == n - doomed.count(), s"MoR read lost rows: $cnt")
-        (maskable, total, readWall, rereadWall, rewritten, foldWall)
+        (maskable, total, readWall, rereadWall, rewritten, foldWall, foldMB)
       }
       rows.unpersist()
       val (Seq(b, p)) = (out: @unchecked)
       println(f"PROBE mor_read${if (wide) "_WIDE" else ""} x$mult%-4d bloom: maskable ${b._1}/${b._2} " +
-        f"read ${b._3}%6.2f/${b._4}%.2f s  fold-rewrote ${b._5} in ${b._6}%6.2f s   " +
+        f"read ${b._3}%6.2f/${b._4}%.2f s  fold-rewrote ${b._5} (${b._7}%.0f MB) in ${b._6}%6.2f s   " +
         f"plain: maskable ${p._1}/${p._2} read ${p._3}%6.2f/${p._4}%.2f s  " +
-        f"fold-rewrote ${p._5} in ${p._6}%6.2f s  ($n rows)")
+        f"fold-rewrote ${p._5} (${p._7}%.0f MB) in ${p._6}%6.2f s  ($n rows)")
     }
     doomed.unpersist()
     ()

@@ -54,7 +54,12 @@ object IvfIndex {
     * to 3 probes, with no measurable build-wall cost at either rung —
     * assign work stays N×~4√nlist, far off the N×nlist flat cliff. */
   private[graft] val GroupProbesProp = "ivf.assign.group-probes"
-  private[graft] val DefaultAssignGroupProbes = 3
+  // width 4 on r18 ladder evidence (recall vs the flat twin on
+  // adversarial near-dup data, builds within run-to-run wall noise):
+  // x10 0.975→0.980, x100 0.821→0.875 over width 3 — the same
+  // measured recall-up-wall-flat pattern that moved 2→3 in r17.
+  // Assign work stays N×~(1+p)√nlist, far off the N×nlist flat cliff.
+  private[graft] val DefaultAssignGroupProbes = 4
 
   /** Coarse-quantizer training-sample cap: past this many corpus rows,
     * training reads a deterministic 1-in-⌈N/cap⌉ hash sample of the
