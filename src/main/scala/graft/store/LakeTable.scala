@@ -614,7 +614,7 @@ class LakeTable(
       //    the commit protocol's OWN report (`numFiles`, summed from
       //    coordinator-accepted attempts only) and a surplus fails the
       //    write BEFORE the manifest commit, leaving an orphan dir.
-      LakeTable.committedFileCount(spark, LakeTable.schemelessPath(abs)) {
+      LakeTable.committedFileCount {
         val writer = out.write.mode("errorifexists")
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -1728,7 +1728,7 @@ class LakeTable(
     // same harvest-validation net as writeData: a stray file here would
     // PHANTOM-DELETE rows (every key tuple in the dir masks), strictly
     // worse than stray data rows
-    val reported = LakeTable.committedFileCount(spark, LakeTable.schemelessPath(abs)) {
+    val reported = LakeTable.committedFileCount {
       keyDf.write.mode("errorifexists").parquet(abs)
     }
     validateHarvest(abs, reported)
@@ -3038,19 +3038,6 @@ class CommitConflictException(msg: String, cause: Throwable)
 object LakeTable {
   private val VersionFileRe = "v(\\d+)\\.json".r
 
-  /** Wait cap for the write-stats report (normally it arrives
-    * milliseconds after the write returns — the stats are set
-    * driver-side before the listener event is even posted). */
-  private val WriteStatsWaitMs = 5000L
-
-  /** Fail-open switch for harvest validation: the report rides the
-    * session listener bus, which can lag or drop events under storm
-    * load. The FIRST timeout disables future capture attempts for the
-    * JVM (every write would otherwise pay the full wait cap), logged
-    * once; validation is a hardening net, absence of the report must
-    * never cost more than the pre-validation behavior. */
-  @volatile private[store] var writeStatsDisabled = false
-
   /** The per-node metric name Spark's BasicWriteJobStatsTracker
     * publishes committed-file counts under (pinned by spec). */
   private val WrittenFilesMetric = "number of written files"
@@ -3058,61 +3045,42 @@ object LakeTable {
   /** Committed-file count of ONE file-write command, as reported by the
     * commit protocol itself: Spark's `BasicWriteJobStatsTracker` sums
     * per-task stats returned only by task attempts whose commit the
-    * OutputCommitCoordinator accepted, and publishes them as the write
-    * node's "number of written files" metric. The metric is read from
-    * the driver's SQL status store (the physical plan tree is useless
-    * here — AQE and query-stage wrappers hide the write node from a
-    * tree walk): runs `body` (which must execute exactly one write
-    * whose resolved output path contains `path` — fresh-UUID dirs make
-    * that match unambiguous), then polls the store for a COMPLETED
-    * execution matching the path among those that started after the
-    * recorded watermark. Returns None when no report arrived within
-    * [[WriteStatsWaitMs]] (the store rides the listener bus, which can
-    * lag or drop under storm load) — callers must degrade to their
+    * OutputCommitCoordinator accepted, and SETS them on the write
+    * node's "number of written files" SQLMetric SYNCHRONOUSLY, on the
+    * driver, before `df.write` returns (`FileFormatWriter.write` →
+    * `processStats`). So the value is read WAIT-FREE from the
+    * accumulator registry itself ([[GraftAccumulatorGate]]): an id
+    * watermark taken before `body` brackets exactly the accumulators
+    * the write created.
+    *
+    * This replaced an SQL-status-store poll: every reporting channel
+    * for the same number (status store, QueryExecutionListener) rides
+    * the ASYNC listener bus, which a busy session backlogs by seconds —
+    * the poll coupled every store commit's wall-clock to diagnostics
+    * drain latency (measured: stream-heavy bench heads 4–6× inflated,
+    * +quantized multi-second waits; the accumulator read is ~0 ms and
+    * cannot lag, because there is nothing to wait FOR).
+    *
+    * Returns the MAX across candidate write metrics in the bracket:
+    * `body` runs exactly one write on THIS thread, but another session
+    * thread may register its own write's metric inside the window
+    * (accumulator ids are global). Max keeps the abort sound —
+    * `found > max(candidates)` implies a surplus no candidate write
+    * accounts for, so it can never false-abort; a concurrent LARGER
+    * write only weakens the net to warn-level for this one commit.
+    * Returns None when the registry yields nothing (weak refs
+    * collected, or internals drifted) — callers must degrade to their
     * unvalidated behavior on None, never abort. */
-  private[store] def committedFileCount(
-      spark: SparkSession, path: String)(body: => Unit): Option[Long] = {
-    if (writeStatsDisabled) { body; return None }
-    val store = spark.sharedState.statusStore
-    // id watermark: only executions the body itself starts are
-    // candidates — keeps the per-write scan O(1) however many
-    // executions the session has run
-    val beforeMax =
-      scala.util.Try(store.executionsList(
-        math.max(0, store.executionsCount().toInt - 1), 1)
-        .lastOption.map(_.executionId).getOrElse(-1L)).getOrElse(-1L)
+  private[store] def committedFileCount(body: => Unit): Option[Long] = {
+    val mark = scala.util.Try(
+      org.apache.spark.util.GraftAccumulatorGate.idWatermark()).getOrElse(-1L)
     body
-    val deadline = System.nanoTime() + WriteStatsWaitMs * 1000000L
-    var backoffMs = 1L // the end event is usually a bus-hop behind `body`
-    while (System.nanoTime() < deadline) {
-      val hit = scala.util.Try {
-        val n = store.executionsCount().toInt
-        store.executionsList(math.max(0, n - 20), 20)
-          .filter(e => e.executionId > beforeMax && e.completionTime.isDefined &&
-            e.physicalPlanDescription.contains(path))
-          .flatMap { e =>
-            val values = store.executionMetrics(e.executionId)
-            e.metrics.filter(_.name == WrittenFilesMetric)
-              .flatMap(m => values.get(m.accumulatorId))
-              .flatMap(v => scala.util.Try(v.replaceAll("[^0-9]", "").toLong).toOption)
-          }.maxOption
-      }.toOption.flatten
-      if (hit.isDefined) return hit
-      Thread.sleep(backoffMs)
-      backoffMs = math.min(backoffMs * 2, 25L)
-    }
-    writeStatsDisabled = true
-    org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      "write-stats report did not arrive within " + WriteStatsWaitMs +
-        " ms; disabling harvest validation for this JVM (fail-open)")
-    None
+    if (mark < 0) None
+    else scala.util.Try(
+      org.apache.spark.util.GraftAccumulatorGate
+        .namedLongsSince(mark, WrittenFilesMetric)).toOption
+      .flatMap(_.maxOption)
   }
-
-  /** `path` with any URI scheme collapsed to a bare absolute path
-    * ("file:///tmp/x" / "file:/tmp/x" → "/tmp/x") — the form Spark's
-    * plan print renders resolved output locations in. */
-  private[store] def schemelessPath(path: String): String =
-    path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
   private val StatsFileRe = "v(\\d+)\\.stats\\.json".r
   private val TagsFileRe = "tags-v(\\d+)\\.json".r

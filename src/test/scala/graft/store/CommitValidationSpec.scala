@@ -15,11 +15,10 @@ import graft.SparkSpec
 class CommitValidationSpec extends SparkSpec {
   import spark.implicits._
 
-  test("committedFileCount captures the protocol's report for the matched write") {
+  test("committedFileCount captures the protocol's report for the bracketed write") {
     val dir = Files.createTempDirectory("cv").toString
     val abs = s"$dir/data/${java.util.UUID.randomUUID().toString.take(18)}"
-    LakeTable.writeStatsDisabled = false
-    val reported = LakeTable.committedFileCount(spark, LakeTable.schemelessPath(abs)) {
+    val reported = LakeTable.committedFileCount {
       (1 to 90).map(i => (i.toLong, s"v$i", i % 3))
         .toDF("id", "v", "p")
         .repartition(2)
@@ -69,20 +68,46 @@ class CommitValidationSpec extends SparkSpec {
     val cat = new LakeCatalog(spark, wh)
     cat.createDatabase("db")
     val t = cat.table("db.live")
-    LakeTable.writeStatsDisabled = false
     t.createOrReplace(
       (1L to 60L).map(i => (i, (i % 4).toString)).toDF("id", "p"),
       partitionBy = Seq("p"))
     t.append((61L to 80L).map(i => (i, (i % 4).toString)).toDF("id", "p"))
     t.read.count() shouldBe 80
-    // the net stayed armed through both writes (capture never timed out)
-    LakeTable.writeStatsDisabled shouldBe false
   }
 
-  test("schemelessPath collapses URI schemes to the plan-print form") {
-    LakeTable.schemelessPath("file:/tmp/x/data/u") shouldBe "/tmp/x/data/u"
-    LakeTable.schemelessPath("file:///tmp/x") shouldBe "/tmp/x"
-    LakeTable.schemelessPath("/tmp/x") shouldBe "/tmp/x"
-    LakeTable.schemelessPath("hdfs://nn:8020/w/t") shouldBe "/nn:8020/w/t"
+  test("the capture is wait-free: no write in the bracket yields None, fast") {
+    // the old status-store poll burned its full 5 s cap whenever no
+    // matching execution appeared — the accumulator bracket just sees
+    // zero candidates and returns immediately (this is the property
+    // that keeps stream-heavy sessions, whose listener bus lags by
+    // seconds, from paying diagnostics latency on every commit)
+    val t0 = System.nanoTime()
+    val reported = LakeTable.committedFileCount {
+      spark.range(10).count() // an action, but not a file write
+      ()
+    }
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    reported shouldBe None
+    wallMs should be < 2000.0
+  }
+
+  test("concurrent foreign writes keep the abort sound: max semantics") {
+    // a write on ANOTHER thread registers its own "number of written
+    // files" metric inside our bracket; committedFileCount returns the
+    // max, so found > reported still implies a genuine surplus (it
+    // exceeds EVERY candidate write's count) and can never false-abort
+    val dir = Files.createTempDirectory("cvc").toString
+    val reported = LakeTable.committedFileCount {
+      val foreign = new Thread(() =>
+        (1 to 40).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+          .repartition(4)
+          .write.mode("errorifexists").parquet(s"$dir/foreign"))
+      foreign.start()
+      (1L to 10L).toDF("id").coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/mine")
+      foreign.join()
+    }
+    // both writes' metrics are candidates; max >= the larger (4 files)
+    reported.get should be >= 4L
   }
 }
