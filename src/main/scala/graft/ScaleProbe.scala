@@ -161,10 +161,11 @@ object ScaleProbe {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         IvfIndex.build(cat, "probe", "annflat", corpus2,
           flatMaxCells = Int.MaxValue)
-        // p=4 rides the audit so a default bump past 3 stays a MEASURED
-        // decision (the p=2→3 pattern: adopt only if recall rises at
-        // zero build-wall cost) — per-width build walls printed
-        val probesAudit = Seq(2, 3, 4)
+        // the audit brackets the default (now 4) one width either side,
+        // so the NEXT bump stays a MEASURED decision (the 2→3→4
+        // pattern: adopt only if recall rises at zero build-wall cost)
+        // — per-width build walls printed
+        val probesAudit = Seq(3, 4, 5)
         val hierWalls = probesAudit.map { p =>
           val tB = System.nanoTime()
           IvfIndex.build(cat, "probe", s"annhier$p", corpus2,
