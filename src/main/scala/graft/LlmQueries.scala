@@ -34,6 +34,20 @@ object LlmQueries {
     df.repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** doc_id spine for the media kernels, spread across cores: the
+    * per-row encode/decode work runs inside the scan stage of that
+    * same one-file parquet (a handful of input splits locally), which
+    * serializes real codec CPU exactly like the dedup case above. The
+    * ids are 8 bytes each, so the round-robin exchange is noise next
+    * to the kernel work; on a real lake (many input files) it stays a
+    * no-op-sized safety net. `below` keeps the reference queries' row
+    * caps pushed down to the scan BEFORE the exchange. */
+  private def docIds(s: SparkSession, dir: String, below: Long = Long.MaxValue): DataFrame = {
+    val ids = table(s, dir, "documents").select(col("doc_id"))
+    val kept = if (below == Long.MaxValue) ids else ids.filter(col("doc_id") < below)
+    kept.repartition(s.sparkContext.defaultParallelism)
+  }
+
   // ------------------------------------------------------------------
   // text analysis
   // ------------------------------------------------------------------
@@ -600,9 +614,7 @@ object LlmQueries {
     // whole encode→decode→patch→project path is hash-checked
     Multimodal
       .embedPatches(
-        Multimodal.encodePng(
-          table(s, dir, "documents").select(col("doc_id")),
-          "doc_id", _ => (16, 16)),
+        Multimodal.encodePng(docIds(s, dir), "doc_id", _ => (16, 16)),
         idCol = "doc_id")
       .orderBy("doc_id", "dim")
 
@@ -617,9 +629,7 @@ object LlmQueries {
     // endianness, rate, or offset defect diverges the hash
     Multimodal
       .audioFrames(
-        Multimodal.encodeWav(
-          table(s, dir, "documents").select(col("doc_id"))
-            .filter(col("doc_id") < 500),
+        Multimodal.encodeWav(docIds(s, dir, below = 500),
           "doc_id",
           sampleRate = id => if (id % 2 == 0) 8000 else 16000,
           nSamples = id => if (id % 2 == 0) 480 else 960),
@@ -658,9 +668,7 @@ object LlmQueries {
     // energy-gradient sign bits over the exact |amp| frame sums
     gradientFingerprint(
       Multimodal.audioFrames(
-        Multimodal.encodeWav(
-          table(s, dir, "documents").select(col("doc_id"))
-            .filter(col("doc_id") < 500),
+        Multimodal.encodeWav(docIds(s, dir, below = 500),
           "doc_id",
           sampleRate = id => if (id % 2 == 0) 8000 else 16000,
           nSamples = id => if (id % 2 == 0) 480 else 960),
@@ -673,9 +681,7 @@ object LlmQueries {
     // pixel sums, 8 frames → 7 gradient bits per video
     gradientFingerprint(
       Multimodal.videoFrameStats(
-        Multimodal.encodeAvi(
-          table(s, dir, "documents").select(col("doc_id"))
-            .filter(col("doc_id") < 300),
+        Multimodal.encodeAvi(docIds(s, dir, below = 300),
           "doc_id", frames = 8, w = 15, h = 12),
         "doc_id"),
       "wsum")
@@ -690,9 +696,7 @@ object LlmQueries {
     // is exercised, not just declared
     Multimodal
       .videoFrameStats(
-        Multimodal.encodeAvi(
-          table(s, dir, "documents").select(col("doc_id"))
-            .filter(col("doc_id") < 300),
+        Multimodal.encodeAvi(docIds(s, dir, below = 300),
           "doc_id", frames = 3, w = 15, h = 12),
         "doc_id")
       .orderBy("doc_id", "frame_no")
@@ -704,11 +708,7 @@ object LlmQueries {
     // the media near-dup signal byte-hash dedup can't see; the oracle
     // re-derives every bit from the closed-form fixture raster
     Multimodal
-      .perceptualHash(Multimodal.encodePng(
-        table(s, dir, "documents").select(col("doc_id"))
-          // the PNG encode+decode is per-row CPU inside the scan stage
-          // of a one-row-group parquet — spread it like d04/d36
-          .repartition(s.sparkContext.defaultParallelism),
+      .perceptualHash(Multimodal.encodePng(docIds(s, dir),
         "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)))
       .groupBy("phash")
       .agg(count(lit(1)).as("n"),
@@ -733,8 +733,7 @@ object LlmQueries {
     // (byte_len is the PNG container size — zlib-dependent, so not
     // oracle-expressible — and is deliberately not selected)
     Multimodal
-      .decodeMeta(Multimodal.encodePng(
-        table(s, dir, "documents").select(col("doc_id")),
+      .decodeMeta(Multimodal.encodePng(docIds(s, dir),
         "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)))
       .select(
         col("doc_id"),
@@ -750,8 +749,7 @@ object LlmQueries {
     // r_hex is the full pooled content, so any codec defect diverges
     Multimodal
       .resizePool(
-        Multimodal.encodePng(
-          table(s, dir, "documents").select(col("doc_id")),
+        Multimodal.encodePng(docIds(s, dir),
           "doc_id", id => (8 + (id % 9).toInt, 8 + ((id * 7) % 9).toInt)),
         pool = 2)
       .select(

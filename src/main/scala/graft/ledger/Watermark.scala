@@ -161,9 +161,11 @@ object Watermark {
       .get(cdcBatchProp(dagId, icebergSchema, tableName))
       .flatMap(v => scala.util.Try(v.toLong).toOption)
 
+  private val CdcBatchPropPrefix = "cdc.last-batch."
+
   private def cdcBatchProp(
       dagId: String, icebergSchema: String, tableName: String): String =
-    s"cdc.last-batch.$dagId.$icebergSchema.$tableName"
+    s"$CdcBatchPropPrefix$dagId.$icebergSchema.$tableName"
 
   /** Upsert variant keyed on (dag_id, iceberg_schema, table_name) —
     * single-writer environments only (`watermark.py:198-247`). */
@@ -262,6 +264,39 @@ object Watermark {
     purgeOne(cat, MaintenanceTable,
       Seq("dag_id", "iceberg_schema", "table_name", "procedure_type"), "started_at",
       retentionDays)
+    purgeStaleCdcBatchProps(cat, retentionDays)
+  }
+
+  /** Replay-mark hygiene, riding the same purge pass: the
+    * `cdc.last-batch.*` high-water marks ([[lastCdcBatch]]) accumulate
+    * one table property per (dag, schema, table) stream and otherwise
+    * live forever — every retired stream leaves a dead key riding
+    * every subsequent ledger version file. A mark whose stream has NO
+    * ledger row inside the retention window is dropped: such a stream
+    * is retired, or idle past retention — and a live idle stream
+    * heartbeats every empty round, which counts as presence here, so
+    * only genuinely silent streams qualify. Dropping a mark never
+    * risks duplicate DATA: the mark only short-circuits a replayed
+    * batch wholesale; without it a replay re-runs the idempotent
+    * MERGE/DELETE and at worst re-appends one ledger row for a batch
+    * whose original row just aged out of retention anyway. Live keys
+    * are matched by CONSTRUCTING prop names from the kept triples —
+    * dag ids may contain '.', so parsing prop keys back into triples
+    * would be ambiguous. */
+  private def purgeStaleCdcBatchProps(cat: LakeCatalog, retentionDays: Int): Unit = {
+    val t = cat.table(CdcTable)
+    if (!t.exists) return
+    val marks = t.properties.keySet.filter(_.startsWith(CdcBatchPropPrefix))
+    if (marks.isEmpty) return
+    val cutoff = expr(s"current_timestamp() - INTERVAL $retentionDays DAYS")
+    val live = t.read
+      .filter(col("processed_at") >= cutoff)
+      .select("dag_id", "iceberg_schema", "table_name").distinct()
+      .collect() // bounded: one row per stream alive inside retention
+      .map(r => cdcBatchProp(r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val stale = (marks -- live).toSeq.sorted
+    if (stale.nonEmpty) { t.removeProperties(stale); () }
   }
 
   private def purgeOne(

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
@@ -621,7 +621,14 @@ class LakeTable(
           .parquet(abs)
       }
     }
-    validateHarvest(abs, reportedFiles)
+    // ONE recursive listing of the fresh dir feeds the harvest
+    // validation's count, the footer-stats harvest AND the bloom-floor
+    // byte probe below: on an object store every recursive walk is a
+    // round-trip per directory, and a write should pay for exactly one
+    val filesByLeaf = StoreTiming.time("data.post-write-listing")(
+      listDataFilesByLeaf(new Path(abs)))
+    validateHarvest(abs, reportedFiles,
+      filesByLeaf.iterator.map(_._2.size.toLong).sum)
     val entries = StoreTiming.time("data.footer-stats") {
       if (partitionCols.isEmpty) {
         // an empty write (e.g. a delete that emptied its whole slice)
@@ -632,26 +639,38 @@ class LakeTable(
         // the same footers the stats harvest already opens.
         // Partitioned writes get this for free (no leaves → no
         // entries).
-        val (stats, rows) = footerStatsAndRows(new Path(abs), df.schema)
+        val (stats, rows) = footerStatsAndRows(filesByLeaf.flatMap(_._2), df.schema)
         if (rows == 0L) Nil
         else Seq(ManifestEntry(dir, None, stats, StampAtCommit))
       }
       else {
+        // a leaf exists iff rows landed in it (Spark never writes an
+        // empty partition dir); a data file at the wrong Hive depth
+        // has no entry to live under — loudly impossible, not silent
+        val (leaves, strays) = filesByLeaf.partition { case (rel, _) =>
+          rel.nonEmpty && rel.count(_ == '/') == partitionCols.length - 1
+        }
+        strays.foreach { case (rel, fl) =>
+          logger.warn(s"write to $abs left ${fl.size} data files at " +
+            s"non-leaf depth '$rel'; they are not harvested")
+        }
         // footer harvesting is metadata-sized but LATENCY-bound (one
         // driver-side open per file): overlap the per-leaf reads
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
         Await.result(
-          Future.traverse(listLeafPartitions(new Path(abs), partitionCols.length))(rel =>
+          Future.traverse(leaves.sortBy(_._1)) { case (rel, fl) =>
             Future(ManifestEntry(dir, Some(rel),
-              footerStats(new Path(s"$abs/$rel"), df.schema), StampAtCommit))),
+              footerStats(fl, df.schema), StampAtCommit))
+          },
           Duration.Inf)
       }
     }
     val bloomCols0 = bloomColumnsFor(df.schema, partitionCols, props)
+    val writtenBytes = filesByLeaf.iterator.flatMap(_._2).map(_.getLen).sum
     val bloomCols =
-      if (bloomCols0.isEmpty || pastBloomFloor(abs, props)) bloomCols0 else Nil
+      if (bloomCols0.isEmpty || pastBloomFloor(writtenBytes, props)) bloomCols0 else Nil
     // entries.isEmpty: an all-empty write commits nothing (see above) —
     // and its dir has no files for the sidecar read-back to infer from
     if (bloomCols.isEmpty || entries.isEmpty) (dir, entries)
@@ -672,8 +691,10 @@ class LakeTable(
     * sidecar once it is crossed — [[bloomPruned]] conservatively keeps
     * them — and gain one when a rewrite re-lands their rows. The
     * parent-size probe is driver-side metadata, guarded to ≤64 entries
-    * (more entries ⇒ treated as past the floor, no FS walk). */
-  private def pastBloomFloor(abs: String, props: Map[String, String]): Boolean = {
+    * (more entries ⇒ treated as past the floor, no FS walk).
+    * `writtenBytes` comes from the post-write listing the caller
+    * already performed — no extra walk of the fresh dir. */
+  private def pastBloomFloor(writtenBytes: Long, props: Map[String, String]): Boolean = {
     val floor = props.get("write.bloom.min-table-bytes") match {
       case Some(v) => scala.util.Try(v.toLong).getOrElse {
         logger.warn(s"unparseable write.bloom.min-table-bytes='$v' on $name; " +
@@ -682,13 +703,8 @@ class LakeTable(
       }
       case None => 0L
     }
-    floor <= 0L || {
-      val writtenBytes =
-        try fs.getContentSummary(new Path(abs)).getLength
-        catch { case _: java.io.IOException => Long.MaxValue } // unknown → build
-      writtenBytes >= floor || currentSnapshot.exists(s =>
-        s.entries.size > 64 || !dataUnder(s, floor - writtenBytes))
-    }
+    floor <= 0L || writtenBytes >= floor || currentSnapshot.exists(s =>
+      s.entries.size > 64 || !dataUnder(s, floor - writtenBytes))
   }
 
   /** Bloom-indexed columns for this write: the `write.bloom.columns`
@@ -757,24 +773,26 @@ class LakeTable(
       }, Duration.Inf).toSet
   }
 
-  /** Aggregate column chunk min/max across all parquet files directly
-    * under `path`, for the stats-prunable Spark types (integral,
-    * floating, string). Values are stored as strings in the manifest;
-    * pruning parses them back by column type. Columns whose chunks lack
+  /** Aggregate column chunk min/max across the given parquet files
+    * (from the caller's post-write listing — footer reads are the only
+    * IO here), for the stats-prunable Spark types (integral, floating,
+    * string). Values are stored as strings in the manifest; pruning
+    * parses them back by column type. Columns whose chunks lack
     * usable stats are omitted (⇒ never pruned on). */
-  private def footerStats(path: Path, schema: StructType): Map[String, (String, String)] = {
+  private def footerStats(
+      files: Seq[FileStatus], schema: StructType): Map[String, (String, String)] = {
     // zero-IO fast path for callers that don't need the row count
     // (partitioned leaf harvest, delete files): with no prunable
     // column there is nothing to read footers FOR
     val anyPrunable = schema.fields.exists(f => StatsPruning.supported(f.dataType))
-    if (!anyPrunable) Map.empty else footerStatsAndRows(path, schema)._1
+    if (!anyPrunable) Map.empty else footerStatsAndRows(files, schema)._1
   }
 
-  /** [[footerStats]] plus the dirs' total parquet ROW count (from the
+  /** [[footerStats]] plus the files' total parquet ROW count (from the
     * same footers — no extra IO): the unpartitioned write path uses the
     * count to skip committing an entry for an all-empty write. */
   private def footerStatsAndRows(
-      path: Path, schema: StructType): (Map[String, (String, String)], Long) = {
+      files: Seq[FileStatus], schema: StructType): (Map[String, (String, String)], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val prunable = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -783,7 +801,7 @@ class LakeTable(
     val acc = scala.collection.mutable.Map[String, (Any, Any)]()
     val dropped = scala.collection.mutable.Set[String]()
     var rows = 0L
-    fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+    files.foreach { st =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       try {
         reader.getFooter.getBlocks.asScala.foreach { block =>
@@ -827,16 +845,23 @@ class LakeTable(
     * orphan for the sweep. A deficit only warns: `numFiles` counts
     * empty schema-preserving files some layouts elide from listings,
     * and aborting a good commit is worse than harvesting a short dir
-    * the footer reads would trip over anyway. One recursive driver
-    * listing — the same order of FS work the harvest itself does. */
+    * the footer reads would trip over anyway. This arity walks the dir
+    * itself (spec seam); the write paths use the count-fed variant so
+    * one listing serves both the validation and the stats harvest. */
   private[graft] def validateHarvest(abs: String, reported: Option[Long]): Unit =
     for {
       expected <- reported
       // the count is a NET, not a gate: a dir the wrapper FS cannot
       // re-list here would fail the harvest's own listing loudly
       // anyway — never turn a listing quirk into a false abort
-      found <- scala.util.Try(dirDataFileCount(abs)).toOption
-    } {
+      found <- scala.util.Try(
+        listDataFilesByLeaf(new Path(abs)).iterator.map(_._2.size.toLong).sum).toOption
+    } validateHarvest(abs, Some(expected), found)
+
+  /** Count-fed variant: `found` comes from the post-write listing the
+    * stats harvest shares, so validation adds zero FS work. */
+  private def validateHarvest(abs: String, reported: Option[Long], found: Long): Unit =
+    reported.foreach { expected =>
       if (found > expected)
         throw new IllegalStateException(
           s"write to $abs left $found data files but its commit protocol " +
@@ -848,28 +873,28 @@ class LakeTable(
           s"$expected reported by the commit protocol")
     }
 
-  // listStatus recursion, NOT fs.listFiles: the located-status variant
-  // resolves block locations/permissions per file and chokes on the
-  // wrapper-scheme filesystems the race specs exercise
-  private def dirDataFileCount(abs: String): Long = {
-    def walk(p: Path): Long = fs.listStatus(p).map { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory) { if (name == "_temporary") 0L else walk(st.getPath) }
-      else if (name.endsWith(".parquet") && !name.startsWith("_") &&
-        !name.startsWith(".")) 1L
-      else 0L
-    }.sum
-    walk(new Path(abs))
-  }
-
-  private def listLeafPartitions(root: Path, depth: Int): Seq[String] = {
-    def walk(p: Path, d: Int, prefix: String): Seq[String] =
-      if (d == 0) Seq(prefix)
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap(st => walk(st.getPath, d - 1,
-          if (prefix.isEmpty) st.getPath.getName else s"$prefix/${st.getPath.getName}"))
-    walk(root, depth, "")
+  /** ONE recursive listing of a freshly-written dir — the shared walk
+    * behind the harvest validation count, the footer-stats harvest and
+    * the bloom-floor byte probe (each recursive listing is a
+    * round-trip per directory on an object store; a write pays for
+    * exactly one). Data files grouped by leaf rel-path ("" = directly
+    * under the root), `_temporary` pruned, hidden files skipped.
+    * listStatus recursion, NOT fs.listFiles: the located-status
+    * variant resolves block locations/permissions per file and chokes
+    * on the wrapper-scheme filesystems the race specs exercise. */
+  private def listDataFilesByLeaf(root: Path): Seq[(String, Seq[FileStatus])] = {
+    def walk(p: Path, prefix: String): Seq[(String, FileStatus)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name == "_temporary") Nil
+          else walk(st.getPath, if (prefix.isEmpty) name else s"$prefix/$name")
+        }
+        else if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".")) Seq(prefix -> st)
+        else Nil
+      }
+    walk(root, "").groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
   }
 
   private def readEntries(s: Snapshot, entries: Seq[ManifestEntry]): DataFrame = {
@@ -1593,6 +1618,22 @@ class LakeTable(
         Map("updated-keys" -> updates.keys.mkString(","))))
   }
 
+  /** Remove table properties by exact key — hygiene for accumulating
+    * per-stream marks (see `Watermark.purgeWatermarks`: retired
+    * streams' `cdc.last-batch.*` keys would otherwise ride every
+    * future version file forever). Applied over the FRESH snapshot
+    * like [[setProperties]]: a racer's unrelated updates survive, and
+    * a racer re-setting a key removed here wins or loses by commit
+    * order — the same last-writer contract setProperties documents. */
+  def removeProperties(keys: Seq[String]): Snapshot = {
+    val s = requireExists()
+    val (retries, waitMs) = retryConfig(s)
+    commit("remove-properties", retries, waitMs)(p =>
+      (p.get.schema, p.get.partitionCols, p.get.entries,
+        p.get.properties -- keys,
+        Map("removed-keys" -> keys.mkString(","))))
+  }
+
   /** Partition-spec evolution (Iceberg's `ALTER TABLE ... ADD/DROP
     * PARTITION FIELD` semantics, collapsed to replace-the-spec): a
     * METADATA-ONLY commit — existing entries keep the layout they were
@@ -1731,9 +1772,13 @@ class LakeTable(
     val reported = LakeTable.committedFileCount {
       keyDf.write.mode("errorifexists").parquet(abs)
     }
-    validateHarvest(abs, reported)
+    // one listing feeds both the validation count and the stats read,
+    // same as writeData
+    val files = listDataFilesByLeaf(new Path(abs))
+    validateHarvest(abs, reported, files.iterator.map(_._2.size.toLong).sum)
     ManifestEntry(dir, None,
-      footerStats(new Path(abs), StructType(s.schema.fields.filter(f => keys.contains(f.name)))),
+      footerStats(files.flatMap(_._2),
+        StructType(s.schema.fields.filter(f => keys.contains(f.name)))),
       StampAtCommit)
   }
 
@@ -3068,9 +3113,18 @@ object LakeTable {
     * `found > max(candidates)` implies a surplus no candidate write
     * accounts for, so it can never false-abort; a concurrent LARGER
     * write only weakens the net to warn-level for this one commit.
-    * Returns None when the registry yields nothing (weak refs
-    * collected, or internals drifted) — callers must degrade to their
-    * unvalidated behavior on None, never abort. */
+    * The max-soundness claim assumes the bracketed write's OWN metric
+    * is among the candidates; the registry holds weak references, so
+    * the gate enforces that by abandoning any scan that finds a
+    * garbage-collected entry in the bracket (a partial scan could have
+    * lost our metric while keeping a smaller foreign one — an
+    * undercount here is the one path to a false abort). The residual
+    * window — our metric collected AND cleaner-removed microseconds
+    * after the write set it, reading as absent — is documented at
+    * [[org.apache.spark.util.GraftAccumulatorGate.namedLongsSince]].
+    * Returns None when the registry yields nothing or the scan was
+    * abandoned — callers must degrade to their unvalidated behavior
+    * on None, never abort. */
   private[store] def committedFileCount(body: => Unit): Option[Long] = {
     val mark = scala.util.Try(
       org.apache.spark.util.GraftAccumulatorGate.idWatermark()).getOrElse(-1L)
@@ -3079,6 +3133,7 @@ object LakeTable {
     else scala.util.Try(
       org.apache.spark.util.GraftAccumulatorGate
         .namedLongsSince(mark, WrittenFilesMetric)).toOption
+      .flatten
       .flatMap(_.maxOption)
   }
 

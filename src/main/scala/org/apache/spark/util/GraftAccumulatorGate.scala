@@ -1,5 +1,10 @@
 package org.apache.spark.util
 
+import java.lang.ref.WeakReference
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.internal.Logging
+
 /** Compile-checked bridge into Spark's `private[spark]` accumulator
   * registry (`AccumulatorContext`, AccumulatorV2.scala) — the one-file
   * package-placement idiom OSS Spark extensions use for internals the
@@ -23,28 +28,101 @@ package org.apache.spark.util
   *
   * Ids are monotonic ([[AccumulatorContext.newId]]), so a watermark
   * taken before the write brackets exactly the accumulators the write
-  * created; the registry holds weak references, so a scan must
-  * tolerate collected entries (the caller fails open on None/empty).
+  * created. The registry holds WEAK references, and in this Spark
+  * line `AccumulatorContext.get` does not throw for a collected entry
+  * — it logs and returns None, indistinguishable from an id that was
+  * allocated but never registered. That distinction is load-bearing
+  * for the caller: skipping a never-registered id is sound, but
+  * silently skipping a COLLECTED one could drop the bracketed write's
+  * own metric while a smaller concurrent write's survives, and the
+  * caller's max-over-candidates would then UNDERCOUNT — turning its
+  * surplus check into a false abort of a good commit. So the scan
+  * reads the registry map itself (reflective handle below) and
+  * abandons wholesale — None, one warning — the moment any bracket
+  * entry is found collected; callers fail open on None.
   */
-object GraftAccumulatorGate {
+object GraftAccumulatorGate extends Logging {
+
+  /** Reflective handle on `AccumulatorContext.originals` (the registry
+    * `ConcurrentHashMap[jl.Long, WeakReference[AccumulatorV2]]`). The
+    * field is object-private, so even this package cannot name it in
+    * code; core reflection works because the Spark jars live on the
+    * classpath (unnamed module — no Java 17 access barrier). Needed
+    * only to tell "absent" from "collected" (see class doc); if the
+    * field ever drifts, [[namedLongsSince]] degrades to the plain
+    * `get` scan whose residual assumption is documented there. */
+  private[util] lazy val registry: Option[ConcurrentHashMap[java.lang.Long, WeakReference[AccumulatorV2[_, _]]]] =
+    try {
+      val f = AccumulatorContext.getClass.getDeclaredField("originals")
+      f.setAccessible(true)
+      Some(f.get(AccumulatorContext)
+        .asInstanceOf[ConcurrentHashMap[java.lang.Long, WeakReference[AccumulatorV2[_, _]]]])
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning("AccumulatorContext.originals not reflectively reachable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); registry scans " +
+          "cannot distinguish collected entries from absent ids and assume " +
+          "the bracketed write's own metric is never collected mid-scan")
+        None
+    }
 
   /** Monotonic id watermark: every accumulator registered after this
     * call has a strictly larger id. (Consumes one id — harmless.) */
   def idWatermark(): Long = AccumulatorContext.newId()
 
   /** Values of all driver-side long accumulators named `name`
-    * registered since `watermark` and still reachable. Bounded by the
-    * ids one bracketed action created (tens), not the session total. */
-  def namedLongsSince(watermark: Long, name: String): Seq[Long] = {
+    * registered since `watermark` and still reachable, or None when
+    * the scan cannot be trusted. Bounded by the ids one bracketed
+    * action created (tens), not the session total.
+    *
+    * Returns None — after ONE warning, never silently — when any id in
+    * the bracket maps to a garbage-collected registry entry: a partial
+    * scan could have lost the very metric the caller is validating
+    * against while keeping a smaller one, and "no answer" is strictly
+    * safer than a plausible wrong answer (callers degrade to their
+    * unvalidated behavior on None, never abort).
+    *
+    * Residual assumption (documented, not checked): an entry that was
+    * collected AND already removed by the ContextCleaner reads as
+    * absent. For the bracketed write's own metric that window is
+    * practically unreachable — the value was set on this thread
+    * microseconds ago and removal needs a GC plus a cleaner-queue
+    * drain first — and it is the only entry whose loss could skew the
+    * caller's max downward. */
+  def namedLongsSince(watermark: Long, name: String): Option[Seq[Long]] = {
     val hi = AccumulatorContext.newId()
-    ((watermark + 1) until hi).flatMap { id =>
-      AccumulatorContext.get(id).filter(_.name.contains(name)).flatMap { acc =>
-        acc.value match {
-          case l: java.lang.Long => Some(l.longValue())
-          case i: java.lang.Integer => Some(i.longValue())
-          case _ => None
-        }
+    val out = Seq.newBuilder[Long]
+    var id = watermark + 1
+    while (id < hi) {
+      registry match {
+        case Some(map) =>
+          val ref = map.get(java.lang.Long.valueOf(id))
+          if (ref != null) {
+            val acc = ref.get
+            if (acc == null) {
+              logWarning(s"accumulator registry scan [${watermark + 1}, $hi) " +
+                s"abandoned: entry $id was garbage-collected before the scan " +
+                "could read it; the caller's harvest validation degrades to " +
+                "unvalidated for this one write (fail-open)")
+              return None
+            }
+            if (acc.name.contains(name)) collectLong(acc, out)
+          }
+        case None =>
+          // registry drifted: plain scan, collected entries read as
+          // absent (Spark logs its own warning per hit)
+          AccumulatorContext.get(id).filter(_.name.contains(name))
+            .foreach(collectLong(_, out))
       }
+      id += 1
     }
+    Some(out.result())
   }
+
+  private def collectLong(acc: AccumulatorV2[_, _], out: scala.collection.mutable.Builder[Long, Seq[Long]]): Unit =
+    acc.value match {
+      case l: java.lang.Long => out += l.longValue()
+      case i: java.lang.Integer => out += i.longValue()
+      case _ => ()
+    }
 }

@@ -112,6 +112,41 @@ class WatermarkSpec extends SparkSpec {
     kept shouldBe Seq(("stale", 2L), ("mixed", 4L))
   }
 
+  test("purge drops retired streams' replay marks, keeps active and idle-heartbeat ones") {
+    val cat = freshCatalog()
+    Watermark.ensureWatermarkTables(cat)
+    val t = cat.table(Watermark.CdcTable)
+    import spark.implicits._
+    val dayMs = 24L * 3600 * 1000
+    // rows built by hand: appendCdcWatermark stamps processed_at = NOW,
+    // so aging a stream needs direct writes (same idiom as the purge test)
+    val mk = (table: String, daysAgo: Int, n: Long, batch: java.lang.Long) =>
+      (("dag", "s", table, null, null,
+        new Timestamp(System.currentTimeMillis() - daysAgo * dayMs),
+        null, null, n, null, batch))
+    val rows = Seq(
+      mk("retired", 30, 10L, 41L), // last batch row far outside retention
+      mk("active", 0, 5L, 7L), // batch row today
+      mk("idle", 30, 9L, 3L), // old batch row ...
+      mk("idle", 0, 0L, null) // ... but heartbeating today = alive
+    ).toDF(Watermark.CdcSchema.fieldNames.toIndexedSeq: _*)
+    t.overwrite(rows.select(Watermark.CdcSchema.fieldNames.map(c =>
+      col(c).cast(Watermark.CdcSchema(c).dataType)).toIndexedSeq: _*))
+    t.setProperties(Map(
+      "cdc.last-batch.dag.s.retired" -> "41",
+      "cdc.last-batch.dag.s.active" -> "7",
+      "cdc.last-batch.dag.s.idle" -> "3"))
+
+    Watermark.purgeWatermarks(cat, retentionDays = 14)
+
+    val props = t.properties
+    props.contains("cdc.last-batch.dag.s.retired") shouldBe false
+    props.get("cdc.last-batch.dag.s.active") shouldBe Some("7")
+    // a live-but-idle stream heartbeats every empty round: presence
+    // inside retention, even batch-less, keeps its mark
+    props.get("cdc.last-batch.dag.s.idle") shouldBe Some("3")
+  }
+
   test("runCompaction records success rows and actually compacts") {
     val cat = freshCatalog()
     Watermark.ensureWatermarkTables(cat)

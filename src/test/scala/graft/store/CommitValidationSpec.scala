@@ -97,15 +97,25 @@ class CommitValidationSpec extends SparkSpec {
     // max, so found > reported still implies a genuine surplus (it
     // exceeds EVERY candidate write's count) and can never false-abort
     val dir = Files.createTempDirectory("cvc").toString
+    // a foreign-thread failure must surface as the test's OWN failure
+    // cause, not as an inexplicable max=1 assertion miss downstream
+    @volatile var foreignFailure: Option[Throwable] = None
     val reported = LakeTable.committedFileCount {
       val foreign = new Thread(() =>
-        (1 to 40).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+        try (1 to 40).map(i => (i.toLong, s"f$i")).toDF("id", "v")
           .repartition(4)
-          .write.mode("errorifexists").parquet(s"$dir/foreign"))
+          .write.mode("errorifexists").parquet(s"$dir/foreign")
+        catch { case scala.util.control.NonFatal(e) => foreignFailure = Some(e) })
       foreign.start()
       (1L to 10L).toDF("id").coalesce(1)
         .write.mode("errorifexists").parquet(s"$dir/mine")
       foreign.join()
+    }
+    foreignFailure.foreach(e => fail("foreign write failed", e))
+    // the registry scan abandons (None) if a GC collected a bracket
+    // entry mid-test — name the cause instead of a bare NoSuchElement
+    withClue("committedFileCount returned None (scan abandoned or no metric captured): ") {
+      reported.isDefined shouldBe true
     }
     // both writes' metrics are candidates; max >= the larger (4 files)
     reported.get should be >= 4L
