@@ -221,4 +221,26 @@ class PlanShapeSpec extends SparkSpec {
     val stale = allowed.keySet -- SparkEntry.queries.keySet
     stale shouldBe empty
   }
+
+  test("media kernels run above a round-robin exchange (never split-bound)") {
+    // the per-row codec work (PNG/WAV/AVI encode+decode) is CPU inside
+    // the scan stage of a one-file parquet: without a repartition the
+    // kernel serializes onto the input's handful of splits no matter
+    // how many cores exist (the r18 review measured m02 at 4 tasks
+    // with 26 s of idle cores). Pin the plan shape: every media-kernel
+    // query carries at least one RoundRobinPartitioning exchange.
+    val mediaKernels = Seq(
+      "m02_multimodal_decode", "m04_resize_pool", "m05_embed_patches",
+      "m08_audio_frames", "m09_video_frames", "m10_perceptual_dedup",
+      "m11_audio_fingerprint", "m12_video_fingerprint")
+    val missing = mediaKernels.filterNot { name =>
+      planOps(name).exists {
+        case e: ShuffleExchangeExec =>
+          e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+        case _ => false
+      }
+    }
+    missing shouldBe empty
+  }
 }
