@@ -282,11 +282,17 @@ object Watermark {
     * whose original row just aged out of retention anyway. Live keys
     * are matched by CONSTRUCTING prop names from the kept triples —
     * dag ids may contain '.', so parsing prop keys back into triples
-    * would be ambiguous. */
+    * would be ambiguous. The removal is VALUE-GUARDED
+    * ([[LakeTable.removePropertiesIfUnchanged]]): a stream whose first
+    * in-months batch commits between the live-stream scan here and the
+    * remove commit re-sets its mark to a new batch id, so the guard
+    * sees a changed value and keeps the key — only marks genuinely
+    * untouched since the scan are dropped. */
   private def purgeStaleCdcBatchProps(cat: LakeCatalog, retentionDays: Int): Unit = {
     val t = cat.table(CdcTable)
     if (!t.exists) return
-    val marks = t.properties.keySet.filter(_.startsWith(CdcBatchPropPrefix))
+    val props = t.properties
+    val marks = props.keySet.filter(_.startsWith(CdcBatchPropPrefix))
     if (marks.isEmpty) return
     val cutoff = expr(s"current_timestamp() - INTERVAL $retentionDays DAYS")
     val live = t.read
@@ -296,7 +302,11 @@ object Watermark {
       .map(r => cdcBatchProp(r.getString(0), r.getString(1), r.getString(2)))
       .toSet
     val stale = (marks -- live).toSeq.sorted
-    if (stale.nonEmpty) { t.removeProperties(stale); () }
+    if (stale.nonEmpty) {
+      t.removePropertiesIfUnchanged(
+        stale.map(k => k -> props(k)).toMap)
+      ()
+    }
   }
 
   private def purgeOne(

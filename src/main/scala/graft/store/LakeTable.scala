@@ -646,9 +646,15 @@ class LakeTable(
       else {
         // a leaf exists iff rows landed in it (Spark never writes an
         // empty partition dir); a data file at the wrong Hive depth
-        // has no entry to live under — loudly impossible, not silent
+        // has no entry to live under — loudly impossible, not silent.
+        // Depth alone isn't proof of leaf-ness: a non-Hive directory
+        // that happens to sit at partition depth (a wrapper-FS staging
+        // dir, say) must not be harvested as a partition whose rel
+        // path can't parse as k=v values — every segment must carry
+        // '=' or the dir goes to the strays warning
         val (leaves, strays) = filesByLeaf.partition { case (rel, _) =>
-          rel.nonEmpty && rel.count(_ == '/') == partitionCols.length - 1
+          rel.nonEmpty && rel.count(_ == '/') == partitionCols.length - 1 &&
+            rel.split('/').forall(_.contains('='))
         }
         strays.foreach { case (rel, fl) =>
           logger.warn(s"write to $abs left ${fl.size} data files at " +
@@ -693,7 +699,14 @@ class LakeTable(
     * parent-size probe is driver-side metadata, guarded to ≤64 entries
     * (more entries ⇒ treated as past the floor, no FS walk).
     * `writtenBytes` comes from the post-write listing the caller
-    * already performed — no extra walk of the fresh dir. */
+    * already performed — no extra walk of the fresh dir. Byte basis
+    * (changed r19 with the one-walk refactor): the sum of DATA-file
+    * lengths only — `_SUCCESS`/metadata bytes no longer count, and the
+    * old `getContentSummary` path's IOException → "unknown, build
+    * anyway" fallback is gone (moot: the listing already succeeded by
+    * the time this runs). Floor-edge writes may therefore skip a
+    * sidecar build the pre-r19 basis would have performed — the
+    * conservative direction (a missing sidecar only costs a keep). */
   private def pastBloomFloor(writtenBytes: Long, props: Map[String, String]): Boolean = {
     val floor = props.get("write.bloom.min-table-bytes") match {
       case Some(v) => scala.util.Try(v.toLong).getOrElse {
@@ -1632,6 +1645,29 @@ class LakeTable(
       (p.get.schema, p.get.partitionCols, p.get.entries,
         p.get.properties -- keys,
         Map("removed-keys" -> keys.mkString(","))))
+  }
+
+  /** [[removeProperties]] guarded by expected values: a key is removed
+    * only while its value in the FRESH snapshot still equals the value
+    * the caller scanned — a racer that re-set the key between the
+    * caller's read and this commit (e.g. a silent CDC stream whose
+    * first in-months batch just landed a new replay mark) keeps its
+    * write. Closes the read-then-remove race a bare key-list removal
+    * has; a race that leaves ZERO keys removable still commits one
+    * harmless metadata-only version. */
+  def removePropertiesIfUnchanged(expected: Map[String, String]): Snapshot = {
+    val s = requireExists()
+    val (retries, waitMs) = retryConfig(s)
+    commit("remove-properties", retries, waitMs) { p =>
+      val props = p.get.properties
+      val removable = expected.keysIterator
+        .filter(k => props.get(k) == expected.get(k)).toSeq.sorted
+      (p.get.schema, p.get.partitionCols, p.get.entries,
+        props -- removable,
+        Map("removed-keys" -> removable.mkString(","),
+          "kept-racing-keys" ->
+            (expected.keySet -- removable).toSeq.sorted.mkString(",")))
+    }
   }
 
   /** Partition-spec evolution (Iceberg's `ALTER TABLE ... ADD/DROP

@@ -49,8 +49,11 @@ object GraftAccumulatorGate extends Logging {
     * code; core reflection works because the Spark jars live on the
     * classpath (unnamed module — no Java 17 access barrier). Needed
     * only to tell "absent" from "collected" (see class doc); if the
-    * field ever drifts, [[namedLongsSince]] degrades to the plain
-    * `get` scan whose residual assumption is documented there. */
+    * field ever drifts, [[namedLongsSince]] returns None — validation
+    * disarmed outright, never the pre-r19 per-id scan whose collected
+    * entries read as absent (the undercount → false-abort shape). The
+    * drift-canary spec turns the suite red on such a Spark, so the
+    * fallback's only job is to be SAFE, not useful. */
   private[util] lazy val registry: Option[ConcurrentHashMap[java.lang.Long, WeakReference[AccumulatorV2[_, _]]]] =
     try {
       val f = AccumulatorContext.getClass.getDeclaredField("originals")
@@ -69,6 +72,16 @@ object GraftAccumulatorGate extends Logging {
   /** Monotonic id watermark: every accumulator registered after this
     * call has a strictly larger id. (Consumes one id — harmless.) */
   def idWatermark(): Long = AccumulatorContext.newId()
+
+  /** Running total of scans abandoned on a collected entry — the
+    * fail-open degradations are individually harmless (one write goes
+    * unvalidated) but a HIGH RATE means GC pressure is quietly
+    * disarming the stray-file net; exposing the count makes that
+    * observable (every abandon warning prints the running total, and
+    * probes/benches can difference it across a run). Expected shape:
+    * ~1 per long session (the r19 bench measured exactly 1 per 193
+    * queries); tens per bench would say the net is mostly off. */
+  val abandonedScans = new java.util.concurrent.atomic.AtomicLong()
 
   /** Values of all driver-side long accumulators named `name`
     * registered since `watermark` and still reachable, or None when
@@ -89,30 +102,51 @@ object GraftAccumulatorGate extends Logging {
     * microseconds ago and removal needs a GC plus a cleaner-queue
     * drain first — and it is the only entry whose loss could skew the
     * caller's max downward. */
-  def namedLongsSince(watermark: Long, name: String): Option[Seq[Long]] = {
+  def namedLongsSince(watermark: Long, name: String): Option[Seq[Long]] =
+    namedLongsSinceWith(registry, watermark, name)
+
+  /** Registry-parameterized body of [[namedLongsSince]] (spec seam for
+    * the drift branch, which cannot be reached on a Spark where the
+    * reflective handle resolves). */
+  private[util] def namedLongsSinceWith(
+      reg: Option[ConcurrentHashMap[java.lang.Long, WeakReference[AccumulatorV2[_, _]]]],
+      watermark: Long,
+      name: String): Option[Seq[Long]] = {
+    val map = reg.getOrElse {
+      // Registry handle drifted (a Spark upgrade renamed the field).
+      // The pre-r20 fallback ran the per-id `get()` scan, whose
+      // collected entries read as ABSENT — exactly the undercount →
+      // false-abort shape this gate exists to prevent. The drift
+      // canary spec already turns the suite red on such a Spark, so
+      // the only job here is to be safe: no answer, callers fail open.
+      logWarning("accumulator registry handle unavailable on this Spark; " +
+        "write-metric scans are disarmed (callers degrade to their " +
+        "unvalidated behavior) — fix GraftAccumulatorGate.registry for " +
+        "this Spark line to re-arm harvest validation")
+      return None
+    }
     val hi = AccumulatorContext.newId()
     val out = Seq.newBuilder[Long]
     var id = watermark + 1
     while (id < hi) {
-      registry match {
-        case Some(map) =>
-          val ref = map.get(java.lang.Long.valueOf(id))
-          if (ref != null) {
-            val acc = ref.get
-            if (acc == null) {
-              logWarning(s"accumulator registry scan [${watermark + 1}, $hi) " +
-                s"abandoned: entry $id was garbage-collected before the scan " +
-                "could read it; the caller's harvest validation degrades to " +
-                "unvalidated for this one write (fail-open)")
-              return None
-            }
-            if (acc.name.contains(name)) collectLong(acc, out)
-          }
-        case None =>
-          // registry drifted: plain scan, collected entries read as
-          // absent (Spark logs its own warning per hit)
-          AccumulatorContext.get(id).filter(_.name.contains(name))
-            .foreach(collectLong(_, out))
+      val ref = map.get(java.lang.Long.valueOf(id))
+      if (ref != null) {
+        val acc = ref.get
+        if (acc == null) {
+          // the collected entry may well be a FOREIGN task-metric
+          // accumulator that could never have matched `name`, but its
+          // name died with it — abandoning is the only sound move. The
+          // running total keeps chronic GC-pressure degradation (net
+          // quietly off) distinguishable from the expected ~1/session.
+          val total = abandonedScans.incrementAndGet()
+          logWarning(s"accumulator registry scan [${watermark + 1}, $hi) " +
+            s"abandoned: entry $id was garbage-collected before the scan " +
+            "could read it; the caller's harvest validation degrades to " +
+            s"unvalidated for this one write (fail-open; $total abandoned " +
+            "scans this JVM)")
+          return None
+        }
+        if (acc.name.contains(name)) collectLong(acc, out)
       }
       id += 1
     }

@@ -147,6 +147,28 @@ class WatermarkSpec extends SparkSpec {
     props.get("cdc.last-batch.dag.s.idle") shouldBe Some("3")
   }
 
+  test("value-guarded property removal keeps a key a racer re-set") {
+    // the purge's read-then-remove race: a silent stream's first
+    // in-months batch lands a NEW mark value between the live-stream
+    // scan and the remove commit — the guard must keep that key
+    val cat = freshCatalog()
+    Watermark.ensureWatermarkTables(cat)
+    val t = cat.table(Watermark.CdcTable)
+    t.setProperties(Map(
+      "cdc.last-batch.dag.s.silent" -> "41",
+      "cdc.last-batch.dag.s.gone" -> "12"))
+    // scan-time snapshot (what purgeStaleCdcBatchProps captures) ...
+    val scanned = Map(
+      "cdc.last-batch.dag.s.silent" -> "41",
+      "cdc.last-batch.dag.s.gone" -> "12")
+    // ... then the racer commits a fresh batch mark before the remove
+    t.setProperties(Map("cdc.last-batch.dag.s.silent" -> "42"))
+    t.removePropertiesIfUnchanged(scanned)
+    val props = t.properties
+    props.get("cdc.last-batch.dag.s.silent") shouldBe Some("42") // racer wins
+    props.contains("cdc.last-batch.dag.s.gone") shouldBe false // untouched → dropped
+  }
+
   test("runCompaction records success rows and actually compacts") {
     val cat = freshCatalog()
     Watermark.ensureWatermarkTables(cat)

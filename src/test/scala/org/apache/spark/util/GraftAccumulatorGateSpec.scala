@@ -59,6 +59,34 @@ class GraftAccumulatorGateSpec extends SparkSpec {
     GraftAccumulatorGate.namedLongsSince(mark, name) shouldBe None
   }
 
+  test("an abandoned scan increments the observable abandonment counter") {
+    val registry = GraftAccumulatorGate.registry
+    assume(registry.isDefined, "reflective registry handle unavailable")
+    val name = uniqueName()
+    val before = GraftAccumulatorGate.abandonedScans.get()
+    val mark = GraftAccumulatorGate.idWatermark()
+    val doomed = spark.sparkContext.longAccumulator
+    val mine = spark.sparkContext.longAccumulator(name)
+    mine.add(5L)
+    registry.get.get(java.lang.Long.valueOf(doomed.id)).clear()
+    GraftAccumulatorGate.namedLongsSince(mark, name) shouldBe None
+    GraftAccumulatorGate.abandonedScans.get() should be > before
+  }
+
+  test("registry drift disarms the scan outright (None), never the per-id fallback") {
+    // stubbing reg = None reaches the branch a healthy Spark cannot:
+    // the pre-r20 fallback per-id scan read collected entries as
+    // absent — the undercount → false-abort shape — so drift must
+    // yield NO answer, even when the bracket holds a live named match
+    val name = uniqueName()
+    val mark = GraftAccumulatorGate.idWatermark()
+    val a = spark.sparkContext.longAccumulator(name)
+    a.add(11L)
+    GraftAccumulatorGate.namedLongsSinceWith(None, mark, name) shouldBe None
+    // same bracket, real registry: the value is there to be found
+    GraftAccumulatorGate.namedLongsSince(mark, name).map(_.toSet) shouldBe Some(Set(11L))
+  }
+
   test("the reflective registry handle resolves against this Spark") {
     // if Spark's private field ever drifts, the gate degrades (scan
     // can't see collected entries) — this makes the drift a loud red
