@@ -137,6 +137,53 @@ object CommitProbe {
     }
   }
 
+  /** Break-even measurement behind `write.stats.distributed-min-files`
+    * (`runMain graft.CommitProbe <sfDir> stats`): time the footer-stats
+    * harvest of an N-file write both driver-side (the sequential fold
+    * the unpartitioned write path uses) and as the one distributed job,
+    * across file-count decades. Local-FS footer opens are ~ms, so the
+    * local break-even UNDERSTATES the distributed win on an object
+    * store (one round-trip per driver-side open); the default threshold
+    * is set from this probe, biased high so streaming micro-commits
+    * never pay a job launch. */
+  private def statsHarvestProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.store.FooterHarvest
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType)))
+    val prunable = FooterHarvest.prunableCols(schema)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(8, 32, 64, 128, 512, 1024).foreach { n =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_cprobe_stats_$n"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+      spark.range(n * 200L)
+        .select(col("id"), concat(lit("s"), col("id") % 7).as("s"),
+          (col("id") * 1.5).as("amount"))
+        .repartition(n).write.parquet(dir)
+      val files = fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+      def bestOf3(f: => Unit): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val driver = bestOf3 {
+        files.foldLeft(FooterHarvest.EmptyPartial)((acc, f) =>
+          FooterHarvest.merge(prunable, acc,
+            FooterHarvest.filePartial(f, conf, prunable)))
+        ()
+      }
+      val dist = bestOf3 {
+        FooterHarvest.distributed(spark, files.map("" -> _), schema)
+        ()
+      }
+      println(f"PROBE stats-harvest n=$n%-5d driver $driver%7.3f s  distributed $dist%7.3f s  ratio ${driver / dist}%5.2f")
+      fs.delete(p, true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -147,6 +194,11 @@ object CommitProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.drop(1).headOption.contains("ladder")) {
       lifecycleLadder(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("stats")) {
+      statsHarvestProbe(spark)
       spark.stop()
       return
     }

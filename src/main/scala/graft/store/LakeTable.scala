@@ -534,8 +534,10 @@ class LakeTable(
     * per-entry column min/max stats harvested from the parquet FOOTERS
     * the write already produced — metadata-sized reads, no second data
     * pass. (Iceberg collects the same metrics inside its write tasks;
-    * here the driver reads the footers post-write, which is bounded by
-    * files-per-commit, not table size.) */
+    * here small commits read footers on the driver, latency-overlapped,
+    * while writes past `write.stats.distributed-min-files` harvest via
+    * one distributed job — see [[FooterHarvest]] — so a 10³–10⁴-file
+    * backfill pays zero driver-side footer opens on the commit path.) */
   private def writeData(
       df: DataFrame,
       partitionCols: Seq[String],
@@ -629,6 +631,8 @@ class LakeTable(
       listDataFilesByLeaf(new Path(abs)))
     validateHarvest(abs, reportedFiles,
       filesByLeaf.iterator.map(_._2.size.toLong).sum)
+    val distMin = statsDistMinFiles(props)
+    val totalFiles = filesByLeaf.iterator.map(_._2.size).sum
     val entries = StoreTiming.time("data.footer-stats") {
       if (partitionCols.isEmpty) {
         // an empty write (e.g. a delete that emptied its whole slice)
@@ -639,7 +643,13 @@ class LakeTable(
         // the same footers the stats harvest already opens.
         // Partitioned writes get this for free (no leaves → no
         // entries).
-        val (stats, rows) = footerStatsAndRows(filesByLeaf.flatMap(_._2), df.schema)
+        val allFiles = filesByLeaf.flatMap(_._2)
+        val (stats, rows) =
+          if (totalFiles >= distMin)
+            FooterHarvest.distributed(spark,
+                allFiles.map(f => "" -> f.getPath.toString), df.schema)
+              .getOrElse("", (Map.empty[String, (String, String)], 0L))
+          else footerStatsAndRows(allFiles, df.schema)
         if (rows == 0L) Nil
         else Seq(ManifestEntry(dir, None, stats, StampAtCommit))
       }
@@ -660,17 +670,33 @@ class LakeTable(
           logger.warn(s"write to $abs left ${fl.size} data files at " +
             s"non-leaf depth '$rel'; they are not harvested")
         }
-        // footer harvesting is metadata-sized but LATENCY-bound (one
-        // driver-side open per file): overlap the per-leaf reads
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(
-          Future.traverse(leaves.sortBy(_._1)) { case (rel, fl) =>
-            Future(ManifestEntry(dir, Some(rel),
-              footerStats(fl, df.schema), StampAtCommit))
-          },
-          Duration.Inf)
+        // at-scale writes (a backfill landing 10³–10⁴ files) harvest
+        // ALL leaves in one distributed job — zero driver-side footer
+        // opens on the commit path; the zero-IO no-prunable-column
+        // fast path applies to both shapes
+        if (totalFiles >= distMin &&
+            FooterHarvest.prunableCols(df.schema).nonEmpty) {
+          val byLeaf = FooterHarvest.distributed(spark,
+            leaves.flatMap { case (rel, fl) =>
+              fl.map(f => rel -> f.getPath.toString)
+            }, df.schema)
+          leaves.sortBy(_._1).map { case (rel, _) =>
+            ManifestEntry(dir, Some(rel),
+              byLeaf.get(rel).map(_._1).getOrElse(Map.empty), StampAtCommit)
+          }
+        } else {
+          // footer harvesting is metadata-sized but LATENCY-bound (one
+          // driver-side open per file): overlap the per-leaf reads
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(
+            Future.traverse(leaves.sortBy(_._1)) { case (rel, fl) =>
+              Future(ManifestEntry(dir, Some(rel),
+                footerStats(fl, df.schema), StampAtCommit))
+            },
+            Duration.Inf)
+        }
       }
     }
     val bloomCols0 = bloomColumnsFor(df.schema, partitionCols, props)
@@ -803,51 +829,31 @@ class LakeTable(
 
   /** [[footerStats]] plus the files' total parquet ROW count (from the
     * same footers — no extra IO): the unpartitioned write path uses the
-    * count to skip committing an entry for an all-empty write. */
+    * count to skip committing an entry for an all-empty write.
+    * Driver-local shape of [[FooterHarvest]] — callers dispatch to
+    * [[FooterHarvest.distributed]] past the file-count threshold. */
   private def footerStatsAndRows(
       files: Seq[FileStatus], schema: StructType): (Map[String, (String, String)], Long) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val prunable = schema.fields.map(f => f.name -> f.dataType).toMap
-      .filter { case (_, t) => StatsPruning.supported(t) }
+    val prunable = FooterHarvest.prunableCols(schema)
     val conf = spark.sparkContext.hadoopConfiguration
-    val acc = scala.collection.mutable.Map[String, (Any, Any)]()
-    val dropped = scala.collection.mutable.Set[String]()
-    var rows = 0L
-    files.foreach { st =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-      try {
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          rows += block.getRowCount
-          block.getColumns.asScala.foreach { chunk =>
-            val col = chunk.getPath.toDotString
-            prunable.get(col).foreach { dt =>
-              val s = chunk.getStatistics
-              if (s == null || !s.hasNonNullValue || s.isEmpty) dropped += col
-              else {
-                val (mn, mx) = (
-                  StatsPruning.fromParquet(s.genericGetMin.asInstanceOf[AnyRef], dt),
-                  StatsPruning.fromParquet(s.genericGetMax.asInstanceOf[AnyRef], dt))
-                (mn, mx) match {
-                  case (Some(lo), Some(hi)) =>
-                    val merged = acc.get(col) match {
-                      case Some((l0, h0)) =>
-                        (if (StatsPruning.lt(dt, lo, l0)) lo else l0,
-                          if (StatsPruning.lt(dt, h0, hi)) hi else h0)
-                      case None => (lo, hi)
-                    }
-                    acc(col) = merged
-                  case _ => dropped += col
-                }
-              }
-            }
-          }
-        }
-      } finally reader.close()
-    }
-    ((acc -- dropped).map { case (c, (lo, hi)) => c -> (lo.toString, hi.toString) }.toMap,
-      rows)
+    FooterHarvest.finish(files.foldLeft(FooterHarvest.EmptyPartial) { (p, st) =>
+      FooterHarvest.merge(prunable, p,
+        FooterHarvest.filePartial(st.getPath.toString, conf, prunable))
+    })
   }
+
+  /** `write.stats.distributed-min-files`: writes that land at least
+    * this many files harvest their footer stats via ONE distributed
+    * job ([[FooterHarvest.distributed]]) instead of driver-side opens;
+    * under it the driver path's latency-overlapped reads win (a Spark
+    * job's launch floor would dominate a handful of footer opens —
+    * measured by `CommitProbe <sf> stats`, numbers at
+    * [[LakeTable.DefaultStatsDistMinFiles]]). 0 forces the distributed
+    * path (spec seam); absent/unparseable = default. */
+  private def statsDistMinFiles(props: Map[String, String]): Int =
+    props.get("write.stats.distributed-min-files")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(LakeTable.DefaultStatsDistMinFiles)
 
   /** Harvest validation (see the committer-v2 comment in [[writeData]]):
     * the manifest harvest trusts a DIRECTORY LISTING of the written
@@ -1812,10 +1818,16 @@ class LakeTable(
     // same as writeData
     val files = listDataFilesByLeaf(new Path(abs))
     validateHarvest(abs, reported, files.iterator.map(_._2.size.toLong).sum)
-    ManifestEntry(dir, None,
-      footerStats(files.flatMap(_._2),
-        StructType(s.schema.fields.filter(f => keys.contains(f.name)))),
-      StampAtCommit)
+    val keySchema = StructType(s.schema.fields.filter(f => keys.contains(f.name)))
+    val delFiles = files.flatMap(_._2)
+    val stats =
+      if (delFiles.size >= statsDistMinFiles(s.properties) &&
+          FooterHarvest.prunableCols(keySchema).nonEmpty)
+        FooterHarvest.distributed(spark,
+            delFiles.map(f => "" -> f.getPath.toString), keySchema)
+          .get("").map(_._1).getOrElse(Map.empty)
+      else footerStats(delFiles, keySchema)
+    ManifestEntry(dir, None, stats, StampAtCommit)
   }
 
   /** MERGE INTO ... merge-on-read: commit the source batch as a NEW
@@ -3180,6 +3192,21 @@ object LakeTable {
     * [[LakeTable.commit]] replaces it with the commit's stamp from the
     * monotonic `lastSequenceNumber` counter. */
   private val StampAtCommit = -1L
+
+  /** Default for `write.stats.distributed-min-files` (see
+    * [[LakeTable.statsDistMinFiles]]): below it the driver's footer
+    * opens beat a Spark job's launch floor; at/above it the job wins
+    * and — the real point — keeps a 10³–10⁴-file backfill's harvest
+    * off the driver entirely (Iceberg collects the same stats in its
+    * writer tasks; the post-listing job is the Spark-native
+    * equivalent). Measured (`CommitProbe <sf> stats`, local[32],
+    * min-of-3): driver/distributed wall 0.12/0.19 s at 8 files,
+    * 0.38/0.22 at 32, 0.68/0.16 at 64, 7.75/0.76 at 1024 — local
+    * break-even ≈16 files, and local-FS opens (~ms) UNDERSTATE the
+    * distributed win on an object store where every driver-side open
+    * is a round-trip. 32 keeps streaming micro-commits (a handful of
+    * files) off the job-launch floor. */
+  private[graft] val DefaultStatsDistMinFiles = 32
 
   /** Tables at or below this many manifest entries are CANDIDATES for
     * skipping the rewrite prune dispatch (and its per-merge driver-side
