@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 import graft.core.GraftSession
 
 /** Records the steady-state wall-clock of the most expensive queries
@@ -13,10 +16,81 @@ import graft.core.GraftSession
   * an order-of-magnitude regression (r3's d10 went 5 s -> 55 s) becomes
   * a red test instead of a judge finding.
   *
+  * HOST-AWARE since r20: this machine's physical host is bimodal
+  * (adjacent identical runs have measured 2–5× apart with zero code
+  * change), which left the raw-ceiling spec red for a whole round on
+  * rotating marginal subsets — an alarm that always fires nets
+  * nothing. The file therefore also records two CALIBRATION walls
+  * ([[cpuCalibOnce]]/[[fsCalibOnce]]) measured in the recording
+  * session; the spec re-measures the SAME probes in its session and
+  * scales every ceiling by the host factor (geometric mean of the two
+  * ratios, floored at 1.0 — a quieter host never tightens below the
+  * recorded ceiling — and clamped at 8.0 with a warning). The probes
+  * are pure Spark — `range`→agg→noop and a plain parquet
+  * write/read-back — and never touch graft code, so a regression in
+  * the store/operators cannot inflate the factor and mask itself: an
+  * injected 2× commit-path slowdown moves the budgeted queries, not
+  * the calibration. On a breach the spec re-calibrates once (the host
+  * can change phase mid-suite) and retries with a third run before
+  * declaring the query over budget.
+  *
   * `runMain graft.PerfBudget [sfDir] [iters]` — re-run after a
   * deliberate perf change to re-baseline, and commit the file.
   */
 object PerfBudget {
+
+  /** Host factor bounds: never tighten below the recorded ceilings,
+    * never scale past 8× (observed host swings are 2–5×; a factor at
+    * the clamp means the reading itself is suspect). */
+  val FactorFloor = 1.0
+  val FactorCeiling = 8.0
+
+  private def timeSec(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** CPU/shuffle calibration: a fixed range→hash-agg→noop pipeline
+    * (whole-stage codegen, one shuffle). Graft-free by construction. */
+  def cpuCalibOnce(spark: SparkSession): Double = timeSec {
+    spark.range(4000000L)
+      .groupBy((col("id") % 1000).as("k"))
+      .agg(sum(col("id") * 2 + 1).as("s"), avg(col("id")).as("a"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Task-launch/FS calibration: four small sequential parquet writes
+    * plus a read-back — the per-job floor + commit-protocol + file-IO
+    * shape the store-lifecycle budgets are bound by. Graft-free. */
+  def fsCalibOnce(spark: SparkSession): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib_")
+    try timeSec {
+      (0 until 4).foreach { i =>
+        spark.range(50000L).select(col("id"), (col("id") % 97).as("k"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$dir/w$i")
+      }
+      spark.read.parquet(s"$dir/w0", s"$dir/w1", s"$dir/w2", s"$dir/w3")
+        .write.format("noop").mode("overwrite").save()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Min-of-3 of each probe — one reading can eat a GC pause. */
+  def calibrate(spark: SparkSession): (Double, Double) =
+    ((1 to 3).map(_ => cpuCalibOnce(spark)).min,
+      (1 to 3).map(_ => fsCalibOnce(spark)).min)
+
+  /** Session-now vs recorded calibration → budget multiplier. */
+  def hostFactor(cpuNow: Double, fsNow: Double,
+      cpuRec: Double, fsRec: Double): Double = {
+    val raw = math.sqrt((cpuNow / cpuRec) * (fsNow / fsRec))
+    math.min(FactorCeiling, math.max(FactorFloor, raw))
+  }
 
   /** The most expensive queries of the round-6 bench, plus the round-9
     * additions whose lifecycles are store/state heavy, plus every
@@ -69,8 +143,10 @@ object PerfBudget {
       .builder(appName = "graft-perf-budget", master = "local[4]", shufflePartitions = 4)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
+    spark.range(1000).groupBy((col("id") % 10).as("k"))
       .count().write.format("noop").mode("overwrite").save()
+    val (cpuRec, fsRec) = calibrate(spark)
+    println(f"CALIBRATION cpu=$cpuRec%.3fs fs=$fsRec%.3fs (recording session)")
     val rows = TopQueries.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"'$name' is not in SparkEntry.queries — update PerfBudget.TopQueries"))
@@ -84,9 +160,10 @@ object PerfBudget {
       println(f"BUDGET $name%-28s steady=$steady%6.2fs budget=$budget%6.2fs  (${times.map(t => f"$t%.2f").mkString(" ")})")
       f"""  "$name": {"steady_sec": $steady%.3f, "budget_sec": $budget%.3f}"""
     }
-    val full = s"""{
+    val full = f"""{
   "sf": "$sfDir",
   "master": "local[4]",
+  "calibration": {"cpu_sec": $cpuRec%.3f, "fs_sec": $fsRec%.3f},
   "queries": {
 ${rows.mkString(",\n")}
   }
