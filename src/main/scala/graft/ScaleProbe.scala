@@ -546,10 +546,122 @@ object ScaleProbe {
     }
   }
 
+  /** Interleaved A/B of the e22 lifecycle at `ivf.assign.group-probes`
+    * 3 vs 4 — the harness that closed the r18 verdict's one `weak`
+    * item (the p=4 default was adopted on ladder BUILD walls while the
+    * bench head times build → append → rebalance → query). Probe width
+    * is set EXPLICITLY at build (the property pins, so append and
+    * rebalance inherit it); p values are INTERLEAVED rep by rep so a
+    * host phase shift hits both arms equally; rep 1 carries plan
+    * compile (the bench head's shape), reps 2+ are steady state.
+    * Verdict (r19, two brackets on different host phases): steady
+    * totals overlap completely, rebalance moved the same vectors at
+    * both widths — the knob is exonerated, host phase + first-run plan
+    * compile explain the bench residual.
+    * `runMain graft.ScaleProbe <sfDir> e22bracket [reps]`. */
+  private def e22Bracket(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    import graft.operators.IvfIndex
+    val emb = SparkEntry.table(spark, sfDir, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+
+    def lifecycle(p: Int, rep: Int): Map[String, Double] = {
+      val tag = s"e22brkt_p${p}_r$rep"
+      val wh = s"${sys.props("java.io.tmpdir")}/graft_warehouse_$tag"
+      val cat = freshCatalog(spark, wh)
+      cat.createDatabase("lake")
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tb) = timed(IvfIndex.build(cat, "lake", "annrb",
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 400), groupProbes = p))
+      val (_, ta) = timed(IvfIndex.append(cat, "lake", "annrb",
+        emb.filter(col("vec_id") >= 400)))
+      val (moved, tr) = timed(IvfIndex.rebalance(cat, "lake", "annrb"))
+      val (n, tq) = timed(IvfIndex
+        .query(cat, "lake", "annrb", emb.filter(col("vec_id") < 5), k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+        .write.format("noop").mode("overwrite").save())
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true)
+      val _ = n
+      Map("build" -> tb, "append" -> ta, "rebalance" -> tr, "query" -> tq,
+        "total" -> (tb + ta + tr + tq), "moved" -> moved.toDouble)
+    }
+
+    def r2(d: Double) = math.rint(d * 100) / 100
+    val rows = for (rep <- 1 to reps; p <- Seq(3, 4)) yield {
+      val m = lifecycle(p, rep)
+      println(s"""{"probe":"e22-bracket","rep":$rep,"p":$p,""" +
+        s""""build":${r2(m("build"))},"append":${r2(m("append"))},""" +
+        s""""rebalance":${r2(m("rebalance"))},"query":${r2(m("query"))},""" +
+        s""""total":${r2(m("total"))},"moved":${m("moved").toLong}}""")
+      (p, rep, m)
+    }
+    val steady = rows.filter(_._2 > 1)
+    def med(xs: Seq[Double]) = {
+      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    Seq(3, 4).foreach { p =>
+      val t = steady.collect { case (`p`, _, m) => m("total") }
+      val a = steady.collect { case (`p`, _, m) => m("rebalance") + m("append") }
+      println(s"""{"probe":"e22-bracket-summary","p":$p,""" +
+        s""""steady_total_med":${r2(med(t))},"steady_assign_med":${r2(med(a))}}""")
+    }
+  }
+
+  /** Phase-attributed IVF BUILD wall at ladder scale (the ladder only
+    * phase-instruments the append): `mult` perturbed replicas,
+    * nlist scaled as in the ladder, cells table partitioned by cell
+    * with bloom sidecars. Used to adjudicate ladder build-wall
+    * outliers — r19's 170 s x100 reading decomposed to 16.9 s
+    * standalone (14.7 s parquet-write, 0.08 s post-write listing),
+    * i.e. host/context, not code.
+    * `runMain graft.ScaleProbe <sfDir> ivfbuild [mult]`. */
+  private def ivfBuildProbe(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import graft.operators.IvfIndex
+    import graft.store.StoreTiming
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def replica(i: Int): DataFrame = base.select(
+      (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+      (if (i == 0) col("embedding")
+       else transform(col("embedding"),
+         (x, d) => x + when(d === 0, lit(i * 1e-3f)).otherwise(lit(0f)))).as("embedding"),
+      (col("label") + lit(i * 10000)).as("label"))
+    val corpus = (0 until mult).map(replica).reduce(_ unionByName _)
+      .repartition(par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus rows: ${corpus.count()}")
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_probe_ivfbuild_$mult"
+    val cat = freshCatalog(spark, wh)
+    cat.createDatabase("probe")
+    StoreTiming.enable()
+    StoreTiming.reset()
+    val t0 = System.nanoTime()
+    IvfIndex.build(cat, "probe", "ann", corpus)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"PROBE ivf_build x$mult wall $wall%.2f s")
+    StoreTiming.report().foreach { case (p, n, sec) =>
+      println(f"  PHASE $p%-28s calls=$n%-4d total=$sec%8.2f s")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder(appName = "graft-scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.drop(1).headOption.contains("e22bracket")) {
+      e22Bracket(spark, sfDir, args.drop(2).headOption.map(_.toInt).getOrElse(3))
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("ivfbuild")) {
+      ivfBuildProbe(spark, sfDir, args.drop(2).headOption.map(_.toInt).getOrElse(100))
+      spark.stop()
+      return
+    }
     if (args.drop(1).headOption.contains("flagship")) {
       flagshipLadder(spark, sfDir)
       spark.stop()
