@@ -431,21 +431,38 @@ object LlmQueries {
       .withColumn("lang_pred", langIdFromTokens(col("text"), col("__toks")))
       .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
     val clean = Dedup.decontaminate(surv, flagged)
+    // every downstream stage (cap, packing, the result projection)
+    // needs only (doc_id, source, quality, token count) — stage that
+    // COMPACT frame once and persist it, because it has four consumers
+    // (top-k agg, semi-join probe, the two packSequences phases) and
+    // Catalyst re-plans the whole dedup+score+decontaminate pipeline
+    // per consumer (r21: the d35 plan carried 24 parquet scans of the
+    // corpus; with the cache it's one full pass + cache reads). Token
+    // counts reuse the __toks column the quality gate already
+    // materialized — no second regex pass over the text.
+    val cleanIds = clean
+      .select(col("doc_id"), col("source"), col("quality"),
+        size(col("__toks")).cast("long").as("__ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-source cap via the bounded top-k aggregate (map-side k-heaps,
     // no source-partitioned window — a mega-source can't serialize one
     // task); the winner set is sources×15 rows → broadcast semi join
-    val topIds = clean
+    val topIds = cleanIds
       .groupBy("source")
       .agg(graft.functions.VectorFunctions
         .topKByScore(col("quality"), col("doc_id"), 15).as("__top"))
       .select(explode(col("__top.id")).as("doc_id"))
-    val capped = clean.join(broadcast(topIds), Seq("doc_id"), "left_semi")
-    Curation.packSequences(capped.select("doc_id", "text"),
-        budget = 256, shardWidth = 16)
-      .join(capped.select("doc_id", "source", "quality"), Seq("doc_id"))
+    val capped = cleanIds.join(broadcast(topIds), Seq("doc_id"), "left_semi")
+    val packed = Curation.packSequences(capped,
+        budget = 256, shardWidth = 16,
+        nTokensCol = Some("__ntok"), carryCols = Seq("source", "quality"))
       .select("doc_id", "source", "quality", "n_tokens", "tok_offset",
         "first_seq")
-      .orderBy("doc_id")
+    // eager materialize (the result is manifest-sized), then release
+    // the staged cache — same lifecycle the Dedup operators use
+    val out = packed.localCheckpoint(true)
+    cleanIds.unpersist(false)
+    out.orderBy("doc_id")
   }
 
   private def d34(s: SparkSession, dir: String): DataFrame =

@@ -220,19 +220,23 @@ object Curation {
     * over the 4dp-ROUNDED score (ties broken by term) so the ordering is
     * reproducible by an engine whose `ln` differs in the last ulp.
     *
-    * Scale shape: explode → two key-shuffled aggs (term counts per doc,
-    * document frequency per term) → score join keyed by term → one
-    * per-doc window. The corpus size N is a 1-row agg broadcast into the
-    * projection. The df table is term-cardinality-sized; the tf table is
-    * the exploded corpus — both shuffles are on compact keys, text never
-    * moves after the explode. */
+    * Scale shape: explode → one key-shuffled agg (term counts per doc),
+    * then df as a COUNT WINDOW over term on that same tf frame — the
+    * tf subtree (tokenize + explode + agg) is computed ONCE and shuffled
+    * by term, where the old `tf ⋈ (tf groupBy term)` self-join planned
+    * the whole tokenize/explode/agg subtree TWICE (no exchange reuse
+    * between the differently-keyed aggregates; r21 StageProbe: the two
+    * duplicated stages were ~85% of the query's task time) plus a
+    * term-keyed join exchange. df per term ≡ count of tf rows with that
+    * term, identical to the old aggregate. The corpus size N is a 1-row
+    * agg broadcast into the projection. Both shuffles are on compact
+    * keys, text never moves after the explode. */
   def topTfidfTermPerDoc(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    tf.join(dfq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(
         col("tf").cast("double") *
@@ -259,11 +263,23 @@ object Curation {
       docs: DataFrame,
       budget: Int,
       shardWidth: Long,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      nTokensCol: Option[String] = None,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // `nTokensCol`: a PRE-COMPUTED token count — composed pipelines
+    // (d35) already tokenized every surviving doc for the quality gate,
+    // so re-running the regex split here would be a second full pass
+    // over the corpus text. `carryCols`: payload columns riding the
+    // shard windows unchanged, so a composed caller doesn't need a
+    // post-pack join back to the corpus (the join's other side would
+    // re-plan the whole upstream pipeline — Catalyst has no common
+    // subtree reuse across differently-projected consumers).
+    val nTok = nTokensCol.map(c => col(c).cast("long"))
+      .getOrElse(size(tokens(col(textCol))).cast("long"))
     val counted = docs
-      .withColumn("__toks", tokens(col(textCol)))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        floor(col("doc_id").cast("double") / shardWidth).cast("long").as("__shard"))
+      .select(col("doc_id") +: nTok.as("n_tokens") +:
+        floor(col("doc_id").cast("double") / shardWidth).cast("long").as("__shard") +:
+        carryCols.map(col): _*)
     val inShard = Window.partitionBy("__shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = counted
@@ -281,9 +297,10 @@ object Curation {
       .withColumn("last_seq",
         floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
           .cast("double") / budget).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
-        col("first_seq"), col("last_seq"),
-        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+      .select(col("doc_id") +: col("n_tokens") +: col("tok_offset") +:
+        col("first_seq") +: col("last_seq") +:
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs") +:
+        carryCols.map(col): _*)
   }
 
   /** Global rank of `freq` rows by (`countCol` DESC, `termCol` ASC) —
