@@ -86,6 +86,30 @@ object Bench {
       .count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop")
       .mode("overwrite").save()
+    // SELF-ADJUDICATION: run the graft-free calibration walls (the
+    // PerfBudget probes) at bench start and end and emit them with the
+    // results — a 4× host storm then prints its own factor in the
+    // artifact instead of costing extra full runs to diagnose (the r20
+    // driver bench read 1258 s vs 289 s same-code; four runs were spent
+    // proving it was host phase). Runs under its own job group so the
+    // ~2×4 s of probe work never pollutes a query's attributed metrics
+    // and is excluded from the reported total.
+    spark.sparkContext.setJobGroup("_calib", "_calib")
+    val (cpuCalib0, fsCalib0) = PerfBudget.calibrate(spark)
+    spark.sparkContext.clearJobGroup()
+    val recordedCalib: Option[(Double, Double)] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."),
+            "PERF_BUDGET.json")), java.nio.charset.StandardCharsets.UTF_8)
+        val num = """"cpu_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        val fs = """"fs_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        for (c <- num; f <- fs) yield (c, f)
+      } catch { case _: Throwable => None }
+    val abandoned0 =
+      org.apache.spark.util.GraftAccumulatorGate.abandonedScans.get()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name)
@@ -99,6 +123,11 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    spark.sparkContext.setJobGroup("_calib", "_calib")
+    val (cpuCalib1, fsCalib1) = PerfBudget.calibrate(spark)
+    spark.sparkContext.clearJobGroup()
+    val abandonedDelta =
+      org.apache.spark.util.GraftAccumulatorGate.abandonedScans.get() - abandoned0
     def js(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -108,8 +137,21 @@ object Bench {
     val qs = results.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // host factor vs the RECORDED calibration (PERF_BUDGET.json), when
+    // present: >~2 says the run sat on a slow host phase — the artifact
+    // adjudicates its own total
+    val calibJson = {
+      val rec = recordedCalib.map { case (c, f) =>
+        s""","cpu_recorded":${r3(c)},"fs_recorded":${r3(f)}""" +
+          s""","host_factor_start":${r3(PerfBudget.hostFactor(cpuCalib0, fsCalib0, c, f))}""" +
+          s""","host_factor_end":${r3(PerfBudget.hostFactor(cpuCalib1, fsCalib1, c, f))}"""
+      }.getOrElse("")
+      s"""{"cpu_start":${r3(cpuCalib0)},"fs_start":${r3(fsCalib0)},""" +
+        s""""cpu_end":${r3(cpuCalib1)},"fs_end":${r3(fsCalib1)}$rec,""" +
+        s""""abandoned_scans":$abandonedDelta}"""
+    }
     val summaryJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$calibJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     // Per-query timings go to a file and an EARLY stdout line; the driver
     // keeps only a ~2 KB tail of stdout and parses the LAST line as JSON,
     // so the final line must be a compact summary (r04's 4.8 KB full line
@@ -149,7 +191,7 @@ object Bench {
           s""""n_skewed_stages":${rep.skewedStages.size},"top_skewed_stages":$skews}"""
       } catch { case e: Throwable => js(s"analyze failed: ${e.getMessage}") }
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"analyzer":$analyzerJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"calibration":$calibJson,"analyzer":$analyzerJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "bench_detail.json").toAbsolutePath
     val detailWritten =
@@ -166,6 +208,6 @@ object Bench {
     // advertise the detail file only when it actually landed
     val detail = if (detailWritten) s""","detail":${js(detailPath.toString)}""" else ""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"calibration":$calibJson,"sf":"$sfDir"$detail}""")
   }
 }

@@ -200,20 +200,28 @@ object Curation {
     * filter both tails). A real pipeline swaps the unigram table for a
     * trained LM; the plan shape is identical.
     *
-    * Scale shape: explode → one agg for the term table → join tokens to
-    * term frequencies (shuffle on compact term keys) → per-doc agg. The
-    * corpus token total is a 1-row broadcast. */
+    * Scale shape: the exploded token frame is STAGED (persisted) once —
+    * it has two consumers (the corpus-total agg and the scoring pass),
+    * and without the stage each one re-runs the full tokenize+explode
+    * over the corpus text (Catalyst plans common subtrees per consumer).
+    * Term frequency is a COUNT WINDOW over term on the staged frame —
+    * same value as the old `toks ⋈ (toks groupBy term)` self-join
+    * (count of token occurrences per term) without planning the explode
+    * subtree a third time or paying the join's second term exchange.
+    * The corpus token total is a 1-row broadcast. */
   def unigramLogLoss(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.agg(count(lit(1)).as("__t_total"))
-    toks
-      .join(freq, Seq("term"))
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(round(
-        (lit(-1.0) * sum(log(col("ctf").cast("double") / col("__t_total").cast("double"))))
-          / count(lit(1)).cast("double"), 4).as("nll"))
+    Dedup.releasing(
+      toks
+        .withColumn("ctf", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(
+          (lit(-1.0) * sum(log(col("ctf").cast("double") / col("__t_total").cast("double"))))
+            / count(lit(1)).cast("double"), 4).as("nll")),
+      toks)
   }
 
   /** Top TF-IDF term per document: `tf × ln(N / df)` with the rank taken
@@ -467,11 +475,17 @@ object Curation {
     * unigram loss (catches scrambled word salads that unigram stats
     * rate as fluent).
     *
-    * Scale shape: one explode for unigram counts, one map-side bigram
-    * expansion over the staged token array; both count aggs shuffle
-    * compact word keys. The probability join is keyed by bigram/word;
-    * the corpus total is a broadcast 1-row agg. All probabilities are
-    * integer-count ratios (IEEE-deterministic); the final mean is
+    * Scale shape: the tokenized corpus is STAGED (persisted) once and
+    * feeds both the unigram explode and the bigram expansion — without
+    * the stage each consumer re-runs the regex tokenize over the corpus
+    * text (the r21 plan tokenized 4×/expanded bigrams 2×). The bigram
+    * count is a COUNT WINDOW over (w1,w2) on the expansion — same value
+    * as the old `pairs ⋈ (pairs groupBy w1,w2)` self-join without the
+    * second expansion pass or the join exchange. The corpus total is
+    * derived as sum(cw) over the unigram table (identical to counting
+    * all tokens) so no extra corpus pass remains. Both count aggs and
+    * the probability joins shuffle compact word keys. All probabilities
+    * are integer-count ratios (IEEE-deterministic); the final mean is
     * rounded to 4dp (the d24 precedent the oracle reproduces). */
   def bigramLogLoss(
       docs: DataFrame,
@@ -480,28 +494,30 @@ object Curation {
     val staged = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col("doc_id"), col("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = staged.select(col("doc_id"), explode(col("__toks")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
-    val total = toks.agg(count(lit(1)).as("__t_total"))
+    val total = uni.agg(sum(col("cw")).as("__t_total"))
     val pairs = staged
       .filter(size(col("__toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(__toks) - 2), " +
           "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    pairs
-      .join(big, Seq("w1", "w2"))
-      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(round(
-        (lit(-1.0) * sum(log(
-          lit(lambda) * col("cb").cast("double") / col("c1").cast("double")
-            + lit(1.0 - lambda) * col("c2").cast("double")
-            / col("__t_total").cast("double"))))
-          / count(lit(1)).cast("double"), 4).as("nll"))
+    Dedup.releasing(
+      pairs
+        .withColumn("cb", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(
+          (lit(-1.0) * sum(log(
+            lit(lambda) * col("cb").cast("double") / col("c1").cast("double")
+              + lit(1.0 - lambda) * col("c2").cast("double")
+              / col("__t_total").cast("double"))))
+            / count(lit(1)).cast("double"), 4).as("nll")),
+      staged)
   }
 
   /** RAG-style chunking: fixed-size token windows with overlap. A

@@ -111,6 +111,20 @@ object Dedup {
       knownFps: DataFrame,
       textCol: String = "text",
       fpp: Double = 0.01): DataFrame = {
+    val (out, staged) = bloomIncrementalDedupPlan(incoming, knownFps, textCol, fpp)
+    if (staged.isEmpty) out else releasing(out, staged: _*)
+  }
+
+  /** The LAZY pipeline behind [[bloomIncrementalDedup]] plus the staged
+    * frames the caller must release after consuming it — exposed
+    * private[graft] so plan-shape specs can inspect the probe/anti-join
+    * layout (the public method materializes eagerly, which truncates
+    * the observable plan to the checkpointed result). */
+  private[graft] def bloomIncrementalDedupPlan(
+      incoming: DataFrame,
+      knownFps: DataFrame,
+      textCol: String = "text",
+      fpp: Double = 0.01): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.BloomMightContain
     def fpLong(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -124,22 +138,28 @@ object Dedup {
       // the persist cycle are pure overhead — the plain incremental path
       // is the same plan minus both extra jobs.
       val nHist = histKeys.count()
-      if (nHist == 0L) incrementalDedup(incoming, knownFps, textCol)
+      if (nHist == 0L) (incrementalDedup(incoming, knownFps, textCol), Nil)
       else {
         val bytes =
           BloomMightContain.buildFilterBytes(histKeys, "fpl", nHist, fpp)
+        // staged once: the definitely-new and might-dup branches both
+        // consume it, and unpersisted each branch re-runs the full
+        // normalize+md5 pass over the incoming text (Catalyst plans
+        // common subtrees per consumer)
         val staged = incoming
           .withColumn("fp", md5(normalizeAggressive(col(textCol))))
           .withColumn("__might",
             BloomMightContain.mightContain(fpLong(col("fp")), bytes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val defNew = staged.filter(!col("__might"))
         val confirmedNew = staged.filter(col("__might"))
           .join(knownFps.select("fp"), Seq("fp"), "left_anti")
         val w = Window.partitionBy("fp").orderBy(col("doc_id"))
-        defNew.unionByName(confirmedNew)
+        (defNew.unionByName(confirmedNew)
           .withColumn("__row", row_number().over(w))
           .filter(col("__row") === 1)
-          .drop("__row", "__might", "fp")
+          .drop("__row", "__might", "fp"),
+          Seq(staged))
       }
     } finally { histKeys.unpersist(false); () }
   }

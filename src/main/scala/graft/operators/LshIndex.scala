@@ -102,9 +102,18 @@ object LshIndex {
     // sidecar-build job (filters nothing would read — measured ~0.3 s
     // of pure insurance per micro-batch append at bench scale); past
     // it, both sides activate together.
+    // Every commit to these tables is a wide SHUFFLED frame of small
+    // rows (band keys / token sets land from shuffle.partitions
+    // reducers), so an undistributed write leaves one tiny file per
+    // reducer per append — at cluster partition counts that is 10³
+    // small files per micro-batch. The rebalance write mode sizes
+    // output files by AQE's advisory target at any scale (r21: it also
+    // keeps a local micro-append at 1 file instead of 32, under the
+    // distributed footer-harvest threshold).
     val bloomProps = Map(
       "write.bloom.expected-items" -> "20000",
       "write.bloom.min-table-bytes" -> pruneMinBytes.toString,
+      "write.distribution-mode" -> "rebalance",
       ProbePruneMinBytesProp -> pruneMinBytes.toString)
     cat.table(s"$db.${name}_toks").createOrReplace(toks,
       tableProperties = bloomProps +

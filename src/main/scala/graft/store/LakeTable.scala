@@ -554,8 +554,22 @@ class LakeTable(
     // repartition would serialize a huge single-partition batch through
     // one task) — files-per-commit tracks LEAVES (+ skew splits), not
     // tasks × leaves.
-    val distributed = if (partitionCols.isEmpty) df
-      else df.hint("rebalance", partitionCols.map(col): _*)
+    // UNPARTITIONED tables opt into a keyless REBALANCE with
+    // `write.distribution-mode=rebalance`: a batch arriving from a
+    // shuffle lands one file PER REDUCER otherwise (shuffle.partitions
+    // tiny files per commit — at cluster partition counts that is 10³
+    // small files per micro-batch append), while the AQE rebalance
+    // sizes output files by advisoryPartitionSizeInBytes at any scale.
+    // Not the default: a large already-well-partitioned batch would pay
+    // a full extra shuffle for nothing (Iceberg's unpartitioned default
+    // is distribution-mode=none for the same reason). The index tables
+    // (LSH bands/toks), whose every commit is a wide shuffled frame of
+    // small rows, set it at create time.
+    val distributed =
+      if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols.map(col): _*)
+      else if (props.get("write.distribution-mode").contains("rebalance"))
+        df.hint("rebalance")
+      else df
     // write.sort-order (Iceberg's table sort order, applied AT INGEST):
     // cluster + locally sort every write so data files carry tight,
     // near-disjoint column ranges from the first commit — parquet

@@ -69,6 +69,11 @@ object IndexedDocStreams {
     try {
       LshIndex.querySketched(cat, db, name, banded, toks, threshold)
         .withColumn("batch_id", lit(batchId))
+        // rebalance into the batch_id leaf: the pair result arrives from
+        // shuffle.partitions reducers and would land that many tiny
+        // files per batch; AQE sizes the leaf's files by the advisory
+        // target
+        .hint("rebalance", col("batch_id"))
         .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

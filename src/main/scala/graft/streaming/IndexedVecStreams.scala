@@ -48,6 +48,10 @@ object IndexedVecStreams {
       return // fully applied: the output partition predates the append
     IvfIndex.query(cat, db, name, batch, k, nprobe)
       .withColumn("batch_id", lit(batchId))
+      // rebalance into the batch_id leaf: the probe result arrives from
+      // shuffle.partitions reducers and would land that many tiny files
+      // per batch; AQE sizes the leaf's files by the advisory target
+      .hint("rebalance", col("batch_id"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

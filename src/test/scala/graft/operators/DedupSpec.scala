@@ -68,8 +68,12 @@ class DedupSpec extends SparkSpec {
       .write.parquet(s"$tmp/d")
     val d = spark.read.parquet(s"$tmp/d")
     val hist = Dedup.fingerprints(d.filter(col("doc_id") === 1L))
-    val plan = Dedup.bloomIncrementalDedup(d.filter(col("doc_id") =!= 1L), hist)
-      .queryExecution.optimizedPlan.toString
+    // inspect the LAZY pipeline: the public method materializes eagerly
+    // (to release its staged cache), which truncates the visible plan
+    val (lazyOut, stagedFrames) =
+      Dedup.bloomIncrementalDedupPlan(d.filter(col("doc_id") =!= 1L), hist)
+    val plan = lazyOut.queryExecution.optimizedPlan.toString
+    stagedFrames.foreach(_.unpersist(false))
     plan should include("graft_bloom_might_contain")
     // the might-dup branch probes BELOW the anti-join (its child in the
     // printed tree), so only sketch-positive rows reach the join
