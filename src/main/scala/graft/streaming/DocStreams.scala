@@ -87,7 +87,15 @@ object DocStreams {
         array_distinct(col("__toks")).as("toks"))
 
     if (!docs.isStreaming) {
-      val b = staged.withColumn("band", explode(col("band_keys")))
+      // the sketch pipeline (tokenize + shingle md5 + minhash + bands)
+      // has FIVE consumers below (bucket-count, both band-join sides,
+      // both verify joins) — stage it once; uncached each consumer
+      // re-plans the whole pipeline over the corpus text. Eagerly
+      // materialize the compact result, then release (the Dedup
+      // operators' lifecycle).
+      val cached = staged
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = cached.withColumn("band", explode(col("band_keys")))
         .select("band", "doc_id", "ts", "toks")
       val keep = b.groupBy("band").count()
         .filter(col("count") <= maxBucket).select("band")
@@ -99,8 +107,8 @@ object DocStreams {
           (col("ts_b") === col("ts_a") && col("doc_b") < col("doc_a")))
         .filter(col("ts_a").cast("double") - col("ts_b").cast("double") <= horizonSec)
         .groupBy("doc_a", "doc_b").agg(first("ts_a").as("ts_a"))
-      val docToks = staged.select(col("doc_id"), col("toks"))
-      return idPairs
+      val docToks = cached.select(col("doc_id"), col("toks"))
+      val out = idPairs
         .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
         .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
         .withColumn("jaccard",
@@ -109,6 +117,9 @@ object DocStreams {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 4).as("jaccard"), col("ts_a"))
+        .localCheckpoint(true)
+      cached.unpersist(false)
+      return out
     }
 
     val spark = docs.sparkSession
