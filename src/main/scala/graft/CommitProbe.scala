@@ -138,15 +138,23 @@ object CommitProbe {
   }
 
   /** Break-even measurement behind `write.stats.distributed-min-files`
-    * (`runMain graft.CommitProbe <sfDir> stats`): time the footer-stats
-    * harvest of an N-file write both driver-side (the sequential fold
-    * the unpartitioned write path uses) and as the one distributed job,
-    * across file-count decades. Local-FS footer opens are ~ms, so the
-    * local break-even UNDERSTATES the distributed win on an object
-    * store (one round-trip per driver-side open); the default threshold
-    * is set from this probe, biased high so streaming micro-commits
-    * never pay a job launch. */
-  private def statsHarvestProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * (`runMain graft.CommitProbe <sfDir> stats [latencyMs]`): time the
+    * footer-stats harvest of an N-file write both driver-side (the
+    * sequential fold the unpartitioned write path uses) and as the one
+    * distributed job, across file-count decades. Local-FS footer opens
+    * are ~ms, so the local break-even UNDERSTATES the distributed win
+    * on an object store (one round-trip per driver-side open); the
+    * default threshold is set from this probe, biased high so
+    * streaming micro-commits never pay a job launch.
+    *
+    * The optional `latencyMs` injects a measured sleep per footer open
+    * — IN THE PROBE ONLY, production paths untouched — to model the
+    * object-store round-trip (10–50 ms is a realistic S3 GET range):
+    * the driver fold pays it N times sequentially, the distributed job
+    * pays it once per file but overlapped across tasks, so the probe
+    * shows where the crossover lands when opens are no longer ~ms. */
+  private def statsHarvestProbe(
+      spark: org.apache.spark.sql.SparkSession, latencyMs: Long): Unit = {
     import graft.store.FooterHarvest
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
@@ -170,16 +178,42 @@ object CommitProbe {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
       val driver = bestOf3 {
-        files.foldLeft(FooterHarvest.EmptyPartial)((acc, f) =>
+        files.foldLeft(FooterHarvest.EmptyPartial) { (acc, f) =>
+          if (latencyMs > 0) Thread.sleep(latencyMs)
           FooterHarvest.merge(prunable, acc,
-            FooterHarvest.filePartial(f, conf, prunable)))
+            FooterHarvest.filePartial(f, conf, prunable))
+        }
         ()
       }
       val dist = bestOf3 {
-        FooterHarvest.distributed(spark, files.map("" -> _), schema)
+        if (latencyMs == 0) {
+          FooterHarvest.distributed(spark, files.map("" -> _), schema)
+        } else {
+          // probe-local replica of FooterHarvest.distributed's job shape
+          // (same slicing) with the per-open sleep inside the task — the
+          // production method has no injection seam on purpose
+          val bc = spark.sparkContext.broadcast(
+            new graft.store.FooterHarvest.SerializableConf(conf))
+          val slices = math.max(1, math.min(files.size,
+            math.max(spark.sparkContext.defaultParallelism, files.size / 8)))
+          spark.sparkContext.parallelize(files, slices)
+            .mapPartitions { it =>
+              val c = bc.value.value
+              var acc = FooterHarvest.EmptyPartial
+              it.foreach { f =>
+                Thread.sleep(latencyMs)
+                acc = FooterHarvest.merge(prunable, acc,
+                  FooterHarvest.filePartial(f, c, prunable))
+              }
+              Iterator.single(acc)
+            }
+            .collect()
+            .reduce(FooterHarvest.merge(prunable, _, _))
+          bc.destroy()
+        }
         ()
       }
-      println(f"PROBE stats-harvest n=$n%-5d driver $driver%7.3f s  distributed $dist%7.3f s  ratio ${driver / dist}%5.2f")
+      println(f"PROBE stats-harvest n=$n%-5d lat=${latencyMs}ms driver $driver%7.3f s  distributed $dist%7.3f s  ratio ${driver / dist}%5.2f")
       fs.delete(p, true)
     }
   }
@@ -198,7 +232,8 @@ object CommitProbe {
       return
     }
     if (args.drop(1).headOption.contains("stats")) {
-      statsHarvestProbe(spark)
+      val latencyMs = args.drop(2).headOption.map(_.toLong).getOrElse(0L)
+      statsHarvestProbe(spark, latencyMs)
       spark.stop()
       return
     }

@@ -23,7 +23,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * enforcement compares like with like via the factor. Sensitivity was
   * sanity-checked by injecting a deliberate commit-path slowdown —
   * the budgeted store queries breached while the calibration (and so
-  * the factor) stayed flat. */
+  * the factor) stayed flat.
+  *
+  * r21: the factor is PER-QUERY-AFFINITY (see [[PerfBudget]] — the r20
+  * geomean under-scaled fs-skewed storms for commit-bound queries);
+  * fs-tagged budgets scale by max(cpuRatio, fsRatio), the rest by the
+  * geomean. A factor above 3x raises a ScalaTest alert (ADVICE r20:
+  * chronic inflation must be visible). */
 class PerfBudgetSpec extends SparkSpec {
 
   test("no budgeted query exceeds its host-scaled steady-state ceiling") {
@@ -39,10 +45,13 @@ class PerfBudgetSpec extends SparkSpec {
     val fsRec = root.get("calibration").get("fs_sec").asDouble()
     val budgets = {
       val it = root.get("queries").properties().iterator()
-      val b = Seq.newBuilder[(String, Double)]
+      val b = Seq.newBuilder[(String, Double, String)]
       while (it.hasNext) {
         val e = it.next()
-        b += e.getKey -> e.getValue.get("budget_sec").asDouble()
+        // affinity rides the JSON (recorded at baseline time); an older
+        // file without it falls back to the r20 geomean behavior
+        val aff = if (e.getValue.has("affinity")) e.getValue.get("affinity").asText() else "geo"
+        b += ((e.getKey, e.getValue.get("budget_sec").asDouble(), aff))
       }
       b.result()
     }
@@ -51,15 +60,29 @@ class PerfBudgetSpec extends SparkSpec {
     // session bring-up (same as Bench/PerfBudget)
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 10).as("k"))
       .count().write.format("noop").mode("overwrite").save()
-    def factorNow(): Double = {
+    // the session's wall readings, kept monotonic (never letting a
+    // briefly-quiet mid-suite probe tighten ceilings on later queries)
+    var cpuNow = 0.0
+    var fsNow = 0.0
+    def recalibrate(): Unit = {
       val (cpu, fs) = PerfBudget.calibrate(spark)
-      val f = PerfBudget.hostFactor(cpu, fs, cpuRec, fsRec)
-      info(f"host factor $f%.2f (cpu $cpu%.3fs vs recorded $cpuRec%.3fs, " +
-        f"fs $fs%.3fs vs recorded $fsRec%.3fs)")
-      f
+      cpuNow = math.max(cpuNow, cpu)
+      fsNow = math.max(fsNow, fs)
+      val geo = PerfBudget.hostFactorFor("geo", cpuNow, fsNow, cpuRec, fsRec)
+      val fsF = PerfBudget.hostFactorFor("fs", cpuNow, fsNow, cpuRec, fsRec)
+      info(f"host factor geo=$geo%.2f fs=$fsF%.2f (cpu $cpuNow%.3fs vs recorded $cpuRec%.3fs, " +
+        f"fs $fsNow%.3fs vs recorded $fsRec%.3fs)")
+      // ADVICE r20: a chronically inflated factor should be visible,
+      // not silent — it loosens every later ceiling (monotonic, cap 8x)
+      if (fsF > 3.0)
+        alert(f"host factor $fsF%.2f exceeds 3x — ceilings are heavily host-scaled this run; " +
+          "if this repeats across quiet runs, suspect a session-level conf regression " +
+          "(the calibration-probe blind spot documented in PerfBudget)")
     }
-    var factor = factorNow()
-    val over = budgets.flatMap { case (name, budget) =>
+    def factorFor(aff: String): Double =
+      PerfBudget.hostFactorFor(aff, cpuNow, fsNow, cpuRec, fsRec)
+    recalibrate()
+    val over = budgets.flatMap { case (name, budget, aff) =>
       val fn = SparkEntry.queries.getOrElse(name, fail(
         s"stale budget entry '$name' (no such query) — re-run graft.PerfBudget"))
       def run(): Double = {
@@ -68,16 +91,16 @@ class PerfBudgetSpec extends SparkSpec {
         (System.nanoTime() - t0) / 1e9
       }
       var best = (1 to 2).map(_ => run()).min
-      if (best > budget * factor) {
+      if (best > budget * factorFor(aff)) {
         // breach: the host may have changed phase since calibration —
-        // re-read it (never letting the factor shrink mid-suite, so a
-        // briefly-quiet probe can't tighten ceilings on later queries)
-        // and give the query one more run before declaring it over
-        factor = math.max(factor, factorNow())
+        // re-read it and give the query one more run before declaring
+        // it over
+        recalibrate()
         best = math.min(best, run())
       }
+      val factor = factorFor(aff)
       if (best > budget * factor)
-        Some(f"$name: $best%.2fs > budget $budget%.2fs x host factor $factor%.2f")
+        Some(f"$name: $best%.2fs > budget $budget%.2fs x host factor $factor%.2f ($aff)")
       else None
     }
     withClue(s"queries over host-scaled budget (re-baseline deliberately if intended):\n${over.mkString("\n")}\n") {
