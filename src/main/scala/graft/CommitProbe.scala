@@ -194,8 +194,10 @@ object CommitProbe {
           // production method has no injection seam on purpose
           val bc = spark.sparkContext.broadcast(
             new graft.store.FooterHarvest.SerializableConf(conf))
-          val slices = math.max(1, math.min(files.size,
-            math.max(spark.sparkContext.defaultParallelism, files.size / 8)))
+          // the PRODUCTION slicing formula, shared so the injected
+          // latency models the real job shape (r21 ADVICE)
+          val slices = FooterHarvest.sliceCount(
+            spark.sparkContext.defaultParallelism, files.size)
           spark.sparkContext.parallelize(files, slices)
             .mapPartitions { it =>
               val c = bc.value.value
@@ -232,7 +234,17 @@ object CommitProbe {
       return
     }
     if (args.drop(1).headOption.contains("stats")) {
-      val latencyMs = args.drop(2).headOption.map(_.toLong).getOrElse(0L)
+      // a typo'd flag should print usage, not a NumberFormatException
+      // after full session startup (r21 ADVICE)
+      val latencyMs = args.drop(2).headOption match {
+        case None => 0L
+        case Some(v) => scala.util.Try(v.toLong).getOrElse {
+          System.err.println(
+            s"usage: CommitProbe <sfDir> stats [latencyMs] — got '$v'")
+          spark.stop()
+          return
+        }
+      }
       statsHarvestProbe(spark, latencyMs)
       spark.stop()
       return

@@ -135,6 +135,19 @@ object PerfBudget {
     math.min(FactorCeiling, math.max(FactorFloor, raw))
   }
 
+  /** Per-affinity factor over EVERY calibration pair observed this
+    * session: the max of per-pair factors (r21 ADVICE — maxing cpu and
+    * fs independently across recalibrations could combine the worst
+    * cpu of one phase with the worst fs of another into a factor no
+    * real phase exhibited; taking the max of per-PAIR factors keeps
+    * each applied factor anchored to an actually-observed host phase
+    * while still never letting a briefly-quiet probe tighten ceilings
+    * on later queries). */
+  def hostFactorOver(affinity: String, pairs: Seq[(Double, Double)],
+      cpuRec: Double, fsRec: Double): Double =
+    pairs.map { case (c, f) => hostFactorFor(affinity, c, f, cpuRec, fsRec) }
+      .foldLeft(FactorFloor)(math.max)
+
   /** Calibration-wall affinity of a budgeted query, recorded into the
     * JSON at baseline time: the store/commit family (every c-query
     * plus the persistent-index lifecycles, whose seconds are measured
@@ -212,8 +225,15 @@ object PerfBudget {
         (System.nanoTime() - t0) / 1e9
       }
       val steady = times.tail.min // first run = plan compile
-      val budget = steady * 1.5 + 0.5
       val affinity = affinityOf(name)
+      // fs-family ceilings get a 1.0 s additive floor (vs 0.5 s for
+      // compute): a commit lifecycle's seconds are a stack of ~0.1 s
+      // Spark-job floors whose per-job latency jitters with the
+      // scheduler/fs phase in sub-second quanta the multiplicative
+      // headroom can't absorb on a small steady, while a real commit
+      // regression (e.g. the 400 ms-per-commit injection across a >=6
+      // commit lifecycle, +2.4 s) still breaches comfortably.
+      val budget = steady * 1.5 + (if (affinity == "fs") 1.0 else 0.5)
       println(f"BUDGET $name%-28s steady=$steady%6.2fs budget=$budget%6.2fs aff=$affinity  (${times.map(t => f"$t%.2f").mkString(" ")})")
       f"""  "$name": {"steady_sec": $steady%.3f, "budget_sec": $budget%.3f, "affinity": "$affinity"}"""
     }

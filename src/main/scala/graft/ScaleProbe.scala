@@ -31,6 +31,118 @@ object ScaleProbe {
     new graft.store.LakeCatalog(spark, path)
   }
 
+  /** Zipf-skew rung for the d22/d24/d44 count shapes (r21 verdict:
+    * the count-window rewrites put a Zipf-hot key through a WindowExec
+    * partition AQE cannot split — prove or fix before claiming 100 TB).
+    * Builds a synthetic corpus whose token frequencies follow ~1/rank
+    * (rank = ⌊V^u⌋ with u hash-uniform — the classic inverse-CDF
+    * draw for Zipf s=1: the hottest token owns ~1/ln V of ALL token
+    * occurrences, ~6% at V=50k), times the skew-sensitive kernel both
+    * ways at two decades — the COUNT WINDOW over the key vs the staged
+    * groupBy+count join producing the identical integer — and prints
+    * the max/median task skew of each run's worst stage, plus the real
+    * operators (d22/d24/d44) for the end-to-end read.
+    * `runMain graft.ScaleProbe <sfDir> zipf [mult]`. */
+  private def zipfLadder(spark: SparkSession, sfDir: String, topMult: Int): Unit = {
+    import graft.operators.Curation
+    val par = spark.sparkContext.defaultParallelism
+
+    // per-stage max/median task wall, to expose the single-straggler
+    // shape wall-clock alone can hide at small rungs
+    final case class St(var n: Int = 0, var maxMs: Long = 0L,
+        var sumMs: Long = 0L, val all: scala.collection.mutable.ArrayBuffer[Long] =
+          scala.collection.mutable.ArrayBuffer.empty)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val st = stages.computeIfAbsent(t.stageId, _ => St())
+          st.synchronized {
+            st.n += 1; st.sumMs += m.executorRunTime
+            st.maxMs = math.max(st.maxMs, m.executorRunTime)
+            st.all += m.executorRunTime
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def worstStage(): String = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.values.toSeq.sortBy(-_.maxMs).headOption.map { st =>
+        val sorted = st.all.sorted
+        val med = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
+        f"worst stage: tasks=${st.n} max ${st.maxMs / 1e3}%.2f s median ${med / 1e3}%.2f s " +
+          f"skew ${st.maxMs.toDouble / math.max(1L, med)}%.1f"
+      }.getOrElse("no stages")
+    }
+    def timed(label: String)(body: => Unit): Double = {
+      stages.clear()
+      val t0 = System.nanoTime()
+      body
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE zipf $label%-22s $w%8.2f s  (${worstStage()})")
+      w
+    }
+
+    val mults = Seq(1, topMult)
+    val walls = mults.map { mult =>
+      val nDocs = 20000L * mult
+      val toksPerDoc = 200
+      val vocab = 50000
+      // u = hash(doc,pos)/2^32 uniform in [0,1); rank = floor(V^u)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(toksPerDoc)),
+          p => concat(lit("w"), floor(pow(lit(vocab.toDouble),
+            pmod(xxhash64(col("id"), p), lit(1L << 32)).cast("double")
+              / lit((1L << 32).toDouble))).cast("long")))).as("text"))
+        .repartition(par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = docs.count()
+      println(s"PROBE zipf corpus x$mult: $total docs x $toksPerDoc tokens, V=$vocab")
+      val toks = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count()
+      val hot = toks.groupBy("term").count().orderBy(desc("count")).limit(1).collect()(0)
+      println(s"PROBE zipf hot token x$mult: ${hot.get(0)} owns ${hot.getLong(1)} of ${total * toksPerDoc}")
+      // A: the r21 shape — count window over the hot-keyed partition
+      val wWin = timed(s"ctf window     x$mult") {
+        toks.withColumn("ctf",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+          .groupBy("doc_id").agg(sum("ctf").as("s"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // B: the fallback shape — groupBy+count joined back (identical
+      // integer per row; AQE may broadcast or skew-split at will)
+      val wJoin = timed(s"ctf group+join x$mult") {
+        toks.join(toks.groupBy("term").agg(count(lit(1)).as("ctf")), Seq("term"))
+          .groupBy("doc_id").agg(sum("ctf").as("s"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // the real operators end-to-end on the same skewed corpus
+      val wD24 = timed(s"d24 unigram    x$mult") {
+        Curation.unigramLogLoss(docs).write.format("noop").mode("overwrite").save()
+      }
+      val wD22 = timed(s"d22 tfidf      x$mult") {
+        Curation.topTfidfTermPerDoc(docs).write.format("noop").mode("overwrite").save()
+      }
+      val wD44 = timed(s"d44 bigram     x$mult") {
+        Curation.bigramLogLoss(docs).write.format("noop").mode("overwrite").save()
+      }
+      toks.unpersist()
+      docs.unpersist()
+      mult -> (wWin, wJoin, wD24, wD22, wD44)
+    }
+    walls.sliding(2).foreach {
+      case Seq((m0, (a0, b0, c0, d0, e0)), (m1, (a1, b1, c1, d1, e1))) =>
+        println(f"PROBE zipf ratio x$m0->x$m1 (${m1 / m0}x data): " +
+          f"window ${a1 / a0}%.2f  group+join ${b1 / b0}%.2f  " +
+          f"d24 ${c1 / c0}%.2f  d22 ${d1 / d0}%.2f  d44 ${e1 / e0}%.2f")
+      case _ => ()
+    }
+  }
+
   /** Three-point decade ladder on the d35 flagship (the full
     * training-manifest composition): 1× / 10× / 100× the sf corpus,
     * same replica construction as the main probe. Two points (1×/10×)
@@ -659,6 +771,11 @@ object ScaleProbe {
     }
     if (args.drop(1).headOption.contains("ivfbuild")) {
       ivfBuildProbe(spark, sfDir, args.drop(2).headOption.map(_.toInt).getOrElse(100))
+      spark.stop()
+      return
+    }
+    if (args.drop(1).headOption.contains("zipf")) {
+      zipfLadder(spark, sfDir, args.drop(2).headOption.map(_.toInt).getOrElse(10))
       spark.stop()
       return
     }

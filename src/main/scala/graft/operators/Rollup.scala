@@ -100,7 +100,12 @@ object Rollup {
     * degrades to a full source scan otherwise. */
   def refresh(src: LakeTable, dst: LakeTable, groupCols: Seq[String],
       sumCols: Seq[String], maxCols: Seq[String] = Nil,
-      minCols: Seq[String] = Nil): Long = {
+      minCols: Seq[String] = Nil): Long =
+      // the refresh's own probe actions (null-group guard, delta
+      // materialization, tombstone sweep) all run over aggregate-sized
+      // frames — bytes-first coalescing keeps them from paying one
+      // local task floor per shuffle partition (see StoreConf)
+      graft.store.StoreConf.bytesFirstCoalesce(src.spark) {
     // capture the snapshot ONCE: the version check and the tiny-source
     // heuristic below must observe the same snapshot (a concurrent
     // commit between two currentSnapshot reads could diverge them), and

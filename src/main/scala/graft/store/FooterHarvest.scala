@@ -140,6 +140,14 @@ private[graft] object FooterHarvest {
       .filter(f => StatsPruning.supported(f.dataType))
       .map(f => f.name -> f.dataType).toMap
 
+  /** Task count for the distributed harvest job: ≈8 footer opens per
+    * task past the parallelism floor. SHARED with CommitProbe's
+    * latency-injected replica of the job (r21 ADVICE: a probe-local
+    * copy of this formula would silently stop modeling the real job
+    * shape if the production slicing changed). */
+  private[graft] def sliceCount(defaultParallelism: Int, nFiles: Int): Int =
+    math.max(1, math.min(nFiles, math.max(defaultParallelism, nFiles / 8)))
+
   /** Distributed harvest: one Spark job over `(leafRel, filePath)`
     * pairs (≈8 footer opens per task — each open is one object-store
     * round-trip, so tasks stay latency-bound, not scheduler-bound),
@@ -155,8 +163,7 @@ private[graft] object FooterHarvest {
     val bc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
     try {
-      val slices = math.max(1, math.min(specs.size,
-        math.max(spark.sparkContext.defaultParallelism, specs.size / 8)))
+      val slices = sliceCount(spark.sparkContext.defaultParallelism, specs.size)
       val partials = spark.sparkContext.parallelize(specs, slices)
         .mapPartitions { it =>
           val conf = bc.value.value

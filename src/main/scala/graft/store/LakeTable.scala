@@ -541,7 +541,8 @@ class LakeTable(
   private def writeData(
       df: DataFrame,
       partitionCols: Seq[String],
-      props: Map[String, String] = Map.empty): (String, Seq[ManifestEntry]) = {
+      props: Map[String, String] = Map.empty): (String, Seq[ManifestEntry]) =
+      StoreConf.bytesFirstCoalesce(spark) {
     val dir = UUID.randomUUID().toString.take(18)
     val abs = s"$location/data/$dir"
     // HASH-DISTRIBUTE laid-out writes on the layout columns (Iceberg's
@@ -1813,7 +1814,8 @@ class LakeTable(
     * dir (O(batch), never O(table)) and return its manifest entry with
     * footer key-range stats — what lets the compactor skip data entries
     * a delete provably cannot touch. */
-  private def writeDeleteFile(src: DataFrame, keys: Seq[String], s: Snapshot): ManifestEntry = {
+  private def writeDeleteFile(src: DataFrame, keys: Seq[String], s: Snapshot): ManifestEntry =
+      StoreConf.bytesFirstCoalesce(spark) {
     val types = s.schema.fields.map(f => f.name -> f.dataType).toMap
     val keyDf = src.select(keys.map(k => col(k).cast(types(k)).as(k)): _*).distinct()
     // underscore prefix = Hadoop/Spark hidden-path convention: generic
@@ -2119,7 +2121,8 @@ class LakeTable(
       // refresh watermark — separate data and property commits would
       // double-apply the delta if a crash landed between them)
       extraProps: Map[String, String] = Map.empty)(
-      rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot = {
+      rewrite: (DataFrame, DataFrame) => DataFrame): Snapshot =
+      StoreConf.bytesFirstCoalesce(spark) {
     val s = requireExists()
     val soundLayoutPrune = bucketSpec(s) match {
       case Some(spec) =>
