@@ -201,21 +201,27 @@ object Curation {
     * trained LM; the plan shape is identical.
     *
     * Scale shape: the exploded token frame is STAGED (persisted) once —
-    * it has two consumers (the corpus-total agg and the scoring pass),
-    * and without the stage each one re-runs the full tokenize+explode
-    * over the corpus text (Catalyst plans common subtrees per consumer).
-    * Term frequency is a COUNT WINDOW over term on the staged frame —
-    * same value as the old `toks ⋈ (toks groupBy term)` self-join
-    * (count of token occurrences per term) without planning the explode
-    * subtree a third time or paying the join's second term exchange.
+    * it has three consumers (the corpus-total agg, the term-count agg
+    * and the scoring join's probe side), and without the stage each one
+    * re-runs the full tokenize+explode over the corpus text (Catalyst
+    * plans common subtrees per consumer). Term frequency is a
+    * groupBy(term).count on the staged frame JOINED back by term — the
+    * same integer as r21's count window, but Zipf-safe: the agg's
+    * map-side partials collapse the hot term per partition before the
+    * shuffle, and the join's hot probe partition is AQE-skew-splittable
+    * where a WindowExec partition is not (r22 zipf ladder: the window's
+    * worst-stage skew grew 1.0 → 1.8 over one decade on a ~6%-hot-token
+    * corpus and wall-trailed the join shape at both rungs; at design
+    * scale the hot term's window partition is the slowest-task wall).
     * The corpus token total is a 1-row broadcast. */
   def unigramLogLoss(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.agg(count(lit(1)).as("__t_total"))
+    val ctf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
     Dedup.releasing(
       toks
-        .withColumn("ctf", count(lit(1)).over(Window.partitionBy("term")))
+        .join(ctf, Seq("term"))
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(round(
@@ -229,29 +235,36 @@ object Curation {
     * reproducible by an engine whose `ln` differs in the last ulp.
     *
     * Scale shape: explode → one key-shuffled agg (term counts per doc),
-    * then df as a COUNT WINDOW over term on that same tf frame — the
-    * tf subtree (tokenize + explode + agg) is computed ONCE and shuffled
-    * by term, where the old `tf ⋈ (tf groupBy term)` self-join planned
-    * the whole tokenize/explode/agg subtree TWICE (no exchange reuse
-    * between the differently-keyed aggregates; r21 StageProbe: the two
-    * duplicated stages were ~85% of the query's task time) plus a
-    * term-keyed join exchange. df per term ≡ count of tf rows with that
-    * term, identical to the old aggregate. The corpus size N is a 1-row
-    * agg broadcast into the projection. Both shuffles are on compact
-    * keys, text never moves after the explode. */
+    * STAGED (persisted) once for its two consumers — the df aggregate
+    * and the scoring join's probe side (the r21 window computed both in
+    * one pass, but its term-partitioned WindowExec is the skew trap; the
+    * stage keeps the tokenize/explode/agg subtree planned ONCE, which is
+    * what the window rewrite was for — r21 StageProbe: the duplicated
+    * subtree was ~85% of the query's task time). df per term ≡ count of
+    * tf rows with that term via groupBy(term).count joined back — the
+    * identical integer, Zipf-safe (map-side partials collapse the hot
+    * term; the join is AQE-skew-splittable, a window partition is not —
+    * r22 zipf ladder). The corpus size N is a 1-row agg broadcast into
+    * the projection. Both shuffles are on compact keys, text never
+    * moves after the explode; the remaining window partitions by doc_id
+    * (bounded by a document's distinct terms — no corpus-hot key). */
   def topTfidfTermPerDoc(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .crossJoin(broadcast(n))
-      .withColumn("tfidf", round(
-        col("tf").cast("double") *
-          log(col("__n_docs").cast("double") / col("df").cast("double")), 4))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+    Dedup.releasing(
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          col("tf").cast("double") *
+            log(col("__n_docs").cast("double") / col("df").cast("double")), 4))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf")),
+      tf)
   }
 
   /** Sequence packing: concatenate the corpus in doc_id order and chunk
@@ -478,15 +491,19 @@ object Curation {
     * Scale shape: the tokenized corpus is STAGED (persisted) once and
     * feeds both the unigram explode and the bigram expansion — without
     * the stage each consumer re-runs the regex tokenize over the corpus
-    * text (the r21 plan tokenized 4×/expanded bigrams 2×). The bigram
-    * count is a COUNT WINDOW over (w1,w2) on the expansion — same value
-    * as the old `pairs ⋈ (pairs groupBy w1,w2)` self-join without the
-    * second expansion pass or the join exchange. The corpus total is
-    * derived as sum(cw) over the unigram table (identical to counting
-    * all tokens) so no extra corpus pass remains. Both count aggs and
-    * the probability joins shuffle compact word keys. All probabilities
-    * are integer-count ratios (IEEE-deterministic); the final mean is
-    * rounded to 4dp (the d24 precedent the oracle reproduces). */
+    * text (the r21 plan tokenized 4×/expanded bigrams 2×); the expanded
+    * pairs frame is staged too for ITS two consumers (the bigram-count
+    * agg and the scoring joins' probe side), so the expansion also runs
+    * once. The bigram count is `pairs.groupBy(w1,w2).count` joined back
+    * — the same integer as r21's (w1,w2) count window, but Zipf-safe:
+    * map-side partials collapse the hot bigram before the shuffle and
+    * the join is AQE-skew-splittable where a WindowExec partition is
+    * not (r22 zipf ladder). The corpus total is derived as sum(cw) over
+    * the unigram table (identical to counting all tokens) so no extra
+    * corpus pass remains. Both count aggs and the probability joins
+    * shuffle compact word keys. All probabilities are integer-count
+    * ratios (IEEE-deterministic); the final mean is rounded to 4dp
+    * (the d24 precedent the oracle reproduces). */
   def bigramLogLoss(
       docs: DataFrame,
       lambda: Double = 0.7,
@@ -504,9 +521,11 @@ object Curation {
         "transform(sequence(0, size(__toks) - 2), " +
           "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     Dedup.releasing(
       pairs
-        .withColumn("cb", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+        .join(cb, Seq("w1", "w2"))
         .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
         .crossJoin(broadcast(total))
@@ -517,7 +536,7 @@ object Curation {
               + lit(1.0 - lambda) * col("c2").cast("double")
               / col("__t_total").cast("double"))))
             / count(lit(1)).cast("double"), 4).as("nll")),
-      staged)
+      staged, pairs)
   }
 
   /** RAG-style chunking: fixed-size token windows with overlap. A

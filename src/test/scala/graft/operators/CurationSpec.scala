@@ -350,4 +350,62 @@ class CurationSpec extends SparkSpec {
     Dedup.splitLeakage(tagged)
       .filter($"split_a" === $"split_b").count() shouldBe 0L
   }
+
+  test("count shapes never key-partition a window (Zipf-hot keys aggregate first)") {
+    // r21 computed the d22/d24/d44 corpus counts as COUNT WINDOWS over
+    // the term / (w1,w2) key — a Zipf-hot key then owns one WindowExec
+    // partition AQE cannot split (the r22 zipf ladder measured the
+    // straggler growing with scale). The r22 shape aggregates first
+    // (map-side partials collapse the hot key) and joins back — this
+    // pin fails if a future edit reintroduces a key-partitioned window
+    // anywhere in these operators' executed jobs. The final frames are
+    // checkpoint-truncated, so the pin watches EVERY action's executed
+    // plan through a QueryExecutionListener instead of the result plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        seen.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    def allOps(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => allOps(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allOps(q.plan)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(allOps)) ++ nested
+    }
+    val docs = (1L to 60L).map(i =>
+      (i, s"the quick fox w$i jumps over the lazy dog the end w${i % 7}"))
+      .toDF("doc_id", "text")
+    spark.listenerManager.register(listener)
+    try {
+      Curation.unigramLogLoss(docs).collect()
+      Curation.topTfidfTermPerDoc(docs).collect()
+      Curation.bigramLogLoss(docs).collect()
+      // the execution listener delivers asynchronously; the plans under
+      // test are registered within a bounded drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.size() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val keyedWindows = seen.asScala.toSeq.flatMap(allOps).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty &&
+            // d22's per-document rank window is allowed: doc_id
+            // partitions are bounded by one document's distinct terms
+            !w.partitionSpec.forall(_.references.map(_.name).forall(_ == "doc_id")) => w
+      }
+      val allWindows = seen.asScala.toSeq.flatMap(allOps).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      info(s"observed plans=${seen.size} windows=${allWindows.size} keyed=${keyedWindows.size}")
+      allWindows should not be empty // the d22 doc_id rank window must be visible to the listener
+      keyedWindows shouldBe empty
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
