@@ -48,6 +48,23 @@ object LlmQueries {
     kept.repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Deterministic output order WITHOUT the range-sampling double run:
+    * a global sort's range exchange executes its un-materialized child
+    * TWICE — once end-to-end to sample the range bounds, once to
+    * shuffle — and for an opaque mapPartitions media kernel that means
+    * every PNG/WAV/AVI is encoded AND decoded twice (r22 StageProbe on
+    * m04: twin 32-task stages of 12.5 s and 13.6 s task-run over the
+    * same 5000 rows, one writing no shuffle output = the sampling
+    * pass). Materializing the kernel output once (eager local
+    * checkpoint — the Dedup.releasing pattern) lets the sampling pass
+    * read stored blocks instead of re-running the codec; the stored
+    * bytes are exactly what the sort must shuffle anyway, at any
+    * scale. Queries whose sort input is already an aggregate don't
+    * need this — the sampling pass there re-reads the agg's shuffle
+    * files, not the kernel. */
+  private def sortedOnce(df: DataFrame, keys: String*): DataFrame =
+    df.localCheckpoint(true).orderBy(keys.map(col): _*)
+
   // ------------------------------------------------------------------
   // text analysis
   // ------------------------------------------------------------------
@@ -633,7 +650,7 @@ object LlmQueries {
       .embedPatches(
         Multimodal.encodePng(docIds(s, dir), "doc_id", _ => (16, 16)),
         idCol = "doc_id")
-      .orderBy("doc_id", "dim")
+      .transform(sortedOnce(_, "doc_id", "dim"))
 
   private def m08(s: SparkSession, dir: String): DataFrame =
     // REAL audio: encode a real RIFF/WAVE PCM16 file per doc (8 kHz /
@@ -651,7 +668,7 @@ object LlmQueries {
           sampleRate = id => if (id % 2 == 0) 8000 else 16000,
           nSamples = id => if (id % 2 == 0) 480 else 960),
         "doc_id", targetRate = 8000, frame = 60)
-      .orderBy("doc_id", "frame_no")
+      .transform(sortedOnce(_, "doc_id", "frame_no"))
 
   /** Frame-GRADIENT fingerprint dedup, shared by the audio (m11) and
     * video (m12) perceptual screens: the sign of each consecutive
@@ -716,7 +733,7 @@ object LlmQueries {
         Multimodal.encodeAvi(docIds(s, dir, below = 300),
           "doc_id", frames = 3, w = 15, h = 12),
         "doc_id")
-      .orderBy("doc_id", "frame_no")
+      .transform(sortedOnce(_, "doc_id", "frame_no"))
 
   private def m10(s: SparkSession, dir: String): DataFrame =
     // perceptual image dedup: REAL PNG encode+decode, dHash over the
@@ -757,7 +774,7 @@ object LlmQueries {
         col("meta.width").cast("long").as("width"),
         col("meta.height").cast("long").as("height"),
         round(col("meta.mean_luma"), 4).as("mean_luma"))
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
 
   private def m04(s: SparkSession, dir: String): DataFrame =
     // REAL resize: encode a real grayscale PNG per doc (dims vary by
@@ -776,7 +793,7 @@ object LlmQueries {
         col("out_w").cast("long").as("out_w"),
         col("out_h").cast("long").as("out_h"),
         hex(col("resized")).as("r_hex"))
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
 
   private def m03(s: SparkSession, dir: String): DataFrame =
     // frame/segment sampling: pure byte-slice expressions over the

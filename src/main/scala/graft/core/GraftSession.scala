@@ -33,6 +33,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Generated-class cache (default 100 entries): a multi-step
+      // lifecycle compiles many structurally-identical codegen stages
+      // and a wide query surface churns a 100-entry LRU straight
+      // through, so cold Janino compiles repeat per action. 2000
+      // entries keeps a session's working set resident — bounded
+      // driver memory, same at any data scale (codegen cost is per
+      // plan, not per row).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")

@@ -229,12 +229,37 @@ class PlanShapeSpec extends SparkSpec {
     // how many cores exist (the r18 review measured m02 at 4 tasks
     // with 26 s of idle cores). Pin the plan shape: every media-kernel
     // query carries at least one RoundRobinPartitioning exchange.
+    // r22: several kernels are checkpoint-materialized inside the query
+    // builder (sortedOnce — the range-sampling double-run fix), which
+    // truncates the final frame's plan, so the pin watches every
+    // executed action through a QueryExecutionListener and unions in
+    // the final (possibly lazy) plan.
     val mediaKernels = Seq(
       "m02_multimodal_decode", "m04_resize_pool", "m05_embed_patches",
       "m08_audio_frames", "m09_video_frames", "m10_perceptual_dedup",
       "m11_audio_fingerprint", "m12_video_fingerprint")
     val missing = mediaKernels.filterNot { name =>
-      planOps(name).exists {
+      val seen = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          seen.add(qe.executedPlan); ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val plans = try {
+        val df = run(name)
+        val finalOps = ops(df.queryExecution.executedPlan)
+        // the execution listener delivers asynchronously — bounded drain
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (seen.isEmpty && finalOps.size <= 2 &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+        import scala.jdk.CollectionConverters._
+        finalOps ++ seen.asScala.toSeq.flatMap(ops)
+      } finally spark.listenerManager.unregister(listener)
+      plans.exists {
         case e: ShuffleExchangeExec =>
           e.outputPartitioning.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
