@@ -73,6 +73,8 @@ object LlmQueries {
     // tokens staged once as a column: the three consumers below then read
     // an attribute instead of re-running the regex split per lambda element
     table(s, dir, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .withColumn("__toks", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -83,6 +85,8 @@ object LlmQueries {
 
   private def d02(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .withColumn("__toks", tokens(col("text")))
       .select(col("doc_id"),
         qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))
@@ -90,6 +94,8 @@ object LlmQueries {
 
   private def d03(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .withColumn("__toks", tokens(col("text")))
       .select(col("doc_id"),
         langIdFromTokens(col("text"), col("__toks")).as("lang_pred"))
@@ -99,19 +105,25 @@ object LlmQueries {
     // the sf* documents parquet is ONE row group, and a parquet row
     // group is indivisible — however the byte-range splits fall, a
     // single task ends up computing every fingerprint (r12 bench: 4
-    // tasks, one 3 s straggler ≈ the whole wall). One round-robin
-    // exchange of the ~MB text spreads the CPU-bound kernel across all
-    // cores; real multi-file corpora split naturally at the scan and
-    // never reach this shape, so the exchange cost stays bounded by
-    // one pass over a deliberately tiny input.
+    // tasks, one 3 s straggler ≈ the whole wall). One exchange of the
+    // ~MB text spreads the CPU-bound kernel across all cores; r22 made
+    // it a RANGE exchange on the output sort key instead of round-robin:
+    // the deterministic projection then preserves the distribution and
+    // ordering, so the final orderBy's range exchange — whose bounds
+    // SAMPLING pass re-executes an un-materialized child end to end,
+    // i.e. every fingerprint twice — plans away entirely (one exchange
+    // on the raw scan, kernel computed once; same at any corpus size).
     table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
   private def d13(s: SparkSession, dir: String): DataFrame =
     // rolling-hash fingerprint via the native codegen'd expression
     table(s, dir, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .select(col("doc_id"), rollingHash(col("text")).as("rh"))
       .orderBy("doc_id")
 
